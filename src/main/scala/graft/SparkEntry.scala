@@ -17,10 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++
+      graft.queries.Joins.queries ++
+      graft.queries.Windows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles
+    graft.queries.Analytics.oracles ++
+      graft.queries.Joins.oracles ++
+      graft.queries.Windows.oracles
 }
