@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.Joins.queries ++
-      graft.queries.Windows.queries
+      graft.queries.Windows.queries ++
+      graft.queries.StockPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.Joins.oracles ++
-      graft.queries.Windows.oracles
+      graft.queries.Windows.oracles ++
+      graft.queries.StockPipeline.oracles
 }

@@ -1,0 +1,126 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.{GraftTable, Maintenance}
+import graft.transform.Enrich
+
+/** End-to-end stock-pipeline queries: the reference's three entry points
+  * (ingest → maintenance → external-table analytics, SURVEY.md §3)
+  * compressed into driver-runnable query functions. Inputs are the
+  * deterministic synthetic bar source (zero-egress stand-in for the
+  * Polygon REST API), so these have no DuckDB oracle — the driver records
+  * rows-only checks; ScalaTest asserts the semantics (ingest determinism,
+  * tz edges, maintenance invariants).
+  *
+  * Lifecycle queries materialize their small reports with collect-free
+  * local DataFrames where possible; temp tables live under java.io.tmpdir
+  * and are unique per invocation.
+  */
+object StockPipeline {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Ingest summary — analyze_table (stock_harvester.py:189-213): rows,
+    * distinct dates, and null-coercion counts per ticker. */
+  def barIngestSummary(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    bars.groupBy("ticker")
+      .agg(
+        count(lit(1)).as("n_bars"),
+        countDistinct(col("trade_date")).as("n_days"),
+        min("trade_date").as("first_date"),
+        max("trade_date").as("last_date"),
+        sum(when(col("close").isNull, 1).otherwise(0)).as("null_closes"))
+      .orderBy("ticker")
+  }
+
+  /** The timezone-edge slice: bars whose UTC date differs from the NY
+    * trade_date (stock_harvester.py:154-159 rationale made visible). */
+  def barTimezoneEdge(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    bars
+      .filter(to_date(col("event_time_utc")) =!= col("trade_date"))
+      .groupBy("ticker", "trade_date")
+      .agg(count(lit(1)).as("bars_past_utc_midnight"))
+      .orderBy("ticker", "trade_date")
+  }
+
+  /** Full maintenance lifecycle (maintenance.py main): write partitioned
+    * table → OPTIMIZE(cluster by timestamp_ms) → VACUUM 0h demo →
+    * invariant report. */
+  def barMaintenanceReport(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("graft_bars_maint")
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    // fixed pre-write partitioning → deterministic file counts everywhere
+    table.write(bars.repartition(8))
+    val report = Maintenance.run(table, clusterBy = Seq("timestamp_ms"))
+    Maintenance.reportDF(spark, report)
+  }
+
+  /** History audit (M3) after a write→optimize→vacuum cycle
+    * (maintenance.py:212-216). */
+  def barHistory(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("graft_bars_hist")
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    table.write(bars.repartition(8))
+    table.optimize(Seq("timestamp_ms"))
+    table.vacuum(0.0, retentionCheckEnabled = false)
+    import spark.implicits._
+    table.history()
+      .select(col("version").cast("long"), col("operation"))
+      .as[(Long, String)].collect().toSeq
+      .toDF("version", "operation").orderBy("version")
+  }
+
+  /** External-table analytics (external_table.py:125-168): register the
+    * bar table in the catalog, then run the reference's daily-summary SQL
+    * (A6, external_table.py:148-154) through spark.sql. */
+  def barExternalAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("graft_bars_ext")
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    table.write(bars.repartition(8))
+    table.optimize(Seq("timestamp_ms"))
+    val name = s"stocks_external_${System.nanoTime()}"
+    graft.catalog.External.registerExternalTable(spark, name, path)
+    val out = spark.sql(
+      s"""SELECT ticker, trade_date,
+         |       COUNT(*) AS bar_count,
+         |       ROUND(MIN(low), 2) AS day_low,
+         |       ROUND(MAX(high), 2) AS day_high,
+         |       CAST(SUM(volume) AS BIGINT) AS total_volume
+         |FROM $name
+         |GROUP BY ticker, trade_date
+         |ORDER BY ticker, trade_date""".stripMargin)
+    // materialize before dropping the catalog entry (external semantics:
+    // data files survive the DROP — D1/D3)
+    val rows = out.collect()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bar_ingest_summary"     -> barIngestSummary _,
+    "bar_timezone_edge"      -> barTimezoneEdge _,
+    "bar_maintenance_report" -> barMaintenanceReport _,
+    "bar_history"            -> barHistory _,
+    "bar_external_analytics" -> barExternalAnalytics _)
+
+  /** No DuckDB oracles: inputs are generated, not testdata tables. The
+    * driver records rows-only checks; StockPipelineSpec carries the
+    * semantic assertions. */
+  val oracles: Map[String, String] = Map.empty
+}
