@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.Joins.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.StockPipeline.queries
+      graft.queries.StockPipeline.queries ++
+      graft.text.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Analytics.oracles ++
       graft.queries.Joins.oracles ++
       graft.queries.Windows.oracles ++
-      graft.queries.StockPipeline.oracles
+      graft.queries.StockPipeline.oracles ++
+      graft.text.TextAnalysis.oracles
 }

@@ -1,0 +1,211 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.functions.TextFingerprint.text_fingerprint
+
+/** Text-analysis pack over the `documents` table — the training-data
+  * pipeline operators (language ID, quality scoring, token counting,
+  * fingerprinting) the builder prompt lists as first-class components.
+  *
+  * Parity discipline: every ratio is an exact-integer division done
+  * identically in Spark and DuckDB (IEEE doubles are deterministic given
+  * identical inputs), so outputs are unrounded yet hash-exact. All
+  * expressions are built from codegen'd `functions._` (no UDFs) — at
+  * 100 TB these are embarrassingly parallel scans with no shuffle except
+  * the final order/aggregate.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  // Small public stopword lists per language (classic stopword-hit ID).
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "et", "est", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "una", "y", "es", "en", "que", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "mit", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不", "人", "这"))
+
+  private def stopHits(lang: String): Column =
+    size(filter(words(col("text")), w => w.isInCollection(Stopwords(lang))))
+
+  /** Per-document surface statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(words(col("text"))).as("n_words"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(words(col("text")))).as("avg_word_len"),
+        (size(filter(words(col("text")), w => w.isInCollection(Stopwords("en"))))
+          .cast("double") / size(words(col("text")))).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  /** BPE-ish token counting: letter runs, digit runs, single punctuation.
+    * The regex is deliberately RE2-compatible so the DuckDB oracle
+    * tokenizes identically. */
+  val TokenPattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_tokens"),
+        (length(col("text")).cast("double") /
+          size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, stopword density, punctuation, word shape —
+    * a deterministic composite in [0, 1]. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double")
+    val stops = stopHits("en").cast("double")
+    val avgLen = (length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords)
+    val lenScore = least(nWords, lit(100.0)) / lit(100.0)
+    val stopScore = least(stops / nWords * lit(5.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / nChars * lit(10.0), lit(1.0))
+    val shapeScore = when(avgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (lenScore * lit(0.25) + stopScore * lit(0.35) +
+          punctScore * lit(0.2) + shapeScore * lit(0.2)).as("quality"),
+        nWords.cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-hit language ID (argmax over per-language hit counts; ties
+    * resolve in fixed list order). The synthetic corpus is English-ish so
+    * labels skew 'en' — TextAnalysisSpec exercises real multilingual
+    * sentences. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val hitCols = langs.map(l => stopHits(l).as(s"hits_$l"))
+    val best = langs.foldRight(lit("und")) { (l, acc) =>
+      // l wins if its count strictly beats every later language and is > 0
+      when(col(s"hits_$l") > 0 &&
+        langs.filter(_ != l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
+          .reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
+      .withColumn("predicted_lang", best)
+      .select("doc_id", "labeled_lang", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprint via the custom codegen'd
+    * Catalyst expression [[graft.functions.TextFingerprint]]; identical
+    * fingerprints group exact-or-near-duplicate content without comparing
+    * full texts (the 100 TB-friendly first pass of dedup). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        text_fingerprint(col("text"), 8).as("fingerprint"),
+        text_fingerprint(lower(regexp_replace(col("text"), "\\s+", " ")), 8)
+          .as("normalized_fingerprint"))
+      .orderBy("doc_id")
+
+  /** Character-trigram top-5 per language: explode + count + rank —
+    * the n-gram profile build step of corpus analysis. */
+  def trigramTopk(spark: SparkSession, dir: String): DataFrame = {
+    // sequence(1, n) with n<1 yields a DESCENDING [1,0] in Spark (not
+    // empty) — clamp to 1 and drop short grams instead.
+    val grams = documents(spark, dir)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .filter(length(col("trigram")) === 3)
+    grams.groupBy("lang", "trigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), col("trigram"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("trigram"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"      -> textStats _,
+    "token_count"     -> tokenCount _,
+    "quality_score"   -> qualityScore _,
+    "lang_id"         -> langId _,
+    "doc_fingerprint" -> docFingerprint _,
+    "trigram_topk"    -> trigramTopk _)
+
+  private val stopList: String => String =
+    l => Stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hitsSql(l: String): String =
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_words,
+         |       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |         / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_word_len,
+         |       CAST(${hitsSql("en")} AS DOUBLE)
+         |         / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_tokens,
+        |       CAST(length(text) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+         |    CAST(${hitsSql("en")} AS DOUBLE) AS stops,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_len
+         |  FROM documents)
+         |SELECT doc_id,
+         |       (LEAST(n_words, 100.0) / 100.0) * 0.25
+         |       + LEAST(stops / n_words * 5.0, 1.0) * 0.35
+         |       + (1.0 - LEAST(punct / n_chars * 10.0, 1.0)) * 0.2
+         |       + (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         |         AS quality,
+         |       CAST(n_words AS BIGINT) AS n_words
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |         ${Seq("en", "fr", "es", "de", "zh").map(l => s"${hitsSql(l)} AS hits_$l").mkString(",\n         |         ")}
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang,
+         |  CASE
+         |    WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+         |    WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+         |    WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+         |    WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+         |    WHEN hits_zh > 0 AND hits_zh >= hits_en AND hits_zh >= hits_fr AND hits_zh >= hits_es AND hits_zh >= hits_de THEN 'zh'
+         |    ELSE 'und' END AS predicted_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // doc_fingerprint: custom expression — no SQL equivalent (rows-only);
+    // golden values asserted in TextAnalysisSpec.
+    "trigram_topk" ->
+      """WITH g AS (
+        |  SELECT lang, unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+        |                i -> substr(text, CAST(i AS INTEGER), 3))) AS trigram
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, trigram, COUNT(*) AS cnt FROM g WHERE length(trigram) = 3 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, trigram) AS INTEGER) AS rk,
+        |         trigram, cnt
+        |  FROM c)
+        |SELECT lang, rk, trigram, cnt FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Fingerprints, TextFingerprint}
+import graft.text.TextAnalysis
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lang_id identifies real multilingual sentences") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while", "en"),
+      (2L, "le chat est dans la maison et les enfants jouent dans le jardin", "fr"),
+      (3L, "el perro corre por el parque y los gatos duermen en la casa", "es"),
+      (4L, "der Hund und die Katze spielen mit einem Ball von dem Kind", "de"),
+      (5L, "我 的 朋友 是 在 北京 我们 有 很多 书 这 是 好 的", "zh"))
+    val df = samples.toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("langid_fixture")
+    // reuse the pack's scoring logic directly on the fixture
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    def hits(l: String) =
+      size(filter(split(trim(col("text")), "\\s+"),
+        w => w.isInCollection(TextAnalysis.Stopwords(l))))
+    val best = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"hits_$l") > 0 &&
+        langs.filter(_ != l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
+          .reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    val pred = df.select(col("doc_id") +: col("lang") +: langs.map(l => hits(l).as(s"hits_$l")): _*)
+      .withColumn("predicted", best)
+      .select("lang", "predicted").as[(String, String)].collect()
+    pred.foreach { case (expected, got) =>
+      assert(got == expected, s"expected $expected got $got")
+    }
+  }
+
+  test("fingerprint kernel: known values, stability, edit locality") {
+    val h1 = Fingerprints.minKgramHash(UTF8String.fromString("hello world hello"), 8)
+    val h2 = Fingerprints.minKgramHash(UTF8String.fromString("hello world hello"), 8)
+    assert(h1 == h2)
+    assert(h1 > 0)
+    // identical content → identical fingerprint
+    // appended tail far from the minimizing k-gram usually keeps the min
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val fpBase = Fingerprints.minKgramHash(UTF8String.fromString(base), 8)
+    val fpApp = Fingerprints.minKgramHash(UTF8String.fromString(base + "zzzz"), 8)
+    assert(fpBase == fpApp) // min over superset of k-grams can only stay or drop
+    // short strings fall back to full hash
+    assert(Fingerprints.minKgramHash(UTF8String.fromString("abc"), 8) ==
+      Fingerprints.fullHash("abc"))
+    assert(Fingerprints.minKgramHash(UTF8String.fromString(""), 8) == 0L)
+  }
+
+  test("fingerprint min-property: min k-gram hash over sliding windows") {
+    // brute-force reference: hash every k-gram with the same polynomial
+    val s = "abcdefgabcxyz"
+    val k = 4
+    val expected = (0 to s.length - k)
+      .map(i => Fingerprints.fullHash(s.substring(i, i + k))).min
+    assert(Fingerprints.minKgramHash(UTF8String.fromString(s), k) == expected)
+  }
+
+  test("TextFingerprint expression: codegen and interpreted paths agree") {
+    val df = Seq((1L, "spark catalyst expression codegen test string"),
+      (2L, "another document with different content entirely")).toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+      TextFingerprint.text_fingerprint(col("text"), 8).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaKernel = df.as[(Long, String)].collect()
+      .map { case (id, t) => id -> Fingerprints.minKgramHash(UTF8String.fromString(t), 8) }
+      .toMap
+    assert(viaExpr == viaKernel)
+  }
+
+  test("quality score stays in [0,1] and favors stopword-bearing text") {
+    val df = TextAnalysis.qualityScore(spark, sf).cache()
+    assert(df.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+  }
+
+  test("doc_fingerprint: normalized fingerprint collapses case/whitespace variants") {
+    val df = Seq((1L, "Hello   World Test Document"), (2L, "hello world test document"))
+      .toDF("doc_id", "text")
+    val fps = df.select(
+      TextFingerprint.text_fingerprint(
+        lower(regexp_replace(col("text"), "\\s+", " ")), 8).as("nfp"))
+      .as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("trigram_topk returns 5 per language") {
+    val df = TextAnalysis.trigramTopk(spark, sf)
+    val counts = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5))
+    assert(counts.keySet == Set("en", "fr", "es", "de", "zh"))
+  }
+}
