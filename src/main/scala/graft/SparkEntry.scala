@@ -21,7 +21,9 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.Windows.queries ++
       graft.queries.StockPipeline.queries ++
-      graft.text.TextAnalysis.queries
+      graft.text.TextAnalysis.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.similarity.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,7 @@ object SparkEntry {
       graft.queries.Joins.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.StockPipeline.oracles ++
-      graft.text.TextAnalysis.oracles
+      graft.text.TextAnalysis.oracles ++
+      graft.dedup.Dedup.oracles ++
+      graft.similarity.Similarity.oracles
 }

@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Deduplication pack over `documents` — exact, MinHash+LSH, SimHash, and
+  * exact n-gram Jaccard verification, each built as the shape that
+  * survives 100 TB:
+  *
+  *  - exact dedup is a single hash-groupBy on the normalized text (at
+  *    scale: group on a fingerprint first, compare texts only within
+  *    colliding groups);
+  *  - MinHash sketches fold map-side via a typed Aggregator (one 128-lane
+  *    sketch per doc crosses the shuffle, never the shingles);
+  *  - LSH banding turns all-pairs comparison into an equi-join on
+  *    (band, signature) — candidate generation is linear in data size,
+  *    quadratic only within a bucket;
+  *  - exact Jaccard runs only on LSH candidates (array_intersect on
+  *    collected shingle sets of the candidate docs).
+  *
+  * MinHash/SimHash outputs have no SQL oracle (sketches are
+  * implementation-defined); DedupSpec pins recall against brute-force
+  * Jaccard on sf0.001.
+  */
+object Dedup {
+
+  val NumPerm = 128
+  val Bands = 32 // 32 bands x 4 rows: catches jaccard >= ~0.6 reliably
+  val RowsPerBand: Int = NumPerm / Bands
+
+  /** char-5-gram shingle hashes, distinct per doc. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+
+  /** MinHash sketch per doc (single shuffle via typed Aggregator). */
+  def minhashSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new Sketches.MinHashAgg(NumPerm)
+    shingleTable(spark, dir)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sketch"))
+      .toDF("doc_id", "sketch")
+  }
+
+  /** Exact dedup: normalize → groupBy → keep min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sk = minhashSketches(spark, dir).cache()
+    // band signatures: hash each 4-lane slice
+    val banded = sk.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${Bands - 1}),
+         |  b -> xxhash64(concat_ws(',', b, slice(sketch, b * $RowsPerBand + 1, $RowsPerBand))))"""
+        .stripMargin)).as(Seq("band", "sig")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val est = candidates
+      .join(sk.withColumnRenamed("doc_id", "a").withColumnRenamed("sketch", "ska"), "a")
+      .join(sk.withColumnRenamed("doc_id", "b").withColumnRenamed("sketch", "skb"), "b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(ska, skb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumPerm as double)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("a", "b")
+    est
+  }
+
+  /** Exact char-5-gram Jaccard, computed only for LSH candidates. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val candidates = dedupMinhash(spark, dir).select("a", "b")
+    val sets = shingleTable(spark, dir)
+      .groupBy("doc_id").agg(collect_set("sh").as("shingles"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sa"), "a")
+      .join(sets.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sb"), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** SimHash signatures + near-dup pairs at hamming distance ≤ 3 via
+    * 4-piece banding (pigeonhole: any pair within distance 3 shares at
+    * least one exact 16-bit piece). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new Sketches.SimHashAgg
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
+    val sigs = words.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .toDF("doc_id", "sig").cache()
+    val pieces = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
+      """transform(sequence(0, 3),
+        |  p -> concat_ws(':', p, shiftright(sig, p * 16) & 65535))""".stripMargin))
+      .as(Seq("piece", "pkey")))
+    pieces.as("x").join(pieces.as("y"),
+        col("x.piece") === col("y.piece") && col("x.pkey") === col("y.pkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(expr("x.sig").bitwiseXOR(expr("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"   -> dedupExact _,
+    "dedup_minhash" -> dedupMinhash _,
+    "ngram_jaccard" -> ngramJaccard _,
+    "dedup_simhash" -> dedupSimhash _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin)
+    // minhash/simhash/candidate-verified jaccard: sketch outputs are
+    // implementation-defined → rows-only; DedupSpec pins recall/precision
+    // against brute-force Jaccard.
+}

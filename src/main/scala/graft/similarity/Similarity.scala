@@ -1,0 +1,157 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-d).
+  *
+  *  - `knn_brute`: exact top-k cosine — broadcast the (small) query set
+  *    against a single pass of the corpus; ranking uses the ROUNDED
+  *    cosine with a vec_id tiebreak so Spark and the DuckDB oracle rank
+  *    identically despite last-ulp float-summation differences.
+  *  - `knn_lsh`: the 100 TB path — random-hyperplane signatures bucket
+  *    the corpus (one shuffle on the bucket key); search touches only the
+  *    query's bucket. Approximate: recall measured in SimilaritySpec.
+  *
+  * Dot products use zip_with + aggregate over double-cast lanes — all
+  * codegen'd higher-order functions, no UDF in the scan path.
+  */
+object Similarity {
+
+  private def toDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column = sqrt(dot(c, c))
+
+  val K = 5
+  val NumQueries = 50
+
+  /** Exact brute-force top-k cosine for the first `NumQueries` vectors. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+    scored
+  }
+
+  /** Random-hyperplane LSH: 12-bit signatures from seeded ±1 planes.
+    * Multi-probe: each query also probes all signatures at hamming
+    * distance 1 (13 probes) to recover near-boundary neighbors. */
+  val SigBits = 12
+
+  private def signature(v: Column): Column = {
+    // plane j, lane i weight = ±1 from a seeded hash — deterministic,
+    // no stored model. sum_i(v_i * w_ij) > 0 → bit j set.
+    val bits = (0 until SigBits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, i) =>
+          when(pmod(hash(i, lit(j), lit(42)), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via LSH buckets (+ hamming-1 multiprobe). */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("sig", signature(col("v")))
+    val corpus = emb.select(col("vec_id"), col("v"), col("n"), col("sig"))
+    val probes = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"),
+        explode(concat(array(col("sig")), expr(
+          s"transform(sequence(0, ${SigBits - 1}), j -> cast(sig as bigint) ^ shiftleft(1L, j))")))
+          .as("probe_sig"))
+    val scored = corpus.join(probes,
+        col("sig") === col("probe_sig") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+    scored
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. This corpus
+    * is near-random (max pairwise cosine ≈ 0.5), so the threshold is set
+    * where the data has signal; in a true near-dup regime (cos ≥ 0.9) the
+    * banded-LSH candidate join of [[knnLsh]] replaces the broadcast — the
+    * hyperplane collision probability (1-θ/π)^bits only amplifies at high
+    * cosine. The left side is a bounded probe set (a < CosDupProbe) so the
+    * plan is a broadcast of probes against one corpus pass, never an
+    * all-pairs shuffle. */
+  val CosDupThreshold = 0.35
+  val CosDupProbe = 200
+
+  def cosineDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val probes = emb.filter(col("vec_id") < CosDupProbe)
+      .select(col("vec_id").as("a"), col("v").as("va"), col("n").as("na"))
+    emb.join(broadcast(probes), col("a") < col("vec_id"))
+      .withColumn("cos", round(dot(col("va"), col("v")) / (col("na") * col("n")), 6))
+      .filter(col("cos") >= CosDupThreshold)
+      .select(col("a"), col("vec_id").as("b"), col("cos"))
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute"   -> knnBrute _,
+    "knn_lsh"     -> knnLsh _,
+    "cosine_dups" -> cosineDups _)
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ROUND(list_inner_product(c.v, q.v) / (c.nrm * q.nrm), 6) AS cos
+         |  FROM n c, n q
+         |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk
+         |  FROM s)
+         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    "cosine_dups" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |FROM n a, n b
+         |WHERE a.vec_id < $CosDupProbe AND a.vec_id < b.vec_id
+         |  AND ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $CosDupThreshold
+         |ORDER BY a, b""".stripMargin)
+    // knn_lsh is approximate (signature-dependent) → rows-only;
+    // SimilaritySpec measures its recall against knn_brute.
+}

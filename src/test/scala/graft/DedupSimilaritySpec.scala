@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, Sketches}
+import graft.similarity.Similarity
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_exact: all docs kept when no exact dups; dup fixture collapses") {
+    val n = graft.tables.Tables.documents(spark, sf).count()
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.agg(sum("n_copies")).collect()(0).getLong(0) == n)
+    // synthetic fixture with real duplicates
+    val fix = Seq((1L, "a b c"), (2L, "A  B c"), (3L, "different text here"))
+      .toDF("doc_id", "text")
+    fix.createOrReplaceTempView("dup_fixture")
+    val collapsed = fix
+      .groupBy(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val m = collapsed.select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 2L && m(3L) == 1L)
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.15 on candidates") {
+    val est = Dedup.dedupMinhash(spark, sf)
+      .select("a", "b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact.nonEmpty, "expected near-dup pairs in testdata")
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"LSH missed exact-jaccard pair $pair ($j)")
+      assert(math.abs(est(pair) - j) < 0.15, s"pair $pair est=${est(pair)} exact=$j")
+    }
+  }
+
+  test("minhash LSH recall: finds every brute-force pair with jaccard >= 0.8") {
+    // brute-force ground truth on sf0.001 (500 docs -> 125k pairs is fine
+    // driver-side via the shingle table self-join)
+    val sh = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"))
+        .as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh")).distinct()
+    val truth = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sh.groupBy(col("doc_id").as("a")).agg(count(lit(1)).as("na")), "a")
+      .join(sh.groupBy(col("doc_id").as("b")).agg(count(lit(1)).as("nb")), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val found = Dedup.dedupMinhash(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups close hamming") {
+    val agg = new Sketches.SimHashAgg
+    def sig(text: String): Long = {
+      val hashes = text.split("\\s+").map(w =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      // drive through spark to reuse xxhash64 exactly
+      val df = text.split("\\s+").toSeq.toDF("w")
+        .select(xxhash64(col("w")).as("h")).as[Long].collect()
+      val buf = df.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
+      agg.finish(buf)
+    }
+    val a = sig("spark engine dedup test document with many words")
+    val b = sig("spark engine dedup test document with many words")
+    val c = sig("completely unrelated content about something else entirely")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) > 3)
+  }
+
+  test("dedup_simhash pairs overlap heavily with minhash near-dups") {
+    val sim = Dedup.dedupSimhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.dedupMinhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    assert((sim intersect mh).size >= sim.size / 2, s"sim=$sim mh=$mh")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn_brute: k rows per query, descending rounded cosine, no self") {
+    val df = Similarity.knnBrute(spark, sf).cache()
+    val perQ = df.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(perQ.forall(_._2 == Similarity.K))
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val rows = df.as[(Long, Int, Long, Double)].collect().groupBy(_._1)
+    rows.values.foreach { rs =>
+      val cs = rs.sortBy(_._2).map(_._4)
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("knn_lsh returns verified cosines and positive recall vs brute") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Similarity.knnLsh(spark, sf)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // any (q, n) pair the LSH returns that brute ranked must carry the
+    // identical rounded cosine (same scoring path)
+    lsh.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c, s"($q,$n): lsh=$c brute=$bc"))
+    }
+    val bruteTop = brute.keySet
+    val lshPairs = lsh.map { case (q, n, _) => (q, n) }.toSet
+    assert((bruteTop intersect lshPairs).nonEmpty, "zero recall vs brute")
+  }
+
+  test("cosine_dups: pairs meet threshold and are a<b ordered") {
+    val df = Similarity.cosineDups(spark, sf).cache()
+    assert(df.count() > 0, "expected some pairs at the data-appropriate threshold")
+    assert(df.filter(col("cos") < Similarity.CosDupThreshold).count() == 0)
+    assert(df.filter(col("a") >= col("b")).count() == 0)
+  }
+}
