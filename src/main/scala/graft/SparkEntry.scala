@@ -23,7 +23,10 @@ object SparkEntry {
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
-      graft.similarity.Similarity.queries
+      graft.similarity.Similarity.queries ++
+      graft.queries.Relational.queries ++
+      graft.streaming.Streaming.queries ++
+      graft.multimodal.Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +37,8 @@ object SparkEntry {
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
-      graft.similarity.Similarity.oracles
+      graft.similarity.Similarity.oracles ++
+      graft.queries.Relational.oracles ++
+      graft.streaming.Streaming.oracles ++
+      graft.multimodal.Media.oracles
 }

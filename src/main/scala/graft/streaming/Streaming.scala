@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface (SURVEY.md §7.5 — the reference is
+  * batch-only; this is the streaming re-expression of its ingest+rollup).
+  * Local smoke runs drive a parquet file-stream synchronously with a
+  * memory sink + processAllAvailable, so results are deterministic and
+  * batch-comparable (the daily-counts query carries a DuckDB oracle
+  * because complete-mode output over a finite source equals the batch
+  * aggregation).
+  *
+  * Scale notes: watermark + tumbling window is the canonical unbounded
+  * aggregation — state per (window, key) only lives until the watermark
+  * passes; dropDuplicates keys state by event_id with the same eviction.
+  */
+object Streaming {
+
+  /** events schema as stored (ts is epoch-nanos long under nanosAsLong). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private var counter = 0
+  private def freshName(): String = synchronized { counter += 1; s"graft_stream_$counter" }
+
+  /** Tumbling 1-day windowed counts per event_type, complete mode. */
+  def streamingDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = freshName()
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(
+        to_date(col("window.start")).as("day"),
+        col("event_type"), col("cnt"), col("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Streaming dedup: dropDuplicates keyed on event_id with watermark
+    * state eviction; output is the deduplicated per-type count. */
+  def streamingDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = freshName()
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("event_type")
+  }
+
+  /** Stateful sliding aggregation: 6-hour window sliding by 3 hours —
+    * each event lands in two windows (overlap verified by oracle). */
+  def streamingSlidingValue(spark: SparkSession, dir: String): DataFrame = {
+    val name = freshName()
+    val q = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(unix_micros(col("window.start")).as("window_start_us"), col("cnt"))
+      .orderBy("window_start_us")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_daily_counts"  -> streamingDailyCounts _,
+    "streaming_dedup_counts"  -> streamingDedupCounts _,
+    "streaming_sliding_value" -> streamingSlidingValue _)
+
+  val oracles: Map[String, String] = Map(
+    "streaming_daily_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "streaming_dedup_counts" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_sliding_value" ->
+      """WITH b AS (
+        |  SELECT (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 10800) * 10800 AS s
+        |  FROM events),
+        |x AS (SELECT s * 1000000 AS window_start_us FROM b
+        |      UNION ALL SELECT (s - 10800) * 1000000 FROM b)
+        |SELECT window_start_us, COUNT(*) AS cnt FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

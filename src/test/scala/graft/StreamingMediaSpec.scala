@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+import graft.queries.Relational
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming daily counts equal the batch aggregation") {
+    val streamed = Streaming.streamingDailyCounts(spark, sf)
+    val batch = graft.tables.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup matches distinct counts") {
+    val streamed = Streaming.streamingDedupCounts(spark, sf)
+    val n = streamed.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(n == graft.tables.Tables.events(spark, sf)
+      .select("event_id").distinct().count())
+  }
+
+  test("sliding windows double-count each event") {
+    val total = Streaming.streamingSlidingValue(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == 2 * graft.tables.Tables.events(spark, sf).count())
+  }
+}
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub kernel: checksum, frames, normalized histogram") {
+    val m = Media.decodeStub("abcd".getBytes("UTF-8"))
+    assert(m.n_bytes == 4)
+    assert(m.checksum == ('a' + 'b' + 'c' + 'd').toLong)
+    assert(m.n_frames == 1)
+    assert(math.abs(m.features.sum - 1.0f) < 1e-6) // histogram normalized
+    assert(Media.decodeStub(Array.emptyByteArray).n_bytes == 0)
+  }
+
+  test("media pipeline preserves every document through binary decode") {
+    val n = graft.tables.Tables.documents(spark, sf).count()
+    val meta = Media.decodeAll(Media.mediaTable(spark, sf)).cache()
+    assert(meta.count() == n)
+    assert(meta.filter(col("n_bytes") <= 0).count() == 0)
+    assert(meta.select("doc_id").distinct().count() == n)
+    // feature vector has fixed dim 16
+    assert(meta.filter(size(col("features")) =!= 16).count() == 0)
+  }
+
+  test("media features match direct byte arithmetic") {
+    val doc = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(10)
+    val got = Media.mediaFeatures(spark, sf)
+      .filter(col("doc_id") < 10)
+      .select("doc_id", "checksum").as[(Long, Long)].collect().toMap
+    doc.foreach { case (id, text) =>
+      val expect = text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum % 1000000007L
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+}
+
+class RelationalSpec extends SparkSpec {
+
+  test("setops partition users: both + only_w1 covers week1 exactly") {
+    val df = Relational.setOpsUsers(spark, sf).cache()
+    val both = df.filter(col("op") === "both").count()
+    val w1only = df.filter(col("op") === "only_w1").count()
+    val w1 = graft.tables.Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between("2024-01-01", "2024-01-07"))
+      .select("user_id").distinct().count()
+    assert(both + w1only == w1)
+  }
+
+  test("rollup adds subtotals and a grand total") {
+    val df = Relational.rollupCounts(spark, sf).cache()
+    val grand = df.filter(col("gid") === 3).count()
+    assert(grand == 1)
+    val detailSum = df.filter(col("gid") === 0).agg(sum("cnt")).collect()(0).getLong(0)
+    val total = df.filter(col("gid") === 3).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(detailSum == total)
+  }
+
+  test("cube has 4 grouping levels") {
+    val df = Relational.cubeQuantity(spark, sf)
+    assert(df.select("gid").distinct().count() == 4)
+  }
+
+  test("pivot row sums equal per-user event counts") {
+    val df = Relational.pivotCounts(spark, sf)
+    val rowSum = df.withColumn("total",
+      col("click") + col("error") + col("purchase") + col("signup") + col("view"))
+      .agg(sum("total")).collect()(0).getLong(0)
+    assert(rowSum == graft.tables.Tables.events(spark, sf).count())
+  }
+}
