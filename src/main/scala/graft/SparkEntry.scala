@@ -25,6 +25,7 @@ object SparkEntry {
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
+      graft.queries.SqlInterface.queries ++
       graft.streaming.Streaming.queries ++
       graft.multimodal.Media.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++
+      graft.queries.SqlInterface.oracles ++
       graft.streaming.Streaming.oracles ++
       graft.multimodal.Media.oracles
 }

@@ -39,22 +39,24 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
 
-  /** MinHash sketch per doc (single shuffle via typed Aggregator). */
-  def minhashSketches(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val agg = new Sketches.MinHashAgg(NumPerm)
-    shingleTable(spark, dir)
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("sketch"))
-      .toDF("doc_id", "sketch")
-  }
+  /** MinHash sketch per doc — a scalar codegen'd expression (OPH, see
+    * [[MinHashKernel]]): zero shuffle, O(text) per row. The typed
+    * Aggregator alternative (shingle explode → groupBy) costs two
+    * shuffles of the shingle table and O(text × numPerm) hashing. */
+  def minhashSketches(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        MinHashSketch.minhash_sketch(col("text"), 5, NumPerm).as("sketch"))
 
-  /** Exact dedup: normalize → groupBy → keep min doc_id. */
+  /** Exact dedup: normalize → groupBy → keep min doc_id. Groups on the
+    * 64-bit hash of the normalized text, not the text itself — the
+    * shuffle then moves 8 bytes + partial aggregates per row instead of
+    * the full document (the 100 TB difference; a cross-group collision
+    * needs ~2^32 distinct docs by birthday bound — at that scale switch
+    * to a 128-bit fingerprint). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .groupBy(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"))
+      .groupBy(xxhash64(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")

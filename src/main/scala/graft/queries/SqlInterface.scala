@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.tables.Tables
+
+/** The SQL entry path: temp views + `spark.sql`, exercising parser →
+  * analyzer → optimizer on scalar subqueries, correlated EXISTS, and
+  * CTE + window composition. The SQL text is ANSI enough to run verbatim
+  * on DuckDB — each oracle IS the executed query, so this pack also
+  * pins Spark's SQL dialect against a second implementation.
+  */
+object SqlInterface {
+
+  private def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("orders", "customer", "lineitem").foreach(t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  // scalar subquery over MAX (not AVG): min/max are summation-order-free,
+  // so the comparison threshold is the identical double in both engines
+  val ScalarSubquerySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_above_half_max
+      |FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val CorrelatedExistsSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val CteWindowSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS tot
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+      |SELECT event_type, day, tot,
+      |       ROUND(tot - LAG(tot) OVER (PARTITION BY event_type ORDER BY day), 2) AS delta
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
+  private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_scalar_subquery"   -> run(ScalarSubquerySql) _,
+    "sql_correlated_exists" -> run(CorrelatedExistsSql) _,
+    "sql_cte_window"        -> run(CteWindowSql) _)
+
+  val oracles: Map[String, String] = Map(
+    "sql_scalar_subquery"   -> ScalarSubquerySql,
+    "sql_correlated_exists" -> CorrelatedExistsSql,
+    "sql_cte_window"        -> CteWindowSql)
+}

@@ -156,7 +156,12 @@ final class GraftTable private (
     val df = read()
     val removed = manifestFiles()
     val before = listDataFiles().map(_._1).toSet
-    val sortCols = (partitionColumns ++ clusterBy).map(col)
+    // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
+    // Morton key from graft.functions.ZOrder (one extra min/max job)
+    val clusterKey: Seq[org.apache.spark.sql.Column] =
+      if (clusterBy.size <= 1) clusterBy.map(col)
+      else Seq(graft.functions.ZOrder.zorderKey(df, clusterBy))
+    val sortCols = partitionColumns.map(col) ++ clusterKey
     val compacted =
       if (partitionColumns.nonEmpty)
         df.repartition(partitionColumns.map(col): _*).sortWithinPartitions(sortCols: _*)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ZOrder, ZOrderKernel}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave kernel: known bit patterns") {
+    // a=0b11, b=0b00 → bits of a at odd positions: 0b1010
+    assert(ZOrderKernel.interleave2(3, 0) == 0xA)
+    assert(ZOrderKernel.interleave2(0, 3) == 0x5)
+    assert(ZOrderKernel.interleave2(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    assert(ZOrderKernel.interleave3(1, 0, 0) == 4)
+    assert(ZOrderKernel.interleave3(0, 1, 0) == 2)
+    assert(ZOrderKernel.interleave4(0, 0, 0, 1) == 1)
+  }
+
+  test("interleave kernel is monotone per dimension") {
+    val r = new scala.util.Random(1)
+    (1 to 200).foreach { _ =>
+      val a = r.nextInt(65535); val b = r.nextInt(65536)
+      assert(ZOrderKernel.interleave2(a, b) < ZOrderKernel.interleave2(a + 1, b))
+      assert(ZOrderKernel.interleave2(b, a) < ZOrderKernel.interleave2(b, a + 1))
+    }
+  }
+
+  test("z-order preserves quadrant locality") {
+    // points sorted by morton key: each top-level quadrant is contiguous
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
+    val sorted = pts.sortBy { case (x, y) =>
+      ZOrderKernel.interleave2(x * 1024, y * 1024) // scale into 16-bit space
+    }
+    def quadrant(p: (Int, Int)): Int = (if (p._1 >= 32) 2 else 0) + (if (p._2 >= 32) 1 else 0)
+    val qs = sorted.map(quadrant)
+    // contiguity: number of quadrant changes along the curve is exactly 3
+    val changes = qs.sliding(2).count(p => p(0) != p(1))
+    assert(changes == 3, s"expected 3 quadrant transitions, got $changes")
+  }
+
+  test("zorderKey column matches kernel on normalized data") {
+    val df = Seq((0L, 0L), (100L, 50L), (50L, 100L)).toDF("x", "y")
+    val keys = df.withColumn("z", ZOrder.zorderKey(df, Seq("x", "y")))
+      .orderBy("x").select("z").as[Long].collect()
+    assert(keys(0) == ZOrderKernel.interleave2(0, 0))
+    assert(keys(1) == ZOrderKernel.interleave2(32767, 65535)) // x=50/100, y=100/100
+    assert(keys(2) == ZOrderKernel.interleave2(65535, 32767))
+  }
+
+  test("optimize with two cluster columns produces z-clustered files") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("gt_zorder").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    val data = (0 until 4096).map(i => (i % 64, (i * 7) % 64, i.toLong))
+      .toDF("x", "y", "payload")
+    t.write(data.repartition(4))
+    t.optimize(Seq("x", "y"))
+    assert(t.read().count() == 4096)
+    assert(t.health().numFiles == 1)
+    // within the single compacted file, rows follow the morton curve
+    val xy = t.read().select("x", "y").as[(Int, Int)].collect()
+    val keys = xy.map { case (x, y) =>
+      ZOrderKernel.interleave2(x * 65535 / 63, y * 65535 / 63)
+    }
+    assert(keys.sameElements(keys.sorted), "rows not in morton order")
+  }
+}
