@@ -66,6 +66,29 @@ object Relational {
       .filter(col("n_orders") >= 12)
       .orderBy("o_custkey")
 
+  /** Exact linear-interpolation percentiles (Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition; interpolation of
+    * identical doubles is bit-identical, so outputs go unrounded). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.25)").as("q25"),
+        expr("percentile(value, 0.5)").as("q50"),
+        expr("percentile(value, 0.75)").as("q75"))
+      .orderBy("event_type")
+
+  /** Approximate distinct count (HLL++) next to the exact count — the
+    * scale-path cardinality estimator. Sketch output is
+    * implementation-defined → rows-only; RelationalSpec bounds the error. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   /** Pivot: per-user event-type counts as columns. */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -81,6 +104,8 @@ object Relational {
     "cube_quantity" -> cubeQuantity _,
     "distinct_agg"  -> distinctAgg _,
     "having_filter" -> havingFilter _,
+    "percentiles"   -> percentiles _,
+    "approx_distinct" -> approxDistinct _,
     "pivot_counts"  -> pivotCounts _)
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +138,11 @@ object Relational {
     "having_filter" ->
       """SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
         |FROM orders GROUP BY 1 HAVING COUNT(*) >= 12 ORDER BY 1""".stripMargin,
+    "percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.25) AS q25,
+        |       quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.75) AS q75
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // approx_distinct: HLL sketch values are implementation-defined → rows-only
     "pivot_counts" ->
       """SELECT user_id,
         |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,

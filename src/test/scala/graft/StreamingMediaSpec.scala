@@ -100,3 +100,20 @@ class RelationalSpec extends SparkSpec {
     assert(rowSum == graft.tables.Tables.events(spark, sf).count())
   }
 }
+
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = graft.queries.Relational.approxDistinct(spark, sf)
+      .select("approx_orders", "exact_orders").as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("percentiles are ordered and within value range") {
+    val df = graft.queries.Relational.percentiles(spark, sf)
+    assert(df.filter(col("q25") > col("q50") || col("q50") > col("q75")).count() == 0)
+  }
+}
