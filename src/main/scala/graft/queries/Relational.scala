@@ -85,7 +85,7 @@ object Relational {
     lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 

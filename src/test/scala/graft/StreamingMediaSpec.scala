@@ -104,11 +104,11 @@ class RelationalSpec extends SparkSpec {
 class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct (rsd=0.02) within 6% of exact") {
     val rows = graft.queries.Relational.approxDistinct(spark, sf)
       .select("approx_orders", "exact_orders").as[(Long, Long)].collect()
     rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+      assert(math.abs(approx - exact).toDouble / exact < 0.06, s"$approx vs $exact")
     }
   }
 
