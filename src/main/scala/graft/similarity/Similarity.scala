@@ -23,8 +23,10 @@ object Similarity {
   private def toDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  // codegen'd static kernel — zip_with+aggregate lambdas interpret per
+  // element (~20× slower on this hot path); same sequential sum order.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayKernelColumns.array_dot(a, b)
 
   private def norm(c: Column): Column = sqrt(dot(c, c))
 
