@@ -26,6 +26,8 @@ object SparkEntry {
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
       graft.queries.SqlInterface.queries ++
+      graft.queries.Sessionize.queries ++
+      graft.table.Bucketing.queries ++
       graft.streaming.Streaming.queries ++
       graft.multimodal.Media.queries
 
@@ -41,6 +43,8 @@ object SparkEntry {
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++
       graft.queries.SqlInterface.oracles ++
+      graft.queries.Sessionize.oracles ++
+      graft.table.Bucketing.oracles ++
       graft.streaming.Streaming.oracles ++
       graft.multimodal.Media.oracles
 }

@@ -41,18 +41,39 @@ object SqlInterface {
       |       ROUND(tot - LAG(tot) OVER (PARTITION BY event_type ORDER BY day), 2) AS delta
       |FROM daily ORDER BY event_type, day""".stripMargin
 
+  val GroupingSetsSql: String =
+    """SELECT event_type, user_id, COUNT(*) AS cnt,
+      |       CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS INTEGER) AS gid
+      |FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+      |ORDER BY gid, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(sql)
   }
 
+  /** Custom expressions through their registered SQL names — no DuckDB
+    * equivalent (rows-only); SqlInterfaceSpec pins SQL-path ≡ Column-path. */
+  def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    spark.sql(
+      """SELECT doc_id, text_fingerprint(text) AS fp,
+        |       sketch_agreement(minhash_sketch(text), minhash_sketch(text)) AS self_agreement
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_scalar_subquery"   -> run(ScalarSubquerySql) _,
     "sql_correlated_exists" -> run(CorrelatedExistsSql) _,
-    "sql_cte_window"        -> run(CteWindowSql) _)
+    "sql_cte_window"        -> run(CteWindowSql) _,
+    "sql_grouping_sets"     -> run(GroupingSetsSql) _,
+    "sql_custom_functions"  -> sqlCustomFunctions _)
 
   val oracles: Map[String, String] = Map(
     "sql_scalar_subquery"   -> ScalarSubquerySql,
     "sql_correlated_exists" -> CorrelatedExistsSql,
-    "sql_cte_window"        -> CteWindowSql)
+    "sql_cte_window"        -> CteWindowSql,
+    "sql_grouping_sets"     -> GroupingSetsSql)
 }

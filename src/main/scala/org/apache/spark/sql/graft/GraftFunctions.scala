@@ -1,0 +1,60 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.dedup.MinHashSketch
+import graft.functions.{ArrayDot, SketchAgreement, TextFingerprint}
+
+/** SQL-name registration for graft's custom Catalyst expressions, both
+  * builder-time (`SparkSessionExtensions`, for
+  * `.withExtensions(new GraftExtensions)`) and runtime
+  * (`registerAll(spark)`, for sessions the driver already built). Lives
+  * in Spark's namespace because FunctionRegistry access is private[sql].
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, default: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => default
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("text_fingerprint",
+      (es: Seq[Expression]) =>
+        TextFingerprint(es.head, es.lift(1).map(intArg(_, 8)).getOrElse(8)),
+      "_FUNC_(text[, k]) - winnowing min-k-gram fingerprint"),
+    ("minhash_sketch",
+      (es: Seq[Expression]) => MinHashSketch(es.head,
+        es.lift(1).map(intArg(_, 5)).getOrElse(5),
+        es.lift(2).map(intArg(_, 192)).getOrElse(192), 42L),
+      "_FUNC_(text[, k, numPerm]) - OPH MinHash sketch"),
+    ("sketch_agreement",
+      (es: Seq[Expression]) => SketchAgreement(es(0), es(1)),
+      "_FUNC_(a, b) - count of equal sketch lanes"),
+    ("array_dot",
+      (es: Seq[Expression]) => ArrayDot(es(0), es(1)),
+      "_FUNC_(a, b) - dot product of double arrays"))
+
+  /** Runtime registration into an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder, _) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** Builder-time injection: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` makes the functions available in every session. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder, usage) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        builder))
+    }
+}
