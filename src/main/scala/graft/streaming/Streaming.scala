@@ -85,10 +85,57 @@ object Streaming {
       .orderBy("window_start_us")
   }
 
+  /** Stateful sessionization via flatMapGroupsWithState: per-user state
+    * carries the open session; a >30-min gap closes and EMITS the
+    * previous session. The final session of each user stays open when
+    * the (finite) stream ends — so the deterministic contract is
+    * "streaming output = batch sessions minus each user's last", which
+    * StreamingSpec asserts against graft.queries.Sessionize. */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = graft.queries.Sessionize.GapUs
+    val name = freshName()
+
+    // state: (sessionId, startUs, lastUs, nEvents)
+    def fn(user: Long, events: Iterator[(Long, Long)],
+        state: GroupState[(Int, Long, Long, Long)]): Iterator[(Long, Int, Long, Long)] = {
+      val sorted = events.toArray.sortBy(identity)
+      var (sess, start, last, n) =
+        state.getOption.getOrElse((0, -1L, -1L, 0L))
+      val out = Seq.newBuilder[(Long, Int, Long, Long)]
+      sorted.foreach { case (ts, _) =>
+        if (n > 0 && ts - last > gapUs) {
+          out += ((user, sess, n, last - start))
+          sess += 1; n = 0
+        }
+        if (n == 0) start = ts
+        n += 1; last = ts
+      }
+      state.update((sess, start, last, n))
+      out.result().iterator
+    }
+
+    val q = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, Long, Long)], st: GroupState[(Int, Long, Long, Long)]) =>
+          fn(user, it.map(e => (e._2, e._3)), st))
+      .toDF("user_id", "session_id", "n_events", "duration_us")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_daily_counts"  -> streamingDailyCounts _,
     "streaming_dedup_counts"  -> streamingDedupCounts _,
-    "streaming_sliding_value" -> streamingSlidingValue _)
+    "streaming_sliding_value" -> streamingSlidingValue _,
+    "streaming_sessions"      -> streamingSessions _)
 
   val oracles: Map[String, String] = Map(
     "streaming_daily_counts" ->

@@ -132,10 +132,17 @@ final class GraftTable private (
 
   /** Scan the current manifest's files. basePath keeps the hive partition
     * columns in the schema. */
-  def read(): DataFrame = {
-    val files = manifestFiles()
+  def read(): DataFrame = readVersion(currentVersion)
+
+  /** Time travel: scan the file set of an older committed version. Files
+    * of past versions remain on disk until VACUUM reclaims them, so any
+    * un-vacuumed version stays readable (vacuumed versions fail at scan
+    * time with missing files — same contract as Delta). */
+  def readVersion(version: Long): DataFrame = {
+    val files = manifestFiles(version)
     if (files.isEmpty)
-      throw new IllegalStateException(s"graft table at $path has no committed version")
+      throw new IllegalStateException(
+        s"graft table at $path has no committed version $version")
     spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
   }
 

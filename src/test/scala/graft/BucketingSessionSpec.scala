@@ -93,3 +93,38 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r > 0)
   }
 }
+
+class TimeTravelSpec extends SparkSpec {
+  import java.nio.file.Files
+  import org.apache.spark.sql.SaveMode
+
+  test("readVersion sees pre-overwrite data until vacuum reclaims it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_tt").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((1 to 100).toDF("v"))                      // v0
+    t.write((1 to 50).toDF("v"))                       // v1 logical overwrite
+    assert(t.read().count() == 50)
+    assert(t.readVersion(0).count() == 100)            // time travel
+    t.vacuum(0.0, retentionCheckEnabled = false)       // v2, reclaims v0 files
+    assert(t.read().count() == 50)
+    intercept[Exception] { t.readVersion(0).count() }  // files gone
+  }
+}
+
+class StreamingSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming sessions = batch sessions minus each user's open last") {
+    val streamed = graft.streaming.Streaming.streamingSessions(spark, sf)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val batch = graft.queries.Sessionize.sessionize(spark, sf)
+      .select("user_id", "session_id", "n_events", "duration_us")
+      .as[(Long, Int, Long, Long)].collect()
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot { case (u, s, _, _) => lastPerUser(u) == s }.toSet
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+  }
+}
