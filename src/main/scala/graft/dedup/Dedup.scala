@@ -70,11 +70,10 @@ object Dedup {
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sk = minhashSketches(spark, dir).cache()
-    // band signatures: hash each 4-lane slice
-    val banded = sk.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, ${Bands - 1}),
-         |  b -> xxhash64(concat_ws(',', b, slice(sketch, b * $RowsPerBand + 1, $RowsPerBand))))"""
-        .stripMargin)).as(Seq("band", "sig")))
+    // band signatures via the static kernel (single pass over the sketch)
+    val banded = sk.select(col("doc_id"), posexplode(
+      graft.functions.SigKernelColumns.band_signatures(
+        col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))

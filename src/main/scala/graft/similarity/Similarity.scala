@@ -56,18 +56,11 @@ object Similarity {
     * distance 1 (13 probes) to recover near-boundary neighbors. */
   val SigBits = 12
 
-  private def signature(v: Column): Column = {
-    // plane j, lane i weight = ±1 from a seeded hash — deterministic,
-    // no stored model. sum_i(v_i * w_ij) > 0 → bit j set.
-    val bits = (0 until SigBits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, i) =>
-          when(pmod(hash(i, lit(j), lit(42)), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  // plane j, lane i weight = ±1 from a seeded hash — deterministic, no
+  // stored model; single-pass static kernel (the zip_with-per-bit
+  // formulation interpreted ~bits×lanes lambda calls per vector).
+  private def signature(v: Column): Column =
+    graft.functions.SigKernelColumns.hyperplane_sig(v, SigBits)
 
   /** Approximate top-k via LSH buckets (+ hamming-1 multiprobe). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
