@@ -139,7 +139,22 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** Scalar string-function breadth (P-surface beyond the reference's
+    * imports): case, substring, replace, pad, reverse, position. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        length(trim(col("text"))).as("trimmed_len"),
+        regexp_replace(substring(col("text"), 1, 20), " ", "_").as("snake"),
+        lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
+        reverse(substring(col("text"), 1, 10)).as("rev_head"),
+        instr(col("text"), "spark").cast("long").as("spark_pos"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_functions" -> stringFunctions _,
     "text_stats"      -> textStats _,
     "token_count"     -> tokenCount _,
     "quality_score"   -> qualityScore _,
@@ -154,6 +169,15 @@ object TextAnalysis {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(
+    "string_functions" ->
+      """SELECT doc_id,
+        |       upper(substring(text, 1, 12)) AS head_upper,
+        |       CAST(length(trim(text)) AS INTEGER) AS trimmed_len,
+        |       replace(substring(text, 1, 20), ' ', '_') AS snake,
+        |       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+        |       reverse(substring(text, 1, 10)) AS rev_head,
+        |       CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
          |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_words,
