@@ -108,7 +108,27 @@ object Joins {
         round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy("p_brand", "p_type")
 
+  /** Non-equi range join: classify events into value bands from a small
+    * boundary dimension. Plans as BroadcastNestedLoopJoin — correct for a
+    * broadcast-able dimension; with a large band table, rewrite to
+    * width_bucket-style equi-bucketing (noted here deliberately: the
+    * range join is the operator demo, the bucketed rewrite is the
+    * 100 TB path). */
+  def rangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 300.0), ("extreme", 300.0, 1e9))
+      .toDF("band", "lo", "hi")
+    events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_band_join"          -> rangeBandJoin _,
     "orders_by_segment"        -> ordersBySegment _,
     "top_unshipped_orders"     -> topUnshippedOrders _,
     "late_priority_count"      -> latePriorityCount _,
@@ -118,6 +138,13 @@ object Joins {
     "part_type_stats"          -> partTypeStats _)
 
   val oracles: Map[String, String] = Map(
+    "range_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+        |  ('high', 150.0, 300.0), ('extreme', 300.0, 1e9))
+        |SELECT band, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "orders_by_segment" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |       ROUND(SUM(o_totalprice), 2) AS total_revenue,

@@ -93,12 +93,47 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** As-of join with tolerance: a matched view older than `TolUs` is
+    * nulled out (classic max-staleness semantics; DuckDB's ASOF JOIN has
+    * no tolerance parameter, so the oracle post-filters with CASE). */
+  val TolUs: Long = 6L * 3600 * 1000000 // 6 hours
+
+  def asofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id").as("view_id"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("view_id"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("m_view_id", last("view_id", ignoreNulls = true).over(w))
+      .withColumn("m_view_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("stale",
+        unix_micros(col("ts")) - unix_micros(col("m_view_ts")) > TolUs)
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("stale") || col("m_view_id").isNull, lit(null).cast("long"))
+          .otherwise(col("m_view_id")).as("matched_view_id"),
+        when(col("stale") || col("m_view_id").isNull, lit(null).cast("long"))
+          .otherwise(unix_micros(col("ts")) - unix_micros(col("m_view_ts")))
+          .as("staleness_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "running_totals"     -> runningTotals _,
     "moving_avg"         -> movingAvg _,
     "top3_per_type"      -> top3PerType _,
     "lag_delta"          -> lagDelta _,
-    "asof_purchase_view" -> asofPurchaseView _)
+    "asof_purchase_view" -> asofPurchaseView _,
+    "asof_tolerance"     -> asofTolerance _)
 
   val oracles: Map[String, String] = Map(
     "running_totals" ->
@@ -135,6 +170,16 @@ object Windows {
         |       t.value AS purchase_value,
         |       v.event_id AS matched_view_id,
         |       ROUND(t.value - v.value, 2) AS value_delta
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON t.user_id = v.user_id AND t.ts >= v.ts
+        |ORDER BY t.event_id""".stripMargin,
+    "asof_tolerance" ->
+      """SELECT t.event_id, t.user_id,
+        |       CASE WHEN epoch_us(t.ts) - epoch_us(v.ts) <= 21600000000
+        |            THEN v.event_id ELSE NULL END AS matched_view_id,
+        |       CASE WHEN epoch_us(t.ts) - epoch_us(v.ts) <= 21600000000
+        |            THEN epoch_us(t.ts) - epoch_us(v.ts) ELSE NULL END AS staleness_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON t.user_id = v.user_id AND t.ts >= v.ts
