@@ -87,6 +87,52 @@ object Similarity {
     scored
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `NumCells` Voronoi
+    * cells around deterministic seed centroids (the first NumCells
+    * vectors — a stand-in for a k-means pass, which would just iterate
+    * this assignment); each query probes its `NProbe` nearest cells and
+    * scores only vectors inside them. Assignment is a broadcast join +
+    * max_by argmax — at scale the corpus partitions BY cell, so a probe
+    * touches nprobe/cells of the data (the classic IVF trade).
+    * Approximate → rows-only; SimilaritySpec verifies scores and recall. */
+  val NumCells = 16
+  val NProbe = 4
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val centroids = emb.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    def cellScores(side: DataFrame): DataFrame =
+      side.join(broadcast(centroids), expr("true"))
+        .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+    // corpus: each vector assigned to its single nearest cell
+    val assigned = cellScores(emb)
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), col("cscore")).as("cell"))
+      .join(emb, "vec_id")
+    // queries: nprobe nearest cells each
+    val probes = cellScores(
+        emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+          .withColumnRenamed("qv", "v").withColumnRenamed("qn", "n"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cscore"), col("cell"))))
+      .filter(col("prk") <= NProbe)
+      .select(col("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
+    assigned.join(probes,
+        assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .select("query_id", "vec_id", "cos").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. This corpus
     * is near-random (max pairwise cosine ≈ 0.5), so the threshold is set
     * where the data has signal; in a true near-dup regime (cos ≥ 0.9) the
@@ -114,6 +160,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
+    "knn_ivf"     -> knnIvf _,
     "cosine_dups" -> cosineDups _)
 
   val oracles: Map[String, String] = Map(

@@ -126,3 +126,26 @@ class SimilaritySpec extends SparkSpec {
     assert(df.filter(col("a") >= col("b")).count() == 0)
   }
 }
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn_ivf: verified scores, k rows max per query, positive recall") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.knnIvf(spark, sf).cache()
+    assert(ivf.groupBy("query_id").count()
+      .filter(col("count") > Similarity.K).count() == 0)
+    val rows = ivf.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc == c, s"($q,$n): ivf=$c brute=$bc"))
+    }
+    val recall = rows.map { case (q, n, _) => (q, n) }.toSet
+      .intersect(brute.keySet).size.toDouble / brute.size
+    assert(recall > 0.1, s"IVF recall $recall suspiciously low")
+  }
+}
