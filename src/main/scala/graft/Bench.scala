@@ -21,7 +21,8 @@ object Bench {
     "setops_users", "rollup_counts", "cube_quantity", "pivot_counts",
     "text_stats", "token_count", "quality_score", "trigram_topk",
     "doc_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "knn_brute", "knn_lsh", "media_features")
+    "knn_brute", "knn_lsh", "knn_ivf", "media_features",
+    "sessionize", "range_band_join", "percentiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
