@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants that don't need a SparkSession. */
+class ContractSpec extends AnyFunSuite {
+
+  private val packs: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+    ("Analytics", graft.queries.Analytics.queries, graft.queries.Analytics.oracles),
+    ("Joins", graft.queries.Joins.queries, graft.queries.Joins.oracles),
+    ("Windows", graft.queries.Windows.queries, graft.queries.Windows.oracles),
+    ("StockPipeline", graft.queries.StockPipeline.queries, graft.queries.StockPipeline.oracles),
+    ("TextAnalysis", graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
+    ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
+    ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),
+    ("Relational", graft.queries.Relational.queries, graft.queries.Relational.oracles),
+    ("SqlInterface", graft.queries.SqlInterface.queries, graft.queries.SqlInterface.oracles),
+    ("Sessionize", graft.queries.Sessionize.queries, graft.queries.Sessionize.oracles),
+    ("Bucketing", graft.table.Bucketing.queries, graft.table.Bucketing.oracles),
+    ("Streaming", graft.streaming.Streaming.queries, graft.streaming.Streaming.oracles),
+    ("Media", graft.multimodal.Media.queries, graft.multimodal.Media.oracles))
+
+  test("no query key collides across packs (Map ++ would drop one silently)") {
+    val all = packs.flatMap { case (pack, qs, _) => qs.keys.map(_ -> pack) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding query keys: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle belongs to a query of the same pack") {
+    packs.foreach { case (pack, qs, os) =>
+      val orphans = os.keySet -- qs.keySet
+      assert(orphans.isEmpty, s"$pack oracles without queries: $orphans")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("oracle SQL strings are non-empty single statements") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, k)
+      assert(!sql.trim.stripSuffix(";").contains(";"), s"$k has multiple statements")
+    }
+  }
+}
