@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Relational.queries ++
       graft.queries.SqlInterface.queries ++
       graft.queries.Sessionize.queries ++
+      graft.queries.IoAndScalars.queries ++
       graft.table.Bucketing.queries ++
       graft.streaming.Streaming.queries ++
       graft.multimodal.Media.queries
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.queries.Relational.oracles ++
       graft.queries.SqlInterface.oracles ++
       graft.queries.Sessionize.oracles ++
+      graft.queries.IoAndScalars.oracles ++
       graft.table.Bucketing.oracles ++
       graft.streaming.Streaming.oracles ++
       graft.multimodal.Media.oracles
