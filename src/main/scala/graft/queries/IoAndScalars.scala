@@ -58,12 +58,37 @@ object IoAndScalars {
         quarter(col("l_shipdate")).as("qtr"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Array aggregation/manipulation family: collect, sort, slice, size. */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") < 5)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("event_id"))).as("all_ids"))
+      .select(
+        col("user_id"),
+        size(col("all_ids")).as("n"),
+        // cast pins element nullability to match DuckDB's nullable lists
+        slice(col("all_ids"), 1, 5).cast("array<bigint>").as("first5"),
+        element_at(col("all_ids"), -1).as("last_id"),
+        array_contains(col("all_ids"), 0L).as("has_zero"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_functions"    -> arrayFunctions _,
     "io_roundtrip"       -> ioRoundtrip _,
     "null_handling"      -> nullHandling _,
     "datetime_functions" -> datetimeFunctions _)
 
   val oracles: Map[String, String] = Map(
+    "array_functions" ->
+      """WITH a AS (
+        |  SELECT user_id, list_sort(list(event_id)) AS all_ids
+        |  FROM events WHERE user_id < 5 GROUP BY user_id)
+        |SELECT user_id, CAST(len(all_ids) AS INTEGER) AS n,
+        |       all_ids[1:5] AS first5,
+        |       all_ids[-1] AS last_id,
+        |       list_contains(all_ids, 0) AS has_zero
+        |FROM a ORDER BY user_id""".stripMargin,
     "io_roundtrip" ->
       """SELECT fmt AS format, COUNT(*) AS n_rows,
         |       CAST(SUM(event_id) AS BIGINT) AS sum_event_id

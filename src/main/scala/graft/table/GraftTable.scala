@@ -113,8 +113,32 @@ final class GraftTable private (
 
   /** Write `df`, hive-partitioned. Physical files are always appended;
     * `Overwrite` is logical (the new manifest simply stops referencing
-    * old files — they await vacuum). */
-  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Long = {
+    * old files — they await vacuum).
+    *
+    * Schema enforcement (the Delta behavior the reference relies on,
+    * README.md:25): once a version exists, appends must match its
+    * column names and types exactly; pass `mergeSchema = true` to allow
+    * new nullable columns (existing columns still cannot change type).
+    */
+  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
+      mergeSchema: Boolean = false): Long = {
+    if (currentVersion >= 0 && mode == SaveMode.Append) {
+      val existing = read().schema
+      val incoming = df.schema
+      val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
+      val iTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
+      val changed = eTypes.keySet.intersect(iTypes.keySet)
+        .filter(c => eTypes(c) != iTypes(c))
+      if (changed.nonEmpty)
+        throw new IllegalArgumentException(
+          s"schema enforcement: column type changes rejected: ${changed.mkString(", ")}")
+      val extra = iTypes.keySet -- eTypes.keySet
+      val missing = eTypes.keySet -- iTypes.keySet
+      if (!mergeSchema && (extra.nonEmpty || missing.nonEmpty))
+        throw new IllegalArgumentException(
+          "schema enforcement: column set mismatch " +
+          s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve")
+    }
     val before = listDataFiles().map(_._1).toSet
     val writer = df.write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
@@ -143,7 +167,10 @@ final class GraftTable private (
     if (files.isEmpty)
       throw new IllegalStateException(
         s"graft table at $path has no committed version $version")
-    spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
+    spark.read
+      .option("basePath", path)
+      .option("mergeSchema", "true") // union schemas across evolved files
+      .parquet(files.map(f => s"$path/$f"): _*)
   }
 
   // ---- M1: OPTIMIZE (compact + cluster) --------------------------------

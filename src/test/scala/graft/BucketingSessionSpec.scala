@@ -128,3 +128,34 @@ class StreamingSessionSpec extends SparkSpec {
       s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
   }
 }
+
+class SchemaEnforcementSpec extends SparkSpec {
+  import java.nio.file.Files
+  import org.apache.spark.sql.SaveMode
+  import spark.implicits._
+
+  test("append with changed column type is rejected; mergeSchema allows new columns") {
+    val path = Files.createTempDirectory("gt_schema").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write(Seq((1L, "a")).toDF("id", "name"))
+    // same schema appends fine
+    t.write(Seq((2L, "b")).toDF("id", "name"), SaveMode.Append)
+    // type change rejected
+    intercept[IllegalArgumentException] {
+      t.write(Seq((3, "c")).toDF("id", "name"), SaveMode.Append) // id: int, not long
+    }
+    // extra column rejected without mergeSchema...
+    intercept[IllegalArgumentException] {
+      t.write(Seq((3L, "c", 1.0)).toDF("id", "name", "score"), SaveMode.Append)
+    }
+    // ...allowed with it
+    t.write(Seq((3L, "c", 1.0)).toDF("id", "name", "score"),
+      SaveMode.Append, mergeSchema = true)
+    val back = t.read()
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "name", "score"))
+    // logical overwrite may change schema freely (new table contract)
+    t.write(Seq((9L, 5)).toDF("x", "y"))
+    assert(t.read().columns.toSet == Set("x", "y"))
+  }
+}
