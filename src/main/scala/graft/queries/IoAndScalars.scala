@@ -67,8 +67,10 @@ object IoAndScalars {
       .select(
         col("user_id"),
         size(col("all_ids")).as("n"),
-        // cast pins element nullability to match DuckDB's nullable lists
-        slice(col("all_ids"), 1, 5).cast("array<bigint>").as("first5"),
+        // nullif marks elements nullable (and never fires on event_ids) so
+        // the parquet logical type matches DuckDB's nullable list elements;
+        // a plain cast keeps not-null since it cannot introduce nulls
+        expr("transform(slice(all_ids, 1, 5), x -> nullif(x, -1))").as("first5"),
         element_at(col("all_ids"), -1).as("last_id"),
         array_contains(col("all_ids"), 0L).as("has_zero"))
       .orderBy("user_id")
