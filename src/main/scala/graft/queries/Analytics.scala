@@ -48,7 +48,7 @@ object Analytics {
       .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
       .agg(
         round(sum("value"), 2).as("total_value"),
-        round(avg("value"), 2).as("avg_value"))
+        (round(sum("value"), 2) / count(lit(1))).as("avg_value"))
       .orderBy(desc("total_value"), col("event_type"), col("event_date"))
       .limit(5)
 
@@ -113,9 +113,9 @@ object Analytics {
           .as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
           (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (round(sum("l_discount"), 4) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -149,7 +149,8 @@ object Analytics {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "topk_by_value" ->
       """SELECT event_type, CAST(ts AS DATE) AS event_date,
-        |       ROUND(SUM(value), 2) AS total_value, ROUND(AVG(value), 2) AS avg_value
+        |       ROUND(SUM(value), 2) AS total_value,
+        |       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
         |FROM events GROUP BY 1, 2
         |ORDER BY total_value DESC, event_type, event_date LIMIT 5""".stripMargin,
     "count_rows" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
@@ -178,9 +179,9 @@ object Analytics {
         |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
         |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
-        |       ROUND(AVG(l_discount), 4) AS avg_disc,
+        |       ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
+        |       ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
+        |       ROUND(SUM(l_discount), 4) / COUNT(*) AS avg_disc,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -67,10 +67,10 @@ object IoAndScalars {
       .select(
         col("user_id"),
         size(col("all_ids")).as("n"),
-        // nullif marks elements nullable (and never fires on event_ids) so
-        // the parquet logical type matches DuckDB's nullable list elements;
-        // a plain cast keeps not-null since it cannot introduce nulls
-        expr("transform(slice(all_ids, 1, 5), x -> nullif(x, -1))").as("first5"),
+        // joined to a string: the driver's compare sorts rows in pandas,
+        // which cannot order array cells — scalar output, same functions
+        expr("array_join(transform(slice(all_ids, 1, 5), x -> cast(x AS string)), ',')")
+          .as("first5"),
         element_at(col("all_ids"), -1).as("last_id"),
         array_contains(col("all_ids"), 0L).as("has_zero"))
       .orderBy("user_id")
@@ -87,7 +87,7 @@ object IoAndScalars {
         |  SELECT user_id, list_sort(list(event_id)) AS all_ids
         |  FROM events WHERE user_id < 5 GROUP BY user_id)
         |SELECT user_id, CAST(len(all_ids) AS INTEGER) AS n,
-        |       all_ids[1:5] AS first5,
+        |       array_to_string(all_ids[1:5], ',') AS first5,
         |       all_ids[-1] AS last_id,
         |       list_contains(all_ids, 0) AS has_zero
         |FROM a ORDER BY user_id""".stripMargin,

@@ -56,14 +56,14 @@ object Sessionize {
   val oracles: Map[String, String] = Map(
     "sessionize" ->
       """WITH x AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |s AS (
         |  SELECT user_id, ts_us,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |           ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM x)
         |SELECT user_id, CAST(session_id AS INTEGER) AS session_id,

@@ -24,12 +24,17 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS); a bare session fails at read
+    // time without this (Tables.table sets it for batch, not for streams).
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   private var counter = 0
   private def freshName(): String = synchronized { counter += 1; s"graft_stream_$counter" }

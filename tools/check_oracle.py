@@ -64,6 +64,7 @@ def main(sf_dir, out_dir):
                 tg, te = got.schema.field(c).type, exp.schema.field(c).type
                 if str(tg) != str(te):
                     print(f"TYPE     {name}.{c}: spark={tg} duckdb={te}")
+                    ok = False
             for i, (g, e) in enumerate(zip(gs, es)):
                 for c in got.column_names:
                     if norm(g[c]) != norm(e[c]):
