@@ -32,6 +32,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // at bench scale the shuffles are KB-sized: let AQE coalesce to the
+      // advisory size instead of splitting to max parallelism — task
+      // launch overhead dominates otherwise (local[32] was 2x local[4])
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
