@@ -112,8 +112,42 @@ object StockPipeline {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** Row-mutation lifecycle (the Delta DML surface: DELETE / UPDATE /
+    * MERGE as copy-on-write file rewrites): delete one ticker, zero one
+    * ticker's volume, upsert corrections + fresh rows, then report
+    * per-ticker state. Deterministic synthetic input → rows-only check;
+    * MutationSpec carries the semantic assertions. */
+  def barMutations(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("graft_bars_mut")
+    val bars = Enrich.withTimeColumns(
+      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    table.write(bars.repartition(8))
+    table.delete(col("ticker") === "JPM")
+    table.update(col("ticker") === "TSLA", Map("volume" -> lit(0L)))
+    val corrections = table.read()
+      .filter(col("ticker") === "AAPL" && col("trade_date") === "2024-01-08")
+      .withColumn("num_transactions", lit(0))
+    val inserts = table.read()
+      .filter(col("ticker") === "NVDA" && col("trade_date") === "2024-01-08")
+      .withColumn("ticker", lit("NEWCO"))
+    table.merge(corrections.unionByName(inserts), Seq("ticker", "timestamp_ms"))
+    val out = table.read()
+      .groupBy("ticker")
+      .agg(
+        count(lit(1)).as("n_bars"),
+        sum("volume").as("total_volume"),
+        sum("num_transactions").as("total_tx"))
+      .orderBy("ticker")
+    // materialize before the temp table goes out of scope
+    val rows = out.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bar_ingest_summary"     -> barIngestSummary _,
+    "bar_mutations"          -> barMutations _,
     "bar_timezone_edge"      -> barTimezoneEdge _,
     "bar_maintenance_report" -> barMaintenanceReport _,
     "bar_history"            -> barHistory _,

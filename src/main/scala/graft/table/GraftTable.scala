@@ -3,7 +3,7 @@ package graft.table
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-parquet table with a versioned manifest log — the engine's
@@ -233,6 +233,120 @@ final class GraftTable private (
       "numFilesDeleted" -> deletable.size.toString,
       "retainHours" -> retainHours.toString))
     (v, deletable.size)
+  }
+
+  // ---- row mutations: DELETE / UPDATE / MERGE --------------------------
+  //
+  // Copy-on-write at file granularity, the same strategy Delta Lake uses
+  // for these commands: a distributed scan finds the files that contain
+  // affected rows (only the file LIST comes back to the driver — same
+  // driver-side assumption as the manifest itself), those files are
+  // rewritten in full, and the new manifest swaps them out. Untouched
+  // files are carried over verbatim, so a predicate that prunes to one
+  // hive partition rewrites only that partition's files no matter how
+  // large the table is. Old versions stay time-travel-readable until
+  // VACUUM.
+
+  /** Absolute `_metadata.file_path` URI → manifest-relative path. */
+  private def relPath(abs: String): String = {
+    val p = scala.util.Try(new java.net.URI(abs).getPath).toOption
+      .filter(_ != null).getOrElse(abs)
+    p.stripPrefix(root.toUri.getPath).stripPrefix("/")
+  }
+
+  private def readFiles(files: Seq[String]): DataFrame =
+    spark.read
+      .option("basePath", path)
+      .option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*)
+
+  /** Manifest files holding at least one row matching `cond`. Partition
+    * and data-skipping filters push into this scan, so at scale the scan
+    * touches only candidate files. */
+  private def affectedFiles(cond: Column): Seq[String] =
+    read().withColumn("__path", col("_metadata.file_path"))
+      .filter(cond)
+      .select("__path").distinct()
+      .collect().map(r => relPath(r.getString(0))).toSeq
+
+  private def appendDataFiles(df: DataFrame): Seq[String] = {
+    val before = listDataFiles().map(_._1).toSet
+    val writer = df.write.mode(SaveMode.Append)
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+     else writer).parquet(path)
+    listDataFiles().map(_._1).filterNot(before)
+  }
+
+  /** DELETE FROM … WHERE cond. Rows where `cond` is NULL are kept (SQL
+    * three-valued semantics: DELETE removes only where the predicate is
+    * TRUE). Returns the committed version. */
+  def delete(cond: Column): Long = {
+    val matches = coalesce(cond, lit(false))
+    val affected = affectedFiles(matches)
+    val live = manifestFiles()
+    if (affected.isEmpty)
+      return commit("DELETE", live, Map("numFilesRewritten" -> "0"))
+    val added = appendDataFiles(readFiles(affected).filter(!matches))
+    commit("DELETE", live.filterNot(affected.toSet) ++ added, Map(
+      "numFilesRewritten" -> affected.size.toString,
+      "numFilesAdded" -> added.size.toString))
+  }
+
+  /** UPDATE … SET col = expr WHERE cond. Assignments may target partition
+    * columns — rewritten rows land in their new hive partitions. */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val schemaCols = read().columns.toSet
+    val unknown = set.keySet -- schemaCols
+    require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(", ")}")
+    val matches = coalesce(cond, lit(false))
+    val affected = affectedFiles(matches)
+    val live = manifestFiles()
+    if (affected.isEmpty)
+      return commit("UPDATE", live, Map("numFilesRewritten" -> "0"))
+    // assignments cast to the column's existing type — schema enforcement
+    // holds under UPDATE exactly as under append (Delta's store-assignment)
+    val types = read().schema.fields.map(f => f.name -> f.dataType).toMap
+    val updated = set.foldLeft(readFiles(affected)) { case (d, (name, value)) =>
+      d.withColumn(name, when(matches, value.cast(types(name))).otherwise(col(name)))
+    }
+    val added = appendDataFiles(updated)
+    commit("UPDATE", live.filterNot(affected.toSet) ++ added, Map(
+      "numFilesRewritten" -> affected.size.toString,
+      "numFilesAdded" -> added.size.toString))
+  }
+
+  /** MERGE (upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT MATCHED THEN
+    * INSERT ALL, matching on equality of `on` key columns. `source` must
+    * carry the target's columns; each key must occur at most once in
+    * `source` (Delta's multiple-matches error is left to the caller).
+    *
+    * Only target files containing a matched key are rewritten; the
+    * key semi-join that finds them broadcasts `source`'s keys when small.
+    */
+  def merge(source: DataFrame, on: Seq[String]): Long = {
+    require(on.nonEmpty, "MERGE needs at least one key column")
+    if (currentVersion < 0) return write(source, SaveMode.Overwrite)
+    val tgt = read()
+    val missing = tgt.columns.toSet -- source.columns.toSet
+    require(missing.isEmpty, s"MERGE source lacks target columns: ${missing.mkString(", ")}")
+    // align column order AND types to the target (schema enforcement:
+    // source values store-assign into the target's column types)
+    val src = source.select(tgt.schema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val srcKeys = src.select(on.map(col).toIndexedSeq: _*).distinct()
+    val affected = tgt.withColumn("__path", col("_metadata.file_path"))
+      .join(srcKeys, on, "left_semi")
+      .select("__path").distinct()
+      .collect().map(r => relPath(r.getString(0))).toSeq
+    val live = manifestFiles()
+    val out =
+      if (affected.isEmpty) src
+      else readFiles(affected).join(srcKeys, on, "left_anti").unionByName(src)
+    val added = appendDataFiles(out)
+    commit("MERGE", live.filterNot(affected.toSet) ++ added, Map(
+      "numFilesRewritten" -> affected.size.toString,
+      "numFilesAdded" -> added.size.toString))
   }
 
   // ---- M3: history -----------------------------------------------------

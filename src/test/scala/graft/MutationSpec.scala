@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** DELETE / UPDATE / MERGE on GraftTable — the Delta Lake mutation surface
+  * (copy-on-write at file granularity). Verifies row semantics, that only
+  * affected files are rewritten, and that pre-mutation versions stay
+  * time-travel-readable.
+  */
+class MutationSpec extends SparkSpec {
+
+  private def freshTable(prefix: String): GraftTable = {
+    val path = Files.createTempDirectory(prefix).toString
+    GraftTable(spark, path, Seq("ticker", "trade_date"))
+  }
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0)).cache()
+
+  test("delete removes only matching rows; null predicate rows are kept") {
+    val t = freshTable("gt_del")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    assert(aapl > 0)
+
+    val v = t.delete(col("ticker") === "AAPL")
+    assert(t.read().count() == total - aapl)
+    assert(t.read().filter(col("ticker") === "AAPL").count() == 0)
+
+    // SQL three-valued logic: a NULL predicate must not delete anything.
+    // close has injected nulls (BarSource), so `close > 1e12` is NULL there
+    // and FALSE elsewhere → zero deletions either way.
+    t.delete(col("close") > 1e12)
+    assert(t.read().count() == total - aapl)
+
+    // time travel: the pre-delete version still shows AAPL
+    assert(t.readVersion(v - 1).filter(col("ticker") === "AAPL").count() == aapl)
+  }
+
+  test("delete rewrites only the files of affected partitions") {
+    val t = freshTable("gt_del_files")
+    t.write(bars.repartition(4))
+    val before = t.manifestFiles().toSet
+    t.delete(col("ticker") === "MSFT" && col("trade_date") === "2024-01-08")
+    val after = t.manifestFiles().toSet
+    val untouched = before.filterNot(_.contains("ticker=MSFT/trade_date=2024-01-08"))
+    // every untouched file is carried over verbatim (no rewrite)
+    assert(untouched.subsetOf(after))
+    // the affected partition's files were swapped out
+    assert(before.diff(after).forall(_.contains("ticker=MSFT/trade_date=2024-01-08")))
+  }
+
+  test("update rewrites matching rows in place and leaves the rest") {
+    val t = freshTable("gt_upd")
+    t.write(bars.repartition(4))
+    val othersBefore = t.read().filter(col("ticker") =!= "TSLA")
+      .agg(sum("volume")).collect()(0).getLong(0)
+
+    // assignment is a Double literal into a BIGINT column — the engine
+    // must store-assign (cast to the existing type), not evolve the schema
+    t.update(col("ticker") === "TSLA", Map("volume" -> lit(0.0)))
+
+    val back = t.read()
+    assert(back.count() == bars.count())
+    assert(back.schema("volume").dataType.typeName == "long")
+    assert(back.filter(col("ticker") === "TSLA")
+      .agg(sum("volume")).collect()(0).getLong(0) == 0L)
+    val othersAfter = back.filter(col("ticker") =!= "TSLA")
+      .agg(sum("volume")).collect()(0).getLong(0)
+    assert(othersAfter == othersBefore)
+  }
+
+  test("update rejects unknown columns") {
+    val t = freshTable("gt_upd_bad")
+    t.write(bars.repartition(2))
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("no_such_col" -> lit(1)))
+    }
+  }
+
+  test("merge upserts: matched keys replaced, new keys inserted, idempotent") {
+    val t = freshTable("gt_merge")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+
+    // source: 3 corrected AAPL bars (volume zeroed) + 2 brand-new bars
+    val corrected = t.read()
+      .filter(col("ticker") === "AAPL").orderBy("timestamp_ms").limit(3)
+    val fresh = t.read()
+      .filter(col("ticker") === "NVDA").orderBy("timestamp_ms").limit(2)
+      .withColumn("ticker", lit("ZZZZ"))
+    // Double literal into a BIGINT column: merge must store-assign
+    val source = corrected.unionByName(fresh)
+      .withColumn("volume", lit(0.0)).cache()
+    source.count()
+
+    val key = Seq("ticker", "timestamp_ms")
+    t.merge(source, key)
+    val after = t.read()
+    assert(after.count() == total + 2)                       // 3 updated, 2 inserted
+    assert(after.filter(col("ticker") === "ZZZZ").count() == 2)
+    val touched = after.join(source.select("ticker", "timestamp_ms"), key, "left_semi")
+    assert(touched.count() == 5)
+    assert(touched.agg(sum("volume")).collect()(0).getLong(0) == 0L)
+
+    // merging the same source again changes nothing (upsert idempotence)
+    t.merge(source, key)
+    assert(t.read().count() == total + 2)
+
+    // only AAPL partitions (matched) were rewritten; other files carried over
+    val hist = t.history().filter(col("operation") === "MERGE").count()
+    assert(hist == 2)
+  }
+
+  test("merge into empty table is a plain write") {
+    val path = Files.createTempDirectory("gt_merge_empty").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.merge(bars.repartition(2), Seq("ticker", "timestamp_ms"))
+    assert(t.read().count() == bars.count())
+  }
+
+  test("bar_mutations lifecycle query reflects delete+update+merge") {
+    val df = graft.queries.StockPipeline.barMutations(spark, sf).cache()
+    val byTicker = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!byTicker.contains("JPM"))                 // deleted
+    assert(byTicker("TSLA")._2 == 0L)                 // volume zeroed
+    assert(byTicker.contains("NEWCO"))                // inserted
+    assert(byTicker("NEWCO")._1 == byTicker("NVDA")._1 ||
+      byTicker("NEWCO")._1 > 0)                       // one day's bars
+    assert(df.filter(col("ticker") === "AAPL").count() == 1)
+  }
+
+  test("merge rejects a source missing target columns") {
+    val t = freshTable("gt_merge_bad")
+    t.write(bars.repartition(2))
+    intercept[IllegalArgumentException] {
+      t.merge(bars.drop("volume"), Seq("ticker", "timestamp_ms"))
+    }
+  }
+}
