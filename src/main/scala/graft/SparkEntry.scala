@@ -19,7 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.Joins.queries ++
+      graft.queries.MultiJoins.queries ++
       graft.queries.Windows.queries ++
+      graft.queries.Ranking.queries ++
+      graft.queries.Stats.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
@@ -37,7 +40,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.Joins.oracles ++
+      graft.queries.MultiJoins.oracles ++
       graft.queries.Windows.oracles ++
+      graft.queries.Ranking.oracles ++
+      graft.queries.Stats.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -12,7 +12,7 @@ import graft.tables.Tables
 object SqlInterface {
 
   private def registerViews(spark: SparkSession, dir: String): Unit = {
-    Seq("orders", "customer", "lineitem").foreach(t =>
+    Seq("orders", "customer", "lineitem", "part").foreach(t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(t))
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
@@ -47,6 +47,15 @@ object SqlInterface {
       |FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
       |ORDER BY gid, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
 
+  // NOT IN subquery — Spark plans a null-aware anti join; the list here
+  // is provably non-null so both engines return the anti-join set (the
+  // empty-on-NULL three-valued case is pinned in SqlInterfaceSpec).
+  val NotInSql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity >= 49)
+      |ORDER BY p_partkey""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(sql)
@@ -69,11 +78,13 @@ object SqlInterface {
     "sql_correlated_exists" -> run(CorrelatedExistsSql) _,
     "sql_cte_window"        -> run(CteWindowSql) _,
     "sql_grouping_sets"     -> run(GroupingSetsSql) _,
+    "sql_not_in"            -> run(NotInSql) _,
     "sql_custom_functions"  -> sqlCustomFunctions _)
 
   val oracles: Map[String, String] = Map(
     "sql_scalar_subquery"   -> ScalarSubquerySql,
     "sql_correlated_exists" -> CorrelatedExistsSql,
     "sql_cte_window"        -> CteWindowSql,
-    "sql_grouping_sets"     -> GroupingSetsSql)
+    "sql_grouping_sets"     -> GroupingSetsSql,
+    "sql_not_in"            -> NotInSql)
 }

@@ -153,8 +153,37 @@ object TextAnalysis {
         instr(col("text"), "spark").cast("long").as("spark_pos"))
       .orderBy("doc_id")
 
+  /** Corpus-wide top-20 words via explode/unnest — the lateral-view
+    * operator over a split column (word-count at scale: explode is
+    * map-side, the count is one shuffle on the word key). */
+  def explodeWords(spark: SparkSession, dir: String): DataFrame = {
+    val w = documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]{4,}$"))
+    w.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(Window.orderBy(desc("cnt"), col("word"))))
+      .filter(col("rk") <= 20)
+      .select("rk", "word", "cnt")
+      .orderBy("rk")
+  }
+
+  /** Regexp family over documents: match predicates, global replace as a
+    * character counter — patterns kept RE2-compatible (Java ≡ DuckDB). */
+  def regexpStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("text").rlike("[0-9]")).as("n_docs_digit"),
+        sum(length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("digit_chars"),
+        count_if(col("text").rlike("\\bdata\\b")).as("n_docs_data"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_functions" -> stringFunctions _,
+    "explode_words"   -> explodeWords _,
+    "regexp_stats"    -> regexpStats _,
     "text_stats"      -> textStats _,
     "token_count"     -> tokenCount _,
     "quality_score"   -> qualityScore _,
@@ -169,6 +198,20 @@ object TextAnalysis {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(
+    "explode_words" ->
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM w
+        |      WHERE regexp_full_match(word, '[a-z]{4,}') GROUP BY 1),
+        |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rk,
+        |             word, cnt FROM c)
+        |SELECT rk, word, cnt FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "regexp_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(*) FILTER (WHERE regexp_matches(text, '[0-9]')) AS n_docs_digit,
+        |       CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS digit_chars,
+        |       COUNT(*) FILTER (WHERE regexp_matches(text, '\bdata\b')) AS n_docs_data
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "string_functions" ->
       """SELECT doc_id,
         |       upper(substring(text, 1, 12)) AS head_upper,

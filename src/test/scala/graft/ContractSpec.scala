@@ -8,7 +8,10 @@ class ContractSpec extends AnyFunSuite {
   private val packs: Seq[(String, Map[String, _], Map[String, String])] = Seq(
     ("Analytics", graft.queries.Analytics.queries, graft.queries.Analytics.oracles),
     ("Joins", graft.queries.Joins.queries, graft.queries.Joins.oracles),
+    ("MultiJoins", graft.queries.MultiJoins.queries, graft.queries.MultiJoins.oracles),
     ("Windows", graft.queries.Windows.queries, graft.queries.Windows.oracles),
+    ("Ranking", graft.queries.Ranking.queries, graft.queries.Ranking.oracles),
+    ("Stats", graft.queries.Stats.queries, graft.queries.Stats.oracles),
     ("StockPipeline", graft.queries.StockPipeline.queries, graft.queries.StockPipeline.oracles),
     ("TextAnalysis", graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
