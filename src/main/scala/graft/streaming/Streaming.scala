@@ -136,13 +136,74 @@ object Streaming {
     spark.table(name).orderBy("user_id", "session_id")
   }
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * purchases within the following 2 hours, watermarked on both sides so
+    * join state is bounded (the canonical unbounded-join shape: state per
+    * key only spans the interval + watermark delay). Inner interval joins
+    * emit exactly the matching pairs over a finite source, so the batch
+    * range join is an exact DuckDB oracle. */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = freshName()
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("view_id", "purchase_id")
+  }
+
+  /** Streaming ingest into a GraftTable: foreachBatch applies each
+    * micro-batch as a MERGE (upsert on event_id), so replayed batches
+    * are idempotent — the streaming version of the reference's ingest
+    * loop with Delta-style exactly-once-per-key semantics. Returns the
+    * table for inspection; StreamingTableSpec pins table ≡ batch input
+    * and per-batch MERGE history. */
+  def streamIntoTable(spark: SparkSession, dir: String,
+      path: String): graft.table.GraftTable = {
+    val table = graft.table.GraftTable(spark, path, Seq("event_type"))
+    val q = eventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.merge(batch.dropDuplicates("event_id"), Seq("event_id")); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_daily_counts"  -> streamingDailyCounts _,
     "streaming_dedup_counts"  -> streamingDedupCounts _,
     "streaming_sliding_value" -> streamingSlidingValue _,
     "streaming_sessions"      -> streamingSessions _)
 
   val oracles: Map[String, String] = Map(
+    "streaming_interval_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |       v.user_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts
+        | AND p.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "streaming_daily_counts" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value

@@ -29,6 +29,49 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("cnt")).collect()(0).getLong(0)
     assert(total == 2 * graft.tables.Tables.events(spark, sf).count())
   }
+
+  test("stream-stream interval join equals the batch range join") {
+    val streamed = Streaming.streamingIntervalJoin(spark, sf)
+    val ev = graft.tables.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = v.join(p,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+}
+
+class StreamingTableSpec extends SparkSpec {
+
+  test("foreachBatch merge ingest lands every event exactly once") {
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+    val table = Streaming.streamIntoTable(spark, sf, path)
+    val ev = graft.tables.Tables.events(spark, sf)
+    assert(table.read().count() == ev.select("event_id").distinct().count())
+    // first micro-batch bootstraps the table; later batches are MERGEs
+    val ops = table.history().select("operation")
+      .collect().map(_.getString(0)).toSet
+    assert(ops.subsetOf(Set("WRITE", "MERGE")))
+    // re-running the same stream over the same table changes nothing
+    // (upsert idempotence) and commits as MERGE
+    val table2 = graft.table.GraftTable(spark, path, Seq("event_type"))
+    val before = table2.read().count()
+    Streaming.streamIntoTable(spark, sf, path)
+    assert(table2.read().count() == before)
+    val ops2 = table2.history().select("operation")
+      .collect().map(_.getString(0)).toSet
+    assert(ops2.contains("MERGE"))
+  }
 }
 
 class MediaSpec extends SparkSpec {
