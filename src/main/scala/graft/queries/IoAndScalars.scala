@@ -75,13 +75,46 @@ object IoAndScalars {
         array_contains(col("all_ids"), 0L).as("has_zero"))
       .orderBy("user_id")
 
+  /** Map-function family: build a per-user map event_type → count with
+    * map_from_entries, then read it back with map_keys / map_values /
+    * element_at and a fold over the values. The oracle reproduces each
+    * scalar output relationally (maps stay Spark-side; pandas cannot
+    * sort map cells — same constraint as array_functions). */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "view").as("views"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x).as("total"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_functions"    -> arrayFunctions _,
+    "map_functions"      -> mapFunctions _,
     "io_roundtrip"       -> ioRoundtrip _,
     "null_handling"      -> nullHandling _,
     "datetime_functions" -> datetimeFunctions _)
 
   val oracles: Map[String, String] = Map(
+    "map_functions" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS INTEGER) AS n_keys,
+        |       STRING_AGG(event_type, ',' ORDER BY event_type) AS keys,
+        |       MAX(CASE WHEN event_type = 'view' THEN cnt END) AS views,
+        |       CAST(SUM(cnt) AS BIGINT) AS total
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "array_functions" ->
       """WITH a AS (
         |  SELECT user_id, list_sort(list(event_id)) AS all_ids

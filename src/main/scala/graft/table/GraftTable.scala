@@ -349,6 +349,17 @@ final class GraftTable private (
       "numFilesAdded" -> added.size.toString))
   }
 
+  /** RESTORE to an earlier version (Delta's RESTORE TABLE … TO VERSION):
+    * recommits that version's file list as the new current version, so
+    * the restore itself is part of the audit trail and is undoable. The
+    * restored files must not have been vacuumed. */
+  def restore(version: Long): Long = {
+    require(version >= 0 && version <= currentVersion,
+      s"no committed version $version to restore")
+    commit("RESTORE", manifestFiles(version),
+      Map("restoredVersion" -> version.toString))
+  }
+
   // ---- M3: history -----------------------------------------------------
 
   /** Audit log as a DataFrame, newest first (maintenance.py:87-91). */

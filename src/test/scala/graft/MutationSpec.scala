@@ -137,6 +137,23 @@ class MutationSpec extends SparkSpec {
     assert(df.filter(col("ticker") === "AAPL").count() == 1)
   }
 
+  test("restore recommits an old version and is itself undoable") {
+    val t = freshTable("gt_restore")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+    val v0 = t.currentVersion
+    t.delete(col("ticker") === "AAPL")
+    val afterDelete = t.read().count()
+    assert(afterDelete < total)
+
+    val vr = t.restore(v0)
+    assert(t.read().count() == total)                 // AAPL is back
+    assert(vr == t.currentVersion)
+    // restore is a commit, so the deleted state is still reachable
+    assert(t.readVersion(vr - 1).count() == afterDelete)
+    intercept[IllegalArgumentException] { t.restore(999) }
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
