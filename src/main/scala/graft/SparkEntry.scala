@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Ranking.queries ++
       graft.queries.Stats.queries ++
+      graft.queries.TimeSeries.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.Ranking.oracles ++
       graft.queries.Stats.oracles ++
+      graft.queries.TimeSeries.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++
