@@ -349,6 +349,51 @@ final class GraftTable private (
       "numFilesAdded" -> added.size.toString))
   }
 
+  /** Change data feed between two committed versions (Delta CDF parity
+    * for copy-on-write tables): `insert` rows exist at `to` but not at
+    * `from`, `delete` rows the reverse; an UPDATE surfaces as a
+    * delete+insert pair of the old and new row versions.
+    *
+    * Cost scales with the CHANGED files only — identical manifest
+    * entries carry over between versions, so both sides of the diff
+    * read just the files added or removed in between, never the whole
+    * table. The diff itself is a hash anti-join on the full row. */
+  def changes(from: Long, to: Long): DataFrame = {
+    require(from >= 0 && to <= currentVersion && from <= to,
+      s"invalid change range v$from..v$to (current: v$currentVersion)")
+    val before = manifestFiles(from).toSet
+    val after = manifestFiles(to).toSet
+    val added = (after -- before).toSeq
+    val removed = (before -- after).toSeq
+    def snap(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None else Some(readFiles(files))
+    (snap(added), snap(removed)) match {
+      case (None, None) =>
+        // no file-level change: empty feed with the table's schema
+        val schema = read().schema.add("_change_type", "string", nullable = false)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case (a, r) =>
+        val inserts = (a, r) match {
+          case (Some(x), Some(y)) => x.exceptAll(y)
+          case (Some(x), None) => x
+          case (None, _) => null
+        }
+        val deletes = (a, r) match {
+          case (Some(x), Some(y)) => y.exceptAll(x)
+          case (None, Some(y)) => y
+          case (_, None) => null
+        }
+        val i = Option(inserts).map(_.withColumn("_change_type", lit("insert")))
+        val d = Option(deletes).map(_.withColumn("_change_type", lit("delete")))
+        (i, d) match {
+          case (Some(x), Some(y)) => x.unionByName(y)
+          case (Some(x), None) => x
+          case (None, Some(y)) => y
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
+    }
+  }
+
   /** RESTORE to an earlier version (Delta's RESTORE TABLE … TO VERSION):
     * recommits that version's file list as the new current version, so
     * the restore itself is part of the audit trail and is undoable. The

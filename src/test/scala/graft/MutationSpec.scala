@@ -154,6 +154,35 @@ class MutationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.restore(999) }
   }
 
+  test("changes() reports delete, update, and merge as row-level diffs") {
+    val t = freshTable("gt_cdf")
+    t.write(bars.repartition(4))
+    val v0 = t.currentVersion
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+
+    t.delete(col("ticker") === "AAPL")
+    val cdfDel = t.changes(v0, t.currentVersion).cache()
+    assert(cdfDel.filter(col("_change_type") === "delete").count() == aapl)
+    assert(cdfDel.filter(col("_change_type") === "insert").count() == 0)
+
+    val v1 = t.currentVersion
+    val tsla = t.read().filter(col("ticker") === "TSLA").count()
+    t.update(col("ticker") === "TSLA", Map("volume" -> lit(0L)))
+    val cdfUpd = t.changes(v1, t.currentVersion).cache()
+    // update = delete of old row versions + insert of new ones, but only
+    // for rows whose volume actually changed
+    val changedRows = cdfUpd.filter(col("_change_type") === "insert").count()
+    assert(changedRows == cdfUpd.filter(col("_change_type") === "delete").count())
+    assert(changedRows <= tsla && changedRows > 0)
+    assert(cdfUpd.filter(col("_change_type") === "insert")
+      .agg(sum("volume")).collect()(0).getLong(0) == 0L)
+
+    // no-change range: empty feed, schema intact
+    val empty = t.changes(t.currentVersion, t.currentVersion)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_change_type"))
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
