@@ -135,7 +135,45 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over an undirected edge list via iterative
+    * min-label propagation: each round joins every vertex to its
+    * neighbors' labels and keeps the minimum; rounds = graph diameter
+    * (near-dup clusters are shallow — a handful of rounds). Each round
+    * is one shuffle join + aggregate; at 100 TB the identical loop runs
+    * with per-round checkpointing to cut lineage. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    while (!converged) {
+      val neighborMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = updated
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters from the LSH candidate graph: every doc labeled
+    * with its cluster's minimum doc_id (the canonical survivor — the
+    * last step of a dedup pipeline: keep `cluster`, drop the rest). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhash(spark, dir).select("a", "b"))
+      .select(col("label").as("cluster"), col("id").as("doc_id"))
+      .orderBy("cluster", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _,
     "dedup_exact"   -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
     "ngram_jaccard" -> ngramJaccard _,

@@ -109,6 +109,58 @@ final class GraftTable private (
     out.result()
   }
 
+  // ---- CHECK constraints (Delta table-constraint parity) ---------------
+  //
+  // Stored as name<TAB>expression lines in the log dir; enforced on every
+  // row-adding operation (write / merge / update) with one validation
+  // pass over the incoming rows — the same write-time job Delta runs.
+  // SQL CHECK semantics: a row violates only when the expression is
+  // FALSE; NULL passes.
+
+  private val constraintsPath = new Path(logDir, "constraints.tsv")
+
+  def constraints: Map[String, String] = {
+    if (!fs.exists(constraintsPath)) return Map.empty
+    val in = fs.open(constraintsPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  private def writeConstraints(cs: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val out = fs.create(constraintsPath, true)
+    try out.write(cs.toSeq.sortBy(_._1).map { case (n, e) => s"$n\t$e" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (sqlExpr). Existing rows are
+    * scanned first and must all satisfy it (Delta behavior). */
+  def addConstraint(name: String, sqlExpr: String): Unit = {
+    require(!constraints.contains(name), s"constraint $name already exists")
+    if (currentVersion >= 0) {
+      val violations = read().filter(expr(sqlExpr) <=> lit(false)).count()
+      require(violations == 0,
+        s"cannot add constraint $name: $violations existing rows violate ($sqlExpr)")
+    }
+    writeConstraints(constraints + (name -> sqlExpr))
+  }
+
+  def dropConstraint(name: String): Unit =
+    writeConstraints(constraints - name)
+
+  /** One validation job over rows about to be committed. */
+  private def enforceConstraints(df: DataFrame): Unit =
+    constraints.foreach { case (name, e) =>
+      val violations = df.filter(expr(e) <=> lit(false)).count()
+      if (violations > 0)
+        throw new IllegalArgumentException(
+          s"CHECK constraint $name ($e) violated by $violations incoming rows")
+    }
+
   // ---- S4/S5: write ----------------------------------------------------
 
   /** Write `df`, hive-partitioned. Physical files are always appended;
@@ -139,6 +191,7 @@ final class GraftTable private (
           "schema enforcement: column set mismatch " +
           s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve")
     }
+    enforceConstraints(df)
     val before = listDataFiles().map(_._1).toSet
     val writer = df.write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
@@ -310,6 +363,7 @@ final class GraftTable private (
     val updated = set.foldLeft(readFiles(affected)) { case (d, (name, value)) =>
       d.withColumn(name, when(matches, value.cast(types(name))).otherwise(col(name)))
     }
+    enforceConstraints(updated)
     val added = appendDataFiles(updated)
     commit("UPDATE", live.filterNot(affected.toSet) ++ added, Map(
       "numFilesRewritten" -> affected.size.toString,
@@ -340,6 +394,9 @@ final class GraftTable private (
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
     val live = manifestFiles()
+    // only source rows are new row versions; surviving target rows were
+    // validated when they were written
+    enforceConstraints(src)
     val out =
       if (affected.isEmpty) src
       else readFiles(affected).join(srcKeys, on, "left_anti").unionByName(src)

@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ c) > 3)
   }
 
+  test("dedup_clusters equals union-find over the candidate pairs") {
+    val pairs = graft.dedup.Dedup.dedupMinhash(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+
+    // reference union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(clusters.keySet == expected.keySet)
+    // same partition into clusters, canonical = min doc_id
+    assert(clusters == expected)
+    // every cluster label is a member of its own cluster
+    assert(clusters.values.toSet.forall(l => clusters(l) == l))
+  }
+
   test("dedup_simhash pairs overlap heavily with minhash near-dups") {
     val sim = Dedup.dedupSimhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
     val mh = Dedup.dedupMinhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet

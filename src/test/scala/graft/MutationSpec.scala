@@ -183,6 +183,39 @@ class MutationSpec extends SparkSpec {
     assert(empty.columns.contains("_change_type"))
   }
 
+  test("CHECK constraints gate write, update, and merge; NULL passes") {
+    val t = freshTable("gt_check")
+    t.write(bars.repartition(4))
+    t.addConstraint("vol_nonneg", "volume >= 0")
+    // close has injected NULLs: SQL CHECK passes on NULL
+    t.addConstraint("close_pos", "close > 0")
+
+    // appending a violating batch is rejected
+    val bad = bars.limit(5).withColumn("volume", lit(-1L))
+    intercept[IllegalArgumentException] {
+      t.write(bad, org.apache.spark.sql.SaveMode.Append)
+    }
+    // update that would violate is rejected
+    intercept[IllegalArgumentException] {
+      t.update(col("ticker") === "AAPL", Map("volume" -> lit(-5L)))
+    }
+    // merge with violating source is rejected
+    intercept[IllegalArgumentException] {
+      t.merge(bad, Seq("ticker", "timestamp_ms"))
+    }
+    // valid operations still pass
+    t.update(col("ticker") === "AAPL", Map("volume" -> lit(0L)))
+
+    // adding a constraint existing rows violate is rejected
+    intercept[IllegalArgumentException] {
+      t.addConstraint("impossible", "volume > 1000000000000")
+    }
+    // dropped constraint no longer gates
+    t.dropConstraint("vol_nonneg")
+    t.update(col("ticker") === "MSFT", Map("volume" -> lit(-1L)))
+    assert(t.constraints.keySet == Set("close_pos"))
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
