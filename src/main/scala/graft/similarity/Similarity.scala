@@ -157,13 +157,44 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Int8 scalar quantization with reconstruction-error stats — the
+    * compression step before serving ANN at scale (4× smaller than f32).
+    * Per-vector scale = max |x|; rounding is floor(x + 0.5) so both
+    * engines round identically, and every metric is double math over
+    * exactly-widened floats → bit-identical outputs, no tolerance. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("l2_norm", norm(col("v")))
+      .withColumn("max_err", array_max(transform(col("v"), x =>
+        abs(x - floor(x * lit(127.0) / col("maxabs") + lit(0.5))
+          * col("maxabs") / lit(127.0)))))
+      .select("vec_id", "maxabs", "l2_norm", "max_err")
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
-    "cosine_dups" -> cosineDups _)
+    "cosine_dups" -> cosineDups _,
+    "embedding_quantize" -> embeddingQuantize _)
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS maxabs,
+        |         sqrt(list_inner_product(v, v)) AS l2_norm
+        |  FROM e)
+        |SELECT vec_id, maxabs, l2_norm,
+        |       list_max(list_transform(v, x ->
+        |         abs(x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)))
+        |         AS max_err
+        |FROM m ORDER BY vec_id""".stripMargin,
     "knn_brute" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
