@@ -109,18 +109,19 @@ object Dedup {
 
   /** SimHash signatures + near-dup pairs at hamming distance ≤ 3 via
     * 4-piece banding (pigeonhole: any pair within distance 3 shares at
-    * least one exact 16-bit piece). */
+    * least one exact 16-bit piece).
+    *
+    * Signatures come from the scalar codegen'd [[graft.functions.SimHashSig]]
+    * kernel — one pass inside the scan, no token explode and no shuffle
+    * (the explode → xxhash64 → typed-Aggregator formulation it replaces
+    * shuffled every token hash; DedupSpec pins bit-identical signatures
+    * between the two, and [[Sketches.SimHashAgg]] remains the UDAF
+    * surface demo). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val agg = new Sketches.SimHashAgg
-    val words = documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
-    val sigs = words.as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.toColumn.name("sig"))
-      .toDF("doc_id", "sig").cache()
+    val sigs = documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SigKernelColumns.simhash_sig(col("text")).as("sig"))
+      .cache()
     val pieces = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
       """transform(sequence(0, 3),
         |  p -> concat_ws(':', p, shiftright(sig, p * 16) & 65535))""".stripMargin))

@@ -56,6 +56,32 @@ object SigKernels {
     }
     sig
   }
+
+  /** SimHash of whitespace tokens in one pass — bit-identical to the
+    * explode → xxhash64(word) → SimHashAgg pipeline (same trim/split
+    * tokenization, same XXH64 seed-42 word hash), but computed inside the
+    * scan with no explode and no shuffle of token hashes. */
+  def simhash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = s.trim().toString.split("\\s+")
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val u = UTF8String.fromString(toks(t))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
 }
 
 /** array<bigint> sketch → array<bigint> of band signatures. */
@@ -92,6 +118,21 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** string → long SimHash signature. */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.simhash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 object SigKernelColumns {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -100,4 +141,7 @@ object SigKernelColumns {
 
   def hyperplane_sig(c: Column, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(c), bits, seed))
+
+  def simhash_sig(c: Column): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
 }

@@ -79,6 +79,24 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ c) > 3)
   }
 
+  test("SimHashSig kernel is bit-identical to the explode+Aggregator pipeline") {
+    val agg = new Sketches.SimHashAgg
+    val docs = graft.tables.Tables.documents(spark, sf).limit(50).cache()
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.functions.SigKernelColumns.simhash_sig(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("wh"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect().toMap
+    assert(kernel == viaAgg)
+  }
+
   test("dedup_clusters equals union-find over the candidate pairs") {
     val pairs = graft.dedup.Dedup.dedupMinhash(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
