@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import graft.table.GraftTable
+
+/** `format("graft")` — the manifest-versioned table layer exposed through
+  * Spark's standard source API, so GraftTable participates in
+  * `spark.read` / `df.write` / `CREATE TABLE … USING graft` like any
+  * built-in format:
+  *
+  * {{{
+  *   spark.read.format("graft").load(path)                      // current
+  *   spark.read.format("graft").option("versionAsOf", 3).load(path)
+  *   df.write.format("graft").option("partitionBy", "a,b")
+  *     .mode("overwrite").save(path)
+  *   spark.sql(s"CREATE TABLE t USING graft LOCATION '$path'")
+  * }}}
+  *
+  * Reads delegate to the manifest-resolved parquet scan, so column
+  * pruning reaches the parquet reader; supported filters are translated
+  * onto the scan (and re-applied by Spark above — translation is a
+  * performance hint, never a correctness dependency). Writes map
+  * SaveMode onto the manifest commit (logical overwrite / append with
+  * schema enforcement).
+  */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path (load(path) or OPTIONS (path ...))"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, pathOf(parameters),
+      parameters.get("versionAsOf").map(_.toLong))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val partitionColumns = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val table = GraftTable(sqlContext.sparkSession, path, partitionColumns)
+    mode match {
+      case SaveMode.ErrorIfExists if table.currentVersion >= 0 =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if table.currentVersion >= 0 => ()
+      case m =>
+        table.write(data,
+          if (m == SaveMode.Append) SaveMode.Append else SaveMode.Overwrite,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+final case class GraftRelation(sqlContext: SQLContext, path: String,
+    versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private def table = GraftTable(sqlContext.sparkSession, path)
+  private def snapshot: DataFrame =
+    versionAsOf.map(table.readVersion).getOrElse(table.read())
+
+  override val schema: StructType = snapshot.schema
+
+  /** Best-effort translation of source filters into Column predicates so
+    * they push into the parquet scan; untranslated filters return None
+    * (Spark re-applies everything above the scan regardless). */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toIndexedSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl && cr
+    case Or(l, r) => for (cl <- translate(l); cr <- translate(r)) yield cl || cr
+    case Not(c) => translate(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(translate)
+      .foldLeft(snapshot)((d, c) => d.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered.select(lit(1).as("__one"))
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    pruned.rdd
+  }
+}

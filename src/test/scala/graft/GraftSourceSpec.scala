@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** The `graft` DataSource: spark.read/write.format("graft"), versionAsOf
+  * time travel, and the SQL `USING graft` path. */
+class GraftSourceSpec extends SparkSpec {
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0)).cache()
+
+  test("format(graft) write + read roundtrip with partitioning") {
+    val path = Files.createTempDirectory("gsrc_rt").toString
+    bars.write.format("graft")
+      .option("partitionBy", "ticker,trade_date")
+      .mode("overwrite").save(path)
+    val back = spark.read.format("graft").load(path)
+    assert(back.count() == bars.count())
+    assert(back.columns.toSet == bars.columns.toSet)
+    // the write committed a manifest version
+    assert(GraftTable(spark, path).currentVersion == 0L)
+  }
+
+  test("versionAsOf reads an older snapshot; filters and pruning work") {
+    val path = Files.createTempDirectory("gsrc_tt").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(4))
+    t.delete(col("ticker") === "AAPL")
+
+    val current = spark.read.format("graft").load(path)
+    assert(current.filter(col("ticker") === "AAPL").count() == 0)
+
+    val v0 = spark.read.format("graft").option("versionAsOf", 0).load(path)
+    val aapl = v0.filter(col("ticker") === "AAPL")
+      .select("ticker", "close")
+    assert(aapl.count() > 0)
+    assert(aapl.columns.toSeq == Seq("ticker", "close"))
+  }
+
+  test("append mode enforces schema; SQL USING graft scans the table") {
+    val path = Files.createTempDirectory("gsrc_sql").toString
+    bars.write.format("graft")
+      .option("partitionBy", "ticker,trade_date")
+      .mode("overwrite").save(path)
+    intercept[Exception] {
+      bars.withColumn("volume", col("volume").cast("string"))
+        .write.format("graft").mode("append").save(path)
+    }
+    val name = s"graft_src_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$path')")
+    try {
+      val n = spark.sql(s"SELECT COUNT(*) AS n FROM $name").collect()(0).getLong(0)
+      assert(n == bars.count())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+}
