@@ -60,9 +60,9 @@ object TextAnalysis {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
-  /** Quality scoring: length, stopword density, punctuation, word shape —
-    * a deterministic composite in [0, 1]. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Composite quality score over col("text") — shared by quality_score
+    * and corpus_select. */
+  private def qualityCol: Column = {
     val nWords = size(words(col("text"))).cast("double")
     val nChars = length(col("text")).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
@@ -73,11 +73,18 @@ object TextAnalysis {
     val stopScore = least(stops / nWords * lit(5.0), lit(1.0))
     val punctScore = lit(1.0) - least(punct / nChars * lit(10.0), lit(1.0))
     val shapeScore = when(avgLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    lenScore * lit(0.25) + stopScore * lit(0.35) +
+      punctScore * lit(0.2) + shapeScore * lit(0.2)
+  }
+
+  /** Quality scoring: length, stopword density, punctuation, word shape —
+    * a deterministic composite in [0, 1]. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("double")
     documents(spark, dir)
       .select(
         col("doc_id"),
-        (lenScore * lit(0.25) + stopScore * lit(0.35) +
-          punctScore * lit(0.2) + shapeScore * lit(0.2)).as("quality"),
+        qualityCol.as("quality"),
         nWords.cast("long").as("n_words"))
       .orderBy("doc_id")
   }
@@ -86,21 +93,22 @@ object TextAnalysis {
     * resolve in fixed list order). The synthetic corpus is English-ish so
     * labels skew 'en' — TextAnalysisSpec exercises real multilingual
     * sentences. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("en", "fr", "es", "de", "zh")
-    val hitCols = langs.map(l => stopHits(l).as(s"hits_$l"))
-    val best = langs.foldRight(lit("und")) { (l, acc) =>
-      // l wins if its count strictly beats every later language and is > 0
-      when(col(s"hits_$l") > 0 &&
-        langs.filter(_ != l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
-          .reduce(_ && _), lit(l)).otherwise(acc)
-    }
+  private val Langs = Seq("en", "fr", "es", "de", "zh")
+  private def hitCols: Seq[Column] = Langs.map(l => stopHits(l).as(s"hits_$l"))
+  /** argmax over the pre-aliased hits_<lang> columns (fixed-order ties). */
+  private def bestLang: Column = Langs.foldRight(lit("und")) { (l, acc) =>
+    // l wins if its count strictly beats every later language and is > 0
+    when(col(s"hits_$l") > 0 &&
+      Langs.filter(_ != l).map(o => col(s"hits_$l") >= col(s"hits_$o"))
+        .reduce(_ && _), lit(l)).otherwise(acc)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id") +: col("lang").as("labeled_lang") +: hitCols: _*)
-      .withColumn("predicted_lang", best)
+      .withColumn("predicted_lang", bestLang)
       .select("doc_id", "labeled_lang", "predicted_lang")
       .orderBy("doc_id")
-  }
 
   /** Winnowing-style document fingerprint via the custom codegen'd
     * Catalyst expression [[graft.functions.TextFingerprint]]; identical
@@ -180,8 +188,28 @@ object TextAnalysis {
         count_if(col("text").rlike("\\bdata\\b")).as("n_docs_data"))
       .orderBy("source")
 
+  /** End-to-end corpus selection — the composed training-data filter a
+    * 100 TB pipeline runs before tokenization: exact dedup (keep the
+    * min doc_id per normalized text), language gate (predicted English),
+    * quality gate (composite ≥ 0.5). One window + one scan; the dedup
+    * partition key here is the normalized text for oracle exactness
+    * (dedup_exact demonstrates the hash-key shuffle optimization). */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id") +: col("text") +: hitCols: _*)
+      .withColumn("norm_text", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("quality", qualityCol)
+      .withColumn("predicted_lang", bestLang)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("norm_text").orderBy("doc_id")))
+      .filter(col("rn") === 1 && col("quality") >= 0.5 &&
+        col("predicted_lang") === "en")
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_functions" -> stringFunctions _,
+    "corpus_select"   -> corpusSelect _,
     "explode_words"   -> explodeWords _,
     "regexp_stats"    -> regexpStats _,
     "text_stats"      -> textStats _,
@@ -198,6 +226,37 @@ object TextAnalysis {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(
+    "corpus_select" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+         |    CAST(${hitsSql("en")} AS DOUBLE) AS stops,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_len,
+         |    ${Langs.map(l => s"${hitsSql(l)} AS hits_$l").mkString(",\n         |    ")}
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, norm_text,
+         |    (LEAST(n_words, 100.0) / 100.0) * 0.25
+         |    + LEAST(stops / n_words * 5.0, 1.0) * 0.35
+         |    + (1.0 - LEAST(punct / n_chars * 10.0, 1.0)) * 0.2
+         |    + (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         |      AS quality,
+         |    CASE
+         |      WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+         |      WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+         |      WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+         |      WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+         |      WHEN hits_zh > 0 AND hits_zh >= hits_en AND hits_zh >= hits_fr AND hits_zh >= hits_es AND hits_zh >= hits_de THEN 'zh'
+         |      ELSE 'und' END AS predicted_lang,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+         |  FROM s)
+         |SELECT doc_id, quality FROM q
+         |WHERE rn = 1 AND quality >= 0.5 AND predicted_lang = 'en'
+         |ORDER BY doc_id""".stripMargin,
     "explode_words" ->
       """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
         |           FROM documents),
