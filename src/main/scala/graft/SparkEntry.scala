@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Ranking.queries ++
       graft.queries.Stats.queries ++
       graft.queries.TimeSeries.queries ++
+      graft.queries.Sampling.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.dedup.Dedup.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.queries.Ranking.oracles ++
       graft.queries.Stats.oracles ++
       graft.queries.TimeSeries.oracles ++
+      graft.queries.Sampling.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.dedup.Dedup.oracles ++

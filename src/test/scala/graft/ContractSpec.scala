@@ -13,6 +13,7 @@ class ContractSpec extends AnyFunSuite {
     ("Ranking", graft.queries.Ranking.queries, graft.queries.Ranking.oracles),
     ("Stats", graft.queries.Stats.queries, graft.queries.Stats.oracles),
     ("TimeSeries", graft.queries.TimeSeries.queries, graft.queries.TimeSeries.oracles),
+    ("Sampling", graft.queries.Sampling.queries, graft.queries.Sampling.oracles),
     ("StockPipeline", graft.queries.StockPipeline.queries, graft.queries.StockPipeline.oracles),
     ("TextAnalysis", graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
