@@ -101,9 +101,48 @@ object Media {
       .limit(100)
   }
 
+  /** Frame sampling: emit every 4th 16-byte "frame" per blob with its
+    * byte stats — the video frame-sample shape (decode only sampled
+    * frames; here the stub's frame = 16-byte block, so the whole path is
+    * byte arithmetic an oracle can replicate). flatMap keeps it a narrow
+    * transformation: blobs never shuffle, only sampled frame stats. */
+  val FrameStride = 4
+
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap { b =>
+      val frames = (b.media.length + 15) / 16
+      Iterator.range(0, frames, FrameStride).map { f =>
+        val start = f * 16
+        val end = math.min(start + 16, b.media.length)
+        var s = 0L
+        var i = start
+        while (i < end) { s += b.media(i) & 0xff; i += 1 }
+        (b.doc_id, f, end - start, s)
+      }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Resize: decimate each blob to every 4th byte (the thumbnail /
+    * downsample shape) and report the resized length + checksum. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).map { b =>
+      var s = 0L
+      var n = 0L
+      var i = 0
+      while (i < b.media.length) { s += b.media(i) & 0xff; n += 1; i += FrameStride }
+      (b.doc_id, n, s % 1000000007L)
+    }.toDF("doc_id", "resized_bytes", "resized_checksum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> mediaFeatures _,
-    "media_nearest_pair" -> mediaNearestPair _)
+    "media_nearest_pair" -> mediaNearestPair _,
+    "media_frame_sample" -> mediaFrameSample _,
+    "media_resize" -> mediaResize _)
 
   val oracles: Map[String, String] = Map(
     "media_features" ->
@@ -112,6 +151,30 @@ object Media {
         |       CAST(list_sum(list_transform(range(1, length(text) + 1),
         |              i -> ord(substr(text, CAST(i AS INTEGER), 1)))) % 1000000007 AS BIGINT) AS checksum,
         |       CAST((octet_length(CAST(text AS BLOB)) + 15) // 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "media_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(list_transform(
+        |           range(0, CAST((length(text) + 15) // 16 AS BIGINT)),
+        |           i -> i)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(length(substr(text, CAST(frame_idx * 16 + 1 AS INTEGER), 16)) AS INTEGER)
+        |         AS frame_bytes,
+        |       CAST(list_sum(list_transform(
+        |         range(frame_idx * 16 + 1,
+        |               CAST(LEAST(frame_idx * 16 + 16, length(text)) + 1 AS BIGINT)),
+        |         j -> ord(substr(text, CAST(j AS INTEGER), 1)))) AS BIGINT) AS frame_sum
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "media_resize" ->
+      """SELECT doc_id,
+        |       CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+        |       CAST(list_sum(list_transform(
+        |         range(CAST(1 AS BIGINT), CAST(length(text) + 1 AS BIGINT), CAST(4 AS BIGINT)),
+        |         j -> ord(substr(text, CAST(j AS INTEGER), 1)))) % 1000000007 AS BIGINT)
+        |         AS resized_checksum
         |FROM documents ORDER BY doc_id""".stripMargin)
     // media_nearest_pair: depends on the stub's histogram features →
     // rows-only; MediaSpec pins the kernel and plumbing.
