@@ -122,7 +122,9 @@ object StockPipeline {
     val bars = Enrich.withTimeColumns(
       BarSource.harvest(spark, seed = 42L, delayMs = 0))
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
-    table.write(bars.repartition(8))
+    // one file per hive partition: the mutation sequence below rescans
+    // the file listing per op, so file count dominates its wall time
+    table.write(bars.repartition(1))
     table.delete(col("ticker") === "JPM")
     table.update(col("ticker") === "TSLA", Map("volume" -> lit(0L)))
     val corrections = table.read()
