@@ -56,6 +56,21 @@ object SqlInterface {
       |                        WHERE l_quantity >= 49)
       |ORDER BY p_partkey""".stripMargin
 
+  // Recursive CTE (Spark 4 + DuckDB share the syntax): integer-recursion
+  // date spine left-joined to daily counts — zero-filled calendar without
+  // a generator function. DATE + int is a date in both dialects.
+  val RecursiveSpineSql: String =
+    """WITH RECURSIVE n(i) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT i + 1 FROM n WHERE i < 29),
+      |spine AS (SELECT DATE '2024-01-01' + i AS day FROM n),
+      |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |          FROM events GROUP BY 1)
+      |SELECT s.day, COALESCE(d.cnt, CAST(0 AS BIGINT)) AS cnt
+      |FROM spine s LEFT JOIN daily d ON d.day = s.day
+      |ORDER BY s.day""".stripMargin
+
   private def run(sql: String)(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(sql)
@@ -79,6 +94,7 @@ object SqlInterface {
     "sql_cte_window"        -> run(CteWindowSql) _,
     "sql_grouping_sets"     -> run(GroupingSetsSql) _,
     "sql_not_in"            -> run(NotInSql) _,
+    "sql_recursive_spine"   -> run(RecursiveSpineSql) _,
     "sql_custom_functions"  -> sqlCustomFunctions _)
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +102,6 @@ object SqlInterface {
     "sql_correlated_exists" -> CorrelatedExistsSql,
     "sql_cte_window"        -> CteWindowSql,
     "sql_grouping_sets"     -> GroupingSetsSql,
-    "sql_not_in"            -> NotInSql)
+    "sql_not_in"            -> NotInSql,
+    "sql_recursive_spine"   -> RecursiveSpineSql)
 }
