@@ -127,8 +127,31 @@ object Joins {
       .orderBy("band")
   }
 
+  /** The same band classification through [[graft.operators.RangeJoin]]'s
+    * binned equi-join — identical rows (same oracle), but planned as a
+    * shuffle hash/sort-merge join instead of BroadcastNestedLoopJoin:
+    * the shape that survives a band table too large to broadcast.
+    * JoinsSpec asserts the plan has no nested-loop join. */
+  def rangeBandJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+      ("high", 150.0, 300.0), ("extreme", 300.0, 1e9))
+      .toDF("band", "lo", "hi")
+    // domainMax must bound the value domain (points past the clamp would
+    // miss their band's bins); values top out ~560, clamp at 1e4 → the
+    // open-ended band replicates into 200 bins, not 2e7
+    graft.operators.RangeJoin.binned(
+        events(spark, dir), "value", bands, "lo", "hi",
+        binSize = 50.0, domainMax = 1e4)
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_band_join"          -> rangeBandJoin _,
+    "range_band_join_binned"   -> rangeBandJoinBinned _,
     "orders_by_segment"        -> ordersBySegment _,
     "top_unshipped_orders"     -> topUnshippedOrders _,
     "late_priority_count"      -> latePriorityCount _,
@@ -139,6 +162,13 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "range_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+        |  ('high', 150.0, 300.0), ('extreme', 300.0, 1e9))
+        |SELECT band, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "range_band_join_binned" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
         |  ('high', 150.0, 300.0), ('extreme', 300.0, 1e9))

@@ -18,6 +18,14 @@ class JoinsWindowsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("binned range join: same result as nested-loop plan, no BNLJ in plan") {
+    val nested = graft.queries.Joins.rangeBandJoin(spark, sf)
+    val binned = graft.queries.Joins.rangeBandJoinBinned(spark, sf)
+    assert(binned.collect().toSeq == nested.collect().toSeq)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
   test("late_priority_count counts orders, not lineitems (semi join)") {
     val counted = Joins.latePriorityCount(spark, sf)
       .agg(sum("order_count")).collect()(0).getLong(0)
