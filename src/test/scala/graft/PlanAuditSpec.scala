@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
+
+/** Fleet-wide plan audit — the scale-discipline invariants every query
+  * must keep, checked against the whole SparkEntry surface:
+  *
+  *  - no CartesianProduct anywhere (an accidental cross join at 100 TB
+  *    is a query that never finishes) and BroadcastNestedLoopJoin only
+  *    where a nested-loop is the deliberate operator demo;
+  *  - a total ORDER BY at the top of every plan (the driver's hash
+  *    compare requires a total order — silent nondeterminism here shows
+  *    up as a flaky correctness gate rounds later).
+  *
+  * Queries that execute jobs at DataFrame-build time (table lifecycle,
+  * streaming, iterative components, format round-trips) are exercised by
+  * their own specs and excluded here to keep the audit fast.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val buildTimeExecutors = Set(
+    "bar_ingest_summary", "bar_timezone_edge", "bar_maintenance_report",
+    "bar_history", "bar_external_analytics", "bar_mutations",
+    "streaming_daily_counts", "streaming_dedup_counts",
+    "streaming_sliding_value", "streaming_sessions",
+    "streaming_interval_join", "io_roundtrip", "dedup_clusters",
+    "bucketed_join")
+
+  // nested-loop is deliberate here: the non-equi side is tiny and
+  // broadcast (band/centroid/probe/grid dimensions)
+  private val bnljAllowed = Set("range_band_join", "media_nearest_pair",
+    "cosine_dups", "knn_brute", "sql_scalar_subquery", "knn_ivf",
+    "gap_fill_hourly")
+
+  // global aggregates: one output row, total order is vacuous
+  private val singleRow = Set("count_rows", "date_bounds", "distinct_types")
+
+  private def audited = SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(buildTimeExecutors)
+
+  private def hasTopSort(plan: LogicalPlan): Boolean = plan match {
+    case _: Sort => true
+    case GlobalLimit(_, child) => hasTopSort(child)
+    case LocalLimit(_, child) => hasTopSort(child)
+    case w: org.apache.spark.sql.catalyst.plans.logical.WithCTE =>
+      hasTopSort(w.plan)
+    case p if p.children.size == 1 &&
+      p.nodeName.matches("Project|Deduplicate|SubqueryAlias") =>
+      hasTopSort(p.children.head)
+    case _ => false
+  }
+
+  test("no cartesian products; nested-loop joins only where intended") {
+    val offenders = audited.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct") &&
+        name != "cross_join_matrix"
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed(name) && name != "cross_join_matrix"
+      if (cartesian || bnlj) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unplanned cartesian/nested-loop in: $offenders")
+  }
+
+  test("every audited query ends in a total ORDER BY") {
+    val unordered = audited.filterNot(singleRow).filterNot { name =>
+      hasTopSort(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed)
+    }
+    assert(unordered.isEmpty, s"queries without a top-level sort: $unordered")
+  }
+}
