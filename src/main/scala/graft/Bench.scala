@@ -42,12 +42,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
     val names = Headline.filter(queries.contains)
-    // JVM/codegen warmup outside the measured window: touch both fact
-    // paths (lineitem scan; events scan incl. nanos conversion)
-    Seq("count_rows", "count_by_type").foreach { w =>
-      try queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // JVM/codegen warmup outside the measured window: touch every fact
+    // path (lineitem scan; events scan incl. nanos conversion; documents
+    // scan incl. regex/hash codegen; embeddings scan incl. array
+    // kernels) — first-touch JIT costs ~2s and would otherwise land on
+    // whichever measured query hits each path first
+    Seq("count_rows", "count_by_type", "text_stats", "embedding_quantize")
+      .foreach { w =>
+        try queries(w)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try {
