@@ -42,6 +42,20 @@ class GraftSourceSpec extends SparkSpec {
     assert(aapl.columns.toSeq == Seq("ticker", "close"))
   }
 
+  test("partition filters prune the graft scan (hive-partition pruning)") {
+    val path = Files.createTempDirectory("gsrc_prune").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(2))
+    val scan = t.read().filter(col("ticker") === "AAPL")
+    val plan = scan.queryExecution.executedPlan.toString
+    // the ticker predicate must reach the scan as a partition filter,
+    // not a post-scan row filter — at scale this is directory pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("ticker"),
+      plan.take(800))
+    assert(scan.select("ticker").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("AAPL"))
+  }
+
   test("append mode enforces schema; SQL USING graft scans the table") {
     val path = Files.createTempDirectory("gsrc_sql").toString
     bars.write.format("graft")
