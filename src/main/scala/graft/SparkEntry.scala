@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.Joins.queries ++
       graft.queries.MultiJoins.queries ++
+      graft.queries.TpchClassics.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Ranking.queries ++
       graft.queries.Stats.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     graft.queries.Analytics.oracles ++
       graft.queries.Joins.oracles ++
       graft.queries.MultiJoins.oracles ++
+      graft.queries.TpchClassics.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Ranking.oracles ++
       graft.queries.Stats.oracles ++

@@ -9,6 +9,7 @@ class ContractSpec extends AnyFunSuite {
     ("Analytics", graft.queries.Analytics.queries, graft.queries.Analytics.oracles),
     ("Joins", graft.queries.Joins.queries, graft.queries.Joins.oracles),
     ("MultiJoins", graft.queries.MultiJoins.queries, graft.queries.MultiJoins.oracles),
+    ("TpchClassics", graft.queries.TpchClassics.queries, graft.queries.TpchClassics.oracles),
     ("Windows", graft.queries.Windows.queries, graft.queries.Windows.oracles),
     ("Ranking", graft.queries.Ranking.queries, graft.queries.Ranking.oracles),
     ("Stats", graft.queries.Stats.queries, graft.queries.Stats.oracles),
