@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Sampling.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
+      graft.text.Chunking.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Sampling.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
+      graft.text.Chunking.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Training-data chunking: split documents into fixed-size overlapping
+  * windows (context-window preparation) and pack chunks into
+  * token-budget bins — the two steps between corpus selection and
+  * tokenizer ingestion in an LLM data pipeline.
+  *
+  * Chunk identity is pinned by md5 (the hash both engines share), so the
+  * oracle verifies actual chunk CONTENT, not just counts. Packing is the
+  * deterministic contiguous-fill formulation: chunks ordered by
+  * (doc_id, chunk_id) within a shard, bin = cumulative-tokens-before
+  * DIV budget — expressible identically in SQL, and the per-shard
+  * partitioning is exactly how packing parallelizes at 100 TB (a global
+  * greedy pack would serialize on one worker).
+  */
+object Chunking {
+
+  val ChunkChars = 500
+  val ChunkStride = 400 // 100-char overlap between consecutive chunks
+  val PackTokens = 512L
+  val Shards = 8
+
+  /** Overlapping chunks: start offsets 0, stride, 2·stride … < len. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        ((length(col("text")) - 1) / ChunkStride).cast("int"))))
+      .withColumn("chunk",
+        expr(s"substring(text, chunk_id * $ChunkStride + 1, $ChunkChars)"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        length(col("chunk")).as("chunk_len"),
+        ((length(col("chunk")) + 3) / 4).cast("int").as("est_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Pack chunks into `PackTokens`-budget bins per shard (contiguous
+    * fill in (doc_id, chunk_id) order). */
+  def contextPack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunks(spark, dir)
+      .withColumn("shard", (col("doc_id") % Shards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    chunks
+      .withColumn("cum_tokens", sum("est_tokens").over(w))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col("est_tokens")) / PackTokens).cast("long"))
+      .groupBy("shard", "pack_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("est_tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks"   -> docChunks _,
+    "context_pack" -> contextPack _)
+
+  val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |         unnest(list_transform(
+         |           range(0, CAST((length(text) - 1) // $ChunkStride + 1 AS BIGINT)),
+         |           i -> i)) AS chunk_id
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |         substr(text, CAST(chunk_id * $ChunkStride + 1 AS INTEGER), $ChunkChars) AS chunk
+         |  FROM c)
+         |SELECT doc_id, chunk_id,
+         |       CAST(length(chunk) AS INTEGER) AS chunk_len,
+         |       CAST((length(chunk) + 3) // 4 AS INTEGER) AS est_tokens,
+         |       md5(chunk) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "context_pack" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |         unnest(list_transform(
+         |           range(0, CAST((length(text) - 1) // $ChunkStride + 1 AS BIGINT)),
+         |           i -> i)) AS chunk_id
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         |         CAST((length(substr(text, CAST(chunk_id * $ChunkStride + 1 AS INTEGER), $ChunkChars)) + 3) // 4 AS INTEGER) AS est_tokens,
+         |         CAST(doc_id % $Shards AS INTEGER) AS shard
+         |  FROM c),
+         |p AS (
+         |  SELECT *, CAST(SUM(est_tokens) OVER (PARTITION BY shard
+         |            ORDER BY doc_id, chunk_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |            AS cum_tokens
+         |  FROM s)
+         |SELECT shard, (cum_tokens - est_tokens) // $PackTokens AS pack_id,
+         |       COUNT(*) AS n_chunks,
+         |       CAST(SUM(est_tokens) AS BIGINT) AS pack_tokens,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -17,6 +17,7 @@ class ContractSpec extends AnyFunSuite {
     ("Sampling", graft.queries.Sampling.queries, graft.queries.Sampling.oracles),
     ("StockPipeline", graft.queries.StockPipeline.queries, graft.queries.StockPipeline.oracles),
     ("TextAnalysis", graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
+    ("Chunking", graft.text.Chunking.queries, graft.text.Chunking.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
     ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),
     ("Relational", graft.queries.Relational.queries, graft.queries.Relational.oracles),
