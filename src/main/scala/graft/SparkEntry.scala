@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.text.Chunking.queries ++
+      graft.text.HeavyHitters.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.text.Chunking.oracles ++
+      graft.text.HeavyHitters.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++

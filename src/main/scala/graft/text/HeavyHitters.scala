@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Misra–Gries heavy hitters — the frequent-items sketch for streams too
+  * large to count exactly: each partition keeps at most k counters
+  * (bounded memory regardless of vocabulary size), partial summaries
+  * merge associatively, and every item with true frequency > n/k is
+  * guaranteed to survive with its count underestimated by at most n/k.
+  * The exact groupBy top-k (explode_words) shuffles every distinct word;
+  * this shuffles k counters per partition — the 100 TB trade.
+  *
+  * Sketch contents depend on within-partition fold order → rows-only;
+  * HeavyHittersSpec pins the MG guarantees against exact counts.
+  */
+object HeavyHitters {
+
+  val K = 50
+
+  /** Misra–Gries summary over string keys, capacity k. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+      if (buf.contains(item)) buf.updated(item, buf(item) + 1L)
+      else if (buf.size < k) buf.updated(item, 1L)
+      else buf.flatMap { case (w, c) => // decrement-all step
+        if (c > 1L) Some(w -> (c - 1L)) else None
+      }
+
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val combined = y.foldLeft(x) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest count, drop non-positive
+        val cut = combined.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        combined.flatMap { case (w, c) =>
+          if (c > cut) Some(w -> (c - cut)) else None
+        }
+      }
+    }
+
+    def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    def bufferEncoder: Encoder[Map[String, Long]] = MisraGries.mapEncoder
+    def outputEncoder: Encoder[Map[String, Long]] = MisraGries.mapEncoder
+  }
+
+  object MisraGries {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val mapEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Sketch-estimated frequent words across the corpus. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new MisraGries(K)
+    val words = documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,}$"))
+      .as[String]
+    val sketch = words.groupByKey(_ => 0)
+      .agg(agg.toColumn.name("mg"))
+      .collect().head._2
+    sketch.toSeq.toDF("word", "est_count")
+      .orderBy(desc("est_count"), col("word"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> heavyHitters _)
+
+  /** Sketch contents are fold-order-defined → rows-only. */
+  val oracles: Map[String, String] = Map.empty
+}
