@@ -64,8 +64,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // any failure poisons the total (-1): a dropped heavy query must never
+    // read as a round-over-round speedup; "failed" names the culprits
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJson = failed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

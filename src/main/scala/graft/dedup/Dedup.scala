@@ -67,13 +67,22 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5. */
+  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5.
+    *
+    * No cache (a session cache would leak executor memory across the
+    * driver's multi-query Verify run; at 100 TB sketches are
+    * checkpointed to a table instead). The sketch kernel still runs once
+    * per distinct subplan: explicit `repartition` on the self-joined
+    * sides pins identical exchanges that ReuseExchange collapses
+    * (DedupSimilaritySpec asserts it) — the same shuffles a sort-merge
+    * plan needs at scale anyway. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sk = minhashSketches(spark, dir).cache()
+    val sk = minhashSketches(spark, dir).repartition(col("doc_id"))
     // band signatures via the static kernel (single pass over the sketch)
     val banded = sk.select(col("doc_id"), posexplode(
       graft.functions.SigKernelColumns.band_signatures(
         col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
+      .repartition(col("band"), col("sig"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -118,14 +127,17 @@ object Dedup {
     * between the two, and [[Sketches.SimHashAgg]] remains the UDAF
     * surface demo). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // no cache (would leak across Verify's multi-query run): the explicit
+    // repartition pins one exchange that both self-join sides reuse, so
+    // the sig kernel runs once
     val sigs = documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.simhash_sig(col("text")).as("sig"))
-      .cache()
     val pieces = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
       """transform(sequence(0, 3),
         |  p -> concat_ws(':', p, shiftright(sig, p * 16) & 65535))""".stripMargin))
       .as(Seq("piece", "pkey")))
+      .repartition(col("piece"), col("pkey"))
     pieces.as("x").join(pieces.as("y"),
         col("x.piece") === col("y.piece") && col("x.pkey") === col("y.pkey") &&
           col("x.doc_id") < col("y.doc_id"))

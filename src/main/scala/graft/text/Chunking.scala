@@ -29,8 +29,12 @@ object Chunking {
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      // greatest(len-1, 0): an empty doc yields exactly one empty chunk in
+      // BOTH engines (Spark's double-division truncates -1/stride toward
+      // zero, DuckDB's // floors to -1 — guarding the numerator at 0
+      // removes the divergence instead of leaning on corpus content)
       .withColumn("chunk_id", explode(sequence(lit(0),
-        ((length(col("text")) - 1) / ChunkStride).cast("int"))))
+        (greatest(length(col("text")) - 1, lit(0)) / ChunkStride).cast("int"))))
       .withColumn("chunk",
         expr(s"substring(text, chunk_id * $ChunkStride + 1, $ChunkChars)"))
       .select(
@@ -69,7 +73,7 @@ object Chunking {
       s"""WITH c AS (
          |  SELECT doc_id, text,
          |         unnest(list_transform(
-         |           range(0, CAST((length(text) - 1) // $ChunkStride + 1 AS BIGINT)),
+         |           range(0, CAST(GREATEST(length(text) - 1, 0) // $ChunkStride + 1 AS BIGINT)),
          |           i -> i)) AS chunk_id
          |  FROM documents),
          |s AS (
@@ -85,7 +89,7 @@ object Chunking {
       s"""WITH c AS (
          |  SELECT doc_id, text,
          |         unnest(list_transform(
-         |           range(0, CAST((length(text) - 1) // $ChunkStride + 1 AS BIGINT)),
+         |           range(0, CAST(GREATEST(length(text) - 1, 0) // $ChunkStride + 1 AS BIGINT)),
          |           i -> i)) AS chunk_id
          |  FROM documents),
          |s AS (

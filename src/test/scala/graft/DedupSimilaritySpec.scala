@@ -121,6 +121,20 @@ class DedupSpec extends SparkSpec {
     assert(clusters.values.toSet.forall(l => clusters(l) == l))
   }
 
+  test("uncached dedup self-joins reuse exchanges instead of rescanning") {
+    // dedupMinhash/dedupSimhash deliberately carry no .cache() (a session
+    // cache would leak across the driver's multi-query Verify run); the
+    // identical-subplan shuffles must collapse via ReuseExchange instead
+    Seq(Dedup.dedupMinhash(spark, sf), Dedup.dedupSimhash(spark, sf))
+      .foreach { df =>
+        df.collect() // AQE reuses exchanges at runtime → inspect the FINAL
+        // plan of THIS QueryExecution (count() would plan a separate one)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"),
+          s"expected ReusedExchange in plan:\n$plan")
+      }
+  }
+
   test("dedup_simhash pairs overlap heavily with minhash near-dups") {
     val sim = Dedup.dedupSimhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
     val mh = Dedup.dedupMinhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet

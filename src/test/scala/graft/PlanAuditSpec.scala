@@ -44,8 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     case LocalLimit(_, child) => hasTopSort(child)
     case w: org.apache.spark.sql.catalyst.plans.logical.WithCTE =>
       hasTopSort(w.plan)
+    // only Project/SubqueryAlias preserve ordering; Deduplicate (distinct)
+    // shuffles and would silently destroy a sort beneath it
     case p if p.children.size == 1 &&
-      p.nodeName.matches("Project|Deduplicate|SubqueryAlias") =>
+      p.nodeName.matches("Project|SubqueryAlias") =>
       hasTopSort(p.children.head)
     case _ => false
   }
