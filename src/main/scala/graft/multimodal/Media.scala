@@ -81,22 +81,50 @@ object Media {
       .orderBy("doc_id")
   }
 
-  /** Feature vectors flow into the similarity stack: nearest media pair
-    * by cosine over the (stub) byte-histogram features — demonstrates
-    * binary → features → ANN composition. */
+  /** Feature vectors flow into the similarity stack: near-duplicate media
+    * pairs (cosine ≥ 0.999) over the (stub) byte-histogram features —
+    * demonstrates binary → features → ANN composition.
+    *
+    * Candidate generation is signature-bucketed, never all-pairs: each
+    * vector gets [[NearDupBands]] independent random-hyperplane
+    * signatures (seeded, codegen'd — the `knn_lsh` kernel), pairs are
+    * candidates when ANY band collides within hamming distance 1
+    * (hamming-1 multiprobe on the probe side). At cos ≥ 0.999 the
+    * per-bit collision probability is 1 − θ/π ≥ 0.9857, so a true pair
+    * escapes all 4 multiprobed 8-bit bands with probability < 1e-9 —
+    * and candidate generation is an EQUI-join on (band, sig): linear
+    * shuffle, quadratic only within a bucket, the same scale shape as
+    * `dedup_minhash`. Exact cosine is then scored on candidates only. */
+  val NearDupBands = 4
+  val NearDupBits = 8
+  val NearDupThreshold = 0.999
+
   def mediaNearestPair(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    import graft.functions.{ArrayKernelColumns, SigKernelColumns}
     val feats = decodeAll(mediaTable(spark, dir))
       .select(col("doc_id"),
         expr("transform(features, x -> cast(x as double))").as("v"))
-      .withColumn("n", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
-    feats.as("x").join(feats.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("cos", round(expr(
-        "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D, (a, p) -> a + p)") /
-        (col("x.n") * col("y.n")), 6))
-      .filter(col("cos") >= 0.999)
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("cos"))
+      .withColumn("n", sqrt(ArrayKernelColumns.array_dot(col("v"), col("v"))))
+    val sigs = feats.select(col("doc_id"), explode(array(
+        (0 until NearDupBands).map(b => struct(lit(b).as("band"),
+          SigKernelColumns.hyperplane_sig(col("v"), NearDupBits, 1000L + b)
+            .as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val probes = sigs.select(col("doc_id").as("a"), col("band").as("pband"),
+      explode(concat(array(col("sig")), expr(
+        s"transform(sequence(0, ${NearDupBits - 1}), j -> cast(sig as bigint) ^ shiftleft(1L, j))")))
+        .as("probe_sig"))
+    val pairs = sigs.join(probes,
+        col("band") === col("pband") && col("sig") === col("probe_sig") &&
+        col("a") < col("doc_id"))
+      .select(col("a"), col("doc_id").as("b")).distinct()
+    pairs
+      .join(feats.select(col("doc_id").as("a"), col("v").as("va"), col("n").as("na")), "a")
+      .join(feats.select(col("doc_id").as("b"), col("v").as("vb"), col("n").as("nb")), "b")
+      .withColumn("cos", round(
+        ArrayKernelColumns.array_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= NearDupThreshold)
+      .select(col("a"), col("b"), col("cos"))
       .orderBy("a", "b")
       .limit(100)
   }

@@ -226,22 +226,40 @@ final class GraftTable private (
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
-  // ---- M1: OPTIMIZE (compact + cluster) --------------------------------
+  // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
 
-  /** Compact each hive partition to one file, clustered by `clusterBy`
-    * within the file — the reference's `OPTIMIZE … ZORDER BY (timestamp_ms)`
-    * (maintenance.py:140-154). For a single cluster column, a plain sort
-    * is exactly a 1-D Z-order (SURVEY.md §7.4); parquet row-group min/max
-    * stats on the sorted column then give the same time-range file
-    * skipping Delta's Z-order targets. Multi-column clustering composes
-    * with [[graft.functions.ZOrder]]'s interleaved key.
+  /** Compact the table toward `targetFileSizeBytes` files, clustered by
+    * `clusterBy` within each file — the reference's `OPTIMIZE … ZORDER BY
+    * (timestamp_ms)` (maintenance.py:140-154), whose compaction is a
+    * bin-packing toward ~1 GB files (DESIGN.md:20-24). For a single
+    * cluster column, a plain sort is exactly a 1-D Z-order (SURVEY.md
+    * §7.4); parquet row-group min/max stats on the sorted column then
+    * give the same time-range file skipping Delta's Z-order targets.
+    * Multi-column clustering composes with [[graft.functions.ZOrder]]'s
+    * interleaved key.
     *
-    * One shuffle: hash-repartition on the partition columns puts each
-    * hive partition wholly into one task → exactly one output file each.
+    * Bin-packing: the number of output tasks is
+    * `ceil(liveBytes / targetFileSizeBytes)` and rows are RANGE-
+    * partitioned on (partitionColumns ++ clusterKey). Range partitioning
+    * balances tasks by row count, so a hive partition holding k× the
+    * table's bytes gets ~k× the files — no single-task straggler and no
+    * unsplittable multi-hundred-GB file at scale — and because the split
+    * is by contiguous cluster-key RANGE (not a salt), the files of one
+    * hive partition cover disjoint key ranges: min/max file skipping is
+    * strictly better than salted round-robin would give. Small
+    * partitions share a task and still emit one file each (partitionBy
+    * splits the write). One shuffle total.
     */
-  def optimize(clusterBy: Seq[String]): Long = {
+  def optimize(clusterBy: Seq[String],
+      targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes): Long = {
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
     val df = read()
     val removed = manifestFiles()
+    val liveSet = removed.toSet
+    val liveBytes = listDataFiles()
+      .filter { case (f, _, _) => liveSet.contains(f) }.map(_._2).sum
+    val bins = math.max(1L,
+      (liveBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     val before = listDataFiles().map(_._1).toSet
     // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
     // Morton key from graft.functions.ZOrder (one extra min/max job)
@@ -250,9 +268,9 @@ final class GraftTable private (
       else Seq(graft.functions.ZOrder.zorderKey(df, clusterBy))
     val sortCols = partitionColumns.map(col) ++ clusterKey
     val compacted =
-      if (partitionColumns.nonEmpty)
-        df.repartition(partitionColumns.map(col): _*).sortWithinPartitions(sortCols: _*)
-      else df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
+      else df.repartition(bins)
     val writer = compacted.write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(path)
@@ -260,6 +278,7 @@ final class GraftTable private (
     commit("OPTIMIZE", added, Map(
       "numFilesAdded" -> added.size.toString,
       "numFilesRemoved" -> removed.size.toString,
+      "targetFileSizeBytes" -> targetFileSizeBytes.toString,
       "zOrderBy" -> clusterBy.mkString(",")))
   }
 
@@ -497,6 +516,10 @@ final class GraftTable private (
 }
 
 object GraftTable {
+  /** OPTIMIZE bin-packing target — the reference compacts toward ~1 GB
+    * files (DESIGN.md:20-24; Delta's optimize default). */
+  val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
+
   def apply(spark: SparkSession, path: String,
       partitionColumns: Seq[String] = Nil): GraftTable =
     new GraftTable(spark, path, partitionColumns)

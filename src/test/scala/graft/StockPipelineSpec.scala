@@ -149,6 +149,40 @@ class GraftTableSpec extends SparkSpec {
     assert(unsorted.forall(identity))
   }
 
+  test("optimize bin-packs an oversized partition into ~target-size files with disjoint key ranges") {
+    val path = Files.createTempDirectory("gt_binpack").toString
+    val t = GraftTable(spark, path, Seq("grp"))
+    val rnd = new scala.util.Random(7)
+    // skew: "big" carries ~400x the bytes of "small"
+    val big = Seq.tabulate(20000)(i => ("big", i.toLong, rnd.nextDouble()))
+    val small = Seq.tabulate(50)(i => ("small", i.toLong, rnd.nextDouble()))
+    t.write((big ++ small).toDF("grp", "k", "v").repartition(4))
+    val liveBytes = t.detail().sizeInBytes
+    val target = math.max(1L, liveBytes / 8) // expect ~8 bins
+    t.optimize(Seq("k"), targetFileSizeBytes = target)
+    assert(t.read().count() == 20050L)
+    val perFile = t.read()
+      .groupBy(col("_metadata.file_path").as("f"), col("grp"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .as[(String, String, Long, Long)].collect()
+    val bigFiles = perFile.filter(_._2 == "big")
+    val smallFiles = perFile.filter(_._2 == "small")
+    assert(bigFiles.length >= 4 && bigFiles.length <= 16,
+      s"expected ~8 files for the oversized partition, got ${bigFiles.length}")
+    assert(smallFiles.length <= 2) // small partition is NOT shattered
+    // range split, not salt: per-file [lo,hi] of the cluster key disjoint
+    val ranges = bigFiles.map(f => (f._3, f._4)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+      case _ =>
+    }
+    // byte sizes near target (parquet overhead allows slack)
+    val fsizes = t.read().groupBy(col("_metadata.file_path"))
+      .agg(first(col("_metadata.file_size")).as("sz"))
+      .select("sz").as[Long].collect()
+    assert(fsizes.max <= 4 * target, s"file of ${fsizes.max} B vs target $target B")
+  }
+
   test("vacuum respects retention guard and deletes only aged orphans") {
     val t = freshTable("gt_vac")
     t.write(bars.repartition(4))

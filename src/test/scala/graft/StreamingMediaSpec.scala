@@ -107,6 +107,28 @@ class MediaSpec extends SparkSpec {
       assert(got(id) == expect, s"doc $id")
     }
   }
+
+  test("bucketed media_nearest_pair matches brute-force pairs exactly") {
+    // brute-force ground truth, driver-side over the small spec corpus
+    val feats = Media.decodeAll(Media.mediaTable(spark, sf))
+      .select("doc_id", "features").as[(Long, Array[Float])].collect()
+      .map { case (id, f) =>
+        val v = f.map(_.toDouble)
+        (id, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val brute = (for {
+      (a, va, na) <- feats; (b, vb, nb) <- feats if a < b
+      cos = math.rint(va.zip(vb).map { case (p, q) => p * q }.sum / (na * nb) * 1e6) / 1e6
+      if cos >= Media.NearDupThreshold
+    } yield (a, b)).sorted.take(100)
+    val got = Media.mediaNearestPair(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSeq.sorted
+    assert(brute.nonEmpty, "spec corpus has no near-dup pairs — threshold dead")
+    assert(got == brute.toSeq, s"bucketed pairs diverge: got ${got.size}, brute ${brute.size}")
+    // and the plan is an equi-join, not a nested loop
+    val plan = Media.mediaNearestPair(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
 
 class RelationalSpec extends SparkSpec {
