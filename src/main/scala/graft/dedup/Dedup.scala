@@ -185,8 +185,34 @@ object Dedup {
       .select(col("label").as("cluster"), col("id").as("doc_id"))
       .orderBy("cluster", "doc_id")
 
+  /** Connected components with a FULL hash oracle: blocking edges from a
+    * single-permutation MinHash whose hash is md5 — the one hash function
+    * Spark and DuckDB share — so the whole pipeline (shingle → min-hash
+    * key → equi-join edges → components) is expressible as a DuckDB
+    * recursive CTE. This is the oracle-checked twin of [[dedupClusters]]:
+    * same [[connectedComponents]] operator, same edge-join shape, but a
+    * candidate key both engines can compute, turning the component
+    * labeling from a rows-only claim into a row/schema/hash-verified one.
+    * (One md5 permutation ⇒ two docs block together with probability equal
+    * to their Jaccard similarity — the b=1 point of the LSH S-curve.) */
+  def clusterMinsh(spark: SparkSession, dir: String): DataFrame = {
+    val minsh = documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("k"))
+    val edges = minsh.as("x").join(minsh.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    connectedComponents(edges)
+      .select(col("label").as("cluster"), col("id").as("doc_id"))
+      .orderBy("cluster", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters _,
+    "cluster_minsh" -> clusterMinsh _,
     "dedup_exact"   -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
     "ngram_jaccard" -> ngramJaccard _,
@@ -197,8 +223,28 @@ object Dedup {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))
-        |ORDER BY keep_id""".stripMargin)
+        |ORDER BY keep_id""".stripMargin,
+    "cluster_minsh" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+        |  GROUP BY doc_id),
+        |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |      FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id),
+        |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM adj
+        |  UNION
+        |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r)
+        |SELECT min(r) AS cluster, id AS doc_id FROM reach
+        |GROUP BY id ORDER BY cluster, doc_id""".stripMargin)
     // minhash/simhash/candidate-verified jaccard: sketch outputs are
     // implementation-defined → rows-only; DedupSpec pins recall/precision
-    // against brute-force Jaccard.
+    // against brute-force Jaccard. dedup_clusters inherits the LSH edge
+    // set → rows-only; its component operator is oracle-checked via
+    // cluster_minsh and ≡-union-find in DedupSpec.
 }

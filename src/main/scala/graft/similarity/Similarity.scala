@@ -94,7 +94,9 @@ object Similarity {
     * scores only vectors inside them. Assignment is a broadcast join +
     * max_by argmax — at scale the corpus partitions BY cell, so a probe
     * touches nprobe/cells of the data (the classic IVF trade).
-    * Approximate → rows-only; SimilaritySpec verifies scores and recall. */
+    * Approximate vs brute force but fully DETERMINISTIC (seeded
+    * centroids + argmax + nprobe) → oracle-checked: DuckDB replays the
+    * identical assignment/probe/scoring pipeline. */
   val NumCells = 16
   val NProbe = 4
 
@@ -107,10 +109,12 @@ object Similarity {
     def cellScores(side: DataFrame): DataFrame =
       side.join(broadcast(centroids), expr("true"))
         .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-    // corpus: each vector assigned to its single nearest cell
+    // corpus: each vector assigned to its single nearest cell; the
+    // struct makes the argmax deterministic under score ties (higher
+    // cell wins) so the DuckDB oracle can rank identically
     val assigned = cellScores(emb)
       .groupBy("vec_id")
-      .agg(max_by(col("cell"), col("cscore")).as("cell"))
+      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
       .join(emb, "vec_id")
     // queries: nprobe nearest cells each
     val probes = cellScores(
@@ -224,7 +228,35 @@ object Similarity {
          |FROM n a, n b
          |WHERE a.vec_id < $CosDupProbe AND a.vec_id < b.vec_id
          |  AND ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $CosDupThreshold
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |score AS (
+         |  SELECT n.vec_id, c.cell,
+         |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
+         |  FROM n, (SELECT vec_id AS cell, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id < $NumCells) c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell) AS prk
+         |  FROM score WHERE vec_id < $NumQueries) WHERE prk <= $NProbe),
+         |s AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         |        ROUND(list_inner_product(cv2.v, qn.v) / (cv2.nrm * qn.nrm), 6) AS cos
+         |      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |      JOIN n cv2 ON cv2.vec_id = a.vec_id
+         |      JOIN n qn ON qn.vec_id = p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk FROM s)
+         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin)
     // knn_lsh is approximate (signature-dependent) → rows-only;
     // SimilaritySpec measures its recall against knn_brute.
 }

@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "streaming_daily_counts", "streaming_dedup_counts",
     "streaming_sliding_value", "streaming_sessions",
     "streaming_interval_join", "io_roundtrip", "dedup_clusters",
-    "bucketed_join", "heavy_hitters")
+    "cluster_minsh", "bucketed_join", "heavy_hitters")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
