@@ -231,6 +231,38 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() == bars.count()) // files still there
   }
 
+  test("registerWithFallback: view fallback serves identical rows when table creation fails (D4)") {
+    val path = Files.createTempDirectory("gt_fb").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(2))
+    val n = bars.count()
+    // free name → real external table
+    val tblName = s"fb_tbl_${System.nanoTime()}"
+    assert(graft.catalog.External.registerWithFallback(spark, tblName, path) == "table")
+    assert(spark.table(tblName).count() == n)
+    // name occupied by a permanent VIEW → DROP TABLE fails with a
+    // wrong-object-type error → fallback registers a view instead
+    // (the reference's table-then-view dance, external_table.py:71-87)
+    val viewName = s"fb_view_${System.nanoTime()}"
+    spark.sql(s"CREATE OR REPLACE VIEW $viewName AS SELECT 1 AS x")
+    assert(graft.catalog.External.registerWithFallback(spark, viewName, path) == "view")
+    assert(spark.table(viewName).count() == n) // identical data through the view
+    assert(spark.table(viewName).columns.toSet == t.read().columns.toSet)
+    spark.sql(s"DROP TABLE IF EXISTS $tblName")
+    spark.sql(s"DROP VIEW IF EXISTS $viewName")
+  }
+
+  test("describe returns the table's columns (D6)") {
+    val path = Files.createTempDirectory("gt_desc").toString
+    GraftTable(spark, path, Seq("ticker", "trade_date")).write(bars.repartition(2))
+    val name = s"desc_spec_${System.nanoTime()}"
+    graft.catalog.External.registerExternalTable(spark, name, path)
+    val cols = graft.catalog.External.describe(spark, name)
+      .select("col_name").as[String].collect().toSet
+    assert(Set("ticker", "trade_date", "close", "volume").subsetOf(cols))
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("external analytics query returns per-(ticker,date) rows") {
     val df = graft.queries.StockPipeline.barExternalAnalytics(spark, sf)
     assert(df.count() == 40)
