@@ -389,36 +389,105 @@ final class GraftTable private (
       "numFilesAdded" -> added.size.toString))
   }
 
-  /** MERGE (upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT MATCHED THEN
-    * INSERT ALL, matching on equality of `on` key columns. `source` must
-    * carry the target's columns; each key must occur at most once in
-    * `source` (Delta's multiple-matches error is left to the caller).
+  /** MERGE (plain upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT
+    * MATCHED THEN INSERT ALL, matching on equality of `on` key columns.
+    * Shorthand for the conditional [[mergeInto]] builder; raises the
+    * Delta multiple-source-matches error when a target row matches more
+    * than one source row. */
+  def merge(source: DataFrame, on: Seq[String]): Long =
+    mergeInto(source, on).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+  /** Conditional MERGE builder — the Delta `DeltaTable.merge` clause
+    * surface (the most-used DML after plain upsert): `WHEN MATCHED [AND
+    * cond] THEN UPDATE SET …/UPDATE ALL/DELETE`, `WHEN NOT MATCHED [AND
+    * cond] THEN INSERT ALL`. Clauses apply in declaration order: the
+    * first whose condition holds wins; a matched target row satisfying
+    * no clause is kept, an unmatched source row satisfying no clause is
+    * dropped. Conditions and assignment values may reference both sides
+    * as `target.<col>` / `source.<col>`.
     *
-    * Only target files containing a matched key are rewritten; the
-    * key semi-join that finds them broadcasts `source`'s keys when small.
-    */
-  def merge(source: DataFrame, on: Seq[String]): Long = {
+    * Copy-on-write at file granularity like DELETE/UPDATE: only target
+    * files containing a matched key are rewritten, the key semi-join
+    * that finds them broadcasts `source`'s keys when small. */
+  def mergeInto(source: DataFrame, on: Seq[String]): MergeBuilder = {
     require(on.nonEmpty, "MERGE needs at least one key column")
-    if (currentVersion < 0) return write(source, SaveMode.Overwrite)
+    new MergeBuilder(this, source, on)
+  }
+
+  private[table] def executeMerge(source: DataFrame, on: Seq[String],
+      matched: Seq[MergeBuilder.Matched],
+      notMatched: Seq[MergeBuilder.NotMatched]): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    def holds(cond: Option[Column]): Column =
+      cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    if (currentVersion < 0) {
+      // empty table: only NOT MATCHED clauses can apply
+      val first = notMatched.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
+          when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
+      return write(source.alias("source").filter(first >= 0), SaveMode.Overwrite)
+    }
     val tgt = read()
     val missing = tgt.columns.toSet -- source.columns.toSet
     require(missing.isEmpty, s"MERGE source lacks target columns: ${missing.mkString(", ")}")
     // align column order AND types to the target (schema enforcement:
     // source values store-assign into the target's column types)
-    val src = source.select(tgt.schema.fields
-      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val fields = tgt.schema.fields.toIndexedSeq
+    val src = source.select(fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     val srcKeys = src.select(on.map(col).toIndexedSeq: _*).distinct()
+    if (matched.nonEmpty) {
+      // Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW guard: a
+      // target row updated/deleted by two source rows is nondeterministic
+      val dupMatched = src.groupBy(on.map(col).toIndexedSeq: _*)
+        .count().filter(col("count") > 1)
+        .join(tgt.select(on.map(col).toIndexedSeq: _*).distinct(), on, "left_semi")
+      if (!dupMatched.isEmpty)
+        throw new IllegalStateException(
+          "MERGE: multiple source rows match the same target row " +
+          "(nondeterministic update/delete); de-duplicate the source on " +
+          on.mkString(", "))
+    }
     val affected = tgt.withColumn("__path", col("_metadata.file_path"))
       .join(srcKeys, on, "left_semi")
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
     val live = manifestFiles()
-    // only source rows are new row versions; surviving target rows were
-    // validated when they were written
-    enforceConstraints(src)
-    val out =
-      if (affected.isEmpty) src
-      else readFiles(affected).join(srcKeys, on, "left_anti").unionByName(src)
+    // rewritten rows of affected files: first applicable matched clause
+    val marked = src.withColumn("__m", lit(1))
+    val rewritten = if (affected.isEmpty) None else {
+      val joined = readFiles(affected).alias("target").join(marked.alias("source"),
+        on.map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _), "left")
+      val isMatched = col("source.__m").isNotNull
+      val clauseIdx = matched.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (m, i)) =>
+          when(isMatched && holds(m.cond) && acc === -1, lit(i)).otherwise(acc) }
+      val deleteIdx = matched.zipWithIndex.collect { case (m, i) if m.delete => i }
+      val kept = joined.withColumn("__ci", clauseIdx)
+        .filter(if (deleteIdx.isEmpty) lit(true) else !col("__ci").isin(deleteIdx: _*))
+      Some(kept.select(fields.map { f =>
+        matched.zipWithIndex.filterNot(_._1.delete)
+          .foldLeft(when(lit(false), lit(null))) { case (acc, (m, i)) =>
+            val v = m.set match {
+              case None => col(s"source.${f.name}") // UPDATE ALL
+              case Some(s) => s.getOrElse(f.name, col(s"target.${f.name}"))
+            }
+            acc.when(col("__ci") === i, v)
+          }.otherwise(col(s"target.${f.name}")).cast(f.dataType).as(f.name)
+      }: _*))
+    }
+    // unmatched source rows: first applicable not-matched clause inserts
+    val nmIdx = notMatched.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
+        when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
+    val inserts = (if (affected.isEmpty) src
+      else src.join(readFiles(affected).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
+      .alias("source")
+      .filter(nmIdx >= 0)
+      .select(fields.map(f => col(f.name)): _*)
+    val out = rewritten.map(_.unionByName(inserts)).getOrElse(inserts)
+    enforceConstraints(out)
     val added = appendDataFiles(out)
     commit("MERGE", live.filterNot(affected.toSet) ++ added, Map(
       "numFilesRewritten" -> affected.size.toString,
@@ -513,6 +582,43 @@ final class GraftTable private (
     Health(d.numFiles, d.sizeInBytes,
       if (d.numFiles == 0) 0 else d.sizeInBytes / d.numFiles, read().count())
   }
+}
+
+object MergeBuilder {
+  /** One WHEN MATCHED clause: `set=None` ⇒ UPDATE ALL; `delete` ⇒ DELETE. */
+  final case class Matched(cond: Option[Column],
+      set: Option[Map[String, Column]], delete: Boolean)
+  /** One WHEN NOT MATCHED clause (INSERT ALL). */
+  final case class NotMatched(cond: Option[Column])
+}
+
+/** Fluent clause builder returned by [[GraftTable.mergeInto]]; clauses
+  * apply in declaration order (first condition that holds wins). */
+final class MergeBuilder private[table] (
+    t: GraftTable, source: DataFrame, on: Seq[String]) {
+  import MergeBuilder._
+  private var matched = Vector.empty[Matched]
+  private var notMatched = Vector.empty[NotMatched]
+
+  def whenMatchedUpdateAll(): this.type =
+    { matched :+= Matched(None, None, delete = false); this }
+  def whenMatchedUpdateAll(cond: Column): this.type =
+    { matched :+= Matched(Some(cond), None, delete = false); this }
+  def whenMatchedUpdate(set: Map[String, Column]): this.type =
+    { matched :+= Matched(None, Some(set), delete = false); this }
+  def whenMatchedUpdate(cond: Column, set: Map[String, Column]): this.type =
+    { matched :+= Matched(Some(cond), Some(set), delete = false); this }
+  def whenMatchedDelete(): this.type =
+    { matched :+= Matched(None, None, delete = true); this }
+  def whenMatchedDelete(cond: Column): this.type =
+    { matched :+= Matched(Some(cond), None, delete = true); this }
+  def whenNotMatchedInsertAll(): this.type =
+    { notMatched :+= NotMatched(None); this }
+  def whenNotMatchedInsertAll(cond: Column): this.type =
+    { notMatched :+= NotMatched(Some(cond)); this }
+
+  /** Run the merge; returns the committed version. */
+  def execute(): Long = t.executeMerge(source, on, matched, notMatched)
 }
 
 object GraftTable {

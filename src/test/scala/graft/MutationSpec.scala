@@ -216,6 +216,81 @@ class MutationSpec extends SparkSpec {
     assert(t.constraints.keySet == Set("close_pos"))
   }
 
+  test("conditional merge: matched delete, conditional update, conditional insert") {
+    val t = freshTable("gt_cmerge")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+    val key = Seq("ticker", "timestamp_ms")
+
+    val aapl2 = t.read().filter(col("ticker") === "AAPL").orderBy("timestamp_ms").limit(2)
+    val msft3 = t.read().filter(col("ticker") === "MSFT").orderBy("timestamp_ms").limit(3)
+    val newRows = t.read().filter(col("ticker") === "NVDA").orderBy("timestamp_ms").limit(2)
+    val fresh = newRows.limit(1).withColumn("ticker", lit("YYYY"))
+      .unionByName(newRows.orderBy(desc("timestamp_ms")).limit(1).withColumn("ticker", lit("XXXX")))
+    val source = aapl2.unionByName(msft3).unionByName(fresh).cache()
+    source.count()
+
+    val msftVolBefore = t.read().filter(col("ticker") === "MSFT")
+      .agg(sum("volume")).collect()(0).getLong(0)
+
+    t.mergeInto(source, key)
+      .whenMatchedDelete(col("source.ticker") === "AAPL")
+      .whenMatchedUpdate(col("source.ticker") === "MSFT", Map("volume" -> lit(7L)))
+      .whenNotMatchedInsertAll(col("source.ticker") === "YYYY") // XXXX dropped
+      .execute()
+
+    val after = t.read().cache()
+    assert(after.count() == total - 2 + 1)                    // 2 deleted, 1 inserted
+    // matched-delete removed exactly the two AAPL source keys
+    assert(after.join(source.filter(col("ticker") === "AAPL")
+      .select("ticker", "timestamp_ms"), key, "left_semi").count() == 0)
+    // conditional update touched only the three matched MSFT rows
+    val msftTouched = after.join(source.filter(col("ticker") === "MSFT")
+      .select("ticker", "timestamp_ms"), key, "left_semi")
+    assert(msftTouched.count() == 3)
+    assert(msftTouched.agg(sum("volume")).collect()(0).getLong(0) == 21L)
+    val msftVolAfter = after.filter(col("ticker") === "MSFT")
+      .agg(sum("volume")).collect()(0).getLong(0)
+    val msftVolTouchedBefore = t.readVersion(t.currentVersion - 1)
+      .join(source.filter(col("ticker") === "MSFT").select("ticker", "timestamp_ms"),
+        key, "left_semi").agg(sum("volume")).collect()(0).getLong(0)
+    assert(msftVolAfter == msftVolBefore - msftVolTouchedBefore + 21L)
+    // conditional insert: YYYY in, XXXX filtered out
+    assert(after.filter(col("ticker") === "YYYY").count() == 1)
+    assert(after.filter(col("ticker") === "XXXX").count() == 0)
+  }
+
+  test("merge clause order: first applicable clause wins") {
+    val t = freshTable("gt_cmerge_order")
+    t.write(bars.repartition(2))
+    val key = Seq("ticker", "timestamp_ms")
+    val src = t.read().filter(col("ticker") === "AAPL").orderBy("timestamp_ms").limit(2).cache()
+    src.count()
+    // both clauses match; the earlier (update volume=1) must win over delete
+    t.mergeInto(src, key)
+      .whenMatchedUpdate(Map("volume" -> lit(1L)))
+      .whenMatchedDelete()
+      .execute()
+    val touched = t.read().join(src.select("ticker", "timestamp_ms"), key, "left_semi")
+    assert(touched.count() == 2)
+    assert(touched.agg(sum("volume")).collect()(0).getLong(0) == 2L)
+  }
+
+  test("merge raises the multiple-source-match error") {
+    val t = freshTable("gt_merge_dup")
+    t.write(bars.repartition(2))
+    val one = t.read().filter(col("ticker") === "AAPL").orderBy("timestamp_ms").limit(1)
+    val dup = one.unionByName(one.withColumn("volume", lit(99L))).cache()
+    dup.count()
+    intercept[IllegalStateException] {
+      t.merge(dup, Seq("ticker", "timestamp_ms"))
+    }
+    // a duplicate key that matches NO target row is fine (insert-only path)
+    val newDup = one.withColumn("ticker", lit("WWWW"))
+    t.merge(newDup.unionByName(newDup), Seq("ticker", "timestamp_ms"))
+    assert(t.read().filter(col("ticker") === "WWWW").count() == 2)
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
