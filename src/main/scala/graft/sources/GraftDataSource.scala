@@ -63,9 +63,16 @@ final class GraftDataSource extends RelationProvider
 final case class GraftRelation(sqlContext: SQLContext, path: String,
     versionAsOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
-  private def table = GraftTable(sqlContext.sparkSession, path)
-  private def snapshot: DataFrame =
-    versionAsOf.map(table.readVersion).getOrElse(table.read())
+  // snapshot pinned ONCE at relation creation: schema and every
+  // buildScan serve the same committed version, so a concurrent write
+  // or schema evolution between planning and execution can't make scan
+  // rows diverge from the relation's advertised schema
+  private val pinnedVersion: Long = {
+    val t = GraftTable(sqlContext.sparkSession, path)
+    versionAsOf.getOrElse(t.currentVersion)
+  }
+  private val snapshot: DataFrame =
+    GraftTable(sqlContext.sparkSession, path).readVersion(pinnedVersion)
 
   override val schema: StructType = snapshot.schema
 

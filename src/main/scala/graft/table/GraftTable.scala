@@ -72,10 +72,16 @@ final class GraftTable private (
   }
 
   private def commit(operation: String, files: Seq[String],
-      metrics: Map[String, String]): Long = {
+      metrics: Map[String, String],
+      newConstraints: Option[Map[String, String]] = None): Long = {
     val v = currentVersion + 1
+    // constraints are table METADATA versioned with the commit (Delta
+    // records them as metadata actions in the log): carried forward
+    // unchanged unless this commit alters them
+    val cs = newConstraints.getOrElse(constraints)
     fs.mkdirs(logDir)
     val filesPath = new Path(logDir, f"v$v%020d.files")
+    val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
     val jsonPath = new Path(logDir, f"v$v%020d.json")
     def writeAtomic(target: Path, content: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
@@ -85,6 +91,8 @@ final class GraftTable private (
         throw new IllegalStateException(s"commit conflict renaming to $target")
     }
     writeAtomic(filesPath, files.mkString("\n"))
+    writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
@@ -111,17 +119,23 @@ final class GraftTable private (
 
   // ---- CHECK constraints (Delta table-constraint parity) ---------------
   //
-  // Stored as name<TAB>expression lines in the log dir; enforced on every
-  // row-adding operation (write / merge / update) with one validation
-  // pass over the incoming rows — the same write-time job Delta runs.
-  // SQL CHECK semantics: a row violates only when the expression is
-  // FALSE; NULL passes.
+  // Versioned table metadata: every commit writes the constraint set of
+  // that version as a vN.constraints.tsv sidecar next to the manifest,
+  // so add/drop are commits visible in history() and RESTORE/time
+  // travel restore the constraint set along with the file list — the
+  // same "constraints are metadata actions in the transaction log"
+  // contract Delta keeps. Enforced on every row-adding operation
+  // (write / merge / update) with one validation pass over the incoming
+  // rows. SQL CHECK semantics: a row violates only when the expression
+  // is FALSE; NULL passes.
 
-  private val constraintsPath = new Path(logDir, "constraints.tsv")
-
-  def constraints: Map[String, String] = {
-    if (!fs.exists(constraintsPath)) return Map.empty
-    val in = fs.open(constraintsPath)
+  /** Constraint set committed with `version` (empty for pre-constraint
+    * or nonexistent versions). */
+  def constraintsOf(version: Long): Map[String, String] = {
+    if (version < 0) return Map.empty
+    val p = new Path(logDir, f"v$version%020d.constraints.tsv")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).map { l =>
         val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
@@ -129,28 +143,29 @@ final class GraftTable private (
     finally in.close()
   }
 
-  private def writeConstraints(cs: Map[String, String]): Unit = {
-    fs.mkdirs(logDir)
-    val out = fs.create(constraintsPath, true)
-    try out.write(cs.toSeq.sortBy(_._1).map { case (n, e) => s"$n\t$e" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def constraints: Map[String, String] = constraintsOf(currentVersion)
 
   /** ALTER TABLE ADD CONSTRAINT name CHECK (sqlExpr). Existing rows are
-    * scanned first and must all satisfy it (Delta behavior). */
+    * scanned first and must all satisfy it (Delta behavior); the add is
+    * a commit. */
   def addConstraint(name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+      !sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint names/expressions must not contain tabs or newlines")
     require(!constraints.contains(name), s"constraint $name already exists")
     if (currentVersion >= 0) {
       val violations = read().filter(expr(sqlExpr) <=> lit(false)).count()
       require(violations == 0,
         s"cannot add constraint $name: $violations existing rows violate ($sqlExpr)")
     }
-    writeConstraints(constraints + (name -> sqlExpr))
+    commit("ADD CONSTRAINT", manifestFiles(), Map("name" -> name, "expr" -> sqlExpr),
+      newConstraints = Some(constraints + (name -> sqlExpr)))
   }
 
+  /** DROP CONSTRAINT as a commit. */
   def dropConstraint(name: String): Unit =
-    writeConstraints(constraints - name)
+    commit("DROP CONSTRAINT", manifestFiles(), Map("name" -> name),
+      newConstraints = Some(constraints - name))
 
   /** One validation job over rows about to be committed. */
   private def enforceConstraints(df: DataFrame): Unit =
@@ -546,8 +561,10 @@ final class GraftTable private (
   def restore(version: Long): Long = {
     require(version >= 0 && version <= currentVersion,
       s"no committed version $version to restore")
+    // file list AND constraint set of the restored version come back
     commit("RESTORE", manifestFiles(version),
-      Map("restoredVersion" -> version.toString))
+      Map("restoredVersion" -> version.toString),
+      newConstraints = Some(constraintsOf(version)))
   }
 
   // ---- M3: history -----------------------------------------------------

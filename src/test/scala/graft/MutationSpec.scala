@@ -291,6 +291,26 @@ class MutationSpec extends SparkSpec {
     assert(t.read().filter(col("ticker") === "WWWW").count() == 2)
   }
 
+  test("constraints are versioned: add/drop are commits, RESTORE restores the set") {
+    val t = freshTable("gt_check_ver")
+    t.write(bars.repartition(2))
+    val vData = t.currentVersion
+    t.addConstraint("vol_nonneg", "volume >= 0")
+    val vCons = t.currentVersion
+    assert(vCons == vData + 1)                         // the add IS a commit
+    val ops = t.history().select("operation").collect().map(_.getString(0)).toSet
+    assert(ops.contains("ADD CONSTRAINT"))
+    t.dropConstraint("vol_nonneg")
+    assert(t.constraints.isEmpty)
+    t.restore(vCons)                                   // brings the constraint back
+    assert(t.constraints.keySet == Set("vol_nonneg"))
+    intercept[IllegalArgumentException] {              // still enforced post-restore
+      t.update(col("ticker") === "AAPL", Map("volume" -> lit(-5L)))
+    }
+    assert(t.constraintsOf(vData).isEmpty)             // time travel sees the old set
+    intercept[IllegalArgumentException] { t.addConstraint("bad\tname", "volume >= 0") }
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
