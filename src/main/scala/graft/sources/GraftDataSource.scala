@@ -28,7 +28,7 @@ import graft.table.GraftTable
   * schema enforcement).
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -40,6 +40,23 @@ final class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation =
     GraftRelation(sqlContext, pathOf(parameters),
       parameters.get("versionAsOf").map(_.toLong))
+
+  // ---- streaming read: readStream.format("graft").load(path) -----------
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      GraftTable(sqlContext.sparkSession, pathOf(parameters)).read().schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(
+      sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      pathOf(parameters),
+      parameters.get("startingVersion").map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -58,6 +75,61 @@ final class GraftDataSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** Incremental micro-batch source over a graft table's manifest log —
+  * the Delta streaming-source pairing for [[GraftTable.changes]]:
+  * offset N means "delivered through table version N"; the first batch
+  * is the full snapshot at the stream-start version (or, with option
+  * `startingVersion`, only changes after it), and every later batch is
+  * the row-level insert diff `changes(lastV, newV)` — new and updated
+  * row versions flow, carried-over rows don't. Deleted rows do not flow
+  * (Delta's `ignoreChanges` contract); consumers needing delete
+  * tombstones read `GraftTable.changes` in batch.
+  *
+  * Scale: an append-only commit diffs at FILE level (the added files are
+  * scanned directly, no anti-join); only commits that rewrite files
+  * (DELETE/UPDATE/MERGE) pay the changed-files row diff — never a full
+  * table scan per batch.
+  */
+final class GraftStreamSource(
+    session: org.apache.spark.sql.classic.SparkSession,
+    path: String, startingVersion: Option[Long])
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def table = GraftTable(session, path)
+  // schema pinned at stream start; later evolution is rejected by the
+  // select/cast below rather than silently diverging mid-stream
+  private val pinned: StructType = table.read().schema
+
+  override def schema: StructType = pinned
+
+  override def getOffset: Option[V1Offset] = {
+    val v = table.currentVersion
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = end.json().toLong
+    val fromExclusive = start.map(_.json().toLong).orElse(startingVersion)
+    val batch = fromExclusive match {
+      case None => table.readVersion(to) // initial snapshot
+      case Some(f) if f >= to => table.readVersion(to).limit(0)
+      case Some(f) =>
+        table.changes(f, to).filter(col("_change_type") === lit("insert"))
+          .drop("_change_type")
+    }
+    val aligned = batch.select(
+      pinned.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    // tag as streaming so the micro-batch planner accepts the frame
+    org.apache.spark.sql.graft.ColumnBridge.streamingDataFrame(
+      session, aligned.queryExecution.toRdd, pinned)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class GraftRelation(sqlContext: SQLContext, path: String,

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a streaming-tagged DataFrame from a batch plan's InternalRow
+    * RDD — what every DSv1 streaming Source returns from `getBatch`
+    * (`internalCreateDataFrame` is public bytecode, `private[sql]` in
+    * Scala only). */
+  def streamingDataFrame(session: org.apache.spark.sql.classic.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    session.internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

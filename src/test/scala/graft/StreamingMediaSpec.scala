@@ -72,6 +72,55 @@ class StreamingTableSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(ops2.contains("MERGE"))
   }
+
+  test("readStream.format(graft): snapshot, incremental appends, update row versions — exactly once") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val t = graft.table.GraftTable(spark, path, Seq("grp"))
+    val half1 = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "grp", "v")
+    t.write(half1)
+    val name = s"graft_read_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 500)          // initial snapshot
+      val half2 = (500 until 800).map(i => (i.toLong, "a", i * 1.0)).toDF("id", "grp", "v")
+      t.write(half2, org.apache.spark.sql.SaveMode.Append)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 800)          // only new rows flowed
+      t.update(col("id") === 7L, Map("v" -> lit(-1.0)))
+      q.processAllAvailable()
+      // the rewritten file's carried-over rows do NOT reflow; only the
+      // changed row's new version does
+      assert(spark.table(name).count() == 801)
+      assert(spark.table(name).filter(col("id") === 7L && col("v") === -1.0).count() == 1)
+      assert(spark.table(name).select("id").distinct().count() == 800)
+    } finally q.stop()
+    // startingVersion: consume only changes after v0 (no initial snapshot)
+    val name2 = s"graft_read_stream_sv_${System.nanoTime()}"
+    val q2 = spark.readStream.format("graft").option("startingVersion", "0").load(path)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 301)         // 300 appends + 1 new row version
+    } finally q2.stop()
+  }
+
+  test("graft streaming round-trip: stream-ingested table reads back incrementally, equal to batch") {
+    val ingestPath = java.nio.file.Files.createTempDirectory("graft_rt_tbl").toString
+    val table = Streaming.streamIntoTable(spark, sf, ingestPath)
+    val batchRows = table.read().count()
+    val name = s"graft_rt_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(ingestPath)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == batchRows)
+      assert(spark.table(name).select("event_id").distinct().count() == batchRows)
+    } finally q.stop()
+  }
 }
 
 class MediaSpec extends SparkSpec {
