@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table.GraftTable
+
+/** DSv2 catalog for graft tables — the path-based catalog pattern
+  * (`SELECT * FROM graft.`/path/to/table``), registered as
+  * {{{ spark.sql.catalog.graft = graft.sources.GraftCatalog }}}
+  *
+  * What DSv2 adds over the DSv1 `format("graft")` source (which stays
+  * the write path until full parity):
+  *
+  *  - SQL time travel: `SELECT … FROM graft.`/p`` VERSION AS OF n` —
+  *    the analyzer routes the version string to
+  *    [[GraftCatalog.loadTable(ident,version*]];
+  *  - catalog-integrated resolution: the table reports its identity,
+  *    partitioning (identity transforms of the hive columns) and
+  *    properties to the analyzer.
+  *
+  * Scans bridge through DSv2's official [[V1Scan]] migration shim onto
+  * the same pinned-snapshot pruned/filtered scan as [[GraftRelation]],
+  * so column pruning, filter pushdown, and hive-partition pruning reach
+  * the parquet reader identically on both paths (GraftSourceSpec
+  * asserts the pruning on the DSv2 plan too).
+  *
+  * Catalog mutations (CREATE/ALTER/DROP via this catalog) are rejected:
+  * graft tables are path-based single-writer tables created through
+  * `df.write.format("graft")` / the GraftTable API; a DSv2 write path
+  * would need commit coordination this layer doesn't own.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** `graft.`/tmp/t`` parses to namespace=[], name="/tmp/t"; a
+    * dotted-dir path arrives as namespace parts and is re-joined. */
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed catalog: tables are not enumerable
+
+  override def loadTable(ident: Identifier): Table =
+    GraftV2Table(SparkSession.active, pathOf(ident), None)
+
+  /** `VERSION AS OF v` — the DSv2 time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftV2Table(SparkSession.active, pathOf(ident), Some(version.toLong))
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable(SparkSession.active, pathOf(ident)).currentVersion >= 0
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only: create tables via df.write.format(\"graft\")")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** A graft table surfaced through the DSv2 Table interface: snapshot
+  * (version + schema) pinned at load, so analysis and execution see one
+  * consistent version even under concurrent commits. */
+final case class GraftV2Table(spark: SparkSession, path: String,
+    versionAsOf: Option[Long]) extends Table with SupportsRead {
+
+  private val table = GraftTable(spark, path)
+  private val pinnedVersion: Long = versionAsOf.getOrElse(table.currentVersion)
+  private val snapshot: DataFrame = table.readVersion(pinnedVersion)
+
+  override def name(): String =
+    s"graft.`$path`" + versionAsOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType = snapshot.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Hive partition columns, recovered from the manifest's file paths. */
+  override def partitioning(): Array[Transform] =
+    table.manifestFiles(pinnedVersion).headOption.toArray.flatMap {
+      f => f.split('/').dropRight(1).filter(_.contains('='))
+        .map(d => Expressions.identity(d.takeWhile(_ != '=')))
+    }
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> path,
+      "version" -> pinnedVersion.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(snapshot)
+}
+
+/** Standard DSv2 pushdown negotiation; the filters are accepted as
+  * pushed (best-effort translation at scan build) AND returned as
+  * residual so Spark re-applies them — translation stays a performance
+  * hint, never a correctness dependency (same contract as the DSv1
+  * relation). */
+final class GraftScanBuilder(snapshot: DataFrame) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = snapshot.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftFilters.translate(_).isDefined)
+    filters // all residual: Spark re-applies above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1ScanShim(snapshot, required, pushed)
+}
+
+/** DSv2 scan executing through the V1 relation machinery ([[V1Scan]],
+  * the built-in migration shim): the filtered+pruned snapshot DataFrame
+  * becomes the scan RDD, so predicate pushdown and hive-partition
+  * pruning hit the parquet source exactly as in the DSv1 path. */
+final class GraftV1ScanShim(snapshot: DataFrame, required: StructType,
+    filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  /** The filtered + pruned snapshot frame this scan executes. Exposed so
+    * plan audits can assert that pushed predicates reach the underlying
+    * parquet scan as PartitionFilters/PushedFilters (the V1 shim node
+    * hides the inner plan from the outer executedPlan string). */
+  def scanFrame: DataFrame = {
+    val filtered = filters.flatMap(GraftFilters.translate)
+      .foldLeft(snapshot)((d, c) => d.filter(c))
+    if (required.isEmpty) filtered.select(lit(1).as("__one"))
+    else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = scanFrame.rdd
+    }.asInstanceOf[T]
+}

@@ -148,10 +148,23 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = snapshot.schema
 
-  /** Best-effort translation of source filters into Column predicates so
-    * they push into the parquet scan; untranslated filters return None
-    * (Spark re-applies everything above the scan regardless). */
-  private def translate(f: Filter): Option[Column] = f match {
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(GraftFilters.translate)
+      .foldLeft(snapshot)((d, c) => d.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty) filtered.select(lit(1).as("__one"))
+      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+    pruned.rdd
+  }
+}
+
+/** Best-effort translation of source filters into Column predicates so
+  * they push into the parquet scan; untranslated filters return None
+  * (Spark re-applies everything above the scan regardless). Shared by
+  * the DSv1 relation and the DSv2 scan shim. */
+private[sources] object GraftFilters {
+  def translate(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -167,15 +180,5 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
     case _ => None
-  }
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(translate)
-      .foldLeft(snapshot)((d, c) => d.filter(c))
-    val pruned =
-      if (requiredColumns.isEmpty) filtered.select(lit(1).as("__one"))
-      else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
-    pruned.rdd
   }
 }

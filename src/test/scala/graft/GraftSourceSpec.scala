@@ -56,6 +56,52 @@ class GraftSourceSpec extends SparkSpec {
       == Seq("AAPL"))
   }
 
+  test("DSv2 catalog: VERSION AS OF SQL, identical rows, pruning reaches the scan") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val path = Files.createTempDirectory("gsrc_v2").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(4))
+    t.delete(col("ticker") === "AAPL")
+
+    // current version through the catalog
+    val cur = spark.sql(s"SELECT * FROM graft.`$path`")
+    assert(cur.count() == t.read().count())
+    assert(cur.filter(col("ticker") === "AAPL").count() == 0)
+
+    // SQL time travel: the pre-delete version still has AAPL
+    val v0 = spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 0")
+    assert(v0.count() == bars.count())
+    assert(v0.filter(col("ticker") === "AAPL").count() > 0)
+    // and rows match the DSv1 versionAsOf read exactly
+    val v1Read = spark.read.format("graft").option("versionAsOf", 0).load(path)
+    assert(v0.exceptAll(v1Read).count() == 0 && v1Read.exceptAll(v0).count() == 0)
+
+    // the predicate is pushed through the DSv2 scan negotiation...
+    val scan = spark.sql(
+      s"SELECT ticker, close FROM graft.`$path` WHERE ticker = 'MSFT'")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(ticker,MSFT)"),
+      plan.take(800))
+    assert(scan.select("ticker").distinct().collect().map(_.getString(0)).toSeq == Seq("MSFT"))
+    // ...and lands on the inner parquet scan as a hive PARTITION filter
+    // (the V1 shim node hides the inner plan, so assert on the exact
+    // frame the shim executes)
+    val sb = new graft.sources.GraftScanBuilder(t.read())
+    sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("ticker", "MSFT")))
+    sb.pruneColumns(org.apache.spark.sql.types.StructType(
+      t.read().schema.filter(f => Seq("ticker", "close").contains(f.name))))
+    val inner = sb.build().asInstanceOf[graft.sources.GraftV1ScanShim]
+      .scanFrame.queryExecution.executedPlan.toString
+    assert(inner.contains("PartitionFilters") && inner.contains("ticker"), inner.take(800))
+
+    // the table reports its hive partitioning to the analyzer
+    val tbl = graft.sources.GraftV2Table(spark, path, None)
+    assert(tbl.partitioning().map(_.references().head.fieldNames().head).toSeq
+      == Seq("ticker", "trade_date"))
+    // catalog is read-only
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$path`") }
+  }
+
   test("append mode enforces schema; SQL USING graft scans the table") {
     val path = Files.createTempDirectory("gsrc_sql").toString
     bars.write.format("graft")
