@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Sampling.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
+      graft.text.QualityFilters.queries ++
       graft.text.Chunking.queries ++
       graft.text.HeavyHitters.queries ++
       graft.dedup.Dedup.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.Sampling.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
+      graft.text.QualityFilters.oracles ++
       graft.text.Chunking.oracles ++
       graft.text.HeavyHitters.oracles ++
       graft.dedup.Dedup.oracles ++

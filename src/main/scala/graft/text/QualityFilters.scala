@@ -1,0 +1,192 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Corpus-curation filters of the kind large-scale LLM training
+  * pipelines run after raw dedup (Gopher §A.1 / C4-style rules,
+  * re-expressed as declarative Spark over the `documents` table):
+  *
+  *  - [[gopherQuality]]: per-doc repetition + shape statistics
+  *    (top-word fraction, distinct-word ratio, mean word length) with
+  *    keep/drop decided by INTEGER arithmetic only — no float
+  *    threshold can drift between engines;
+  *  - [[blockDedup]]: inter-document repeated-span detection at
+  *    20-word block granularity (the equi-join-able approximation of
+  *    exact substring dedup): every doc reports how much of it appears
+  *    verbatim elsewhere in the corpus;
+  *  - [[sourceMixture]]: deterministic temperature sampling (α = 1/2
+  *    via sqrt, the only cross-engine-exact power) over the `source`
+  *    column — per-source quotas ∝ √n normalized, members chosen by
+  *    md5 rank so the sample is reproducible run-to-run and
+  *    engine-to-engine.
+  *
+  * Scale notes: everything is hash-groupBy / window over exploded
+  * words or blocks — shuffle keys are words, 32-byte md5 strings, or
+  * the small per-source stat table; no all-pairs anywhere. All three
+  * carry full DuckDB oracles.
+  */
+object QualityFilters {
+
+  // ---- Gopher-style repetition/shape filter ----------------------------
+
+  /** keep rules (integer arithmetic only):
+    *  R1 top_word * 5 <= n_words        (most frequent word < 20%)
+    *  R2 n_distinct * 3 >= n_words      (distinct ratio >= 1/3)
+    *  R3 3 * n_words <= sum_word_len    (mean word length >= 3)
+    *  R4 sum_word_len <= 10 * n_words   (mean word length <= 10)
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val perWord = words.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("n"), (length(col("word")) * count(lit(1))).as("chars"))
+    perWord.groupBy("doc_id")
+      .agg(sum("n").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("n").as("top_word_n"), sum("chars").as("sum_word_len"))
+      .withColumn("keep",
+        col("top_word_n") * 5 <= col("n_words") &&
+        col("n_distinct") * 3 >= col("n_words") &&
+        col("n_words") * 3 <= col("sum_word_len") &&
+        col("sum_word_len") <= col("n_words") * 10)
+      .select("doc_id", "n_words", "n_distinct", "top_word_n", "sum_word_len", "keep")
+      .orderBy("doc_id")
+  }
+
+  // ---- inter-document repeated blocks ----------------------------------
+
+  val BlockWords = 20
+
+  /** Non-overlapping [[BlockWords]]-word blocks per doc (trailing
+    * partial block dropped), hashed with md5; a block is `shared` when
+    * the same hash occurs in more than one distinct document. Per-doc
+    * output: block counts and the shared fraction — the signal an
+    * exact-substring dedup pass would act on (Lee et al.'s dedup at
+    * block granularity, equi-join instead of suffix arrays). */
+  def blockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        // guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+        // yield an empty array, not bogus indices
+        s"""CASE WHEN size(w) >= $BlockWords THEN
+           |  transform(sequence(1, size(w) div $BlockWords),
+           |    i -> concat_ws(' ', slice(w, (i - 1) * $BlockWords + 1, $BlockWords)))
+           |ELSE array() END""".stripMargin)).as("block"))
+      .select(col("doc_id"), md5(col("block")).as("h"))
+    val shared = blocks.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("h")
+    blocks.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_blocks"))
+      .join(blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_shared_blocks"), lit(0L)).as("n_shared_blocks"))
+      .withColumn("shared_frac",
+        round(col("n_shared_blocks").cast("double") / col("n_blocks"), 4))
+      .orderBy("doc_id")
+  }
+
+  // ---- deterministic temperature sampling over sources -----------------
+
+  /** Target sample size as a fraction of the corpus. */
+  val MixtureFraction = 0.5
+
+  /** Per-source quota k_s = round(target · √n_s / Σ√n) (Σ computed in
+    * source order on both engines so the double sum is bit-identical),
+    * members = the k_s docs with the smallest md5(doc_id) per source —
+    * a reproducible rank-based sample, no RNG. */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("sqrtn", sqrt(col("n")))
+    // ordered full-frame window sum: summation order is pinned to the
+    // source sort on BOTH engines → bit-identical denominator
+    val ordered = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val target = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = counts
+      .withColumn("denom", sum("sqrtn").over(ordered))
+      .withColumn("total", sum("n").over(target))
+      .withColumn("quota", least(col("n"), floor(
+        col("total") * lit(MixtureFraction) * col("sqrtn") / col("denom") + lit(0.5))
+        .cast("long")))
+      .select("source", "n", "quota")
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    ranked.join(quotas, "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk").cast("int").as("rk"),
+        col("n").as("source_docs"), col("quota"))
+      .orderBy("source", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gopher_quality" -> gopherQuality _,
+    "block_dedup" -> blockDedup _,
+    "source_mixture" -> sourceMixture _)
+
+  val oracles: Map[String, String] = Map(
+    "gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, word, COUNT(*) AS n, length(word) * COUNT(*) AS chars
+        |  FROM w WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |       CAST(SUM(n) AS BIGINT) AS n_words,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(MAX(n) AS BIGINT) AS top_word_n,
+        |       CAST(SUM(chars) AS BIGINT) AS sum_word_len,
+        |       (MAX(n) * 5 <= SUM(n) AND COUNT(*) * 3 >= SUM(n)
+        |        AND SUM(n) * 3 <= SUM(chars) AND SUM(chars) <= SUM(n) * 10) AS keep
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "block_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, md5(array_to_string(
+         |           w[(i - 1) * $BlockWords + 1 : i * $BlockWords], ' ')) AS h
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(1, greatest(len(w) // $BlockWords, 0) + 1)) AS i
+         |        FROM d)),
+         |s AS (SELECT h FROM b GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |per AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_blocks,
+         |         COUNT(*) FILTER (WHERE b.h IN (SELECT h FROM s)) AS n_shared
+         |  FROM b GROUP BY b.doc_id)
+         |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+         |       CAST(n_shared AS BIGINT) AS n_shared_blocks,
+         |       ROUND(CAST(n_shared AS DOUBLE) / n_blocks, 4) AS shared_frac
+         |FROM per ORDER BY doc_id""".stripMargin,
+    "source_mixture" ->
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS n, sqrt(COUNT(*)) AS sqrtn
+         |  FROM documents GROUP BY source),
+         |q AS (
+         |  SELECT source, n,
+         |         LEAST(n, CAST(FLOOR(
+         |           CAST(SUM(n) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+         |              AND UNBOUNDED FOLLOWING) AS DOUBLE) * $MixtureFraction * sqrtn /
+         |           (SUM(sqrtn) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+         |              AND UNBOUNDED FOLLOWING)) + 0.5) AS BIGINT)) AS quota
+         |  FROM counts),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, r.rk, q.n AS source_docs, q.quota
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rk <= q.quota
+         |ORDER BY r.source, r.rk""".stripMargin)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.QualityFilters
+
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher stats match a driver-side recount on sampled docs") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(10)
+    val got = QualityFilters.gopherQuality(spark, sf)
+      .filter(col("doc_id") < 10)
+      .select("doc_id", "n_words", "n_distinct", "top_word_n", "sum_word_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      val counts = ws.groupBy(identity).view.mapValues(_.length)
+      val expect = (ws.length.toLong, counts.size.toLong,
+        counts.values.max.toLong, ws.map(_.length.toLong).sum)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("block_dedup matches a driver-side recomputation over the whole corpus") {
+    val got = QualityFilters.blockDedup(spark, sf)
+      .select("doc_id", "n_blocks", "n_shared_blocks")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // reference: blocks per doc, shared = block string present in >1 doc
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val blocksPerDoc = docs.map { case (id, text) =>
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+      id -> ws.grouped(QualityFilters.BlockWords).filter(_.length == QualityFilters.BlockWords)
+        .map(_.mkString(" ")).toSeq
+    }.toMap
+    val docCount = blocksPerDoc.toSeq.flatMap { case (id, bs) => bs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    blocksPerDoc.foreach { case (id, bs) =>
+      if (bs.isEmpty) assert(!got.contains(id)) // short docs have no block rows
+      else {
+        val shared = bs.count(b => docCount(b) > 1).toLong
+        assert(got(id) == (bs.length.toLong, shared), s"doc $id")
+      }
+    }
+    // the corpus actually exercises the sharing path
+    assert(blocksPerDoc.values.flatten.exists(b => docCount(b) > 1) ==
+      got.values.exists(_._2 > 0))
+  }
+
+  test("source_mixture: quotas respected, ~half the corpus kept, deterministic") {
+    val df = QualityFilters.sourceMixture(spark, sf).cache()
+    // per-source: exactly quota rows, ranks are 1..quota
+    val bad = df.groupBy("source", "quota")
+      .agg(count(lit(1)).as("kept"), max("rk").as("maxrk"))
+      .filter(col("kept") =!= col("quota") || col("maxrk") =!= col("quota"))
+    assert(bad.count() == 0)
+    val total = graft.tables.Tables.documents(spark, sf).count()
+    val kept = df.count()
+    assert(math.abs(kept - total * QualityFilters.MixtureFraction) <= total * 0.1,
+      s"kept $kept of $total")
+    // sqrt-temperature flattens: smallest source keeps a larger fraction
+    val fracs = df.groupBy("source").agg(
+        (count(lit(1)).cast("double") / first("source_docs")).as("f"),
+        first("source_docs").as("n"))
+      .orderBy("n").select("f").as[Double].collect()
+    assert(fracs.head >= fracs.last)
+    // identical output on a second run (no RNG anywhere)
+    val again = QualityFilters.sourceMixture(spark, sf)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+  }
+}
