@@ -266,15 +266,40 @@ final class GraftTable private (
     * splits the write). One shuffle total.
     */
   def optimize(clusterBy: Seq[String],
-      targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes): Long = {
+      targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes,
+      where: Option[String] = None): Long = {
     require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
-    val df = read()
-    val removed = manifestFiles()
-    val liveSet = removed.toSet
-    val liveBytes = listDataFiles()
-      .filter { case (f, _, _) => liveSet.contains(f) }.map(_._2).sum
+    // partition-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE part = v`):
+    // the predicate may reference PARTITION columns only, so the scope
+    // resolves by directory pruning and untouched partitions' files are
+    // carried over without being read or rewritten — at 100 TB you
+    // compact the partitions that churned, not the table
+    where.foreach { w =>
+      // parse the predicate and walk it for attribute names (unresolved)
+      val refs = spark.sessionState.sqlParser.parseExpression(w).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }.toSet
+      val bad = refs -- partitionColumns.toSet
+      require(bad.isEmpty,
+        s"OPTIMIZE WHERE may reference partition columns only; got: ${bad.mkString(", ")}")
+    }
+    val live = manifestFiles()
+    val scopeFiles = where match {
+      case None => live
+      case Some(w) => affectedFiles(expr(w))
+    }
+    if (scopeFiles.isEmpty)
+      return commit("OPTIMIZE", live, Map(
+        "numFilesAdded" -> "0", "numFilesRemoved" -> "0",
+        "targetFileSizeBytes" -> targetFileSizeBytes.toString,
+        "zOrderBy" -> clusterBy.mkString(","),
+        "where" -> where.getOrElse("")))
+    val df = readFiles(scopeFiles)
+    val scopeSet = scopeFiles.toSet
+    val scopeBytes = listDataFiles()
+      .filter { case (f, _, _) => scopeSet.contains(f) }.map(_._2).sum
     val bins = math.max(1L,
-      (liveBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+      (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     val before = listDataFiles().map(_._1).toSet
     // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
     // Morton key from graft.functions.ZOrder (one extra min/max job)
@@ -290,11 +315,12 @@ final class GraftTable private (
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(path)
     val added = listDataFiles().map(_._1).filterNot(before)
-    commit("OPTIMIZE", added, Map(
+    commit("OPTIMIZE", live.filterNot(scopeSet) ++ added, Map(
       "numFilesAdded" -> added.size.toString,
-      "numFilesRemoved" -> removed.size.toString,
+      "numFilesRemoved" -> scopeFiles.size.toString,
       "targetFileSizeBytes" -> targetFileSizeBytes.toString,
-      "zOrderBy" -> clusterBy.mkString(",")))
+      "zOrderBy" -> clusterBy.mkString(","),
+      "where" -> where.getOrElse("")))
   }
 
   // ---- M2: VACUUM ------------------------------------------------------
@@ -306,7 +332,8 @@ final class GraftTable private (
     * touches files referenced by the current manifest. */
   def vacuum(retainHours: Double = 168.0,
       retentionCheckEnabled: Boolean = true,
-      nowMs: Long = System.currentTimeMillis()): (Long, Int) = {
+      nowMs: Long = System.currentTimeMillis(),
+      dryRun: Boolean = false): (Long, Int) = {
     if (retainHours < 168.0 && retentionCheckEnabled)
       throw new IllegalArgumentException(
         s"retention of $retainHours h is below the 168 h safety floor; " +
@@ -315,6 +342,9 @@ final class GraftTable private (
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
     val deletable = listDataFiles()
       .filter { case (f, _, mtime) => !live.contains(f) && mtime <= cutoff }
+    // DRY RUN (Delta parity): report what would be reclaimed, delete
+    // nothing, commit nothing
+    if (dryRun) return (currentVersion, deletable.size)
     deletable.foreach { case (f, _, _) => fs.delete(new Path(root, f), false) }
     val v = commit("VACUUM", manifestFiles(), Map(
       "numFilesDeleted" -> deletable.size.toString,
@@ -646,4 +676,21 @@ object GraftTable {
   def apply(spark: SparkSession, path: String,
       partitionColumns: Seq[String] = Nil): GraftTable =
     new GraftTable(spark, path, partitionColumns)
+
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA` parity): adopt an
+    * existing plain hive-partitioned parquet directory IN PLACE by
+    * committing a v0 manifest that references the files already there —
+    * no data is read or rewritten, so converting a 100 TB directory
+    * costs one file listing. The table must not already be a graft
+    * table. */
+  def convert(spark: SparkSession, path: String,
+      partitionColumns: Seq[String] = Nil): GraftTable = {
+    val t = new GraftTable(spark, path, partitionColumns)
+    require(t.currentVersion < 0,
+      s"$path is already a graft table (v${t.currentVersion})")
+    val files = t.listDataFiles().map(_._1)
+    require(files.nonEmpty, s"no parquet files under $path to convert")
+    t.commit("CONVERT", files, Map("numFiles" -> files.size.toString))
+    t
+  }
 }

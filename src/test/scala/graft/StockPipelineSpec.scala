@@ -183,6 +183,54 @@ class GraftTableSpec extends SparkSpec {
     assert(fsizes.max <= 4 * target, s"file of ${fsizes.max} B vs target $target B")
   }
 
+  test("partition-scoped optimize rewrites only the matching partitions") {
+    val t = freshTable("gt_opt_where")
+    t.write(bars.repartition(8))
+    val before = t.manifestFiles().toSet
+    t.optimize(Seq("timestamp_ms"), where = Some("ticker = 'AAPL'"))
+    val after = t.manifestFiles().toSet
+    val untouched = before.filterNot(_.contains("ticker=AAPL"))
+    assert(untouched.subsetOf(after))                 // carried over verbatim
+    assert(before.diff(after).forall(_.contains("ticker=AAPL")))
+    assert(after.filter(_.contains("ticker=AAPL")).size == 5) // 5 trade dates, 1 file each
+    assert(t.read().count() == bars.count())
+    // predicate on a non-partition column is rejected (Delta contract)
+    intercept[IllegalArgumentException] {
+      t.optimize(Seq("timestamp_ms"), where = Some("close > 0"))
+    }
+  }
+
+  test("convert adopts an existing parquet directory in place") {
+    val path = Files.createTempDirectory("gt_convert").toString
+    bars.write.mode("overwrite").partitionBy("ticker", "trade_date").parquet(path)
+    val preexisting = GraftTable(spark, path).currentVersion
+    assert(preexisting == -1L)
+    val t = GraftTable.convert(spark, path, Seq("ticker", "trade_date"))
+    assert(t.currentVersion == 0L)
+    assert(t.read().count() == bars.count())
+    // conversion referenced the files in place — nothing was rewritten
+    assert(t.history().select("operation").collect().map(_.getString(0)).toSeq
+      == Seq("CONVERT"))
+    intercept[IllegalArgumentException] { GraftTable.convert(spark, path) }
+    // the converted table is a full citizen: maintenance + DML work
+    t.optimize(Seq("timestamp_ms"))
+    assert(t.read().count() == bars.count())
+  }
+
+  test("vacuum dry run reports reclaimable files without deleting or committing") {
+    val t = freshTable("gt_vac_dry")
+    t.write(bars.repartition(4))
+    t.optimize(Seq("timestamp_ms"))       // makes the v0 files orphans
+    val vBefore = t.currentVersion
+    val (v, n) = t.vacuum(0.0, retentionCheckEnabled = false, dryRun = true)
+    assert(n > 0)
+    assert(v == vBefore)                  // no commit
+    assert(t.currentVersion == vBefore)
+    assert(t.readVersion(0).count() == bars.count()) // orphans still readable
+    val (_, deleted) = t.vacuum(0.0, retentionCheckEnabled = false)
+    assert(deleted == n)                  // the dry run predicted exactly
+  }
+
   test("vacuum respects retention guard and deletes only aged orphans") {
     val t = freshTable("gt_vac")
     t.write(bars.repartition(4))
