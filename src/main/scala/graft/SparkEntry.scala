@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Stats.queries ++
       graft.queries.TimeSeries.queries ++
       graft.queries.Sampling.queries ++
+      graft.queries.Cohorts.queries ++
       graft.queries.StockPipeline.queries ++
       graft.text.TextAnalysis.queries ++
       graft.text.QualityFilters.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.queries.Stats.oracles ++
       graft.queries.TimeSeries.oracles ++
       graft.queries.Sampling.oracles ++
+      graft.queries.Cohorts.oracles ++
       graft.queries.StockPipeline.oracles ++
       graft.text.TextAnalysis.oracles ++
       graft.text.QualityFilters.oracles ++

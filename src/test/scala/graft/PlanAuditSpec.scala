@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
-  private val bnljAllowed = Set("range_band_join",
+  private val bnljAllowed = Set("range_band_join", "funnel_steps",
     "cosine_dups", "knn_brute", "sql_scalar_subquery", "knn_ivf",
     "gap_fill_hourly")
 
