@@ -137,6 +137,64 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Product quantization ANN (the serving-side compression path IVF
+    * pairs with at scale): vectors split into [[PqM]] subvectors of
+    * [[PqSubDim]] dims; each subspace has a [[PqCodes]]-entry codebook
+    * (subvectors of the first PqCodes corpus vectors — the same seeded
+    * k-means stand-in as [[knnIvf]]'s centroids); a corpus vector is
+    * stored as PqM one-byte codes (64× smaller than f32); queries score
+    * by asymmetric distance — per-subspace L2 lookup tables joined to
+    * the codes (the classic ADC LUT join, broadcast), summed in FIXED
+    * subspace order via a pivot so no float summation-order divergence
+    * can leak into the hash gate. Fully deterministic → DuckDB oracle
+    * replays the identical encode/LUT/scoring pipeline.
+    *
+    * Scale: codes are 8 bytes/vector (the only thing shuffled), the
+    * codebook and per-query LUTs broadcast; argmin tie-breaks pinned by
+    * (dist, code) so encoding is reproducible. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    def l2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val subs = emb
+      .select(col("vec_id"), col("v"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
+      .drop("v")
+    val cents = subs.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sub").as("csub"))
+    // encode: nearest codebook entry per (vector, subspace)
+    val codes = subs.join(broadcast(cents), col("m") === col("cm"))
+      .withColumn("dist", l2(col("sub"), col("csub")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+    // per-query ADC lookup tables
+    val adc = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"), col("sub").as("qsub"))
+      .join(broadcast(cents), col("qm") === col("cm"))
+      .withColumn("qd", l2(col("qsub"), col("csub")))
+      .select(col("query_id"), col("qm"), col("code").as("qcode"), col("qd"))
+    val scores = codes.join(broadcast(adc),
+        col("m") === col("qm") && col("code") === col("qcode"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .pivot("m", 0 until PqM)
+      .agg(first("qd"))
+      .withColumn("approx_dist", round(
+        (0 until PqM).map(i => col(i.toString)).reduce(_ + _), 6))
+    scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id").as("neighbor_id"), col("approx_dist"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. This corpus
     * is near-random (max pairwise cosine ≈ 0.5), so the threshold is set
     * where the data has signal; in a true near-dup regime (cos ≥ 0.9) the
@@ -181,6 +239,7 @@ object Similarity {
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
+    "knn_pq"      -> knnPq _,
     "cosine_dups" -> cosineDups _,
     "embedding_quantize" -> embeddingQuantize _)
 
@@ -256,7 +315,48 @@ object Similarity {
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |          ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk FROM s)
          |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= $K
-         |ORDER BY query_id, rk""".stripMargin)
+         |ORDER BY query_id, rk""".stripMargin,
+    "knn_pq" -> {
+      val dcols = (0 until PqM).map(i =>
+        s"MIN(CASE WHEN k.m = $i THEN a.qd END) AS d$i").mkString(",\n         |        ")
+      val dsum = (0 until PqM).map(i => s"d$i").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sub
+         |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
+         |cent AS (SELECT vec_id AS code, m AS cm, sub AS csub
+         |         FROM sub WHERE vec_id < $PqCodes),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, c.code,
+         |         list_inner_product(s.sub, s.sub)
+         |           - 2.0 * list_inner_product(s.sub, c.csub)
+         |           + list_inner_product(c.csub, c.csub) AS dist
+         |  FROM sub s JOIN cent c ON s.m = c.cm),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, code) AS rn FROM enc) WHERE rn = 1),
+         |adc AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code,
+         |         list_inner_product(s.sub, s.sub)
+         |           - 2.0 * list_inner_product(s.sub, c.csub)
+         |           + list_inner_product(c.csub, c.csub) AS qd
+         |  FROM sub s JOIN cent c ON s.m = c.cm WHERE s.vec_id < $NumQueries),
+         |piv AS (
+         |  SELECT a.query_id, k.vec_id,
+         |        $dcols
+         |  FROM codes k JOIN adc a ON k.m = a.m AND k.code = a.code
+         |  WHERE k.vec_id <> a.query_id
+         |  GROUP BY a.query_id, k.vec_id),
+         |s AS (SELECT query_id, vec_id AS neighbor_id,
+         |        ROUND($dsum, 6) AS approx_dist FROM piv),
+         |r AS (SELECT query_id, neighbor_id, approx_dist,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY approx_dist, neighbor_id) AS INTEGER) AS rk FROM s)
+         |SELECT query_id, rk, neighbor_id, approx_dist FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin
+    })
     // knn_lsh is approximate (signature-dependent) → rows-only;
     // SimilaritySpec measures its recall against knn_brute.
 }

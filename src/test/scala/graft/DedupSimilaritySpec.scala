@@ -205,3 +205,28 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.1, s"IVF recall $recall suspiciously low")
   }
 }
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn_pq: valid distances, k rows per query, deterministic, nontrivial recall") {
+    val pq = Similarity.knnPq(spark, sf).cache()
+    // ≤ k rows per query, ranks 1..k, distances non-negative (mod float eps)
+    assert(pq.groupBy("query_id").count()
+      .filter(col("count") > Similarity.K).count() == 0)
+    assert(pq.filter(col("approx_dist") < -1e-6).count() == 0)
+    assert(pq.filter(col("rk") < 1 || col("rk") > Similarity.K).count() == 0)
+    // neighbors never include the query itself
+    assert(pq.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // identical output on a rerun (argmin tie-breaks + fixed-order sums)
+    val again = Similarity.knnPq(spark, sf)
+    assert(pq.exceptAll(again).count() == 0 && again.exceptAll(pq).count() == 0)
+    // quantized distances still retrieve real neighbors: top-k overlap
+    // with exact brute force is well above chance (chance ≈ k/corpus)
+    val brute = Similarity.knnBrute(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.05, s"PQ recall $recall is at chance level")
+  }
+}
