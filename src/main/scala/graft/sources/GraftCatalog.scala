@@ -112,7 +112,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
       "version" -> pinnedVersion.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(snapshot)
+    new GraftScanBuilder(snapshot,
+      filters => table.readVersionPruned(pinnedVersion, filters))
 }
 
 /** Standard DSv2 pushdown negotiation; the filters are accepted as
@@ -120,7 +121,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
   * residual so Spark re-applies them — translation stays a performance
   * hint, never a correctness dependency (same contract as the DSv1
   * relation). */
-final class GraftScanBuilder(snapshot: DataFrame) extends ScanBuilder
+final class GraftScanBuilder(snapshot: DataFrame,
+    prunedReader: Seq[Filter] => DataFrame) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snapshot.schema
@@ -135,15 +137,16 @@ final class GraftScanBuilder(snapshot: DataFrame) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1ScanShim(snapshot, required, pushed)
+  override def build(): Scan = new GraftV1ScanShim(prunedReader, required, pushed)
 }
 
 /** DSv2 scan executing through the V1 relation machinery ([[V1Scan]],
-  * the built-in migration shim): the filtered+pruned snapshot DataFrame
-  * becomes the scan RDD, so predicate pushdown and hive-partition
-  * pruning hit the parquet source exactly as in the DSv1 path. */
-final class GraftV1ScanShim(snapshot: DataFrame, required: StructType,
-    filters: Array[Filter]) extends V1Scan {
+  * the built-in migration shim): manifest-stats file skipping prunes
+  * the file list, then the filtered+pruned frame becomes the scan RDD,
+  * so predicate pushdown and hive-partition pruning hit the parquet
+  * source exactly as in the DSv1 path. */
+final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
+    required: StructType, filters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -153,7 +156,7 @@ final class GraftV1ScanShim(snapshot: DataFrame, required: StructType,
     * hides the inner plan from the outer executedPlan string). */
   def scanFrame: DataFrame = {
     val filtered = filters.flatMap(GraftFilters.translate)
-      .foldLeft(snapshot)((d, c) => d.filter(c))
+      .foldLeft(prunedReader(filters.toIndexedSeq))((d, c) => d.filter(c))
     if (required.isEmpty) filtered.select(lit(1).as("__one"))
     else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
   }

@@ -150,8 +150,12 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // manifest-stats data skipping first (prunes the FILE LIST), then
+    // the translated predicates push into the parquet scan of what's left
+    val base = GraftTable(sqlContext.sparkSession, path)
+      .readVersionPruned(pinnedVersion, filters.toIndexedSeq)
     val filtered = filters.flatMap(GraftFilters.translate)
-      .foldLeft(snapshot)((d, c) => d.filter(c))
+      .foldLeft(base)((d, c) => d.filter(c))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select(lit(1).as("__one"))
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)

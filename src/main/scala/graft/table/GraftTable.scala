@@ -79,9 +79,19 @@ final class GraftTable private (
     // records them as metadata actions in the log): carried forward
     // unchanged unless this commit alters them
     val cs = newConstraints.getOrElse(constraints)
+    // per-file column min/max stats (Delta data-skipping parity): stats
+    // for surviving files carry over; only files ADDED by this commit
+    // pay a parquet-footer read. (Footers are read on the driver — the
+    // same "commit metadata fits on the driver" assumption as the
+    // manifest; a 100 TB ingest would collect footers in a Spark job.)
+    val prevStats = statsOf(currentVersion)
+    val stats = files.map { f =>
+      f -> prevStats.getOrElse(f, collectFileStats(f))
+    }.toMap
     fs.mkdirs(logDir)
     val filesPath = new Path(logDir, f"v$v%020d.files")
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
+    val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
     val jsonPath = new Path(logDir, f"v$v%020d.json")
     def writeAtomic(target: Path, content: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
@@ -93,6 +103,11 @@ final class GraftTable private (
     writeAtomic(filesPath, files.mkString("\n"))
     writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    writeAtomic(statsPath, stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (tag, lo, hi)) =>
+        s"${enc(f)}\t${enc(c)}\t$tag\t${enc(lo)}\t${enc(hi)}" }
+    }.mkString("\n"))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
@@ -115,6 +130,140 @@ final class GraftTable private (
         out += ((p.stripPrefix(rootUri).stripPrefix("/"), s.getLen, s.getModificationTime))
     }
     out.result()
+  }
+
+  // ---- per-file min/max stats → data skipping (Delta parity) -----------
+  //
+  // Every commit writes a vN.stats.tsv sidecar holding, for each live
+  // data file, the min/max of its top-level primitive columns (read once
+  // from the parquet footer when the file is first committed). Readers
+  // with pushed-down predicates prune the FILE LIST against these bounds
+  // before the scan plans — at 100 TB a time-range query on a
+  // cluster-sorted table opens the handful of files whose range
+  // intersects, not every file of the partition (hive pruning handles
+  // partition columns; this handles everything OPTIMIZE sorted).
+
+  /** file → column → (type tag, min, max) committed with `version`. */
+  def statsOf(version: Long): Map[String, Map[String, (String, String, String)]] = {
+    if (version < 0) return Map.empty
+    val p = new Path(logDir, f"v$version%020d.stats.tsv")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.split('\t')).collect {
+        case Array(f, c, tag, lo, hi) => (dec(f), dec(c), tag, dec(lo), dec(hi))
+      }.toSeq.groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+      }
+    finally in.close()
+  }
+
+  /** Footer-derived min/max of one file's top-level primitive columns
+    * (empty map when the footer has no usable stats). */
+  private def collectFileStats(file: String): Map[String, (String, String, String)] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import scala.jdk.CollectionConverters._
+      val footer = ParquetFileReader.readFooter(
+        spark.sessionState.newHadoopConf(), new Path(root, file),
+        ParquetMetadataConverter.NO_FILTER)
+      val perCol = scala.collection.mutable.Map[String, (String, String, String)]()
+      var dropped = Set.empty[String] // any row group without stats poisons the column
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val pathParts = cc.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val st = cc.getStatistics
+            val prim = cc.getPrimitiveType
+            val tagOpt = prim.getPrimitiveTypeName match {
+              case INT32 | INT64 => Some("long")
+              case FLOAT | DOUBLE => Some("double")
+              case BINARY if prim.getLogicalTypeAnnotation != null &&
+                prim.getLogicalTypeAnnotation.toString == "STRING" => Some("string")
+              case _ => None
+            }
+            (tagOpt, Option(st)) match {
+              case (Some(tag), Some(s)) if s.hasNonNullValue && !dropped(name) =>
+                val (lo, hi) = tag match {
+                  case "string" =>
+                    (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                     s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  case _ => (s.genericGetMin.toString, s.genericGetMax.toString)
+                }
+                perCol.get(name) match {
+                  case None => perCol(name) = (tag, lo, hi)
+                  case Some((t, plo, phi)) =>
+                    def lt(a: String, b: String): Boolean =
+                      if (t == "string") a < b
+                      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+                    perCol(name) = (t, if (lt(lo, plo)) lo else plo, if (lt(phi, hi)) hi else phi)
+                }
+              case (Some(_), _) if !dropped(name) =>
+                dropped += name; perCol.remove(name)
+              case _ => ()
+            }
+          }
+        }
+      }
+      perCol.toMap
+    } catch { case _: Exception => Map.empty } // stats are an optimization, never required
+
+  /** The subset of `version`'s files that MAY contain rows matching all
+    * `filters` (conservative: a file is kept unless its stats prove no
+    * row can match). */
+  def dataSkippedFiles(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    import org.apache.spark.sql.sources._
+    val stats = statsOf(version)
+    def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
+      case ("string", s: String) => Some(stat.compareTo(s))
+      case (("long" | "double"), n: Number) =>
+        Some(new java.math.BigDecimal(stat)
+          .compareTo(new java.math.BigDecimal(n.toString)))
+      case _ => None
+    }
+    def mayMatch(cols: Map[String, (String, String, String)], f: Filter): Boolean = f match {
+      case EqualTo(a, v) => cols.get(a).forall { case (t, lo, hi) =>
+        !(cmp(t, lo, v).exists(_ > 0) || cmp(t, hi, v).exists(_ < 0)) }
+      case In(a, vs) => vs.exists(v => mayMatch(cols, EqualTo(a, v)))
+      case GreaterThan(a, v) => cols.get(a).forall { case (t, _, hi) =>
+        !cmp(t, hi, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(a, v) => cols.get(a).forall { case (t, _, hi) =>
+        !cmp(t, hi, v).exists(_ < 0) }
+      case LessThan(a, v) => cols.get(a).forall { case (t, lo, _) =>
+        !cmp(t, lo, v).exists(_ >= 0) }
+      case LessThanOrEqual(a, v) => cols.get(a).forall { case (t, lo, _) =>
+        !cmp(t, lo, v).exists(_ > 0) }
+      case And(l, r) => mayMatch(cols, l) && mayMatch(cols, r)
+      case Or(l, r) => mayMatch(cols, l) || mayMatch(cols, r)
+      case _ => true // IsNull / Not / string ops: no interval proof → keep
+    }
+    manifestFiles(version).filter { f =>
+      stats.get(f).forall(cols => filters.forall(mayMatch(cols, _)))
+    }
+  }
+
+  /** Scan `version` reading only files that can match `filters`; result
+    * carries exactly the full version's schema even when the pruned
+    * subset lacks evolved columns (or is empty). */
+  def readVersionPruned(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val full = readVersion(version)
+    val kept = dataSkippedFiles(version, filters)
+    if (kept.size == manifestFiles(version).size) return full
+    if (kept.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
+    val pruned = readFiles(kept)
+    val have = pruned.columns.toSet
+    val aligned = full.schema.fields.foldLeft(pruned) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    aligned.select(full.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   // ---- CHECK constraints (Delta table-constraint parity) ---------------

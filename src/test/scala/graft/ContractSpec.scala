@@ -18,6 +18,8 @@ class ContractSpec extends AnyFunSuite {
     ("StockPipeline", graft.queries.StockPipeline.queries, graft.queries.StockPipeline.oracles),
     ("TextAnalysis", graft.text.TextAnalysis.queries, graft.text.TextAnalysis.oracles),
     ("Chunking", graft.text.Chunking.queries, graft.text.Chunking.oracles),
+    ("QualityFilters", graft.text.QualityFilters.queries, graft.text.QualityFilters.oracles),
+    ("Cohorts", graft.queries.Cohorts.queries, graft.queries.Cohorts.oracles),
     ("HeavyHitters", graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
     ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),

@@ -86,7 +86,8 @@ class GraftSourceSpec extends SparkSpec {
     // ...and lands on the inner parquet scan as a hive PARTITION filter
     // (the V1 shim node hides the inner plan, so assert on the exact
     // frame the shim executes)
-    val sb = new graft.sources.GraftScanBuilder(t.read())
+    val sb = new graft.sources.GraftScanBuilder(t.read(),
+      fs => t.readVersionPruned(t.currentVersion, fs))
     sb.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("ticker", "MSFT")))
     sb.pruneColumns(org.apache.spark.sql.types.StructType(
       t.read().schema.filter(f => Seq("ticker", "close").contains(f.name))))
@@ -100,6 +101,38 @@ class GraftSourceSpec extends SparkSpec {
       == Seq("ticker", "trade_date"))
     // catalog is read-only
     intercept[Exception] { spark.sql(s"DROP TABLE graft.`$path`") }
+  }
+
+  test("manifest stats skip files whose min/max exclude the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val path = Files.createTempDirectory("gsrc_skip").toString
+    val t = GraftTable(spark, path) // unpartitioned: skipping ≠ hive pruning
+    val df = (0 until 4000).map(i => (i.toLong, i * 2.0, f"s$i%05d")).toDF("id", "v", "s")
+    t.write(df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    assert(t.manifestFiles().size == 4)
+    val stats = t.statsOf(t.currentVersion)
+    assert(stats.size == 4)
+    assert(stats.values.forall(c => c.contains("id") && c.contains("v") && c.contains("s")))
+    // point lookup touches one file; range predicate touches the tail file
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("id", 10L))).size == 1)
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(GreaterThan("id", 3500L))).size == 1)
+    // string bounds skip too
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("s", "s00010"))).size == 1)
+    // conservative: unknown column → keep everything
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("nope", 1))).size == 4)
+    // end-to-end through format("graft"): identical rows, including the
+    // every-file-skipped path
+    assert(spark.read.format("graft").load(path).filter(col("id") === 10L).count() == 1)
+    assert(spark.read.format("graft").load(path).filter(col("id") === -5L).count() == 0)
+    val full = spark.read.format("graft").load(path).filter(col("v") < 100.0)
+    assert(full.count() == df.filter(col("v") < 100.0).count())
+    // OPTIMIZE recomputes stats for its rewritten files
+    t.optimize(Seq("id"), targetFileSizeBytes = t.detail().sizeInBytes / 4)
+    val stats2 = t.statsOf(t.currentVersion)
+    assert(stats2.keySet == t.manifestFiles().toSet)
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("id", 10L))).size <
+      t.manifestFiles().size)
   }
 
   test("append mode enforces schema; SQL USING graft scans the table") {
