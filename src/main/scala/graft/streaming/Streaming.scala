@@ -186,6 +186,27 @@ object Streaming {
     table
   }
 
+  /** Append-sink variant of [[streamIntoTable]] with EXACTLY-ONCE
+    * semantics via the Delta txnAppId/txnVersion contract: each
+    * micro-batch commits `(appId, batchId)`, so a batch replayed after a
+    * restart (sink committed, checkpoint didn't advance) is skipped
+    * instead of appended twice. Use when the sink is append-only and a
+    * MERGE key doesn't exist. */
+  val IngestAppId = "graft-stream-ingest"
+
+  def streamIntoTableExactlyOnce(spark: SparkSession, dir: String,
+      path: String): graft.table.GraftTable = {
+    val table = graft.table.GraftTable(spark, path, Seq("event_type"))
+    val q = eventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.idempotentAppend(batch, IngestAppId, batchId); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    table
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_daily_counts"  -> streamingDailyCounts _,

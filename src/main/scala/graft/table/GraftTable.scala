@@ -337,7 +337,8 @@ final class GraftTable private (
     * new nullable columns (existing columns still cannot change type).
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      extraMetrics: Map[String, String] = Map.empty): Long = {
     if (currentVersion >= 0 && mode == SaveMode.Append) {
       val existing = read().schema
       val incoming = df.schema
@@ -366,7 +367,39 @@ final class GraftTable private (
       case _ => added
     }
     commit(if (mode == SaveMode.Append) "APPEND" else "WRITE", files,
-      Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1"))
+      Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics)
+  }
+
+  // ---- idempotent writes (Delta txnAppId/txnVersion parity) ------------
+
+  /** Highest transaction version committed for `appId`, −1 if none —
+    * Delta's SetTransaction lookup. Scans the commit records on the
+    * driver (same metadata-fits-on-driver assumption as the manifest;
+    * Delta bounds this with log checkpoints). */
+  def lastTxnVersion(appId: String): Long = {
+    if (!fs.exists(logDir)) return -1L
+    val re = (""""txnAppId":"""" + java.util.regex.Pattern.quote(jsonEscape(appId)) +
+      """","txnVersion":"(-?\d+)"""").r
+    (0L to currentVersion).foldLeft(-1L) { (best, v) =>
+      val p = new Path(logDir, f"v$v%020d.json")
+      if (!fs.exists(p)) best
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        re.findFirstMatchIn(s).map(_.group(1).toLong).filter(_ > best).getOrElse(best)
+      }
+    }
+  }
+
+  /** Exactly-once append for streaming sinks: the batch commits only if
+    * `txnVersion` is strictly newer than the last committed version for
+    * `appId` — a replayed micro-batch (restart after a sink commit but
+    * before the checkpoint advanced) becomes a no-op instead of a
+    * duplicate. Returns the committed version, or None when skipped. */
+  def idempotentAppend(df: DataFrame, appId: String, txnVersion: Long): Option[Long] = {
+    if (txnVersion <= lastTxnVersion(appId)) None
+    else Some(write(df, SaveMode.Append, extraMetrics = Map(
+      "txnAppId" -> appId, "txnVersion" -> txnVersion.toString)))
   }
 
   // ---- S6/S7: read -----------------------------------------------------

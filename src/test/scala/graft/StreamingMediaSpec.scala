@@ -108,6 +108,27 @@ class StreamingTableSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("exactly-once ingest: replayed batches are skipped via txnAppId/txnVersion") {
+    val path = java.nio.file.Files.createTempDirectory("graft_txn_tbl").toString
+    val table = Streaming.streamIntoTableExactlyOnce(spark, sf, path)
+    val n = table.read().count()
+    assert(n == graft.tables.Tables.events(spark, sf).count())
+    assert(table.lastTxnVersion(Streaming.IngestAppId) >= 0)
+    // replay the whole stream (a restart with a stale checkpoint): every
+    // batch id was already committed → all skipped, row count unchanged
+    Streaming.streamIntoTableExactlyOnce(spark, sf, path)
+    assert(table.read().count() == n)
+    // direct API: same-version append is a no-op, newer version commits
+    val one = table.read().limit(1)
+    assert(table.idempotentAppend(one, "other-app", 0L).isDefined) // fresh app id
+    assert(table.idempotentAppend(one, "other-app", 0L).isEmpty)   // replay skipped
+    assert(table.read().count() == n + 1)
+    assert(table.idempotentAppend(one, "other-app", 1L).isDefined)
+    assert(table.read().count() == n + 2)
+    assert(table.lastTxnVersion("other-app") == 1L)
+    assert(table.lastTxnVersion("unknown-app") == -1L)
+  }
+
   test("graft streaming round-trip: stream-ingested table reads back incrementally, equal to batch") {
     val ingestPath = java.nio.file.Files.createTempDirectory("graft_rt_tbl").toString
     val table = Streaming.streamIntoTable(spark, sf, ingestPath)
