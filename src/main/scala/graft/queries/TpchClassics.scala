@@ -67,10 +67,80 @@ object TpchClassics {
       .limit(100)
   }
 
+  /** Q15 shape: top supplier(s) by quarterly revenue — an aggregated
+    * view compared against its own scalar MAX (revenue rounded at the
+    * grid so the equality is exact on both engines). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    val top = revenue.agg(max("total_revenue").as("mr"))
+    revenue.join(broadcast(top), col("total_revenue") === col("mr"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 shape (adapted: no commit/receipt dates in the schema — "late"
+    * is shipping >90 days after the order date): suppliers whose line
+    * was late on a multi-supplier order where EVERY OTHER supplier was
+    * on time — the classic EXISTS(other) AND NOT EXISTS(other late)
+    * double-correlation, expressed as semi + anti join. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    val l1 = l.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = l.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"),
+      col("late").as("o_late"))
+    // another supplier exists on the order…
+    val withOther = l1.join(others,
+        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+        "left_semi")
+    // …and no OTHER supplier was late on it
+    val lateOthers = others.filter(col("o_late"))
+    withOther.join(lateOthers,
+        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
+        "left_anti")
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** Q22 shape (adapted: nation key stands in for the phone prefix):
+    * customers from a nation set with above-average positive balance and
+    * no URGENT order (every customer in this corpus has SOME order, so
+    * the anti-join gate keeps Q22's NOT-EXISTS-with-predicate shape on a
+    * non-empty result) — scalar AVG subquery (order-insensitive
+    * round(sum)/count form) + anti join + per-group rollup. */
+  val Q22Nations = Seq(1, 3, 5, 7, 9, 11, 13)
+
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).filter(col("c_nationkey").isin(Q22Nations: _*))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((round(sum("c_acctbal"), 2) / count(lit(1))).as("ab"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_ship_priority" -> q12ShipPriority _,
     "q14_type_share"    -> q14TypeShare _,
-    "q18_large_orders"  -> q18LargeOrders _)
+    "q15_top_supplier"  -> q15TopSupplier _,
+    "q18_large_orders"  -> q18LargeOrders _,
+    "q21_waiting_supplier" -> q21WaitingSupplier _,
+    "q22_global_sales"  -> q22GlobalSales _)
 
   val oracles: Map[String, String] = Map(
     "q12_ship_priority" ->
@@ -105,5 +175,45 @@ object TpchClassics {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l o
+        |              WHERE o.l_orderkey = l1.l_orderkey
+        |                AND o.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l o
+        |                  WHERE o.l_orderkey = l1.l_orderkey
+        |                    AND o.l_suppkey <> l1.l_suppkey AND o.late)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |ab AS (SELECT ROUND(SUM(c_acctbal), 2) / COUNT(*) AS ab
+        |       FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |       ROUND(SUM(c_acctbal), 2) AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > ab.ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
