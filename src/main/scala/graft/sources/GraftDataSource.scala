@@ -43,11 +43,17 @@ final class GraftDataSource extends RelationProvider
 
   // ---- streaming read: readStream.format("graft").load(path) -----------
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      GraftTable(sqlContext.sparkSession, pathOf(parameters)).read().schema))
+    (shortName(), schema.getOrElse {
+      val base = GraftTable(sqlContext.sparkSession, pathOf(parameters)).read().schema
+      if (isCdf(parameters)) base.add("_change_type", "string", nullable = false)
+      else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -56,7 +62,8 @@ final class GraftDataSource extends RelationProvider
     new GraftStreamSource(
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      changeFeed = isCdf(parameters))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -94,15 +101,21 @@ final class GraftDataSource extends RelationProvider
   */
 final class GraftStreamSource(
     session: org.apache.spark.sql.classic.SparkSession,
-    path: String, startingVersion: Option[Long])
+    path: String, startingVersion: Option[Long],
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private def table = GraftTable(session, path)
   // schema pinned at stream start; later evolution is rejected by the
-  // select/cast below rather than silently diverging mid-stream
-  private val pinned: StructType = table.read().schema
+  // select/cast below rather than silently diverging mid-stream. In CDF
+  // mode (Delta's readChangeFeed) the feed carries _change_type and
+  // deletes FLOW as tombstone rows instead of being dropped.
+  private val pinned: StructType = {
+    val base = table.read().schema
+    if (changeFeed) base.add("_change_type", "string", nullable = false) else base
+  }
 
   override def schema: StructType = pinned
 
@@ -115,8 +128,13 @@ final class GraftStreamSource(
     val to = end.json().toLong
     val fromExclusive = start.map(_.json().toLong).orElse(startingVersion)
     val batch = fromExclusive match {
-      case None => table.readVersion(to) // initial snapshot
-      case Some(f) if f >= to => table.readVersion(to).limit(0)
+      case None =>
+        val snap = table.readVersion(to) // initial snapshot
+        if (changeFeed) snap.withColumn("_change_type", lit("insert")) else snap
+      case Some(f) if f >= to =>
+        val empty = table.readVersion(to).limit(0)
+        if (changeFeed) empty.withColumn("_change_type", lit("insert")) else empty
+      case Some(f) if changeFeed => table.changes(f, to)
       case Some(f) =>
         table.changes(f, to).filter(col("_change_type") === lit("insert"))
           .drop("_change_type")

@@ -168,7 +168,7 @@ final class GraftTable private (
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       import scala.jdk.CollectionConverters._
       val footer = ParquetFileReader.readFooter(
-        spark.sessionState.newHadoopConf(), new Path(root, file),
+        spark.sessionState.newHadoopConf(), dataPath(file),
         ParquetMetadataConverter.NO_FILTER)
       val perCol = scala.collection.mutable.Map[String, (String, String, String)]()
       var dropped = Set.empty[String] // any row group without stats poisons the column
@@ -417,10 +417,7 @@ final class GraftTable private (
     if (files.isEmpty)
       throw new IllegalStateException(
         s"graft table at $path has no committed version $version")
-    spark.read
-      .option("basePath", path)
-      .option("mergeSchema", "true") // union schemas across evolved files
-      .parquet(files.map(f => s"$path/$f"): _*)
+    readFiles(files)
   }
 
   // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
@@ -478,8 +475,7 @@ final class GraftTable private (
         "where" -> where.getOrElse("")))
     val df = readFiles(scopeFiles)
     val scopeSet = scopeFiles.toSet
-    val scopeBytes = listDataFiles()
-      .filter { case (f, _, _) => scopeSet.contains(f) }.map(_._2).sum
+    val scopeBytes = scopeFiles.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
     val bins = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     val before = listDataFiles().map(_._1).toSet
@@ -546,18 +542,43 @@ final class GraftTable private (
   // large the table is. Old versions stay time-travel-readable until
   // VACUUM.
 
-  /** Absolute `_metadata.file_path` URI → manifest-relative path. */
+  /** Absolute `_metadata.file_path` URI → manifest entry: relative when
+    * the file lives under this table's root, the absolute path itself
+    * otherwise (shallow-clone entries reference the SOURCE table's
+    * files by absolute path). */
   private def relPath(abs: String): String = {
     val p = scala.util.Try(new java.net.URI(abs).getPath).toOption
       .filter(_ != null).getOrElse(abs)
-    p.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    val prefix = root.toUri.getPath
+    if (p == prefix || p.startsWith(prefix + "/"))
+      p.stripPrefix(prefix).stripPrefix("/")
+    else p
   }
 
-  private def readFiles(files: Seq[String]): DataFrame =
-    spark.read
-      .option("basePath", path)
-      .option("mergeSchema", "true")
-      .parquet(files.map(f => s"$path/$f"): _*)
+  /** Filesystem path of a manifest entry (relative or clone-absolute). */
+  private def dataPath(f: String): Path =
+    if (f.startsWith("/")) new Path(f) else new Path(root, f)
+
+  /** basePath for an absolute (clone) entry: everything before the first
+    * hive `k=v` segment, so partition columns still infer. */
+  private def baseOf(absFile: String): String = {
+    val segs = absFile.split('/')
+    val i = segs.indexWhere(_.contains('='))
+    if (i < 0) segs.dropRight(1).mkString("/") else segs.take(i).mkString("/")
+  }
+
+  private def readFiles(files: Seq[String]): DataFrame = {
+    val (abs, rel) = files.partition(_.startsWith("/"))
+    def group(base: String, paths: Seq[String]): DataFrame =
+      spark.read
+        .option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(paths: _*)
+    val frames =
+      (if (rel.nonEmpty) Seq(group(path, rel.map(f => s"$path/$f"))) else Nil) ++
+      abs.groupBy(baseOf).toSeq.sortBy(_._1).map { case (b, fs) => group(b, fs) }
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 
   /** Manifest files holding at least one row matching `cond`. Partition
     * and data-skipping filters push into this scan, so at scale the scan
@@ -779,6 +800,27 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(version)))
   }
 
+  /** SHALLOW CLONE (Delta parity): a new table at `targetPath` whose v0
+    * manifest references THIS table's current data files by absolute
+    * path — no data copied, so cloning a 100 TB table costs one manifest
+    * write. The clone then diverges copy-on-write: mutations rewrite
+    * only affected files into the clone's own directory, OPTIMIZE
+    * materializes it fully local, VACUUM on the clone never touches
+    * source files (it only deletes orphans under its own root), and the
+    * source is never aware of the clone. Constraints copy with it. */
+  def shallowClone(targetPath: String): GraftTable = {
+    val t = new GraftTable(spark, targetPath, partitionColumns)
+    require(t.currentVersion < 0,
+      s"$targetPath is already a graft table (v${t.currentVersion})")
+    val rootAbs = root.toUri.getPath
+    val absFiles = manifestFiles().map(f =>
+      if (f.startsWith("/")) f else s"$rootAbs/$f")
+    t.commit("CLONE", absFiles, Map(
+      "sourcePath" -> path, "sourceVersion" -> currentVersion.toString),
+      newConstraints = Some(constraints))
+    t
+  }
+
   // ---- M3: history -----------------------------------------------------
 
   /** Audit log as a DataFrame, newest first (maintenance.py:87-91). */
@@ -793,9 +835,9 @@ final class GraftTable private (
       sizeInBytes: Long, partitionColumns: Seq[String], version: Long)
 
   def detail(): Detail = {
-    val live = manifestFiles().toSet
-    val sizes = listDataFiles().filter { case (f, _, _) => live.contains(f) }
-    Detail("graft+parquet", path, sizes.size.toLong, sizes.map(_._2).sum,
+    val live = manifestFiles()
+    val bytes = live.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
+    Detail("graft+parquet", path, live.size.toLong, bytes,
       partitionColumns, currentVersion)
   }
 

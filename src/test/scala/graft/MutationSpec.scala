@@ -311,6 +311,48 @@ class MutationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.addConstraint("bad\tname", "volume >= 0") }
   }
 
+  test("shallow clone: zero-copy, copy-on-write divergence, source untouched") {
+    val src = freshTable("gt_clone_src")
+    src.write(bars.repartition(4))
+    src.addConstraint("vol_floor", "volume >= 0")
+    val srcRows = src.read().count()
+    val srcFiles = src.manifestFiles().toSet
+
+    val clonePath = Files.createTempDirectory("gt_clone_dst").toString
+    val clone = src.shallowClone(clonePath)
+    // zero-copy: identical rows, no parquet under the clone root yet
+    assert(clone.read().count() == srcRows)
+    assert(clone.manifestFiles().forall(_.startsWith("/")))
+    assert(clone.constraints.keySet == Set("vol_floor")) // constraints travel
+    assert(clone.history().select("operation").collect().map(_.getString(0)).toSeq
+      == Seq("CLONE"))
+    assert(clone.detail().sizeInBytes == src.detail().sizeInBytes)
+
+    // copy-on-write divergence: delete on the clone rewrites ONLY the
+    // affected files into the clone's directory; the source is untouched
+    val aapl = clone.read().filter(col("ticker") === "AAPL").count()
+    clone.delete(col("ticker") === "AAPL")
+    assert(clone.read().count() == srcRows - aapl)
+    assert(src.read().count() == srcRows)
+    assert(src.manifestFiles().toSet == srcFiles)
+    // unaffected entries still point at the source; none of the clone's
+    // rewritten files live outside its root
+    assert(clone.manifestFiles().exists(_.startsWith("/")))
+
+    // constraints still gate the clone
+    intercept[IllegalArgumentException] {
+      clone.update(col("ticker") === "MSFT", Map("volume" -> lit(-1L)))
+    }
+
+    // OPTIMIZE materializes the clone fully local; vacuum afterwards
+    // reclaims only clone-local orphans (source files were never local)
+    clone.optimize(Seq("timestamp_ms"))
+    assert(clone.manifestFiles().forall(!_.startsWith("/")))
+    clone.vacuum(0.0, retentionCheckEnabled = false)
+    assert(src.read().count() == srcRows) // source data intact end to end
+    assert(clone.read().count() == srcRows - aapl)
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))

@@ -129,6 +129,35 @@ class StreamingTableSpec extends SparkSpec {
     assert(table.lastTxnVersion("unknown-app") == -1L)
   }
 
+  test("readChangeFeed stream: deletes flow as tombstones, updates as delete+insert pairs") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
+    val t = graft.table.GraftTable(spark, path, Seq("grp"))
+    t.write((0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "grp", "v"))
+    val name = s"graft_cdf_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true").load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial snapshot: all rows as inserts
+      assert(spark.table(name).count() == 100)
+      assert(spark.table(name).filter(col("_change_type") =!= "insert").count() == 0)
+      // a DELETE surfaces as tombstones for exactly the deleted rows
+      t.delete(col("id") < 10L && col("grp") === "a")
+      q.processAllAvailable()
+      val dels = spark.table(name).filter(col("_change_type") === "delete")
+      assert(dels.count() == 5)
+      assert(dels.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+      // an UPDATE surfaces as a delete+insert pair of old and new versions
+      t.update(col("id") === 11L, Map("v" -> lit(-1.0)))
+      q.processAllAvailable()
+      val u = spark.table(name).filter(col("id") === 11L)
+      assert(u.filter(col("_change_type") === "delete" && col("v") === 11.0).count() == 1)
+      assert(u.filter(col("_change_type") === "insert" && col("v") === -1.0).count() == 1)
+    } finally q.stop()
+  }
+
   test("graft streaming round-trip: stream-ingested table reads back incrementally, equal to batch") {
     val ingestPath = java.nio.file.Files.createTempDirectory("graft_rt_tbl").toString
     val table = Streaming.streamIntoTable(spark, sf, ingestPath)
