@@ -63,7 +63,8 @@ final class GraftDataSource extends RelationProvider
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       pathOf(parameters),
       parameters.get("startingVersion").map(_.toLong),
-      changeFeed = isCdf(parameters))
+      changeFeed = isCdf(parameters),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -102,12 +103,17 @@ final class GraftDataSource extends RelationProvider
 final class GraftStreamSource(
     session: org.apache.spark.sql.classic.SparkSession,
     path: String, startingVersion: Option[Long],
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   private def table = GraftTable(session, path)
+  // admission control for catch-up (Delta's maxFilesPerTrigger analog):
+  // a stream starting far behind advances at most N versions per
+  // micro-batch instead of planning one giant batch
+  @volatile private var lastOffered: Option[Long] = None
   // schema pinned at stream start; later evolution is rejected by the
   // select/cast below rather than silently diverging mid-stream. In CDF
   // mode (Delta's readChangeFeed) the feed carries _change_type and
@@ -121,7 +127,15 @@ final class GraftStreamSource(
 
   override def getOffset: Option[V1Offset] = {
     val v = table.currentVersion
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) return None
+    val capped = (maxVersionsPerTrigger, lastOffered) match {
+      case (Some(n), Some(prev)) => math.min(v, prev + n)
+      case (Some(n), None) =>
+        startingVersion.map(sv => math.min(v, sv + n)).getOrElse(v)
+      case _ => v
+    }
+    lastOffered = Some(capped)
+    Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -808,16 +808,19 @@ final class GraftTable private (
     * materializes it fully local, VACUUM on the clone never touches
     * source files (it only deletes orphans under its own root), and the
     * source is never aware of the clone. Constraints copy with it. */
-  def shallowClone(targetPath: String): GraftTable = {
+  def shallowClone(targetPath: String, version: Long = -1L): GraftTable = {
+    val srcV = if (version < 0) currentVersion else version
+    require(srcV >= 0 && srcV <= currentVersion,
+      s"no committed version $srcV to clone")
     val t = new GraftTable(spark, targetPath, partitionColumns)
     require(t.currentVersion < 0,
       s"$targetPath is already a graft table (v${t.currentVersion})")
     val rootAbs = root.toUri.getPath
-    val absFiles = manifestFiles().map(f =>
+    val absFiles = manifestFiles(srcV).map(f =>
       if (f.startsWith("/")) f else s"$rootAbs/$f")
     t.commit("CLONE", absFiles, Map(
-      "sourcePath" -> path, "sourceVersion" -> currentVersion.toString),
-      newConstraints = Some(constraints))
+      "sourcePath" -> path, "sourceVersion" -> srcV.toString),
+      newConstraints = Some(constraintsOf(srcV)))
     t
   }
 

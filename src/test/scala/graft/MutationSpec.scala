@@ -353,6 +353,29 @@ class MutationSpec extends SparkSpec {
     assert(clone.read().count() == srcRows - aapl)
   }
 
+  test("clone at a version captures that version's files and constraints") {
+    val src = freshTable("gt_clone_v")
+    src.write(bars.repartition(2))
+    val v0 = src.currentVersion
+    val total = src.read().count()
+    src.addConstraint("vol_floor", "volume >= 0")
+    src.delete(col("ticker") === "AAPL")
+    val clone = src.shallowClone(
+      Files.createTempDirectory("gt_clone_v_dst").toString, v0)
+    assert(clone.read().count() == total)                  // pre-delete rows
+    assert(clone.constraints.isEmpty)                      // v0 had none
+    intercept[IllegalArgumentException] { src.shallowClone("/tmp/x", 999L) }
+  }
+
+  test("time travel to a vacuumed version fails at scan time (Delta contract)") {
+    val t = freshTable("gt_tt_vac")
+    t.write(bars.repartition(2))
+    t.optimize(Seq("timestamp_ms"))                        // v0 files become orphans
+    t.vacuum(0.0, retentionCheckEnabled = false)
+    intercept[Exception] { t.readVersion(0).count() }      // files are gone
+    assert(t.read().count() == bars.count())               // current still fine
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))

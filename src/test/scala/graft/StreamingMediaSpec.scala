@@ -129,6 +129,34 @@ class StreamingTableSpec extends SparkSpec {
     assert(table.lastTxnVersion("unknown-app") == -1L)
   }
 
+  test("maxVersionsPerTrigger bounds catch-up to N versions per micro-batch") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_throttle").toString
+    val t = graft.table.GraftTable(spark, path, Seq("grp"))
+    // 5 versions of 10 rows each
+    (0 until 5).foreach { v =>
+      t.write((0 until 10).map(i => ((v * 10 + i).toLong, "a", 1.0)).toDF("id", "grp", "v"),
+        if (v == 0) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(t.currentVersion == 4L)
+    val name = s"graft_throttle_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // all four post-v0 versions eventually arrive, exactly once...
+      assert(spark.table(name).count() == 40)
+      assert(spark.table(name).select("id").distinct().count() == 40)
+      // ...across multiple bounded micro-batches, not one giant batch
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+      assert(q.recentProgress.forall(_.numInputRows <= 20))
+    } finally q.stop()
+  }
+
   test("readChangeFeed stream: deletes flow as tombstones, updates as delete+insert pairs") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
