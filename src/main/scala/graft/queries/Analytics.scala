@@ -100,24 +100,27 @@ object Analytics {
         col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** TPC-H Q1 shape: the canonical scan-heavy aggregation. Rounding is at
-    * each measure's decimal grid (see object doc). */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  /** TPC-H Q1 shape: the canonical scan-heavy aggregation. Whole-table
+    * sums into a handful of groups get BIG — measures aggregate in
+    * exact scaled-integer space ([[graft.functions.ExactDecimal]]) so no
+    * summation-order ulp can ever cross a rounding boundary at scale. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactDecimal._
     lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
-        (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
-        (round(sum("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
-        (round(sum("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .as("sum_charge"),
+        (sum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (sum2(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** JSON property extraction over events.props (extension surface —
     * SURVEY.md §7.5): parse `{"k": <int>}` and aggregate per type. */
@@ -173,18 +176,20 @@ object Analytics {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-06-01' AND l_discount > 0.08
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-        |       ROUND(SUM(l_quantity), 2) / COUNT(*) AS avg_qty,
-        |       ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
-        |       ROUND(SUM(l_discount), 4) / COUNT(*) AS avg_disc,
-        |       COUNT(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pricing_summary" -> {
+      import graft.functions.ExactDecimal._
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlSum2("l_quantity")} AS sum_qty,
+         |       ${sqlSum2("l_extendedprice")} AS sum_base_price,
+         |       ${sqlSumRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |       ${sqlSumCharge("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+         |       ${sqlSum2("l_quantity")} / COUNT(*) AS avg_qty,
+         |       ${sqlSum2("l_extendedprice")} / COUNT(*) AS avg_price,
+         |       ${sqlSum2("l_discount")} / COUNT(*) AS avg_disc,
+         |       COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "json_extract_agg" ->
       """SELECT event_type,
         |       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -80,8 +80,8 @@ object Joins {
       .filter(col("r_name") === "ASIA" || col("r_name") === "EUROPE")
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        graft.functions.ExactDecimal.sumRevenue(
+          col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), desc("revenue"), col("n_name"))
 
@@ -204,15 +204,16 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "revenue_by_nation" ->
-      """SELECT r_name, n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-        |       COUNT(*) AS n_items
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name IN ('ASIA', 'EUROPE')
-        |GROUP BY 1, 2 ORDER BY r_name, revenue DESC, n_name""".stripMargin,
+      s"""SELECT r_name, n_name,
+         |       ${graft.functions.ExactDecimal.sqlSumRevenue(
+                    "l_extendedprice", "l_discount")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY 1, 2 ORDER BY r_name, revenue DESC, n_name""".stripMargin,
     "lineitem_by_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lineitems,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

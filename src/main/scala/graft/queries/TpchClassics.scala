@@ -31,21 +31,22 @@ object TpchClassics {
       .orderBy("l_returnflag")
   }
 
-  /** Q14 shape: revenue share of a part-type family (ratio of rounded
-    * conditional sums — exact decimals, bit-identical division). */
-  def q14TypeShare(spark: SparkSession, dir: String): DataFrame =
+  /** Q14 shape: revenue share of a part-type family — conditional sums in
+    * exact scaled-integer space (summation-order-free at any scale),
+    * bit-identical division for the share. */
+  def q14TypeShare(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactDecimal._
     lineitem(spark, dir)
       .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).as("l_year"))
       .agg(
-        round(sum(when(col("p_type").startsWith("STANDARD"),
-          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 4)
-          .as("standard_revenue"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("total_revenue"))
+        sumRevenueIf(col("p_type").startsWith("STANDARD"),
+          col("l_extendedprice"), col("l_discount")).as("standard_revenue"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
       .withColumn("standard_share",
         lit(100.0) * col("standard_revenue") / col("total_revenue"))
       .orderBy("l_year")
+  }
 
   /** Q18 shape: large orders — the quantity aggregate filters order
     * keys, then joins back to orders and customer for the report. */
@@ -153,18 +154,17 @@ object TpchClassics {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate > o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q14_type_share" ->
-      """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |       ROUND(SUM(CASE WHEN p_type LIKE 'STANDARD%'
-        |                      THEN l_extendedprice * (1 - l_discount)
-        |                      ELSE 0.0 END), 4) AS standard_revenue,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
-        |       100.0 * ROUND(SUM(CASE WHEN p_type LIKE 'STANDARD%'
-        |                      THEN l_extendedprice * (1 - l_discount)
-        |                      ELSE 0.0 END), 4)
-        |         / ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS standard_share
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_type_share" -> {
+      import graft.functions.ExactDecimal._
+      val std = sqlSumRevenueIf("p_type LIKE 'STANDARD%'", "l_extendedprice", "l_discount")
+      val tot = sqlSumRevenue("l_extendedprice", "l_discount")
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |       $std AS standard_revenue,
+         |       $tot AS total_revenue,
+         |       100.0 * $std / $tot AS standard_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty

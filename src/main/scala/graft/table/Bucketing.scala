@@ -44,8 +44,8 @@ object Bucketing {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lineitems"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
+        graft.functions.ExactDecimal.sumRevenue(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** Query entry: write → join → materialize → drop catalog entries. */
@@ -70,8 +70,9 @@ object Bucketing {
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_lineitems,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lineitems,
+         |       ${graft.functions.ExactDecimal.sqlSumRevenue(
+                    "l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
