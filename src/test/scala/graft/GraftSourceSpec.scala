@@ -133,6 +133,27 @@ class GraftSourceSpec extends SparkSpec {
     assert(stats2.keySet == t.manifestFiles().toSet)
     assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("id", 10L))).size <
       t.manifestFiles().size)
+    // compound predicates: And narrows, Or widens, both stay CORRECT —
+    // every skipped read must equal the unskipped read + filter
+    import org.apache.spark.sql.sources.{And, Or, LessThan, Not, IsNotNull}
+    val v = t.currentVersion
+    assert(t.dataSkippedFiles(v, Seq(And(EqualTo("id", 10L), LessThan("v", 100.0)))).size <=
+      t.dataSkippedFiles(v, Seq(EqualTo("id", 10L))).size)
+    assert(t.dataSkippedFiles(v, Seq(Or(EqualTo("id", 10L), EqualTo("id", 3999L)))).size == 2)
+    assert(t.dataSkippedFiles(v, Seq(Not(EqualTo("id", 10L)))).size ==
+      t.manifestFiles().size) // no interval proof for Not → keep all
+    val full2 = t.read()
+    Seq(
+      col("id") === 10L && col("v") < 100.0,
+      col("id") === 10L || col("id") === 3999L,
+      col("id") > 1000L && col("id") <= 1004L,
+      col("s") >= "s03990").foreach { pred =>
+      val skipped = spark.read.format("graft").load(path).filter(pred)
+      val expect = full2.filter(pred)
+      assert(skipped.count() == expect.count(), s"pred $pred")
+    }
+    // IsNotNull alone must not prune (stats carry no null counts)
+    assert(t.dataSkippedFiles(v, Seq(IsNotNull("id"))).size == t.manifestFiles().size)
   }
 
   test("append mode enforces schema; SQL USING graft scans the table") {
