@@ -824,6 +824,33 @@ final class GraftTable private (
     t
   }
 
+  /** Log retention (Delta's logRetentionDuration parity, counted in
+    * versions): drop the commit record, manifest and sidecars of every
+    * version more than `keepVersions` below the current one. Bounds the
+    * log's driver-side growth; time travel / CDF / clone-at-version for
+    * dropped versions becomes unavailable (the same contract Delta's log
+    * cleanup imposes), and txn replay protection only spans retained
+    * versions. Data files are untouched — VACUUM owns those. Returns the
+    * number of versions dropped. */
+  def cleanupLog(keepVersions: Int = 30): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val cutoff = currentVersion - keepVersions
+    if (cutoff < 0 || !fs.exists(logDir)) return 0
+    var dropped = 0
+    (0L to cutoff).foreach { v =>
+      val json = new Path(logDir, f"v$v%020d.json")
+      if (fs.exists(json)) {
+        // delete the commit marker LAST so a crash mid-cleanup never
+        // leaves a committed version with missing sidecars
+        Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv")
+          .foreach(n => fs.delete(new Path(logDir, n), false))
+        fs.delete(json, false)
+        dropped += 1
+      }
+    }
+    dropped
+  }
+
   // ---- M3: history -----------------------------------------------------
 
   /** Audit log as a DataFrame, newest first (maintenance.py:87-91). */

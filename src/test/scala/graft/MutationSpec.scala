@@ -376,6 +376,24 @@ class MutationSpec extends SparkSpec {
     assert(t.read().count() == bars.count())               // current still fine
   }
 
+  test("log cleanup bounds the manifest log; current version unaffected") {
+    val t = freshTable("gt_logclean")
+    t.write(bars.repartition(2))
+    (1 to 6).foreach(_ => t.optimize(Seq("timestamp_ms")))
+    assert(t.currentVersion == 6L)
+    val dropped = t.cleanupLog(keepVersions = 2)
+    assert(dropped == 5)                                   // v0..v4 gone
+    assert(t.currentVersion == 6L)
+    assert(t.read().count() == bars.count())               // current intact
+    assert(t.history().count() == 2)                       // v5, v6 remain
+    intercept[Exception] { t.readVersion(0) }              // time travel gone
+    assert(t.readVersion(5).count() == bars.count())       // retained one works
+    assert(t.cleanupLog(keepVersions = 2) == 0)            // idempotent
+    // maintenance still works on the truncated log
+    t.optimize(Seq("timestamp_ms"))
+    assert(t.currentVersion == 7L)
+  }
+
   test("merge rejects a source missing target columns") {
     val t = freshTable("gt_merge_bad")
     t.write(bars.repartition(2))
