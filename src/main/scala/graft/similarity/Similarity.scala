@@ -77,7 +77,10 @@ object Similarity {
     val scored = corpus.join(probes,
         col("sig") === col("probe_sig") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
-      .select("query_id", "vec_id", "cos").distinct()
+      // no distinct: each corpus vector has exactly one signature and the
+      // probe list {sig} ∪ {sig ^ 2^j} is duplicate-free, so a
+      // (query_id, vec_id) pair is produced at most once
+      .select("query_id", "vec_id", "cos")
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
       .filter(col("rk") <= K)
@@ -128,7 +131,10 @@ object Similarity {
     assigned.join(probes,
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
-      .select("query_id", "vec_id", "cos").distinct()
+      // no distinct: one cell per corpus vector (argmax) and a query's
+      // nprobe cells are distinct, so each (query_id, vec_id) pair
+      // appears at most once — a distinct here would only add a shuffle
+      .select("query_id", "vec_id", "cos")
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
       .filter(col("rk") <= K)
@@ -306,7 +312,7 @@ object Similarity {
          |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell) AS prk
          |  FROM score WHERE vec_id < $NumQueries) WHERE prk <= $NProbe),
-         |s AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
          |        ROUND(list_inner_product(cv2.v, qn.v) / (cv2.nrm * qn.nrm), 6) AS cos
          |      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
          |      JOIN n cv2 ON cv2.vec_id = a.vec_id
