@@ -159,6 +159,14 @@ final class GraftTable private (
     finally in.close()
   }
 
+  /** Unsigned UTF-8 byte comparison — parquet binary min/max and Spark
+    * both order strings this way; java.lang.String.compareTo (UTF-16
+    * code units) disagrees for supplementary-plane characters, which
+    * would make range pruning unsound. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** Footer-derived min/max of one file's top-level primitive columns
     * (empty map when the footer has no usable stats). */
   private def collectFileStats(file: String): Map[String, (String, String, String)] =
@@ -166,6 +174,8 @@ final class GraftTable private (
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.format.converter.ParquetMetadataConverter
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{
+        DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
       import scala.jdk.CollectionConverters._
       val footer = ParquetFileReader.readFooter(
         spark.sessionState.newHadoopConf(), dataPath(file),
@@ -179,26 +189,49 @@ final class GraftTable private (
             val name = pathParts(0)
             val st = cc.getStatistics
             val prim = cc.getPrimitiveType
-            val tagOpt = prim.getPrimitiveTypeName match {
-              case INT32 | INT64 => Some("long")
-              case FLOAT | DOUBLE => Some("double")
-              case BINARY if prim.getLogicalTypeAnnotation != null &&
-                prim.getLogicalTypeAnnotation.toString == "STRING" => Some("string")
-              case _ => None
-            }
+            // tag + a transform from the raw footer stat to the bound we
+            // store; logical types whose physical stats don't compare
+            // against pushed-filter values get NO tag (conservative: the
+            // column is never pruned on)
+            val tagOpt: Option[(String, String => String)] =
+              prim.getPrimitiveTypeName match {
+                case INT32 | INT64 => prim.getLogicalTypeAnnotation match {
+                  case null => Some(("long", identity))
+                  case _: IntLogicalTypeAnnotation => Some(("long", identity))
+                  case d: DecimalLogicalTypeAnnotation =>
+                    // precision<=18 decimals are stored as UNSCALED ints;
+                    // rescale so bounds compare against the filter's
+                    // scaled BigDecimal (raw bounds would prune wrongly)
+                    val scale = d.getScale
+                    Some(("long", s => new java.math.BigDecimal(
+                      new java.math.BigInteger(s), scale).toPlainString))
+                  case _ => None // DATE/TIMESTAMP/TIME: values aren't Numbers
+                }
+                case FLOAT | DOUBLE => Some(("double", identity))
+                case BINARY if prim.getLogicalTypeAnnotation != null &&
+                  prim.getLogicalTypeAnnotation.toString == "STRING" =>
+                  Some(("string", identity))
+                case _ => None
+              }
             (tagOpt, Option(st)) match {
-              case (Some(tag), Some(s)) if s.hasNonNullValue && !dropped(name) =>
+              case (Some((tag, toBound)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
                 val (lo, hi) = tag match {
                   case "string" =>
                     (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                      s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                  case _ => (s.genericGetMin.toString, s.genericGetMax.toString)
+                  case _ => (toBound(s.genericGetMin.toString), toBound(s.genericGetMax.toString))
                 }
-                perCol.get(name) match {
+                // ±Infinity/NaN bounds carry no interval information and
+                // would crash the BigDecimal compare — poison the column
+                def finite(x: String) =
+                  scala.util.Try(new java.math.BigDecimal(x)).isSuccess
+                if (tag == "double" && (!finite(lo) || !finite(hi))) {
+                  dropped += name; perCol.remove(name)
+                } else perCol.get(name) match {
                   case None => perCol(name) = (tag, lo, hi)
                   case Some((t, plo, phi)) =>
                     def lt(a: String, b: String): Boolean =
-                      if (t == "string") a < b
+                      if (t == "string") utf8Compare(a, b) < 0
                       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
                     perCol(name) = (t, if (lt(lo, plo)) lo else plo, if (lt(phi, hi)) hi else phi)
                 }
@@ -219,21 +252,29 @@ final class GraftTable private (
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     import org.apache.spark.sql.sources._
     val stats = statsOf(version)
+    // Try-wrapped: a non-numeric stat (legacy "Infinity" sidecar, NaN
+    // filter value) yields None → no proof → the file is kept
     def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
-      case ("string", s: String) => Some(stat.compareTo(s))
+      case ("string", s: String) => Some(utf8Compare(stat, s))
       case (("long" | "double"), n: Number) =>
-        Some(new java.math.BigDecimal(stat)
-          .compareTo(new java.math.BigDecimal(n.toString)))
+        scala.util.Try(new java.math.BigDecimal(stat)
+          .compareTo(new java.math.BigDecimal(n.toString))).toOption
       case _ => None
     }
+    // Parquet FP min/max ignore NaN while Spark orders NaN LARGEST, so
+    // "hi <= v" never proves a double file has no x > v row (a NaN row
+    // matches). Upper-bound proofs are therefore disabled for doubles;
+    // lower-bound and equality proofs stay sound (NaN satisfies neither
+    // x < v nor x = finite-v).
+    def upperBoundSound(t: String): Boolean = t != "double"
     def mayMatch(cols: Map[String, (String, String, String)], f: Filter): Boolean = f match {
       case EqualTo(a, v) => cols.get(a).forall { case (t, lo, hi) =>
         !(cmp(t, lo, v).exists(_ > 0) || cmp(t, hi, v).exists(_ < 0)) }
       case In(a, vs) => vs.exists(v => mayMatch(cols, EqualTo(a, v)))
       case GreaterThan(a, v) => cols.get(a).forall { case (t, _, hi) =>
-        !cmp(t, hi, v).exists(_ <= 0) }
+        !upperBoundSound(t) || !cmp(t, hi, v).exists(_ <= 0) }
       case GreaterThanOrEqual(a, v) => cols.get(a).forall { case (t, _, hi) =>
-        !cmp(t, hi, v).exists(_ < 0) }
+        !upperBoundSound(t) || !cmp(t, hi, v).exists(_ < 0) }
       case LessThan(a, v) => cols.get(a).forall { case (t, lo, _) =>
         !cmp(t, lo, v).exists(_ >= 0) }
       case LessThanOrEqual(a, v) => cols.get(a).forall { case (t, lo, _) =>

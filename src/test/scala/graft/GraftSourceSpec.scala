@@ -156,6 +156,75 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.dataSkippedFiles(v, Seq(IsNotNull("id"))).size == t.manifestFiles().size)
   }
 
+  test("decimal columns never mis-prune: filtered read == unfiltered + filter") {
+    // ADVICE r4 high: precision<=18 decimals are stored as UNSCALED ints
+    // in parquet footers; comparing those raw against the filter's scaled
+    // BigDecimal silently skipped files with matching rows
+    val path = Files.createTempDirectory("gsrc_dec").toString
+    val t = GraftTable(spark, path)
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("amt", (col("id") * 0.25).cast("decimal(10,2)"))
+      .withColumn("big", (col("id") * 1.5).cast("decimal(28,6)"))
+    t.write(df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    assert(t.manifestFiles().size == 4)
+    val full = t.read()
+    Seq(
+      col("amt") === java.math.BigDecimal.valueOf(150.00).setScale(2),
+      col("amt") > java.math.BigDecimal.valueOf(900.00),
+      col("amt") < java.math.BigDecimal.valueOf(10.00),
+      col("amt") >= java.math.BigDecimal.valueOf(999.75),
+      col("big") > java.math.BigDecimal.valueOf(5000.0)).foreach { pred =>
+      val viaSource = spark.read.format("graft").load(path).filter(pred)
+      assert(viaSource.count() == full.filter(pred).count(), s"pred $pred")
+    }
+    // and the rescaled bounds actually PRUNE (not merely stay correct)
+    import org.apache.spark.sql.sources.GreaterThan
+    assert(t.dataSkippedFiles(t.currentVersion,
+      Seq(GreaterThan("amt", new java.math.BigDecimal("900.00")))).size == 1)
+  }
+
+  test("non-finite double stats neither crash nor drop rows; NaN rows survive range pruning") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gsrc_inf").toString
+    val t = GraftTable(spark, path)
+    // file 0: ordinary values; file 1: ±Infinity; file 2: NaN rows whose
+    // non-NaN values all sit BELOW the predicate (the wrongly-prunable case)
+    val df = Seq(
+      (0L, 1.0), (1L, 2.0), (2L, 3.0),
+      (10L, Double.NegativeInfinity), (11L, Double.PositiveInfinity),
+      (20L, 5.0), (21L, Double.NaN)).toDF("id", "v")
+    t.write(df.repartition(3, (col("id") / 10).cast("int")))
+    val full = t.read()
+    // filtered scans must not throw (r4: BigDecimal("Infinity") NFE)
+    Seq(col("v") > 100.0, col("v") < 100.0, col("v") === 5.0,
+      col("v") >= 2.0 && col("v") <= 3.0).foreach { pred =>
+      val got = spark.read.format("graft").load(path).filter(pred)
+      assert(got.count() == full.filter(pred).count(), s"pred $pred")
+    }
+    // Spark orders NaN largest: v > 1e6 must return the NaN row even
+    // though that file's footer max (5.0) would "prove" no match
+    assert(spark.read.format("graft").load(path)
+      .filter(col("v") > 1e6).count() == full.filter(col("v") > 1e6).count())
+  }
+
+  test("string pruning uses unsigned UTF-8 order (supplementary-plane safe)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gsrc_utf8").toString
+    val t = GraftTable(spark, path)
+    // "𝌆" (U+1D306) > "�" in UTF-8 byte order but LESS THAN it in
+    // UTF-16 code-unit order (surrogates D834 < FFFD) — the old compareTo
+    // pruned the supplementary-plane file for >= "�" predicates
+    val df = Seq((0L, "apple"), (1L, "banana"),
+      (10L, "�"), (11L, "𝌆tetragram")).toDF("id", "s")
+    t.write(df.repartition(2, (col("id") / 10).cast("int")))
+    val full = t.read()
+    Seq(col("s") >= "�", col("s") > "z", col("s") === "𝌆tetragram",
+      col("s") < "b").foreach { pred =>
+      val got = spark.read.format("graft").load(path).filter(pred)
+      assert(got.count() == full.filter(pred).count(), s"pred $pred")
+    }
+  }
+
   test("append mode enforces schema; SQL USING graft scans the table") {
     val path = Files.createTempDirectory("gsrc_sql").toString
     bars.write.format("graft")
