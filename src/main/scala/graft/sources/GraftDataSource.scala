@@ -79,7 +79,8 @@ final class GraftDataSource extends RelationProvider
       case m =>
         table.write(data,
           if (m == SaveMode.Append) SaveMode.Append else SaveMode.Overwrite,
-          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+          overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
     }
     createRelation(sqlContext, parameters)
   }

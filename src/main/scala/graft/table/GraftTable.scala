@@ -71,10 +71,38 @@ final class GraftTable private (
     case c => c.toString
   }
 
+  /** Claim version `v` exclusively — the writer mutex. Exclusive CREATE
+    * (not rename) because POSIX rename silently replaces an existing
+    * target, so rename collisions can't detect a lost race on the local
+    * filesystem; HDFS/object stores make create-no-overwrite atomic and
+    * the local path uses O_EXCL via File.createNewFile. */
+  private def claimVersion(v: Long): Unit = {
+    val lock = new Path(logDir, f"v$v%020d.claim")
+    val conflict = () => new GraftTable.CommitConflictException(
+      s"version $v already claimed by a concurrent writer ($lock)")
+    fs match {
+      case l: org.apache.hadoop.fs.LocalFileSystem =>
+        val f = l.getRaw.asInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+          .pathToFile(lock)
+        if (!f.createNewFile()) throw conflict()
+      case other =>
+        try other.create(lock, false).close()
+        catch { case _: java.io.IOException => throw conflict() }
+    }
+  }
+
+  /** `filesAtBase`, when given, recomputes the committed file list from
+    * the claimed predecessor version — AFTER the version claim, so a
+    * concurrent commit landing between a caller's manifest read and the
+    * claim can never be dropped from an append's carried-over list. */
   private def commit(operation: String, files: Seq[String],
       metrics: Map[String, String],
-      newConstraints: Option[Map[String, String]] = None): Long = {
+      newConstraints: Option[Map[String, String]] = None,
+      filesAtBase: Option[Long => Seq[String]] = None): Long = {
     val v = currentVersion + 1
+    fs.mkdirs(logDir)
+    claimVersion(v) // fail fast, before any footer reads
+    val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints are table METADATA versioned with the commit (Delta
     // records them as metadata actions in the log): carried forward
     // unchanged unless this commit alters them
@@ -84,11 +112,10 @@ final class GraftTable private (
     // pay a parquet-footer read. (Footers are read on the driver — the
     // same "commit metadata fits on the driver" assumption as the
     // manifest; a 100 TB ingest would collect footers in a Spark job.)
-    val prevStats = statsOf(currentVersion)
-    val stats = files.map { f =>
+    val prevStats = statsOf(v - 1)
+    val stats = committedFiles.map { f =>
       f -> prevStats.getOrElse(f, collectFileStats(f))
     }.toMap
-    fs.mkdirs(logDir)
     val filesPath = new Path(logDir, f"v$v%020d.files")
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
     val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
@@ -97,10 +124,15 @@ final class GraftTable private (
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (!fs.rename(tmp, target))
-        throw new IllegalStateException(s"commit conflict renaming to $target")
+      if (!fs.rename(tmp, target)) {
+        // unreachable once claimVersion held (the claim is the mutex);
+        // kept as belt-and-braces for filesystems that fail the rename
+        fs.delete(tmp, false)
+        throw new GraftTable.CommitConflictException(
+          s"commit conflict renaming to $target")
+      }
     }
-    writeAtomic(filesPath, files.mkString("\n"))
+    writeAtomic(filesPath, committedFiles.mkString("\n"))
     writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -126,7 +158,8 @@ final class GraftTable private (
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toUri.getPath
-      if (p.endsWith(".parquet") && !p.contains("_graft_log"))
+      if (p.endsWith(".parquet") && !p.contains("_graft_log") &&
+          !p.contains("/.staging-"))
         out += ((p.stripPrefix(rootUri).stripPrefix("/"), s.getLen, s.getModificationTime))
     }
     out.result()
@@ -379,8 +412,13 @@ final class GraftTable private (
     */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       mergeSchema: Boolean = false,
+      overwriteSchema: Boolean = false,
       extraMetrics: Map[String, String] = Map.empty): Long = {
-    if (currentVersion >= 0 && mode == SaveMode.Append) {
+    // schema enforcement applies to OVERWRITE too (Delta behavior: an
+    // accidental overwrite with a different schema must not silently
+    // replace the table schema); `overwriteSchema = true` is the
+    // explicit escape hatch, mirroring Delta's overwriteSchema option
+    if (currentVersion >= 0 && (mode == SaveMode.Append || !overwriteSchema)) {
       val existing = read().schema
       val incoming = df.schema
       val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
@@ -395,20 +433,49 @@ final class GraftTable private (
       if (!mergeSchema && (extra.nonEmpty || missing.nonEmpty))
         throw new IllegalArgumentException(
           "schema enforcement: column set mismatch " +
-          s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve")
+          s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve" +
+          (if (mode != SaveMode.Append) " or overwriteSchema=true to replace" else ""))
     }
     enforceConstraints(df)
-    val before = listDataFiles().map(_._1).toSet
-    val writer = df.write.mode(SaveMode.Append)
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(path)
-    val added = listDataFiles().map(_._1).filterNot(before)
-    val files = mode match {
-      case SaveMode.Append => manifestFiles() ++ added
-      case _ => added
+    val added = appendDataFiles(df)
+    val metrics =
+      Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
+    def attempt(): Long = mode match {
+      // append's carried-over list is recomputed INSIDE the claim (a
+      // concurrent commit between a manifest read here and the claim
+      // would otherwise be dropped from the new manifest)
+      case SaveMode.Append => commit("APPEND", Nil, metrics,
+        filesAtBase = Some(base => manifestFiles(base) ++ added))
+      case _ => commit("WRITE", added, metrics)
     }
-    commit(if (mode == SaveMode.Append) "APPEND" else "WRITE", files,
-      Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics)
+    // blind appends are commutative: a losing concurrent writer re-reads
+    // the new current manifest and re-commits ITS files on top (Delta's
+    // conflict-resolution rule for AddFile-only transactions). Data files
+    // are already on disk — only the manifest commit repeats. Overwrite
+    // and OPTIMIZE/DELETE/MERGE/etc stay single-attempt: their file list
+    // was derived from a snapshot a concurrent commit may invalidate.
+    if (mode == SaveMode.Append) retryOnConflict()(attempt()) else attempt()
+  }
+
+  /** Bounded retry for append-like commits losing the version race. A
+    * writer that crashed between its vN.files rename and its vN.json
+    * commit marker leaves the slot permanently claimed — bounded
+    * attempts turn that into a clear error instead of a livelock. */
+  private def retryOnConflict[T](maxAttempts: Int = 20)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: GraftTable.CommitConflictException =>
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"append still conflicting after $maxAttempts attempts " +
+            "(a concurrent writer may have crashed mid-commit, leaving an " +
+            "orphaned vN.files without its vN.json marker)", e)
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- idempotent writes (Delta txnAppId/txnVersion parity) ------------
@@ -519,7 +586,6 @@ final class GraftTable private (
     val scopeBytes = scopeFiles.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
     val bins = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-    val before = listDataFiles().map(_._1).toSet
     // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
     // Morton key from graft.functions.ZOrder (one extra min/max job)
     val clusterKey: Seq[org.apache.spark.sql.Column] =
@@ -530,10 +596,7 @@ final class GraftTable private (
       if (sortCols.nonEmpty)
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
-    val writer = compacted.write.mode(SaveMode.Append)
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(path)
-    val added = listDataFiles().map(_._1).filterNot(before)
+    val added = appendDataFiles(compacted)
     commit("OPTIMIZE", live.filterNot(scopeSet) ++ added, Map(
       "numFilesAdded" -> added.size.toString,
       "numFilesRemoved" -> scopeFiles.size.toString,
@@ -630,12 +693,34 @@ final class GraftTable private (
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
 
+  /** Physically write `df`'s files into the table layout and return
+    * exactly the relative paths written. Staged through a unique temp
+    * dir: concurrent writers would corrupt each other inside the output
+    * committer's shared `_temporary` if they wrote to the root directly,
+    * and a listing-diff would mis-attribute a concurrent writer's files.
+    * The per-file moves are same-filesystem renames (metadata ops). */
   private def appendDataFiles(df: DataFrame): Seq[String] = {
-    val before = listDataFiles().map(_._1).toSet
+    val staging = new Path(root, s".staging-${java.util.UUID.randomUUID}")
     val writer = df.write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
-     else writer).parquet(path)
-    listDataFiles().map(_._1).filterNot(before)
+     else writer).parquet(staging.toString)
+    val stagingUri = staging.toUri.getPath
+    val moved = Seq.newBuilder[String]
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toUri.getPath
+      if (p.endsWith(".parquet")) {
+        val rel = p.stripPrefix(stagingUri).stripPrefix("/")
+        val target = new Path(root, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(s.getPath, target))
+          throw new IllegalStateException(s"failed to move staged file to $target")
+        moved += rel
+      }
+    }
+    fs.delete(staging, true)
+    moved.result()
   }
 
   /** DELETE FROM … WHERE cond. Rows where `cond` is NULL are kept (SQL
@@ -883,7 +968,8 @@ final class GraftTable private (
       if (fs.exists(json)) {
         // delete the commit marker LAST so a crash mid-cleanup never
         // leaves a committed version with missing sidecars
-        Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv")
+        Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
+            f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1
@@ -967,6 +1053,12 @@ object GraftTable {
   /** OPTIMIZE bin-packing target — the reference compacts toward ~1 GB
     * files (DESIGN.md:20-24; Delta's optimize default). */
   val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
+
+  /** A concurrent writer claimed the version this commit targeted.
+    * Blind appends retry on it (their file list recomputes against the
+    * new manifest); snapshot-derived commits (OPTIMIZE/DELETE/MERGE)
+    * propagate it — their inputs may be stale. */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
   def apply(spark: SparkSession, path: String,
       partitionColumns: Seq[String] = Nil): GraftTable =

@@ -154,8 +154,40 @@ class SchemaEnforcementSpec extends SparkSpec {
     val back = t.read()
     assert(back.count() == 3)
     assert(back.columns.toSet == Set("id", "name", "score"))
-    // logical overwrite may change schema freely (new table contract)
-    t.write(Seq((9L, 5)).toDF("x", "y"))
+    // overwrite is schema-enforced too (r4 advice: an accidental
+    // overwrite must not silently replace the table schema)...
+    intercept[IllegalArgumentException] {
+      t.write(Seq((9L, 5)).toDF("x", "y"))
+    }
+    assert(t.read().columns.toSet == Set("id", "name", "score"))
+    // ...with overwriteSchema as the explicit escape hatch
+    t.write(Seq((9L, 5)).toDF("x", "y"), overwriteSchema = true)
     assert(t.read().columns.toSet == Set("x", "y"))
+  }
+
+  test("concurrent blind appends both land via commit retry") {
+    val path = Files.createTempDirectory("gt_conc").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write(Seq(0L).toDF("v")) // v0
+    // two writers interleave appends; losers of the version race must
+    // re-read the manifest and re-commit on top, not throw
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        val mine = graft.table.GraftTable(spark, path, Nil)
+        (0 until 4).foreach { i =>
+          mine.write(Seq(w * 100L + i).toDF("v"), SaveMode.Append)
+        }
+      })
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    threads.foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"append thread failed: ${Option(errs.peek()).map(_.toString)}")
+    // every append landed exactly once: 1 initial row + 8 appended rows,
+    // across versions v0..v8, all retained in the audit log
+    assert(t.read().count() == 9)
+    assert(t.currentVersion == 8L)
+    val ops = t.history().select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "APPEND") == 8)
   }
 }
