@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline queries: every pack represented, no temp-table writers. */
-  val Headline: Seq[String] = Seq(
+  /** Headline queries: every pack represented, no temp-table writers.
+    * This is the r1–r4 set — kept separate so cross-round totals stay
+    * comparable after the r5 extension below. */
+  val HeadlineR4: Seq[String] = Seq(
     "daily_summary", "topk_by_value", "filter_project", "pricing_summary",
     "derive_time", "json_extract_agg",
     "orders_by_segment", "top_unshipped_orders", "late_priority_count",
@@ -23,6 +25,14 @@ object Bench {
     "doc_fingerprint", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "knn_brute", "knn_lsh", "knn_ivf", "media_features",
     "sessionize", "range_band_join", "percentiles")
+
+  /** r5 additions: the heavy newer operators, so regressions in them are
+    * visible round over round. */
+  val HeadlineR5Added: Seq[String] = Seq(
+    "knn_pq", "cluster_minsh", "retention_cohorts",
+    "q21_waiting_supplier", "corpus_select")
+
+  val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,8 +78,14 @@ object Bench {
     // read as a round-over-round speedup; "failed" names the culprits
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    // the query set grew in r5: "total_r4set" is the sum over the r1–r4
+    // set only, the number comparable against earlier rounds' totals
+    val r4set = HeadlineR4.toSet
+    val r4Results = results.filter(r => r4set(r._1))
+    val totalR4 =
+      if (r4Results.exists(_._2 < 0)) -1.0 else r4Results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-40q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,22 +152,26 @@ object Dedup {
     * min-label propagation: each round joins every vertex to its
     * neighbors' labels and keeps the minimum; rounds = graph diameter
     * (near-dup clusters are shallow — a handful of rounds). Each round
-    * is one shuffle join + aggregate; at 100 TB the identical loop runs
-    * with per-round checkpointing to cut lineage. */
+    * is one shuffle join + aggregate. Labels are localCheckpoint'ed
+    * every round: the checkpoint truncates lineage so the plan stays
+    * ONE join deep no matter the diameter — without it each round
+    * chains the previous plan and planner cost climbs per iteration
+    * (and a lost executor would recompute the whole chain). */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     while (!converged) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("label").as("nlabel"))
+      // eager local checkpoint: materializes AND truncates lineage
       val updated = labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()

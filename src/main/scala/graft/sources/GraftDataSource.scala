@@ -50,7 +50,14 @@ final class GraftDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
-      val base = GraftTable(sqlContext.sparkSession, pathOf(parameters)).read().schema
+      val path = pathOf(parameters)
+      val t = GraftTable(sqlContext.sparkSession, path)
+      if (t.currentVersion < 0)
+        throw new IllegalStateException(
+          s"graft table at $path has no commits yet — write at least one " +
+          "version before streaming from it, or pass an explicit schema " +
+          "via readStream.schema(...)")
+      val base = t.read().schema
       if (isCdf(parameters)) base.add("_change_type", "string", nullable = false)
       else base
     })
@@ -115,12 +122,19 @@ final class GraftStreamSource(
   // a stream starting far behind advances at most N versions per
   // micro-batch instead of planning one giant batch
   @volatile private var lastOffered: Option[Long] = None
-  // schema pinned at stream start; later evolution is rejected by the
-  // select/cast below rather than silently diverging mid-stream. In CDF
-  // mode (Delta's readChangeFeed) the feed carries _change_type and
-  // deletes FLOW as tombstone rows instead of being dropped.
-  private val pinned: StructType = {
-    val base = table.read().schema
+  // schema pinned at FIRST USE (lazy: source creation on a
+  // not-yet-written table must not crash — the planner may build the
+  // source before the first commit lands); later evolution is rejected
+  // by the select/cast below rather than silently diverging mid-stream.
+  // In CDF mode (Delta's readChangeFeed) the feed carries _change_type
+  // and deletes FLOW as tombstone rows instead of being dropped.
+  private lazy val pinned: StructType = {
+    val t = table
+    if (t.currentVersion < 0)
+      throw new IllegalStateException(
+        s"graft table at $path has no commits yet — write at least one " +
+        "version before streaming from it")
+    val base = t.read().schema
     if (changeFeed) base.add("_change_type", "string", nullable = false) else base
   }
 
@@ -142,6 +156,16 @@ final class GraftStreamSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = end.json().toLong
     val fromExclusive = start.map(_.json().toLong).orElse(startingVersion)
+    // a restart whose checkpointed offset predates log retention must
+    // fail with a clear contract error, not a raw FileNotFoundException
+    // from the dropped manifest
+    fromExclusive.filter(f => f < to && !table.hasVersion(f)).foreach { f =>
+      throw new IllegalStateException(
+        s"stream start/restart version v$f of the graft table at $path " +
+        "has been removed by log retention (cleanupLog); restart from a " +
+        "fresh checkpoint, or from a retained startingVersion >= " +
+        s"the earliest retained commit")
+    }
     val batch = fromExclusive match {
       case None =>
         val snap = table.readVersion(to) // initial snapshot

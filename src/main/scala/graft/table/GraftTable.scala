@@ -55,6 +55,11 @@ final class GraftTable private (
     if (!fs.exists(logDir)) -1L
     else fs.listStatus(logDir).flatMap(s => versionOf(s.getPath)).foldLeft(-1L)(Math.max)
 
+  /** Whether `version`'s commit record is still retained (false once
+    * `cleanupLog` truncated it — time travel/CDF from it is gone). */
+  def hasVersion(version: Long): Boolean =
+    version >= 0 && fs.exists(new Path(logDir, f"v$version%020d.json"))
+
   /** Live data files (relative paths) of a version's manifest. */
   def manifestFiles(version: Long = currentVersion): Seq[String] = {
     if (version < 0) return Nil
@@ -95,10 +100,17 @@ final class GraftTable private (
     * the claimed predecessor version — AFTER the version claim, so a
     * concurrent commit landing between a caller's manifest read and the
     * claim can never be dropped from an append's carried-over list. */
+  /** `carriedStats` supplies bounds for files whose footers this table
+    * has never read (clone/convert adopting another table's files) —
+    * consulted before falling back to a footer read; `collectStats =
+    * false` skips the fallback entirely (files without stats are simply
+    * never pruned — correct, just unoptimized). */
   private def commit(operation: String, files: Seq[String],
       metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
-      filesAtBase: Option[Long => Seq[String]] = None): Long = {
+      filesAtBase: Option[Long => Seq[String]] = None,
+      carriedStats: Map[String, Map[String, (String, String, String)]] = Map.empty,
+      collectStats: Boolean = true): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -113,8 +125,10 @@ final class GraftTable private (
     // same "commit metadata fits on the driver" assumption as the
     // manifest; a 100 TB ingest would collect footers in a Spark job.)
     val prevStats = statsOf(v - 1)
-    val stats = committedFiles.map { f =>
-      f -> prevStats.getOrElse(f, collectFileStats(f))
+    val stats = committedFiles.flatMap { f =>
+      prevStats.get(f).orElse(carriedStats.get(f))
+        .orElse(if (collectStats) Some(collectFileStats(f)) else None)
+        .map(f -> _)
     }.toMap
     val filesPath = new Path(logDir, f"v$v%020d.files")
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
@@ -146,6 +160,7 @@ final class GraftTable private (
     // .json rename is the commit point; a .files without .json is garbage
     writeAtomic(jsonPath,
       s"""{"version":$v,"timestamp":"${java.time.Instant.now()}","operation":"${jsonEscape(operation)}","operationMetrics":$metricsJson}""")
+    if (v > 0 && v % GraftTable.CheckpointInterval == 0) writeCheckpoint(v)
     v
   }
 
@@ -480,23 +495,86 @@ final class GraftTable private (
 
   // ---- idempotent writes (Delta txnAppId/txnVersion parity) ------------
 
-  /** Highest transaction version committed for `appId`, −1 if none —
-    * Delta's SetTransaction lookup. Scans the commit records on the
-    * driver (same metadata-fits-on-driver assumption as the manifest;
-    * Delta bounds this with log checkpoints). */
-  def lastTxnVersion(appId: String): Long = {
-    if (!fs.exists(logDir)) return -1L
-    val re = (""""txnAppId":"""" + java.util.regex.Pattern.quote(jsonEscape(appId)) +
-      """","txnVersion":"(-?\d+)"""").r
-    (0L to currentVersion).foldLeft(-1L) { (best, v) =>
-      val p = new Path(logDir, f"v$v%020d.json")
-      if (!fs.exists(p)) best
-      else {
+  // ---- manifest log checkpoints (Delta's _last_checkpoint parity) ------
+  //
+  // Every CheckpointInterval commits, the commit also writes a
+  // vN.ckpt.tsv aggregating the txnAppId → max txnVersion map over
+  // v0..vN, so the SetTransaction lookup reads one checkpoint plus at
+  // most CheckpointInterval commit-record tails instead of every record
+  // since v0 — at thousands of versions the commit / stream-restart
+  // path stays O(interval). `cleanupLog` writes a fresh checkpoint
+  // before truncating, so dropping old commit records never loses
+  // aggregated txn state (file lists / constraints / stats need no
+  // checkpointing: each version's sidecars are already full snapshots).
+
+  /** Latest checkpoint at or below `upTo`, if any. */
+  def latestCheckpointVersion(upTo: Long = currentVersion): Option[Long] = {
+    if (!fs.exists(logDir)) return None
+    val vs = fs.listStatus(logDir).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".ckpt.tsv"))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".ckpt.tsv").toLong).toOption
+      else None
+    }.filter(_ <= upTo)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** txnAppId (JSON-escaped form) → txnVersion pair of one commit
+    * record, if the commit carried one. */
+  private val TxnRe =
+    """"txnAppId":"((?:[^"\\]|\\.)*)","txnVersion":"(-?\d+)"""".r
+
+  private def txnOf(v: Long): Option[(String, Long)] = {
+    val p = new Path(logDir, f"v$v%020d.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    TxnRe.findFirstMatchIn(s).map(m => m.group(1) -> m.group(2).toLong)
+  }
+
+  /** Aggregated txn map (escaped appId → max version) through `v`:
+    * latest checkpoint ≤ v, then the commit-record tail. */
+  private def txnMapAt(v: Long): Map[String, Long] = {
+    val ckpt = latestCheckpointVersion(v)
+    val base: Map[String, Long] = ckpt match {
+      case None => Map.empty
+      case Some(c) =>
+        val p = new Path(logDir, f"v$c%020d.ckpt.tsv")
         val in = fs.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        re.findFirstMatchIn(s).map(_.group(1).toLong).filter(_ > best).getOrElse(best)
+        def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.split('\t')).collect {
+            case Array(a, tv) => dec(a) -> tv.toLong
+          }.toMap
+        finally in.close()
+    }
+    ((ckpt.getOrElse(-1L) + 1) to v).foldLeft(base) { (m, i) =>
+      txnOf(i) match {
+        case Some((a, tv)) if tv > m.getOrElse(a, -1L) => m + (a -> tv)
+        case _ => m
       }
     }
+  }
+
+  /** Write the checkpoint sidecar for `v` (best-effort: derived data). */
+  private def writeCheckpoint(v: Long): Unit =
+    try {
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val content = txnMapAt(v).toSeq.sortBy(_._1)
+        .map { case (a, tv) => s"${enc(a)}\t$tv" }.mkString("\n")
+      val target = new Path(logDir, f"v$v%020d.ckpt.tsv")
+      val tmp = new Path(logDir, f".v$v%020d.ckpt.tsv.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      fs.rename(tmp, target)
+    } catch { case _: Exception => () }
+
+  /** Highest transaction version committed for `appId`, −1 if none —
+    * Delta's SetTransaction lookup. Reads the latest checkpoint plus at
+    * most CheckpointInterval commit records. */
+  def lastTxnVersion(appId: String): Long = {
+    if (!fs.exists(logDir)) return -1L
+    txnMapAt(currentVersion).getOrElse(jsonEscape(appId), -1L)
   }
 
   /** Exactly-once append for streaming sinks: the batch commits only if
@@ -942,11 +1020,17 @@ final class GraftTable private (
     require(t.currentVersion < 0,
       s"$targetPath is already a graft table (v${t.currentVersion})")
     val rootAbs = root.toUri.getPath
-    val absFiles = manifestFiles(srcV).map(f =>
-      if (f.startsWith("/")) f else s"$rootAbs/$f")
+    def abs(f: String) = if (f.startsWith("/")) f else s"$rootAbs/$f"
+    val absFiles = manifestFiles(srcV).map(abs)
+    // the source already read these footers at ITS commits: carry its
+    // stats sidecar (keys rewritten to the clone's absolute entries)
+    // instead of re-reading every footer on the driver — this is what
+    // keeps "cloning a 100 TB table costs one manifest write" true
+    val carried = statsOf(srcV).map { case (f, cols) => abs(f) -> cols }
     t.commit("CLONE", absFiles, Map(
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
-      newConstraints = Some(constraintsOf(srcV)))
+      newConstraints = Some(constraintsOf(srcV)),
+      carriedStats = carried, collectStats = false)
     t
   }
 
@@ -960,8 +1044,13 @@ final class GraftTable private (
     * number of versions dropped. */
   def cleanupLog(keepVersions: Int = 30): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
-    val cutoff = currentVersion - keepVersions
+    val cur = currentVersion
+    val cutoff = cur - keepVersions
     if (cutoff < 0 || !fs.exists(logDir)) return 0
+    // aggregate txn state of the to-be-dropped commit records into a
+    // fresh checkpoint first, so truncation never loses replay
+    // protection (exactly-once streams span cleanups)
+    if (!latestCheckpointVersion(cur).exists(_ > cutoff)) writeCheckpoint(cur)
     var dropped = 0
     (0L to cutoff).foreach { v =>
       val json = new Path(logDir, f"v$v%020d.json")
@@ -974,6 +1063,8 @@ final class GraftTable private (
         fs.delete(json, false)
         dropped += 1
       }
+      // superseded checkpoints go with their versions
+      fs.delete(new Path(logDir, f"v$v%020d.ckpt.tsv"), false)
     }
     dropped
   }
@@ -1054,6 +1145,10 @@ object GraftTable {
     * files (DESIGN.md:20-24; Delta's optimize default). */
   val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
 
+  /** Commits between txn-map checkpoints — the SetTransaction lookup
+    * reads one checkpoint + at most this many commit-record tails. */
+  val CheckpointInterval: Long = 10L
+
   /** A concurrent writer claimed the version this commit targeted.
     * Blind appends retry on it (their file list recomputes against the
     * new manifest); snapshot-derived commits (OPTIMIZE/DELETE/MERGE)
@@ -1070,14 +1165,19 @@ object GraftTable {
     * no data is read or rewritten, so converting a 100 TB directory
     * costs one file listing. The table must not already be a graft
     * table. */
+  /** `collectStats = false` skips the per-file footer read — converting
+    * a huge directory then costs only the listing; files without stats
+    * are never pruned until a later OPTIMIZE recollects them. */
   def convert(spark: SparkSession, path: String,
-      partitionColumns: Seq[String] = Nil): GraftTable = {
+      partitionColumns: Seq[String] = Nil,
+      collectStats: Boolean = true): GraftTable = {
     val t = new GraftTable(spark, path, partitionColumns)
     require(t.currentVersion < 0,
       s"$path is already a graft table (v${t.currentVersion})")
     val files = t.listDataFiles().map(_._1)
     require(files.nonEmpty, s"no parquet files under $path to convert")
-    t.commit("CONVERT", files, Map("numFiles" -> files.size.toString))
+    t.commit("CONVERT", files, Map("numFiles" -> files.size.toString),
+      collectStats = collectStats)
     t
   }
 }

@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
     assert(clusters.values.toSet.forall(l => clusters(l) == l))
   }
 
+  test("connectedComponents on a long path: correct labels, flat plan size") {
+    import spark.implicits._
+    // a diameter-40 path graph forces ~20+ label-propagation rounds —
+    // without per-round lineage truncation the final plan would chain
+    // every round's join
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.dedup.Dedup.connectedComponents(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 40L).toSet)
+    assert(got.values.forall(_ == 0L), "single component labeled by min id")
+    // localCheckpoint each round ⇒ the result is a leaf scan, not a
+    // 20-round join chain
+    val planNodes = labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes <= 3, s"expected checkpointed leaf plan, got $planNodes nodes")
+  }
+
   test("uncached dedup self-joins reuse exchanges instead of rescanning") {
     // dedupMinhash/dedupSimhash deliberately carry no .cache() (a session
     // cache would leak across the driver's multi-query Verify run); the

@@ -327,6 +327,14 @@ class MutationSpec extends SparkSpec {
     assert(clone.history().select("operation").collect().map(_.getString(0)).toSeq
       == Seq("CLONE"))
     assert(clone.detail().sizeInBytes == src.detail().sizeInBytes)
+    // stats are CARRIED from the source sidecar, not re-read from
+    // footers (zero footer reads — "clone costs one manifest write"):
+    // byte-identical bounds under the rewritten absolute keys
+    val srcRoot = new org.apache.hadoop.fs.Path(src.path).toUri.getPath
+    val expectedStats = src.statsOf(src.currentVersion)
+      .map { case (f, cols) => s"$srcRoot/$f" -> cols }
+    assert(expectedStats.nonEmpty)
+    assert(clone.statsOf(0L) == expectedStats)
 
     // copy-on-write divergence: delete on the clone rewrites ONLY the
     // affected files into the clone's directory; the source is untouched

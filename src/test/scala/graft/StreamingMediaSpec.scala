@@ -129,6 +129,58 @@ class StreamingTableSpec extends SparkSpec {
     assert(table.lastTxnVersion("unknown-app") == -1L)
   }
 
+  test("readStream on an empty table fails clearly; expired offsets name log retention") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // not-yet-written path: clear contract error, not a raw crash
+    val empty = java.nio.file.Files.createTempDirectory("graft_stream_empty").toString
+    val e1 = intercept[IllegalStateException] {
+      spark.readStream.format("graft").load(empty)
+    }
+    assert(e1.getMessage.contains("no commits yet"), e1.getMessage)
+
+    // restart whose checkpointed offset predates log retention: explicit
+    // start-version-expired error naming cleanupLog
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_expired").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    (0 until 5).foreach { i =>
+      t.write(Seq(i.toLong).toDF("v"), org.apache.spark.sql.SaveMode.Append)
+    }
+    t.cleanupLog(keepVersions = 1) // drops v0..v3
+    assert(!t.hasVersion(0L) && t.hasVersion(4L))
+    val src = new graft.sources.GraftStreamSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], path, None)
+    val e2 = intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(0L)), LongOffset(4L))
+    }
+    assert(e2.getMessage.contains("log retention"), e2.getMessage)
+    // a retained offset still serves its batch
+    assert(src.getBatch(Some(LongOffset(4L)), LongOffset(4L)).isStreaming)
+  }
+
+  test("txn checkpoints: exactly-once survives log cleanup; tail scan stays bounded") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ckpt_tbl").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    val one = Seq(1L).toDF("v")
+    // a long-running stream: 25 batches → v0..v24, checkpoints at v10/v20
+    (0 until 25).foreach { b => assert(t.idempotentAppend(one, "app", b).isDefined) }
+    assert(t.latestCheckpointVersion().contains(20L))
+    // the lookup reads ckpt + tail, never the whole log
+    assert(t.currentVersion - t.latestCheckpointVersion().get <=
+      graft.table.GraftTable.CheckpointInterval)
+    // truncate the log hard: only the last 2 versions' records remain
+    assert(t.cleanupLog(keepVersions = 2) > 0)
+    // replay protection MUST survive the truncation (the dropped commit
+    // records' txn state was folded into a checkpoint first)
+    assert(t.lastTxnVersion("app") == 24L)
+    (0 until 25).foreach { b => assert(t.idempotentAppend(one, "app", b).isEmpty) }
+    assert(t.read().count() == 25)
+    // and new batches keep committing on top
+    assert(t.idempotentAppend(one, "app", 25L).isDefined)
+    assert(t.lastTxnVersion("app") == 25L)
+  }
+
   test("maxVersionsPerTrigger bounds catch-up to N versions per micro-batch") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_throttle").toString
