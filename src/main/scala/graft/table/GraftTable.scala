@@ -125,9 +125,30 @@ final class GraftTable private (
     // same "commit metadata fits on the driver" assumption as the
     // manifest; a 100 TB ingest would collect footers in a Spark job.)
     val prevStats = statsOf(v - 1)
+    // files this table has never seen pay the footer read; wide commits
+    // (bulk ingest, full-table OPTIMIZE) read footers in a Spark job so
+    // commit latency doesn't scale with the driver's serial I/O
+    val needFooter = committedFiles
+      .filterNot(f => prevStats.contains(f) || carriedStats.contains(f))
+    val collected: Map[String, Map[String, (String, String, String)]] =
+      if (!collectStats || needFooter.isEmpty) Map.empty
+      else if (needFooter.size < GraftTable.DistributedStatsThreshold)
+        needFooter.map(f => f -> collectFileStats(f)).toMap
+      else {
+        val items = needFooter.map(f => f -> dataPath(f).toString)
+        val sconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val bc = spark.sparkContext.broadcast(sconf)
+        val slices = math.min(items.size,
+          spark.sparkContext.defaultParallelism * 2)
+        try spark.sparkContext.parallelize(items, slices)
+          .map { case (entry, abs) =>
+            entry -> GraftTable.footerStats(abs, bc.value.value) }
+          .collect().toMap
+        finally bc.destroy()
+      }
     val stats = committedFiles.flatMap { f =>
-      prevStats.get(f).orElse(carriedStats.get(f))
-        .orElse(if (collectStats) Some(collectFileStats(f)) else None)
+      prevStats.get(f).orElse(carriedStats.get(f)).orElse(collected.get(f))
         .map(f -> _)
     }.toMap
     val filesPath = new Path(logDir, f"v$v%020d.files")
@@ -207,91 +228,12 @@ final class GraftTable private (
     finally in.close()
   }
 
-  /** Unsigned UTF-8 byte comparison — parquet binary min/max and Spark
-    * both order strings this way; java.lang.String.compareTo (UTF-16
-    * code units) disagrees for supplementary-plane characters, which
-    * would make range pruning unsound. */
-  private def utf8Compare(a: String, b: String): Int =
-    java.util.Arrays.compareUnsigned(
-      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+  private def utf8Compare(a: String, b: String): Int = GraftTable.utf8Compare(a, b)
 
   /** Footer-derived min/max of one file's top-level primitive columns
     * (empty map when the footer has no usable stats). */
   private def collectFileStats(file: String): Map[String, (String, String, String)] =
-    try {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.format.converter.ParquetMetadataConverter
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      import org.apache.parquet.schema.LogicalTypeAnnotation.{
-        DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
-      import scala.jdk.CollectionConverters._
-      val footer = ParquetFileReader.readFooter(
-        spark.sessionState.newHadoopConf(), dataPath(file),
-        ParquetMetadataConverter.NO_FILTER)
-      val perCol = scala.collection.mutable.Map[String, (String, String, String)]()
-      var dropped = Set.empty[String] // any row group without stats poisons the column
-      footer.getBlocks.asScala.foreach { block =>
-        block.getColumns.asScala.foreach { cc =>
-          val pathParts = cc.getPath.toArray
-          if (pathParts.length == 1) {
-            val name = pathParts(0)
-            val st = cc.getStatistics
-            val prim = cc.getPrimitiveType
-            // tag + a transform from the raw footer stat to the bound we
-            // store; logical types whose physical stats don't compare
-            // against pushed-filter values get NO tag (conservative: the
-            // column is never pruned on)
-            val tagOpt: Option[(String, String => String)] =
-              prim.getPrimitiveTypeName match {
-                case INT32 | INT64 => prim.getLogicalTypeAnnotation match {
-                  case null => Some(("long", identity))
-                  case _: IntLogicalTypeAnnotation => Some(("long", identity))
-                  case d: DecimalLogicalTypeAnnotation =>
-                    // precision<=18 decimals are stored as UNSCALED ints;
-                    // rescale so bounds compare against the filter's
-                    // scaled BigDecimal (raw bounds would prune wrongly)
-                    val scale = d.getScale
-                    Some(("long", s => new java.math.BigDecimal(
-                      new java.math.BigInteger(s), scale).toPlainString))
-                  case _ => None // DATE/TIMESTAMP/TIME: values aren't Numbers
-                }
-                case FLOAT | DOUBLE => Some(("double", identity))
-                case BINARY if prim.getLogicalTypeAnnotation != null &&
-                  prim.getLogicalTypeAnnotation.toString == "STRING" =>
-                  Some(("string", identity))
-                case _ => None
-              }
-            (tagOpt, Option(st)) match {
-              case (Some((tag, toBound)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
-                val (lo, hi) = tag match {
-                  case "string" =>
-                    (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
-                     s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                  case _ => (toBound(s.genericGetMin.toString), toBound(s.genericGetMax.toString))
-                }
-                // ±Infinity/NaN bounds carry no interval information and
-                // would crash the BigDecimal compare — poison the column
-                def finite(x: String) =
-                  scala.util.Try(new java.math.BigDecimal(x)).isSuccess
-                if (tag == "double" && (!finite(lo) || !finite(hi))) {
-                  dropped += name; perCol.remove(name)
-                } else perCol.get(name) match {
-                  case None => perCol(name) = (tag, lo, hi)
-                  case Some((t, plo, phi)) =>
-                    def lt(a: String, b: String): Boolean =
-                      if (t == "string") utf8Compare(a, b) < 0
-                      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
-                    perCol(name) = (t, if (lt(lo, plo)) lo else plo, if (lt(phi, hi)) hi else phi)
-                }
-              case (Some(_), _) if !dropped(name) =>
-                dropped += name; perCol.remove(name)
-              case _ => ()
-            }
-          }
-        }
-      }
-      perCol.toMap
-    } catch { case _: Exception => Map.empty } // stats are an optimization, never required
+    GraftTable.footerStats(dataPath(file).toString, spark.sessionState.newHadoopConf())
 
   /** The subset of `version`'s files that MAY contain rows matching all
     * `filters` (conservative: a file is kept unless its stats prove no
@@ -1148,6 +1090,101 @@ object GraftTable {
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */
   val CheckpointInterval: Long = 10L
+
+  /** Commits adding at least this many new files collect their footer
+    * stats in a Spark job instead of serially on the driver — a bulk
+    * ingest or full-table OPTIMIZE commit reads thousands of footers;
+    * below it, job-launch overhead beats the driver loop. */
+  val DistributedStatsThreshold: Int = 12
+
+  /** Unsigned UTF-8 byte comparison — parquet binary min/max and Spark
+    * both order strings this way; java.lang.String.compareTo (UTF-16
+    * code units) disagrees for supplementary-plane characters, which
+    * would make range pruning unsound. */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Footer-derived min/max of one parquet file's top-level primitive
+    * columns (empty when the footer has no usable stats). Static, so
+    * the distributed stats-collection job can run it on executors. */
+  private[graft] def footerStats(file: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, (String, String, String)] =
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.format.converter.ParquetMetadataConverter
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{
+        DecimalLogicalTypeAnnotation, IntLogicalTypeAnnotation}
+      import scala.jdk.CollectionConverters._
+      val footer = ParquetFileReader.readFooter(
+        conf, new Path(file), ParquetMetadataConverter.NO_FILTER)
+      val perCol = scala.collection.mutable.Map[String, (String, String, String)]()
+      var dropped = Set.empty[String] // any row group without stats poisons the column
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val pathParts = cc.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts(0)
+            val st = cc.getStatistics
+            val prim = cc.getPrimitiveType
+            // tag + a transform from the raw footer stat to the bound we
+            // store; logical types whose physical stats don't compare
+            // against pushed-filter values get NO tag (conservative: the
+            // column is never pruned on)
+            val tagOpt: Option[(String, String => String)] =
+              prim.getPrimitiveTypeName match {
+                case INT32 | INT64 => prim.getLogicalTypeAnnotation match {
+                  case null => Some(("long", identity))
+                  case _: IntLogicalTypeAnnotation => Some(("long", identity))
+                  case d: DecimalLogicalTypeAnnotation =>
+                    // precision<=18 decimals are stored as UNSCALED ints;
+                    // rescale so bounds compare against the filter's
+                    // scaled BigDecimal (raw bounds would prune wrongly)
+                    val scale = d.getScale
+                    Some(("long", s => new java.math.BigDecimal(
+                      new java.math.BigInteger(s), scale).toPlainString))
+                  case _ => None // DATE/TIMESTAMP/TIME: values aren't Numbers
+                }
+                case FLOAT | DOUBLE => Some(("double", identity))
+                case BINARY if prim.getLogicalTypeAnnotation != null &&
+                  prim.getLogicalTypeAnnotation.toString == "STRING" =>
+                  Some(("string", identity))
+                case _ => None
+              }
+            (tagOpt, Option(st)) match {
+              case (Some((tag, toBound)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
+                val (lo, hi) = tag match {
+                  case "string" =>
+                    (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                     s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  case _ => (toBound(s.genericGetMin.toString), toBound(s.genericGetMax.toString))
+                }
+                // ±Infinity/NaN bounds carry no interval information and
+                // would crash the BigDecimal compare — poison the column
+                def finite(x: String) =
+                  scala.util.Try(new java.math.BigDecimal(x)).isSuccess
+                if (tag == "double" && (!finite(lo) || !finite(hi))) {
+                  dropped += name; perCol.remove(name)
+                } else perCol.get(name) match {
+                  case None => perCol(name) = (tag, lo, hi)
+                  case Some((t, plo, phi)) =>
+                    def lt(a: String, b: String): Boolean =
+                      if (t == "string") utf8Compare(a, b) < 0
+                      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+                    perCol(name) = (t, if (lt(lo, plo)) lo else plo, if (lt(phi, hi)) hi else phi)
+                }
+              case (Some(_), _) if !dropped(name) =>
+                dropped += name; perCol.remove(name)
+              case _ => ()
+            }
+          }
+        }
+      }
+      perCol.toMap
+    } catch { case _: Exception => Map.empty } // stats are an optimization, never required
 
   /** A concurrent writer claimed the version this commit targeted.
     * Blind appends retry on it (their file list recomputes against the

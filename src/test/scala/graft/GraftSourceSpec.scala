@@ -156,6 +156,30 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.dataSkippedFiles(v, Seq(IsNotNull("id"))).size == t.manifestFiles().size)
   }
 
+  test("wide commits collect footer stats distributed, identical to the driver path") {
+    val path = Files.createTempDirectory("gsrc_dist").toString
+    val t = GraftTable(spark, path)
+    val df = spark.range(0, 6400).toDF("id")
+      .withColumn("v", col("id") * 2.0)
+      .withColumn("s", format_string("s%05d", col("id")))
+    // 16 files >= DistributedStatsThreshold → the commit's stats job
+    // runs on executors instead of a serial driver loop
+    t.write(df.repartitionByRange(16, col("id")).sortWithinPartitions("id"))
+    assert(t.manifestFiles().size == 16)
+    assert(t.manifestFiles().size >= graft.table.GraftTable.DistributedStatsThreshold)
+    val stats = t.statsOf(t.currentVersion)
+    assert(stats.size == 16)
+    // byte-identical to reading every footer on the driver
+    val conf = spark.sessionState.newHadoopConf()
+    t.manifestFiles().foreach { f =>
+      assert(stats(f) == graft.table.GraftTable.footerStats(s"$path/$f", conf), f)
+    }
+    // and the bounds actually prune
+    import org.apache.spark.sql.sources.EqualTo
+    assert(t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("id", 10L))).size == 1)
+    assert(spark.read.format("graft").load(path).filter(col("id") === 10L).count() == 1)
+  }
+
   test("decimal columns never mis-prune: filtered read == unfiltered + filter") {
     // ADVICE r4 high: precision<=18 decimals are stored as UNSCALED ints
     // in parquet footers; comparing those raw against the filter's scaled
