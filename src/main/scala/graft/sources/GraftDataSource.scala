@@ -28,7 +28,8 @@ import graft.table.GraftTable
   * schema enforcement).
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -72,6 +73,29 @@ final class GraftDataSource extends RelationProvider
       parameters.get("startingVersion").map(_.toLong),
       changeFeed = isCdf(parameters),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+
+  // ---- streaming write: writeStream.format("graft").start(path) --------
+
+  /** Exactly-once streaming sink: each micro-batch is an idempotent
+    * append keyed by (checkpoint identity, batchId) — the Delta
+    * streaming-sink contract. A batch replayed after a restart (sink
+    * committed, checkpoint didn't advance) is skipped, not duplicated;
+    * a distinct checkpoint (new stream) gets a distinct txn app id and
+    * appends independently. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+      "(aggregate with watermarks + append, or use foreachBatch + merge)")
+    val path = pathOf(parameters)
+    val parts = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+    new GraftStreamSink(path, parts,
+      parameters.get("queryName"), parameters.get("checkpointLocation"))
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -187,6 +211,36 @@ final class GraftStreamSource(
 
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** DSv1 streaming Sink appending micro-batches into a graft table —
+  * the write-side pairing of [[GraftStreamSource]]. Exactly-once: the
+  * txn app id derives from the stream's checkpoint location (stable
+  * across restarts, distinct across streams), the txn version is the
+  * batch id, so `idempotentAppend` turns a replayed batch into a no-op.
+  * Concurrent batch writers to the same table are safe: appends retry
+  * through the version-claim conflict path. */
+final class GraftStreamSink(path: String, partitionColumns: Seq[String],
+    queryName: Option[String], checkpointLocation: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.hadoop.fs.Path
+
+  private val appId: String =
+    checkpointLocation.map(c => s"graft-sink-${new Path(c).toUri.getPath}")
+      .orElse(queryName.map(q => s"graft-sink-q-$q"))
+      // no checkpoint → no recovery semantics anyway; a unique id keeps
+      // unrelated ad-hoc streams from colliding on replay protection
+      .getOrElse(s"graft-sink-${java.util.UUID.randomUUID}")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val table = GraftTable(data.sparkSession, path, partitionColumns)
+    // the incoming frame is streaming-tagged: re-plan it as a batch
+    // frame over the same rows before the batch writer executes it
+    val batch = org.apache.spark.sql.graft.ColumnBridge.batchDataFrame(data)
+    table.idempotentAppend(batch, appId, batchId)
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 final case class GraftRelation(sqlContext: SQLContext, path: String,

@@ -23,4 +23,16 @@ object ColumnBridge {
       schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame =
     session.internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Re-plan a micro-batch's streaming-tagged DataFrame as a BATCH frame
+    * over the same InternalRow RDD — what a DSv1 streaming Sink must do
+    * before handing the batch to a batch writer (executing the streaming
+    * frame directly throws UnsupportedOperationChecker). */
+  def batchDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+        .queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

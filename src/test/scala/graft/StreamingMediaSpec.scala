@@ -129,6 +129,54 @@ class StreamingTableSpec extends SparkSpec {
     assert(table.lastTxnVersion("unknown-app") == -1L)
   }
 
+  test("writeStream.format(graft): exactly-once append sink, restart-safe") {
+    import spark.implicits._
+    val srcPath = java.nio.file.Files.createTempDirectory("graft_sink_src").toString
+    val dstPath = java.nio.file.Files.createTempDirectory("graft_sink_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val s = graft.table.GraftTable(spark, srcPath, Nil)
+    s.write((0 until 500).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    def startQuery() = spark.readStream.format("graft").load(srcPath)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(dstPath)
+    val q = startQuery()
+    val d = graft.table.GraftTable(spark, dstPath, Nil)
+    try {
+      q.processAllAvailable()
+      assert(d.read().count() == 500)
+      s.write((500 until 800).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+        org.apache.spark.sql.SaveMode.Append)
+      q.processAllAvailable()
+      assert(d.read().count() == 800)
+    } finally q.stop()
+    // restart from the same checkpoint: nothing re-lands, new data flows
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(d.read().count() == 800, "restart must not duplicate batches")
+      s.write((800 until 900).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+        org.apache.spark.sql.SaveMode.Append)
+      q2.processAllAvailable()
+      assert(d.read().count() == 900)
+      assert(d.read().select("id").distinct().count() == 900)
+    } finally q2.stop()
+    // the sink's appends carry the txn contract in the audit log
+    val metrics = d.history().selectExpr("operationMetrics.txnAppId")
+      .collect().flatMap(r => Option(r.getString(0)))
+    assert(metrics.nonEmpty && metrics.forall(_.startsWith("graft-sink-")))
+    // non-append output modes are rejected with a clear error
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").load(srcPath)
+        .groupBy("id").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_sink_ckpt2").toString)
+        .start(java.nio.file.Files.createTempDirectory("graft_sink_dst2").toString)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("readStream on an empty table fails clearly; expired offsets name log retention") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
