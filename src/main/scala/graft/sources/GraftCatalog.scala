@@ -19,15 +19,17 @@ import graft.table.GraftTable
   * (`SELECT * FROM graft.`/path/to/table``), registered as
   * {{{ spark.sql.catalog.graft = graft.sources.GraftCatalog }}}
   *
-  * What DSv2 adds over the DSv1 `format("graft")` source (which stays
-  * the write path until full parity):
+  * What DSv2 adds over the DSv1 `format("graft")` source:
   *
   *  - SQL time travel: `SELECT … FROM graft.`/p`` VERSION AS OF n` —
   *    the analyzer routes the version string to
   *    [[GraftCatalog.loadTable(ident,version*]];
   *  - catalog-integrated resolution: the table reports its identity,
   *    partitioning (identity transforms of the hive columns) and
-  *    properties to the analyzer.
+  *    properties to the analyzer;
+  *  - SQL DML: `INSERT INTO graft.`/p`` … ` appends and
+  *    `INSERT OVERWRITE` logically replaces, through the V1 write shim
+  *    onto the same commit protocol as every other writer.
   *
   * Scans bridge through DSv2's official [[V1Scan]] migration shim onto
   * the same pinned-snapshot pruned/filtered scan as [[GraftRelation]],
@@ -35,10 +37,11 @@ import graft.table.GraftTable
   * the parquet reader identically on both paths (GraftSourceSpec
   * asserts the pruning on the DSv2 plan too).
   *
-  * Catalog mutations (CREATE/ALTER/DROP via this catalog) are rejected:
-  * graft tables are path-based single-writer tables created through
-  * `df.write.format("graft")` / the GraftTable API; a DSv2 write path
-  * would need commit coordination this layer doesn't own.
+  * Catalog DDL (CREATE/ALTER/DROP via this catalog) is rejected: graft
+  * tables are path-addressed and carry no catalog-persisted schema, so
+  * creation goes through `df.write.format("graft").save(path)` (the
+  * first write establishes the schema); DROP is `rm -r` of the path by
+  * design (the reference's external-table contract, DESIGN.md).
   */
 final class GraftCatalog extends TableCatalog {
 
@@ -84,9 +87,15 @@ final class GraftCatalog extends TableCatalog {
 
 /** A graft table surfaced through the DSv2 Table interface: snapshot
   * (version + schema) pinned at load, so analysis and execution see one
-  * consistent version even under concurrent commits. */
+  * consistent version even under concurrent commits. Writes (`INSERT
+  * INTO` appends, `INSERT OVERWRITE` logical truncate-and-write) bridge
+  * through DSv2's official [[org.apache.spark.sql.connector.write.V1Write]]
+  * shim onto [[GraftTable.write]], so schema enforcement, constraint
+  * validation, the version-claim commit protocol and append conflict
+  * retry all apply identically to SQL and API writers. */
 final case class GraftV2Table(spark: SparkSession, path: String,
-    versionAsOf: Option[Long]) extends Table with SupportsRead {
+    versionAsOf: Option[Long]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private val table = GraftTable(spark, path)
   private val pinnedVersion: Long = versionAsOf.getOrElse(table.currentVersion)
@@ -98,14 +107,18 @@ final case class GraftV2Table(spark: SparkSession, path: String,
   override def schema(): StructType = snapshot.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** Hive partition columns, recovered from the manifest's file paths. */
-  override def partitioning(): Array[Transform] =
-    table.manifestFiles(pinnedVersion).headOption.toArray.flatMap {
+  private def hivePartitionCols(version: Long): Seq[String] =
+    table.manifestFiles(version).headOption.toSeq.flatMap {
       f => f.split('/').dropRight(1).filter(_.contains('='))
-        .map(d => Expressions.identity(d.takeWhile(_ != '=')))
+        .map(_.takeWhile(_ != '='))
     }
+
+  override def partitioning(): Array[Transform] =
+    hivePartitionCols(pinnedVersion).map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> path,
@@ -114,6 +127,33 @@ final case class GraftV2Table(spark: SparkSession, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot,
       filters => table.readVersionPruned(pinnedVersion, filters))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to a time-travel relation ($name)")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): this.type = { overwrite = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: DataFrame, _: Boolean) => {
+              // write against the CURRENT layout (not the pinned read
+              // snapshot): hive partitioning carries over on append
+              val t = GraftTable(data.sparkSession, path,
+                hivePartitionCols(table.currentVersion))
+              t.write(data, if (overwrite)
+                org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.Append)
+              ()
+            }
+        }
+    }
+  }
 }
 
 /** Standard DSv2 pushdown negotiation; the filters are accepted as

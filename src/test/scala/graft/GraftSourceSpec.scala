@@ -156,6 +156,46 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.dataSkippedFiles(v, Seq(IsNotNull("id"))).size == t.manifestFiles().size)
   }
 
+  test("DSv2 SQL DML: INSERT INTO appends, INSERT OVERWRITE replaces, layout preserved") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val path = Files.createTempDirectory("gsrc_v2w").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(2))
+    val n0 = t.read().count()
+
+    // INSERT INTO … SELECT: appended through the same commit protocol
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM graft.`$path` WHERE ticker = 'AAPL'""".stripMargin)
+    val aapl = bars.filter(col("ticker") === "AAPL").count()
+    assert(t.read().count() == n0 + aapl)
+    assert(t.history().select("operation").collect().map(_.getString(0))
+      .contains("APPEND"))
+    // hive layout preserved on the SQL append: new files still live in
+    // ticker=/trade_date= partition dirs (partition pruning keeps working)
+    assert(t.manifestFiles().forall(f =>
+      f.contains("ticker=") && f.contains("trade_date=")), t.manifestFiles().take(3))
+
+    // schema enforcement reaches SQL writers too
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$path` SELECT 1")
+    }
+
+    // INSERT OVERWRITE: logical replace, old version stays time-travelable
+    val vBefore = t.currentVersion
+    spark.sql(
+      s"""INSERT OVERWRITE graft.`$path`
+         |SELECT * FROM graft.`$path` WHERE ticker = 'MSFT'""".stripMargin)
+    assert(t.read().select("ticker").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("MSFT"))
+    assert(t.readVersion(vBefore).count() == n0 + aapl)
+
+    // writes to a time-travel relation are rejected
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$path` VERSION AS OF 0 SELECT * FROM graft.`$path`")
+    }
+  }
+
   test("wide commits collect footer stats distributed, identical to the driver path") {
     val path = Files.createTempDirectory("gsrc_dist").toString
     val t = GraftTable(spark, path)
