@@ -67,6 +67,15 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     GraftV2Table(SparkSession.active, pathOf(ident), Some(version.toLong))
 
+  /** `TIMESTAMP AS OF ts` — the analyzer hands epoch MICROseconds;
+    * resolve to the latest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    GraftV2Table(spark, path,
+      Some(GraftTable(spark, path).versionAtTime(timestamp / 1000L)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftTable(SparkSession.active, pathOf(ident)).currentVersion >= 0
 

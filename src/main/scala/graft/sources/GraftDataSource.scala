@@ -38,9 +38,20 @@ final class GraftDataSource extends RelationProvider
       "graft source requires a path (load(path) or OPTIONS (path ...))"))
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation =
-    GraftRelation(sqlContext, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+      parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    // timestampAsOf (ISO-8601 instant or epoch millis) resolves to the
+    // latest version committed at or before it — Delta's TIMESTAMP AS OF
+    val byTime = parameters.get("timestampAsOf").map { ts =>
+      val ms = scala.util.Try(ts.toLong).getOrElse(
+        java.time.Instant.parse(ts).toEpochMilli)
+      GraftTable(sqlContext.sparkSession, path).versionAtTime(ms)
+    }
+    require(byTime.isEmpty || !parameters.contains("versionAsOf"),
+      "specify either versionAsOf or timestampAsOf, not both")
+    GraftRelation(sqlContext, path,
+      byTime.orElse(parameters.get("versionAsOf").map(_.toLong)))
+  }
 
   // ---- streaming read: readStream.format("graft").load(path) -----------
 

@@ -110,15 +110,18 @@ final class GraftTable private (
       newConstraints: Option[Map[String, String]] = None,
       filesAtBase: Option[Long => Seq[String]] = None,
       carriedStats: Map[String, Map[String, (String, String, String)]] = Map.empty,
-      collectStats: Boolean = true): Long = {
+      collectStats: Boolean = true,
+      newGenerated: Option[Map[String, String]] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
-    // constraints are table METADATA versioned with the commit (Delta
-    // records them as metadata actions in the log): carried forward
-    // unchanged unless this commit alters them
+    // constraints and generated-column definitions are table METADATA
+    // versioned with the commit (Delta records them as metadata actions
+    // in the log): carried forward unchanged unless this commit alters
+    // them
     val cs = newConstraints.getOrElse(constraints)
+    val gen = newGenerated.getOrElse(generatedColumns)
     // per-file column min/max stats (Delta data-skipping parity): stats
     // for surviving files carry over; only files ADDED by this commit
     // pay a parquet-footer read. (Footers are read on the driver — the
@@ -153,6 +156,7 @@ final class GraftTable private (
     }.toMap
     val filesPath = new Path(logDir, f"v$v%020d.files")
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
+    val generatedPath = new Path(logDir, f"v$v%020d.generated.tsv")
     val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
     val jsonPath = new Path(logDir, f"v$v%020d.json")
     def writeAtomic(target: Path, content: String): Unit = {
@@ -169,6 +173,8 @@ final class GraftTable private (
     }
     writeAtomic(filesPath, committedFiles.mkString("\n"))
     writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    writeAtomic(generatedPath, gen.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     writeAtomic(statsPath, stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -356,6 +362,78 @@ final class GraftTable private (
           s"CHECK constraint $name ($e) violated by $violations incoming rows")
     }
 
+  // ---- generated columns (Delta GENERATED ALWAYS AS parity) ------------
+  //
+  // Versioned metadata like constraints: a name → expression map in a
+  // vN.generated.tsv sidecar, carried per commit, restored by RESTORE,
+  // copied by CLONE. On write, an ABSENT generated column is computed
+  // from its expression; a PRESENT one is validated against it (a
+  // writer supplying inconsistent values is rejected). UPDATE recomputes
+  // generated columns it doesn't explicitly assign for the rewritten
+  // rows, and validates explicitly-assigned ones.
+
+  /** Generated-column set committed with `version`. */
+  def generatedOf(version: Long): Map[String, String] = {
+    if (version < 0) return Map.empty
+    val p = new Path(logDir, f"v$version%020d.generated.tsv")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
+  def generatedColumns: Map[String, String] = generatedOf(currentVersion)
+
+  /** Declare `name` GENERATED ALWAYS AS (sqlExpr). Existing rows must
+    * already satisfy the definition (scanned first, like addConstraint);
+    * the add is a commit. */
+  def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+      !sqlExpr.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "generated-column names/expressions must not contain tabs or newlines")
+    require(!generatedColumns.contains(name), s"$name is already generated")
+    if (currentVersion >= 0 && manifestFiles().nonEmpty) {
+      val cur = read()
+      require(cur.columns.contains(name),
+        s"cannot declare $name generated: the column does not exist " +
+        "(generated columns are declared over an existing column; new " +
+        "columns arrive via mergeSchema writes)")
+      val bad = cur.filter(!(col(name) <=> expr(sqlExpr))).count()
+      require(bad == 0,
+        s"cannot declare $name GENERATED AS ($sqlExpr): $bad existing rows disagree")
+    }
+    commit("ADD GENERATED COLUMN", manifestFiles(),
+      Map("name" -> name, "expr" -> sqlExpr),
+      newGenerated = Some(generatedColumns + (name -> sqlExpr)))
+  }
+
+  /** Drop the generation rule (the column stays, values keep). */
+  def dropGeneratedColumn(name: String): Unit =
+    commit("DROP GENERATED COLUMN", manifestFiles(), Map("name" -> name),
+      newGenerated = Some(generatedColumns - name))
+
+  /** Complete absent generated columns from their expressions; validate
+    * the ones the writer supplied. Returns the completed frame. */
+  private def applyGenerated(df: DataFrame): DataFrame = {
+    val gen = generatedColumns
+    if (gen.isEmpty) return df
+    val present = df.columns.toSet
+    gen.foreach { case (name, e) =>
+      if (present(name)) {
+        val bad = df.filter(!(col(name) <=> expr(e))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column $name ($e): $bad incoming rows supply a " +
+          "different value; omit the column to have it computed")
+      }
+    }
+    gen.foldLeft(df) { case (d, (name, e)) =>
+      if (present(name)) d else d.withColumn(name, expr(e))
+    }
+  }
+
   // ---- S4/S5: write ----------------------------------------------------
 
   /** Write `df`, hive-partitioned. Physical files are always appended;
@@ -371,13 +449,17 @@ final class GraftTable private (
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
       extraMetrics: Map[String, String] = Map.empty): Long = {
+    // absent generated columns complete BEFORE schema enforcement (the
+    // completed column is part of the incoming schema, not a mismatch)
+    val df0 = applyGenerated(df)
     // schema enforcement applies to OVERWRITE too (Delta behavior: an
     // accidental overwrite with a different schema must not silently
     // replace the table schema); `overwriteSchema = true` is the
     // explicit escape hatch, mirroring Delta's overwriteSchema option
-    if (currentVersion >= 0 && (mode == SaveMode.Append || !overwriteSchema)) {
+    if (currentVersion >= 0 && manifestFiles().nonEmpty &&
+        (mode == SaveMode.Append || !overwriteSchema)) {
       val existing = read().schema
-      val incoming = df.schema
+      val incoming = df0.schema
       val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
       val iTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
       val changed = eTypes.keySet.intersect(iTypes.keySet)
@@ -393,8 +475,8 @@ final class GraftTable private (
           s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve" +
           (if (mode != SaveMode.Append) " or overwriteSchema=true to replace" else ""))
     }
-    enforceConstraints(df)
-    val added = appendDataFiles(df)
+    enforceConstraints(df0)
+    val added = appendDataFiles(df0)
     val metrics =
       Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
     def attempt(): Long = mode match {
@@ -535,6 +617,38 @@ final class GraftTable private (
   /** Scan the current manifest's files. basePath keeps the hive partition
     * columns in the schema. */
   def read(): DataFrame = readVersion(currentVersion)
+
+  /** Commit wall-clock of `version` (epoch ms), from its commit record. */
+  def commitTimestamp(version: Long): Option[Long] = {
+    val p = new Path(logDir, f"v$version%020d.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    """"timestamp":"([^"]+)"""".r.findFirstMatchIn(s)
+      .flatMap(m => scala.util.Try(
+        java.time.Instant.parse(m.group(1)).toEpochMilli).toOption)
+  }
+
+  /** Latest version committed at or before `epochMs` — Delta's
+    * `TIMESTAMP AS OF` resolution. Fails when the timestamp predates
+    * every RETAINED commit (earlier records may have been cleaned up —
+    * same contract as Delta's log retention). */
+  def versionAtTime(epochMs: Long): Long = {
+    val cur = currentVersion
+    require(cur >= 0, s"graft table at $path has no commits")
+    // binary-search-free scan of retained records only: the log is
+    // bounded by cleanupLog, and timestamps are commit-monotonic
+    val candidates = (0L to cur).flatMap { v =>
+      commitTimestamp(v).filter(_ <= epochMs).map(_ => v)
+    }
+    require(candidates.nonEmpty, {
+      val earliest = (0L to cur).find(hasVersion).flatMap(commitTimestamp)
+        .map(java.time.Instant.ofEpochMilli(_).toString).getOrElse("?")
+      s"timestamp ${java.time.Instant.ofEpochMilli(epochMs)} predates the " +
+      s"earliest retained commit ($earliest) of the graft table at $path"
+    })
+    candidates.max
+  }
 
   /** Time travel: scan the file set of an older committed version. Files
     * of past versions remain on disk until VACUUM reclaims them, so any
@@ -773,9 +887,29 @@ final class GraftTable private (
     // assignments cast to the column's existing type — schema enforcement
     // holds under UPDATE exactly as under append (Delta's store-assignment)
     val types = read().schema.fields.map(f => f.name -> f.dataType).toMap
-    val updated = set.foldLeft(readFiles(affected)) { case (d, (name, value)) =>
-      d.withColumn(name, when(matches, value.cast(types(name))).otherwise(col(name)))
+    // the match flag is PINNED before any assignment: an assignment that
+    // mutates a column the predicate references must not change which
+    // rows the remaining assignments (or recomputes) apply to
+    val marked = readFiles(affected).withColumn("__upd", matches)
+    val hit = col("__upd")
+    val afterSet = set.foldLeft(marked) { case (d, (name, value)) =>
+      d.withColumn(name, when(hit, value.cast(types(name))).otherwise(col(name)))
     }
+    // generated columns NOT explicitly assigned recompute for the
+    // updated rows (Delta's UPDATE semantics); explicitly-assigned ones
+    // are validated below via the generation rule over updated rows
+    val regenerated = generatedColumns.filterNot(g => set.contains(g._1))
+      .foldLeft(afterSet) { case (d, (name, e)) =>
+        d.withColumn(name,
+          when(hit, expr(e).cast(types(name))).otherwise(col(name)))
+      }
+    generatedColumns.filter(g => set.contains(g._1)).foreach { case (name, e) =>
+      val bad = regenerated.filter(hit && !(col(name) <=> expr(e))).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"UPDATE assigns generated column $name a value disagreeing with " +
+        s"its definition ($e) on $bad rows; omit it to have it recomputed")
+    }
+    val updated = regenerated.drop("__upd")
     enforceConstraints(updated)
     val added = appendDataFiles(updated)
     commit("UPDATE", live.filterNot(affected.toSet) ++ added, Map(
@@ -881,6 +1015,14 @@ final class GraftTable private (
       .filter(nmIdx >= 0)
       .select(fields.map(f => col(f.name)): _*)
     val out = rewritten.map(_.unionByName(inserts)).getOrElse(inserts)
+    // MERGE sources carry every target column, so generated columns are
+    // always "supplied": validate them against their definitions
+    generatedColumns.foreach { case (name, e) =>
+      val bad = out.filter(!(col(name) <=> expr(e))).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"MERGE writes generated column $name disagreeing with its " +
+        s"definition ($e) on $bad rows")
+    }
     enforceConstraints(out)
     val added = appendDataFiles(out)
     commit("MERGE", live.filterNot(affected.toSet) ++ added, Map(
@@ -940,10 +1082,11 @@ final class GraftTable private (
   def restore(version: Long): Long = {
     require(version >= 0 && version <= currentVersion,
       s"no committed version $version to restore")
-    // file list AND constraint set of the restored version come back
+    // file list, constraint set AND generated-column set come back
     commit("RESTORE", manifestFiles(version),
       Map("restoredVersion" -> version.toString),
-      newConstraints = Some(constraintsOf(version)))
+      newConstraints = Some(constraintsOf(version)),
+      newGenerated = Some(generatedOf(version)))
   }
 
   /** SHALLOW CLONE (Delta parity): a new table at `targetPath` whose v0
@@ -972,6 +1115,7 @@ final class GraftTable private (
     t.commit("CLONE", absFiles, Map(
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
       newConstraints = Some(constraintsOf(srcV)),
+      newGenerated = Some(generatedOf(srcV)),
       carriedStats = carried, collectStats = false)
     t
   }
@@ -1000,7 +1144,7 @@ final class GraftTable private (
         // delete the commit marker LAST so a crash mid-cleanup never
         // leaves a committed version with missing sidecars
         Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
-            f"v$v%020d.claim")
+            f"v$v%020d.generated.tsv", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1

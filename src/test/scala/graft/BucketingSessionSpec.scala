@@ -110,6 +110,40 @@ class TimeTravelSpec extends SparkSpec {
     assert(t.read().count() == 50)
     intercept[Exception] { t.readVersion(0).count() }  // files gone
   }
+
+  test("TIMESTAMP AS OF resolves to the latest version at or before it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_tsaof").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((1 to 100).toDF("v"))                      // v0
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(60)
+    t.write((1 to 50).toDF("v"))                       // v1 logical overwrite
+    val mid = afterV0 + 30
+    assert(t.versionAtTime(mid) == 0L)
+    assert(t.versionAtTime(System.currentTimeMillis()) == 1L)
+    // a timestamp older than every commit names the retention contract
+    val e = intercept[IllegalArgumentException] { t.versionAtTime(0L) }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // DSv1 option: ISO instant or epoch millis
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(path).count() == 100)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(mid).toString)
+      .load(path).count() == 100)
+    intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", mid.toString)
+        .option("versionAsOf", "1").load(path)
+    }
+    // DSv2 SQL (session tz is UTC): analyzer routes epoch micros to
+    // loadTable(ident, timestamp)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(mid))
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$path` TIMESTAMP AS OF '$lit'").count() == 100)
+  }
 }
 
 class StreamingSessionSpec extends SparkSpec {
@@ -163,6 +197,49 @@ class SchemaEnforcementSpec extends SparkSpec {
     // ...with overwriteSchema as the explicit escape hatch
     t.write(Seq((9L, 5)).toDF("x", "y"), overwriteSchema = true)
     assert(t.read().columns.toSet == Set("x", "y"))
+  }
+
+  test("generated columns: computed when absent, validated when present, UPDATE recomputes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = Files.createTempDirectory("gt_gen").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write(Seq((1L, 2L), (2L, 4L)).toDF("id", "twice"))
+    t.addGeneratedColumn("twice", "id * 2")
+    // a declaration existing rows violate is rejected
+    intercept[IllegalArgumentException] { t.addGeneratedColumn("id", "twice * 3") }
+
+    // absent → computed; schema enforcement sees the COMPLETED schema
+    t.write(Seq(Tuple1(3L)).toDF("id"), SaveMode.Append)
+    assert(t.read().filter(col("id") === 3L).select("twice")
+      .collect()(0).getLong(0) == 6L)
+    // present-and-consistent → accepted; inconsistent → rejected
+    t.write(Seq((4L, 8L)).toDF("id", "twice"), SaveMode.Append)
+    intercept[IllegalArgumentException] {
+      t.write(Seq((5L, 11L)).toDF("id", "twice"), SaveMode.Append)
+    }
+
+    // UPDATE of the base column recomputes the generated one
+    t.update(col("id") === 1L, Map("id" -> lit(10L)))
+    assert(t.read().filter(col("id") === 10L).select("twice")
+      .collect()(0).getLong(0) == 20L)
+    // explicitly assigning it a disagreeing value is rejected
+    intercept[IllegalArgumentException] {
+      t.update(col("id") === 2L, Map("twice" -> lit(5L)))
+    }
+
+    // MERGE validates too
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((2L, 99L)).toDF("id", "twice"), Seq("id"))
+    }
+    t.merge(Seq((2L, 4L), (6L, 12L)).toDF("id", "twice"), Seq("id"))
+    assert(t.read().count() == 5)
+
+    // the rule is versioned metadata: RESTORE brings it back, drop ends it
+    val withRule = t.currentVersion
+    t.dropGeneratedColumn("twice")
+    t.write(Seq((7L, 0L)).toDF("id", "twice"), SaveMode.Append) // no rule now
+    t.restore(withRule)
+    assert(t.generatedColumns == Map("twice" -> "id * 2"))
   }
 
   test("concurrent blind appends both land via commit retry") {

@@ -76,6 +76,19 @@ class MutationSpec extends SparkSpec {
     assert(othersAfter == othersBefore)
   }
 
+  test("update predicate is pinned before assignments mutate its columns") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_upd_pin").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write(Seq((1L, 0L), (2L, 0L)).toDF("id", "v"))
+    // the predicate references id, and id is itself assigned: the v
+    // assignment must still apply to the originally-matching row
+    // (assignment order must not change which rows later layers hit)
+    t.update(col("id") === 1L, Map("id" -> lit(100L), "v" -> lit(9L)))
+    assert(t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((100L, 9L), (2L, 0L)))
+  }
+
   test("update rejects unknown columns") {
     val t = freshTable("gt_upd_bad")
     t.write(bars.repartition(2))
