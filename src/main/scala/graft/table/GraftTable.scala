@@ -115,6 +115,31 @@ final class GraftTable private (
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
+    // from here to the .json rename, any failure must RELEASE the claim
+    // (and sweep partial sidecars) or the version slot wedges forever
+    try commitClaimed(v, operation, files, metrics, newConstraints,
+      filesAtBase, carriedStats, collectStats, newGenerated)
+    catch {
+      case e: Throwable =>
+        // sweep ONLY if the commit point (.json) was not reached — a
+        // failure after it (none today) must never unwind a landed commit
+        val landed = scala.util.Try(
+          fs.exists(new Path(logDir, f"v$v%020d.json"))).getOrElse(true)
+        if (!landed)
+          Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv",
+              f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv", f"v$v%020d.claim")
+            .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
+        throw e
+    }
+  }
+
+  private def commitClaimed(v: Long, operation: String, files: Seq[String],
+      metrics: Map[String, String],
+      newConstraints: Option[Map[String, String]],
+      filesAtBase: Option[Long => Seq[String]],
+      carriedStats: Map[String, Map[String, (String, String, String)]],
+      collectStats: Boolean,
+      newGenerated: Option[Map[String, String]]): Long = {
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
@@ -189,6 +214,34 @@ final class GraftTable private (
       s"""{"version":$v,"timestamp":"${java.time.Instant.now()}","operation":"${jsonEscape(operation)}","operationMetrics":$metricsJson}""")
     if (v > 0 && v % GraftTable.CheckpointInterval == 0) writeCheckpoint(v)
     v
+  }
+
+  /** Commit for SNAPSHOT-DERIVED rewrites (OPTIMIZE/DELETE/UPDATE/MERGE
+    * and metadata-only commits): the new manifest is computed INSIDE the
+    * version claim from the claimed predecessor, so files added by a
+    * concurrent append between this operation's snapshot read and its
+    * commit are carried over instead of silently dropped (Delta's
+    * WriteSerializable rule: concurrent inserts survive a snapshot-based
+    * rewrite). If any of this operation's INPUT files is no longer live
+    * — a concurrent commit rewrote or removed it — the rewrite's outputs
+    * are stale and the commit aborts (the orphaned output files await
+    * VACUUM). Claim-race losers retry. */
+  private def commitRewrite(operation: String, inputs: Seq[String],
+      added: Seq[String], metrics: Map[String, String],
+      newConstraints: Option[Map[String, String]] = None,
+      newGenerated: Option[Map[String, String]] = None): Long = {
+    val inputSet = inputs.toSet
+    retryOnConflict()(commit(operation, Nil, metrics,
+      newConstraints = newConstraints, newGenerated = newGenerated,
+      filesAtBase = Some { base =>
+        val nowLive = manifestFiles(base)
+        val gone = inputs.filterNot(nowLive.toSet)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"$operation aborted: ${gone.size} of its input files (e.g. " +
+          s"${gone.head}) were removed by a concurrent commit; " +
+          "re-run against the new snapshot")
+        nowLive.filterNot(inputSet) ++ added
+      }))
   }
 
   /** All data files currently on disk (relative paths), manifest or not. */
@@ -344,13 +397,14 @@ final class GraftTable private (
       require(violations == 0,
         s"cannot add constraint $name: $violations existing rows violate ($sqlExpr)")
     }
-    commit("ADD CONSTRAINT", manifestFiles(), Map("name" -> name, "expr" -> sqlExpr),
+    commitRewrite("ADD CONSTRAINT", Nil, Nil,
+      Map("name" -> name, "expr" -> sqlExpr),
       newConstraints = Some(constraints + (name -> sqlExpr)))
   }
 
   /** DROP CONSTRAINT as a commit. */
   def dropConstraint(name: String): Unit =
-    commit("DROP CONSTRAINT", manifestFiles(), Map("name" -> name),
+    commitRewrite("DROP CONSTRAINT", Nil, Nil, Map("name" -> name),
       newConstraints = Some(constraints - name))
 
   /** One validation job over rows about to be committed. */
@@ -405,14 +459,14 @@ final class GraftTable private (
       require(bad == 0,
         s"cannot declare $name GENERATED AS ($sqlExpr): $bad existing rows disagree")
     }
-    commit("ADD GENERATED COLUMN", manifestFiles(),
+    commitRewrite("ADD GENERATED COLUMN", Nil, Nil,
       Map("name" -> name, "expr" -> sqlExpr),
       newGenerated = Some(generatedColumns + (name -> sqlExpr)))
   }
 
   /** Drop the generation rule (the column stays, values keep). */
   def dropGeneratedColumn(name: String): Unit =
-    commit("DROP GENERATED COLUMN", manifestFiles(), Map("name" -> name),
+    commitRewrite("DROP GENERATED COLUMN", Nil, Nil, Map("name" -> name),
       newGenerated = Some(generatedColumns - name))
 
   /** Complete absent generated columns from their expressions; validate
@@ -710,7 +764,7 @@ final class GraftTable private (
       case Some(w) => affectedFiles(expr(w))
     }
     if (scopeFiles.isEmpty)
-      return commit("OPTIMIZE", live, Map(
+      return commitRewrite("OPTIMIZE", Nil, Nil, Map(
         "numFilesAdded" -> "0", "numFilesRemoved" -> "0",
         "targetFileSizeBytes" -> targetFileSizeBytes.toString,
         "zOrderBy" -> clusterBy.mkString(","),
@@ -731,7 +785,7 @@ final class GraftTable private (
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
     val added = appendDataFiles(compacted)
-    commit("OPTIMIZE", live.filterNot(scopeSet) ++ added, Map(
+    commitRewrite("OPTIMIZE", scopeFiles, added, Map(
       "numFilesAdded" -> added.size.toString,
       "numFilesRemoved" -> scopeFiles.size.toString,
       "targetFileSizeBytes" -> targetFileSizeBytes.toString,
@@ -761,8 +815,25 @@ final class GraftTable private (
     // DRY RUN (Delta parity): report what would be reclaimed, delete
     // nothing, commit nothing
     if (dryRun) return (currentVersion, deletable.size)
-    deletable.foreach { case (f, _, _) => fs.delete(new Path(root, f), false) }
-    val v = commit("VACUUM", manifestFiles(), Map(
+    if (deletable.size < GraftTable.DistributedStatsThreshold)
+      deletable.foreach { case (f, _, _) => fs.delete(new Path(root, f), false) }
+    else {
+      // wide vacuums delete on executors — a 100 TB table's retention
+      // sweep removes millions of files, far beyond a driver loop
+      val paths = deletable.map { case (f, _, _) => new Path(root, f).toString }
+      val sconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val bc = spark.sparkContext.broadcast(sconf)
+      val slices = math.min(paths.size, spark.sparkContext.defaultParallelism * 2)
+      try spark.sparkContext.parallelize(paths, slices).foreachPartition { it =>
+        val conf = bc.value.value
+        it.foreach { p =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).delete(hp, false)
+        }
+      } finally bc.destroy()
+    }
+    val v = commitRewrite("VACUUM", Nil, Nil, Map(
       "numFilesDeleted" -> deletable.size.toString,
       "retainHours" -> retainHours.toString))
     (v, deletable.size)
@@ -863,11 +934,10 @@ final class GraftTable private (
   def delete(cond: Column): Long = {
     val matches = coalesce(cond, lit(false))
     val affected = affectedFiles(matches)
-    val live = manifestFiles()
     if (affected.isEmpty)
-      return commit("DELETE", live, Map("numFilesRewritten" -> "0"))
+      return commitRewrite("DELETE", Nil, Nil, Map("numFilesRewritten" -> "0"))
     val added = appendDataFiles(readFiles(affected).filter(!matches))
-    commit("DELETE", live.filterNot(affected.toSet) ++ added, Map(
+    commitRewrite("DELETE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
   }
@@ -881,9 +951,8 @@ final class GraftTable private (
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(", ")}")
     val matches = coalesce(cond, lit(false))
     val affected = affectedFiles(matches)
-    val live = manifestFiles()
     if (affected.isEmpty)
-      return commit("UPDATE", live, Map("numFilesRewritten" -> "0"))
+      return commitRewrite("UPDATE", Nil, Nil, Map("numFilesRewritten" -> "0"))
     // assignments cast to the column's existing type — schema enforcement
     // holds under UPDATE exactly as under append (Delta's store-assignment)
     val types = read().schema.fields.map(f => f.name -> f.dataType).toMap
@@ -912,7 +981,7 @@ final class GraftTable private (
     val updated = regenerated.drop("__upd")
     enforceConstraints(updated)
     val added = appendDataFiles(updated)
-    commit("UPDATE", live.filterNot(affected.toSet) ++ added, Map(
+    commitRewrite("UPDATE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
   }
@@ -981,7 +1050,6 @@ final class GraftTable private (
       .join(srcKeys, on, "left_semi")
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
-    val live = manifestFiles()
     // rewritten rows of affected files: first applicable matched clause
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
@@ -1025,7 +1093,7 @@ final class GraftTable private (
     }
     enforceConstraints(out)
     val added = appendDataFiles(out)
-    commit("MERGE", live.filterNot(affected.toSet) ++ added, Map(
+    commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
   }

@@ -76,6 +76,37 @@ class MutationSpec extends SparkSpec {
     assert(othersAfter == othersBefore)
   }
 
+  test("appends landing during a rewrite's scan-to-commit window are never lost") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_mixed").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((0 until 1000).map(_.toLong).toDF("id").repartition(4))
+    // one writer streams appends while the other runs snapshot-derived
+    // rewrites; the rewrites must CARRY concurrently appended files
+    // (WriteSerializable), not drop them from the new manifest
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      val mine = graft.table.GraftTable(spark, path, Nil)
+      (0 until 10).foreach { b =>
+        mine.write(((10000 + b * 10) until (10000 + b * 10 + 10)).map(_.toLong)
+          .toDF("id"), org.apache.spark.sql.SaveMode.Append)
+      }
+    })
+    appender.setUncaughtExceptionHandler((_, e) => errs.add(e))
+    appender.start()
+    // three sequential deletes over the initial rows (never the appended
+    // ids) racing the appender's commits
+    (0 until 3).foreach { i =>
+      t.delete(col("id") >= i * 100L && col("id") < (i + 1) * 100L)
+    }
+    appender.join()
+    assert(errs.isEmpty, s"appender failed: ${Option(errs.peek()).map(_.toString)}")
+    // exact accounting: 1000 initial − 300 deleted + 100 appended
+    assert(t.read().count() == 800)
+    assert(t.read().filter(col("id") >= 10000L).count() == 100)
+    assert(t.read().filter(col("id") < 300L).count() == 0)
+  }
+
   test("update predicate is pinned before assignments mutate its columns") {
     import spark.implicits._
     val path = Files.createTempDirectory("gt_upd_pin").toString
