@@ -105,20 +105,25 @@ final class GraftTable private (
     * consulted before falling back to a footer read; `collectStats =
     * false` skips the fallback entirely (files without stats are simply
     * never pruned — correct, just unoptimized). */
+  /** `newDv`, when given, computes the deletion-vector map ON TOP OF the
+    * claimed predecessor version (so a concurrent merge-on-read delete's
+    * vectors are never lost); otherwise the predecessor's vectors carry
+    * forward for surviving files. */
   private def commit(operation: String, files: Seq[String],
       metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
       filesAtBase: Option[Long => Seq[String]] = None,
       carriedStats: Map[String, Map[String, (String, String, String)]] = Map.empty,
       collectStats: Boolean = true,
-      newGenerated: Option[Map[String, String]] = None): Long = {
+      newGenerated: Option[Map[String, String]] = None,
+      newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, files, metrics, newConstraints,
-      filesAtBase, carriedStats, collectStats, newGenerated)
+      filesAtBase, carriedStats, collectStats, newGenerated, newDv)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -127,7 +132,8 @@ final class GraftTable private (
           fs.exists(new Path(logDir, f"v$v%020d.json"))).getOrElse(true)
         if (!landed)
           Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv",
-              f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv", f"v$v%020d.claim")
+              f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
+              f"v$v%020d.dv.tsv", f"v$v%020d.claim")
             .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
         throw e
     }
@@ -139,7 +145,8 @@ final class GraftTable private (
       filesAtBase: Option[Long => Seq[String]],
       carriedStats: Map[String, Map[String, (String, String, String)]],
       collectStats: Boolean,
-      newGenerated: Option[Map[String, String]]): Long = {
+      newGenerated: Option[Map[String, String]],
+      newDv: Option[Long => Map[String, Seq[(Long, Long)]]]): Long = {
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
@@ -179,10 +186,17 @@ final class GraftTable private (
       prevStats.get(f).orElse(carriedStats.get(f)).orElse(collected.get(f))
         .map(f -> _)
     }.toMap
+    // deletion vectors: surviving files keep theirs; files leaving the
+    // manifest (rewrite/overwrite) drop theirs with the file; a
+    // merge-on-read delete supplies the updated map via `newDv`
+    val committedSet = committedFiles.toSet
+    val dv = newDv.map(f => f(v - 1)).getOrElse(dvOf(v - 1))
+      .collect { case (f, runs) if committedSet(f) && runs.nonEmpty => f -> runs }
     val filesPath = new Path(logDir, f"v$v%020d.files")
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
     val generatedPath = new Path(logDir, f"v$v%020d.generated.tsv")
     val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
+    val dvPath = new Path(logDir, f"v$v%020d.dv.tsv")
     val jsonPath = new Path(logDir, f"v$v%020d.json")
     def writeAtomic(target: Path, content: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
@@ -206,6 +220,8 @@ final class GraftTable private (
       cols.toSeq.sortBy(_._1).map { case (c, (tag, lo, hi)) =>
         s"${enc(f)}\t${enc(c)}\t$tag\t${enc(lo)}\t${enc(hi)}" }
     }.mkString("\n"))
+    writeAtomic(dvPath, dv.toSeq.sortBy(_._1).map { case (f, runs) =>
+      s"${enc(f)}\t${GraftTable.encodeRuns(runs)}" }.mkString("\n"))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
@@ -287,6 +303,44 @@ final class GraftTable private (
     finally in.close()
   }
 
+  // ---- deletion vectors (Delta merge-on-read DELETE parity) ------------
+  //
+  // A merge-on-read DELETE records the POSITIONS of deleted rows instead
+  // of rewriting data files: the commit writes a vN.dv.tsv sidecar
+  // mapping each file to the run-length-encoded sorted row indices of
+  // its deleted rows, and the manifest's file list is unchanged. Readers
+  // anti-join `_metadata.row_index` against the vector — only files that
+  // HAVE a vector pay that join; clean files keep today's plan. This is
+  // what makes "delete 0.1% of a 100 TB table" a metadata-sized commit
+  // instead of a 100 TB rewrite (Delta's deletion-vector feature; at
+  // that scale Delta stores roaring bitmaps in sidecar bin files —
+  // the tsv lives under the same "commit metadata fits on the driver"
+  // assumption as the manifest, isolated in the same place).
+  // File min/max stats stay sound under a vector (they bound a superset
+  // of the live rows), OPTIMIZE/PURGE materialize vectors away, and a
+  // copy-on-write rewrite of a vectored file drops its entry with the
+  // file. Runs encode as "start:len,start:len" with starts ascending.
+
+  /** file → sorted disjoint (start, len) runs of deleted row positions
+    * committed with `version` (empty when the version has no vectors). */
+  def dvOf(version: Long): Map[String, Seq[(Long, Long)]] = {
+    if (version < 0) return Map.empty
+    val p = new Path(logDir, f"v$version%020d.dv.tsv")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        dec(l.substring(0, i)) -> GraftTable.decodeRuns(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  /** Rows deleted by vectors of `version` (sum of run lengths). */
+  def deletedRowCount(version: Long = currentVersion): Long =
+    dvOf(version).values.flatten.map(_._2).sum
+
   private def utf8Compare(a: String, b: String): Int = GraftTable.utf8Compare(a, b)
 
   /** Footer-derived min/max of one file's top-level primitive columns
@@ -348,7 +402,7 @@ final class GraftTable private (
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    val pruned = readFiles(kept)
+    val pruned = readFilesDv(kept, dvOf(version))
     val have = pruned.columns.toSet
     val aligned = full.schema.fields.foldLeft(pruned) { (d, f) =>
       if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
@@ -713,7 +767,7 @@ final class GraftTable private (
     if (files.isEmpty)
       throw new IllegalStateException(
         s"graft table at $path has no committed version $version")
-    readFiles(files)
+    readFilesDv(files, dvOf(version))
   }
 
   // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
@@ -769,7 +823,7 @@ final class GraftTable private (
         "targetFileSizeBytes" -> targetFileSizeBytes.toString,
         "zOrderBy" -> clusterBy.mkString(","),
         "where" -> where.getOrElse("")))
-    val df = readFiles(scopeFiles)
+    val df = readFilesDv(scopeFiles, dvOf(currentVersion))
     val scopeSet = scopeFiles.toSet
     val scopeBytes = scopeFiles.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
     val bins = math.max(1L,
@@ -889,11 +943,64 @@ final class GraftTable private (
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
-  /** Manifest files holding at least one row matching `cond`. Partition
-    * and data-skipping filters push into this scan, so at scale the scan
-    * touches only candidate files. */
+  /** Like [[readFiles]] but each row carries `__path` (the file's
+    * filesystem path, scheme stripped) and `__pos` (`_metadata
+    * .row_index`), and `dv`'s deleted positions are anti-joined away.
+    * The metadata columns must be materialized per scan group BEFORE any
+    * union/join — `_metadata` only resolves directly on a file scan. */
+  private def readFilesMeta(files: Seq[String],
+      dv: Map[String, Seq[(Long, Long)]]): DataFrame = {
+    import spark.implicits._
+    val (abs, rel) = files.partition(_.startsWith("/"))
+    def group(base: String, paths: Seq[String]): DataFrame =
+      spark.read
+        .option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(paths: _*)
+        .withColumn("__path", regexp_extract(
+          col("_metadata.file_path"), GraftTable.UriPathRegex, 1))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val frames =
+      (if (rel.nonEmpty) Seq(group(path, rel.map(f => s"$path/$f"))) else Nil) ++
+      abs.groupBy(baseOf).toSeq.sortBy(_._1).map { case (b, fs) => group(b, fs) }
+    val all = frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val runs = dv.toSeq.collect {
+      case (f, rs) if rs.nonEmpty && files.contains(f) =>
+        (dataPath(f).toUri.getPath, rs)
+    }
+    if (runs.isEmpty) return all
+    // expand RLE runs to (path, pos) on EXECUTORS (the driver ships only
+    // the compact runs); broadcast while the deleted-row count is hash-
+    // join-sized, fall back to a shuffle join beyond that (at true DV
+    // scale the bitmap belongs inside the scan, as Delta does)
+    val deletedRows = runs.flatMap(_._2.map(_._2)).sum
+    val dvDf = runs.flatMap { case (p, rs) => rs.map(r => (p, r._1, r._2)) }
+      .toDF("__dv_path", "__dv_start", "__dv_len")
+      .select(col("__dv_path"), explode(expr(
+        "sequence(__dv_start, __dv_start + __dv_len - 1)")).as("__dv_pos"))
+    val right = if (deletedRows <= 4000000L) broadcast(dvDf) else dvDf
+    all.join(right,
+      all("__path") === right("__dv_path") && all("__pos") === right("__dv_pos"),
+      "left_anti")
+  }
+
+  /** DV-applied scan: files WITHOUT a deletion vector keep the plain
+    * parquet-scan plan; only vectored files pay the position anti-join. */
+  private def readFilesDv(files: Seq[String],
+      dv: Map[String, Seq[(Long, Long)]]): DataFrame = {
+    val vectored = files.filter(f => dv.get(f).exists(_.nonEmpty))
+    if (vectored.isEmpty) return readFiles(files)
+    val clean = files.filterNot(vectored.toSet)
+    val live = readFilesMeta(vectored, dv).drop("__path", "__pos")
+    if (clean.isEmpty) live
+    else readFiles(clean).unionByName(live, allowMissingColumns = true)
+  }
+
+  /** Manifest files holding at least one LIVE row matching `cond`.
+    * Partition and data-skipping filters push into this scan, so at
+    * scale the scan touches only candidate files. */
   private def affectedFiles(cond: Column): Seq[String] =
-    read().withColumn("__path", col("_metadata.file_path"))
+    readFilesMeta(manifestFiles(), dvOf(currentVersion))
       .filter(cond)
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
@@ -930,16 +1037,78 @@ final class GraftTable private (
 
   /** DELETE FROM … WHERE cond. Rows where `cond` is NULL are kept (SQL
     * three-valued semantics: DELETE removes only where the predicate is
-    * TRUE). Returns the committed version. */
-  def delete(cond: Column): Long = {
+    * TRUE). Returns the committed version.
+    *
+    * `mergeOnRead = true` records deletion VECTORS instead of rewriting
+    * files (Delta's deletion-vector DELETE): the commit stores the row
+    * positions of deleted rows per file and the data files are untouched
+    * — a sub-percent delete on a 100 TB table costs a metadata-sized
+    * commit, at the price of a position anti-join on reads of vectored
+    * files until OPTIMIZE or [[purge]] materializes them. The vector is
+    * merged INTO the claimed predecessor's vectors at commit time, so a
+    * concurrent merge-on-read delete's positions are never lost (union
+    * of position sets ≡ sequential application: deletes are idempotent
+    * and row-local). */
+  def delete(cond: Column, mergeOnRead: Boolean = false): Long = {
     val matches = coalesce(cond, lit(false))
     val affected = affectedFiles(matches)
     if (affected.isEmpty)
       return commitRewrite("DELETE", Nil, Nil, Map("numFilesRewritten" -> "0"))
-    val added = appendDataFiles(readFiles(affected).filter(!matches))
+    if (mergeOnRead) {
+      // positions of newly deleted rows among LIVE rows (already-vectored
+      // positions excluded by the dv-applied scan). The position list
+      // returns to the driver RLE-compressed per file — same
+      // commit-metadata-fits-on-the-driver assumption as the manifest;
+      // at bitmap scale executors would write per-file DV sidecars.
+      val dvNow = dvOf(currentVersion)
+      val hit = readFilesMeta(affected, dvNow).filter(matches)
+        .groupBy(col("__path"))
+        .agg(sort_array(collect_list(col("__pos"))).as("pos"))
+        .collect()
+      val newRuns: Map[String, Seq[(Long, Long)]] = hit.map { r =>
+        relPath(r.getString(0)) ->
+          GraftTable.toRuns(r.getSeq[Long](1))
+      }.toMap
+      val numDeleted = newRuns.values.flatten.map(_._2).sum
+      return retryOnConflict()(commit("DELETE", Nil, Map(
+        "mode" -> "merge-on-read",
+        "numDeletionVectorsUpdated" -> newRuns.size.toString,
+        "numDeletedRows" -> numDeleted.toString),
+        filesAtBase = Some { base =>
+          val nowLive = manifestFiles(base)
+          val gone = affected.filterNot(nowLive.toSet)
+          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"DELETE aborted: ${gone.size} of its input files (e.g. " +
+            s"${gone.head}) were removed by a concurrent commit; " +
+            "re-run against the new snapshot")
+          nowLive
+        },
+        newDv = Some { base =>
+          val cur = dvOf(base)
+          cur ++ newRuns.map { case (f, r) =>
+            f -> GraftTable.mergeRuns(cur.getOrElse(f, Nil), r) }
+        }))
+    }
+    val added = appendDataFiles(readFilesDv(affected, dvOf(currentVersion))
+      .filter(!matches))
     commitRewrite("DELETE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
+  }
+
+  /** REORG … APPLY (PURGE) parity: materialize deletion vectors by
+    * rewriting ONLY the vectored files without their deleted rows —
+    * untouched files carry over unread. No-op without vectors. */
+  def purge(): Long = {
+    val dv = dvOf(currentVersion)
+    val vectored = manifestFiles().filter(f => dv.get(f).exists(_.nonEmpty))
+    if (vectored.isEmpty) return currentVersion
+    val added = appendDataFiles(readFilesDv(vectored, dv))
+    commitRewrite("PURGE", vectored, added, Map(
+      "numFilesRewritten" -> vectored.size.toString,
+      "numFilesAdded" -> added.size.toString,
+      "numDeletedRowsMaterialized" ->
+        vectored.flatMap(dv(_)).map(_._2).sum.toString))
   }
 
   /** UPDATE … SET col = expr WHERE cond. Assignments may target partition
@@ -959,7 +1128,8 @@ final class GraftTable private (
     // the match flag is PINNED before any assignment: an assignment that
     // mutates a column the predicate references must not change which
     // rows the remaining assignments (or recomputes) apply to
-    val marked = readFiles(affected).withColumn("__upd", matches)
+    val marked = readFilesDv(affected, dvOf(currentVersion))
+      .withColumn("__upd", matches)
     val hit = col("__upd")
     val afterSet = set.foldLeft(marked) { case (d, (name, value)) =>
       d.withColumn(name, when(hit, value.cast(types(name))).otherwise(col(name)))
@@ -1046,14 +1216,15 @@ final class GraftTable private (
           "(nondeterministic update/delete); de-duplicate the source on " +
           on.mkString(", "))
     }
-    val affected = tgt.withColumn("__path", col("_metadata.file_path"))
+    val dvNow = dvOf(currentVersion)
+    val affected = readFilesMeta(manifestFiles(), dvNow)
       .join(srcKeys, on, "left_semi")
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
     // rewritten rows of affected files: first applicable matched clause
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
-      val joined = readFiles(affected).alias("target").join(marked.alias("source"),
+      val joined = readFilesDv(affected, dvNow).alias("target").join(marked.alias("source"),
         on.map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _), "left")
       val isMatched = col("source.__m").isNotNull
       val clauseIdx = matched.zipWithIndex
@@ -1078,7 +1249,7 @@ final class GraftTable private (
       .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
         when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
     val inserts = (if (affected.isEmpty) src
-      else src.join(readFiles(affected).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
+      else src.join(readFilesDv(affected, dvNow).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
       .alias("source")
       .filter(nmIdx >= 0)
       .select(fields.map(f => col(f.name)): _*)
@@ -1114,32 +1285,71 @@ final class GraftTable private (
     val after = manifestFiles(to).toSet
     val added = (after -- before).toSeq
     val removed = (before -- after).toSeq
-    def snap(files: Seq[String]): Option[DataFrame] =
-      if (files.isEmpty) None else Some(readFiles(files))
-    (snap(added), snap(removed)) match {
+    val dvFrom = dvOf(from)
+    val dvTo = dvOf(to)
+    // a removed file's rows AT `from` exclude its then-deleted positions;
+    // an added file's rows AT `to` exclude its current vector
+    def snap(files: Seq[String], dv: Map[String, Seq[(Long, Long)]]): Option[DataFrame] =
+      if (files.isEmpty) None else Some(readFilesDv(files, dv))
+    // files live at BOTH versions whose vector differs: positions in
+    // `drop` but not `keep` surface as row-level changes (a merge-on-read
+    // delete grows the vector → deletes; RESTORE across one shrinks it →
+    // inserts). Cost stays proportional to the files whose vectors
+    // changed — the feed's contract.
+    def dvDiffRows(keep: Map[String, Seq[(Long, Long)]],
+        drop: Map[String, Seq[(Long, Long)]]): Option[DataFrame] = {
+      val diff: Seq[(String, Seq[(Long, Long)])] = (before & after).toSeq
+        .flatMap { f =>
+          val runs = GraftTable.runsMinus(
+            drop.getOrElse(f, Nil), keep.getOrElse(f, Nil))
+          if (runs.isEmpty) None else Some(f -> runs)
+        }
+      if (diff.isEmpty) None
+      else {
+        import spark.implicits._
+        val runRows = diff.flatMap { case (f, rs) =>
+          rs.map(r => (dataPath(f).toUri.getPath, r._1, r._2)) }
+        val posDf = runRows.toDF("__dv_path", "__dv_start", "__dv_len")
+          .select(col("__dv_path"), explode(expr(
+            "sequence(__dv_start, __dv_start + __dv_len - 1)")).as("__dv_pos"))
+        val withMeta = readFilesMeta(diff.map(_._1), Map.empty)
+        Some(withMeta.join(broadcast(posDf),
+            withMeta("__path") === posDf("__dv_path") &&
+              withMeta("__pos") === posDf("__dv_pos"),
+            "left_semi")
+          .drop("__path", "__pos"))
+      }
+    }
+    val dvDeletes = dvDiffRows(keep = dvFrom, drop = dvTo)
+    val dvInserts = dvDiffRows(keep = dvTo, drop = dvFrom)
+    val a = snap(added, dvTo)
+    val r = snap(removed, dvFrom)
+    val fileInserts = (a, r) match {
+      case (Some(x), Some(y)) => Some(x.exceptAll(y))
+      case (Some(x), None) => Some(x)
+      case (None, _) => None
+    }
+    val fileDeletes = (a, r) match {
+      case (Some(x), Some(y)) => Some(y.exceptAll(x))
+      case (None, Some(y)) => Some(y)
+      case (_, None) => None
+    }
+    def cat(x: Option[DataFrame], y: Option[DataFrame]): Option[DataFrame] =
+      (x, y) match {
+        case (Some(p), Some(q)) => Some(p.unionByName(q))
+        case (p, None) => p
+        case (None, q) => q
+      }
+    val i = cat(fileInserts, dvInserts).map(_.withColumn("_change_type", lit("insert")))
+    val d = cat(fileDeletes, dvDeletes).map(_.withColumn("_change_type", lit("delete")))
+    (i, d) match {
+      case (Some(x), Some(y)) => x.unionByName(y)
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
       case (None, None) =>
-        // no file-level change: empty feed with the table's schema
+        // no file- or vector-level change: empty feed with the table's schema
         val schema = read().schema.add("_change_type", "string", nullable = false)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case (a, r) =>
-        val inserts = (a, r) match {
-          case (Some(x), Some(y)) => x.exceptAll(y)
-          case (Some(x), None) => x
-          case (None, _) => null
-        }
-        val deletes = (a, r) match {
-          case (Some(x), Some(y)) => y.exceptAll(x)
-          case (None, Some(y)) => y
-          case (_, None) => null
-        }
-        val i = Option(inserts).map(_.withColumn("_change_type", lit("insert")))
-        val d = Option(deletes).map(_.withColumn("_change_type", lit("delete")))
-        (i, d) match {
-          case (Some(x), Some(y)) => x.unionByName(y)
-          case (Some(x), None) => x
-          case (None, Some(y)) => y
-          case (None, None) => throw new IllegalStateException("unreachable")
-        }
     }
   }
 
@@ -1150,11 +1360,14 @@ final class GraftTable private (
   def restore(version: Long): Long = {
     require(version >= 0 && version <= currentVersion,
       s"no committed version $version to restore")
-    // file list, constraint set AND generated-column set come back
+    // file list, constraint set, generated-column set AND deletion
+    // vectors come back (a RESTORE across a merge-on-read delete
+    // un-deletes those rows — Delta's RESTORE semantics)
     commit("RESTORE", manifestFiles(version),
       Map("restoredVersion" -> version.toString),
       newConstraints = Some(constraintsOf(version)),
-      newGenerated = Some(generatedOf(version)))
+      newGenerated = Some(generatedOf(version)),
+      newDv = Some(_ => dvOf(version)))
   }
 
   /** SHALLOW CLONE (Delta parity): a new table at `targetPath` whose v0
@@ -1180,11 +1393,15 @@ final class GraftTable private (
     // instead of re-reading every footer on the driver — this is what
     // keeps "cloning a 100 TB table costs one manifest write" true
     val carried = statsOf(srcV).map { case (f, cols) => abs(f) -> cols }
+    // deletion vectors travel with the clone (keys rewritten like stats):
+    // the clone sees the same live rows as the source at srcV
+    val carriedDv = dvOf(srcV).map { case (f, runs) => abs(f) -> runs }
     t.commit("CLONE", absFiles, Map(
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
-      carriedStats = carried, collectStats = false)
+      carriedStats = carried, collectStats = false,
+      newDv = Some(_ => carriedDv))
     t
   }
 
@@ -1212,7 +1429,7 @@ final class GraftTable private (
         // delete the commit marker LAST so a crash mid-cleanup never
         // leaves a committed version with missing sidecars
         Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
-            f"v$v%020d.generated.tsv", f"v$v%020d.claim")
+            f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1
@@ -1308,6 +1525,81 @@ object GraftTable {
     * ingest or full-table OPTIMIZE commit reads thousands of footers;
     * below it, job-launch overhead beats the driver loop. */
   val DistributedStatsThreshold: Int = 12
+
+  /** Extracts the filesystem path from a URI-or-path string — the SQL
+    * counterpart of `new URI(s).getPath`, used to match
+    * `_metadata.file_path` (e.g. `file:///root/t/part-0.parquet`)
+    * against manifest-derived absolute paths in the deletion-vector
+    * anti-join. Group 1 is the path for `scheme://host/p`, `scheme:/p`
+    * and plain `/p` alike. */
+  private[graft] val UriPathRegex: String =
+    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://[^/]*)?(/.*)$"
+
+  // ---- deletion-vector RLE codec ---------------------------------------
+  // Sorted disjoint (start, len) runs over row positions; text form
+  // "start:len,start:len" with starts ascending. Runs rather than raw
+  // positions because DELETE predicates overwhelmingly hit contiguous
+  // position ranges in clustered files (the same insight behind
+  // Delta's roaring bitmaps).
+
+  private[graft] def encodeRuns(runs: Seq[(Long, Long)]): String =
+    runs.map { case (s, l) => s"$s:$l" }.mkString(",")
+
+  private[graft] def decodeRuns(s: String): Seq[(Long, Long)] =
+    if (s.isEmpty) Nil
+    else s.split(',').toSeq.map { r =>
+      val i = r.indexOf(':')
+      (r.substring(0, i).toLong, r.substring(i + 1).toLong)
+    }
+
+  /** Sorted distinct positions → normalized runs. */
+  private[graft] def toRuns(sorted: Seq[Long]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var start = -1L; var len = 0L
+    sorted.foreach { p =>
+      if (len > 0 && p == start + len) len += 1
+      else {
+        if (len > 0) out += ((start, len))
+        start = p; len = 1
+      }
+    }
+    if (len > 0) out += ((start, len))
+    out.result()
+  }
+
+  /** Union of two run lists, normalized (overlaps/adjacency merged).
+    * Interval sweep — O(runs), never expands positions. */
+  private[graft] def mergeRuns(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val all = (a ++ b).sortBy(_._1)
+    if (all.isEmpty) return Nil
+    val out = Seq.newBuilder[(Long, Long)]
+    var (cs, ce) = (all.head._1, all.head._1 + all.head._2) // [cs, ce)
+    all.tail.foreach { case (s, l) =>
+      if (s <= ce) ce = math.max(ce, s + l)
+      else { out += ((cs, ce - cs)); cs = s; ce = s + l }
+    }
+    out += ((cs, ce - cs))
+    out.result()
+  }
+
+  /** Positions in `a` but not `b`, as runs — O(runs) interval sweep. */
+  private[graft] def runsMinus(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    val bs = b.sortBy(_._1)
+    a.sortBy(_._1).foreach { case (s, l) =>
+      var cur = s
+      val end = s + l
+      bs.foreach { case (t, m) =>
+        val te = t + m
+        if (te > cur && t < end) { // overlap
+          if (t > cur) out += ((cur, t - cur))
+          cur = math.max(cur, te)
+        }
+      }
+      if (cur < end) out += ((cur, end - cur))
+    }
+    out.result()
+  }
 
   /** Unsigned UTF-8 byte comparison — parquet binary min/max and Spark
     * both order strings this way; java.lang.String.compareTo (UTF-16
