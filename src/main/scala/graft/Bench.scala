@@ -27,10 +27,12 @@ object Bench {
     "sessionize", "range_band_join", "percentiles")
 
   /** r5 additions: the heavy newer operators, so regressions in them are
-    * visible round over round. */
+    * visible round over round — plus the r5 safety pack (pii_scrub,
+    * decontaminate: regex scrub and gram-collision join over documents). */
   val HeadlineR5Added: Seq[String] = Seq(
     "knn_pq", "cluster_minsh", "retention_cohorts",
-    "q21_waiting_supplier", "corpus_select")
+    "q21_waiting_supplier", "corpus_select",
+    "pii_scrub", "decontaminate")
 
   val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added
 
@@ -85,7 +87,7 @@ object Bench {
     val totalR4 =
       if (r4Results.exists(_._2 < 0)) -1.0 else r4Results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-40q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

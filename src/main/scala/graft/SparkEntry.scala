@@ -32,6 +32,7 @@ object SparkEntry {
       graft.text.QualityFilters.queries ++
       graft.text.Chunking.queries ++
       graft.text.HeavyHitters.queries ++
+      graft.text.Safety.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.text.QualityFilters.oracles ++
       graft.text.Chunking.oracles ++
       graft.text.HeavyHitters.oracles ++
+      graft.text.Safety.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++
