@@ -207,15 +207,32 @@ object Dedup {
     // the per-shingle md5 ~3x slower end-to-end, while this explode
     // pipeline keeps md5 codegen'd and partial aggregation reduces the
     // shuffle to ~one row per doc per partition before it moves.
+    // min-md5 computed by a codegen'd single-pass kernel inside the
+    // scan: the explode → md5 → groupBy(min) formulation paid 1.5M
+    // exploded rows, a hex encode per SHINGLE and a hash aggregate
+    // (~3 s of the query at sf0.1); the kernel tracks the min digest
+    // and hex-encodes once per doc, no shuffle before the window.
+    // DedupSpec pins kernel ≡ explode-pipeline equality per doc.
     val minsh = documents(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(length(text) - 4, 1)),
-          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
-      .filter(length(col("shingle")) === 5)
-      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("k"))
-    val edges = minsh.as("x").join(minsh.as("y"),
-        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("doc_id"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+    // STAR edges, not clique edges: every doc has exactly ONE blocking
+    // key, so the blocking graph is a disjoint union of cliques and
+    // connecting each member to its group's min doc_id (the hub)
+    // preserves the components EXACTLY while emitting O(n) edges
+    // instead of O(n^2) per bucket — at sf0.1 that is 5k edges vs the
+    // 1.3M the pairwise self-join produced (one hot shingle key is all
+    // it takes), and it replaces the self-join's second scan of the
+    // md5-shingle pipeline with a single window over one shuffle. This
+    // is the same never-materialize-the-quadratic-bucket rule the LSH
+    // pack follows; the DuckDB oracle keeps its clique-edge recursive
+    // CTE and must agree on the labels.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val edges = minsh
+      .withColumn("hub", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("a"), col("doc_id").as("b"))
     connectedComponents(edges)
       .select(col("label").as("cluster"), col("id").as("doc_id"))
       .orderBy("cluster", "doc_id")

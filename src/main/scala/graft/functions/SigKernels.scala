@@ -82,6 +82,64 @@ object SigKernels {
     while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
     sig
   }
+
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** min(md5(substring(text, i, k))) over every length-k character
+    * window, hex-encoded like Spark's and DuckDB's `md5()` — the b=1
+    * MinHash blocking key both engines can compute. NULL when the text
+    * has fewer than k characters, matching the explode pipeline's
+    * "no length-k shingle" case. One pass: tracks the minimum DIGEST
+    * under unsigned byte comparison (hex encoding is order-preserving,
+    * so min digest ⇔ min hex string) and hex-encodes once per document
+    * instead of once per shingle. ASCII texts slide a window over the
+    * UTF-8 bytes directly; otherwise windows are rebuilt over code
+    * points (Spark's substring counts characters, and a code point's
+    * UTF-8 bytes are position-independent, so byte windows of the
+    * code-point windows match md5-of-substring exactly). */
+  def minMd5Shingle(s: org.apache.spark.unsafe.types.UTF8String, k: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val md = Md5.get()
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    var best: Array[Byte] = null
+    def offer(d: Array[Byte]): Unit =
+      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
+    if (ascii) {
+      if (bytes.length < k) return null
+      i = 0
+      while (i <= bytes.length - k) {
+        md.reset(); md.update(bytes, i, k)
+        offer(md.digest())
+        i += 1
+      }
+    } else {
+      val cps = s.toString.codePoints().toArray
+      if (cps.length < k) return null
+      val sb = new java.lang.StringBuilder(4 * k)
+      i = 0
+      while (i <= cps.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
+        md.reset()
+        offer(md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    }
+    val hex = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((best(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(best(i) & 0xf)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+  }
 }
 
 /** array<bigint> sketch → array<bigint> of band signatures. */
@@ -118,6 +176,27 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** string → hex min-md5 blocking key (b=1 MinHash over char k-grams). */
+case class MinMd5Shingle(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  // returns null for texts shorter than k — not "null in, null out" alone
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.minMd5Shingle(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.SigKernels.minMd5Shingle($c, $k);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinMd5Shingle =
+    copy(child = newChild)
+}
+
 /** string → long SimHash signature. */
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -144,4 +223,7 @@ object SigKernelColumns {
 
   def simhash_sig(c: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))
+
+  def min_md5_shingle(c: Column, k: Int = 5): Column =
+    ColumnBridge.column(MinMd5Shingle(ColumnBridge.expression(c), k))
 }

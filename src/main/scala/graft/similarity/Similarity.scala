@@ -149,11 +149,12 @@ object Similarity {
     * (subvectors of the first PqCodes corpus vectors — the same seeded
     * k-means stand-in as [[knnIvf]]'s centroids); a corpus vector is
     * stored as PqM one-byte codes (64× smaller than f32); queries score
-    * by asymmetric distance — per-subspace L2 lookup tables joined to
-    * the codes (the classic ADC LUT join, broadcast), summed in FIXED
-    * subspace order via a pivot so no float summation-order divergence
-    * can leak into the hash gate. Fully deterministic → DuckDB oracle
-    * replays the identical encode/LUT/scoring pipeline.
+    * by asymmetric distance — each query's per-subspace L2 lookup table
+    * broadcasts as ONE flat array and every (vector, query) pair sums
+    * PqM element_at lookups in FIXED subspace order, so no float
+    * summation-order divergence can leak into the hash gate. Fully
+    * deterministic → DuckDB oracle replays the identical encode/LUT/
+    * scoring pipeline.
     *
     * Scale: codes are 8 bytes/vector (the only thing shuffled), the
     * codebook and per-query LUTs broadcast; argmin tie-breaks pinned by
@@ -184,14 +185,32 @@ object Similarity {
       .join(broadcast(cents), col("qm") === col("cm"))
       .withColumn("qd", l2(col("qsub"), col("csub")))
       .select(col("query_id"), col("qm"), col("code").as("qcode"), col("qd"))
-    val scores = codes.join(broadcast(adc),
-        col("m") === col("qm") && col("code") === col("qcode"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .pivot("m", 0 until PqM)
-      .agg(first("qd"))
+    // ADC scoring without the LUT JOIN: fold each vector's PqM codes
+    // into ONE array row (the literal "8 bytes per vector" PQ layout)
+    // and each query's lookup table into ONE broadcast array of
+    // PqM × PqCodes distances (position = m·PqCodes + code — adc is
+    // dense per (query, m), so the (m, code)-sorted collect lands each
+    // entry at exactly that offset). Scoring is then a broadcast
+    // nested-loop of 50 query rows against the code table with PqM
+    // fixed-order element_at additions per pair — all codegen'd, no
+    // float summation-order divergence (same explicit m=0..PqM-1 sum
+    // the pivot formulation had, same doubles, same oracle) and no
+    // codes × queries × PqM intermediate: the old broadcast-hash join
+    // materialized PqM rows per (vector, query) and re-aggregated them
+    // (2M rows at sf0.1) just to undo the layout the arrays keep.
+    val codeArr = codes
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
+    val lut = adc
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("qm"), col("qcode"), col("qd")))).as("l"))
+      .select(col("query_id"), expr("transform(l, x -> x.qd)").as("lut"))
+    val scores = codeArr.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .withColumn("approx_dist", round(
-        (0 until PqM).map(i => col(i.toString)).reduce(_ + _), 6))
+        (0 until PqM).map(m => element_at(col("lut"),
+          (element_at(col("codes"), m + 1) + lit(m * PqCodes) + 1).cast("int")))
+          .reduce(_ + _), 6))
     scores
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))))

@@ -21,6 +21,7 @@ class ContractSpec extends AnyFunSuite {
     ("QualityFilters", graft.text.QualityFilters.queries, graft.text.QualityFilters.oracles),
     ("Cohorts", graft.queries.Cohorts.queries, graft.queries.Cohorts.oracles),
     ("HeavyHitters", graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracles),
+    ("Safety", graft.text.Safety.queries, graft.text.Safety.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
     ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),
     ("Relational", graft.queries.Relational.queries, graft.queries.Relational.oracles),

@@ -157,6 +157,36 @@ class DedupSpec extends SparkSpec {
     assert(sim.nonEmpty)
     assert((sim intersect mh).size >= sim.size / 2, s"sim=$sim mh=$mh")
   }
+
+  test("MinMd5Shingle kernel is identical to the explode+md5+groupBy(min) pipeline") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+      .as[(Long, String)].collect().toMap
+    val viaExplode = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(viaKernel == viaExplode)
+    // non-ASCII path: multi-byte code points window correctly
+    val zh = Seq((1L, "数据库引擎测试"), (2L, "abc"), (3L, "ab€cd€ef")).toDF("doc_id", "text")
+    val zk = zh.select(col("doc_id"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+      .as[(Long, String)].collect().toMap
+    val ze = zh.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .groupBy("doc_id").agg(min(md5(col("shingle"))).as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(zk.get(1L) == ze.get(1L) && zk.get(3L) == ze.get(3L))
+    assert(!zk.contains(2L) && !ze.contains(2L), "short text -> null/absent in both")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
