@@ -95,19 +95,24 @@ object TpchClassics {
       .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
-    val l1 = l.filter(col("late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val others = l.select(col("l_orderkey").as("o_k"), col("l_suppkey").as("o_s"),
-      col("late").as("o_late"))
-    // another supplier exists on the order…
-    val withOther = l1.join(others,
-        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
-        "left_semi")
-    // …and no OTHER supplier was late on it
-    val lateOthers = others.filter(col("o_late"))
-    withOther.join(lateOthers,
-        col("l_orderkey") === col("o_k") && col("l_suppkey") =!= col("o_s"),
-        "left_anti")
+    // Q21's EXISTS/NOT-EXISTS double correlation, decorrelated into ONE
+    // per-order aggregate (the classic Q21 rewrite): a supplier waits on
+    // an order iff it is the order's UNIQUE late supplier and the order
+    // has at least one other supplier — i.e. n_late = 1 ∧ n_supp > 1,
+    // with the waiting supplier recoverable as max(late supplier). The
+    // semi+anti formulation scanned the lineitem⋈orders join three
+    // times (probe, exists-other, not-exists-late-other); this scans it
+    // once and shuffles one row per order. The correlated-subquery
+    // SHAPE itself stays covered by sql_correlated_exists /
+    // customers_without_orders; the DuckDB oracle keeps the textbook
+    // double-EXISTS text and must agree row-for-row.
+    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("late")) // supplier late on order iff ANY line late
+    perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late"), 1).otherwise(0)).as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
       .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -104,7 +104,8 @@ final class GraftCatalog extends TableCatalog {
   * retry all apply identically to SQL and API writers. */
 final case class GraftV2Table(spark: SparkSession, path: String,
     versionAsOf: Option[Long]) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val table = GraftTable(spark, path)
   private val pinnedVersion: Long = versionAsOf.getOrElse(table.currentVersion)
@@ -136,6 +137,28 @@ final case class GraftV2Table(spark: SparkSession, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot,
       filters => table.readVersionPruned(pinnedVersion, filters))
+
+  /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
+    * WHERE clause as source filters when it is fully translatable
+    * ([[canDeleteWhere]]); the delete then runs through
+    * [[GraftTable.delete]]'s copy-on-write path with the same
+    * affected-file pruning, snapshot-conflict abort and constraint
+    * semantics as the API DELETE. A non-translatable predicate fails
+    * analysis with Spark's standard cannot-delete error rather than
+    * silently deleting the wrong rows. `DELETE FROM t` with no WHERE
+    * arrives as AlwaysTrue and logically truncates the table. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && filters.forall(GraftFilters.translate(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(versionAsOf.isEmpty,
+      s"cannot delete from a time-travel relation (${name()})")
+    val cond = filters.flatMap(GraftFilters.translate)
+      .foldLeft(lit(true))(_ && _)
+    GraftTable(spark, path, hivePartitionCols(table.currentVersion))
+      .delete(cond)
+    ()
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

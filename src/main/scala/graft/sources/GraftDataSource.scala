@@ -305,6 +305,8 @@ private[sources] object GraftFilters {
     case StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
 }

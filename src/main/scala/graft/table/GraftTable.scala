@@ -341,6 +341,24 @@ final class GraftTable private (
   def deletedRowCount(version: Long = currentVersion): Long =
     dvOf(version).values.flatten.map(_._2).sum
 
+  /** Exact row count served from commit metadata alone — the per-file
+    * counts recorded in the stats sidecar (reserved "" pseudo-column)
+    * minus deletion-vector rows. None when any live file predates
+    * count recording (clone/convert with stats skipped, legacy
+    * commits) — callers fall back to a scan. This is Delta's
+    * count-from-log fast path: `count(*)` on a 100 TB table reads one
+    * sidecar, not the table. */
+  def rowCountFromStats(version: Long = currentVersion): Option[Long] = {
+    val stats = statsOf(version)
+    val perFile = manifestFiles(version).map(f =>
+      stats.get(f).flatMap(_.get("")).collect { case ("rows", lo, _) => lo.toLong })
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.sum - deletedRowCount(version))
+  }
+
+  /** Row count: metadata-served when possible, scan otherwise. */
+  def count(): Long = rowCountFromStats().getOrElse(read().count())
+
   private def utf8Compare(a: String, b: String): Int = GraftTable.utf8Compare(a, b)
 
   /** Footer-derived min/max of one file's top-level primitive columns
@@ -1470,7 +1488,7 @@ final class GraftTable private (
   def health(): Health = {
     val d = detail()
     Health(d.numFiles, d.sizeInBytes,
-      if (d.numFiles == 0) 0 else d.sizeInBytes / d.numFiles, read().count())
+      if (d.numFiles == 0) 0 else d.sizeInBytes / d.numFiles, count())
   }
 }
 
@@ -1687,6 +1705,12 @@ object GraftTable {
           }
         }
       }
+      // exact file row count under the reserved "" pseudo-column (no
+      // parquet field can be named ""): lets count()/health() answer
+      // from commit metadata without a scan. Predicate pruning never
+      // consults it — lookups key on real attribute names.
+      val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+      perCol("") = ("rows", rows.toString, rows.toString)
       perCol.toMap
     } catch { case _: Exception => Map.empty } // stats are an optimization, never required
 

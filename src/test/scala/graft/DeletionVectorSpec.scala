@@ -195,6 +195,30 @@ class DeletionVectorSpec extends SparkSpec {
     assert(c.deletedRowCount() == aapl)
   }
 
+  test("metadata row count: served from the stats sidecar, vector-aware, scan fallback") {
+    val t = freshTable("dv_count")
+    t.write(bars.repartition(3))
+    val scanned = t.read().count()
+    assert(t.rowCountFromStats() == Some(scanned))
+    assert(t.count() == scanned)
+
+    // vectored delete: metadata count subtracts the vector
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+    assert(t.rowCountFromStats() == Some(scanned - aapl))
+    assert(t.count() == t.read().count())
+
+    // per-version: the pre-delete version still counts every row
+    assert(t.rowCountFromStats(0) == Some(scanned))
+
+    // convert with stats skipped records no counts -> scan fallback
+    val plainDir = Files.createTempDirectory("dv_cnt_plain").toString
+    bars.limit(100).write.mode("overwrite").parquet(plainDir)
+    val c = graft.table.GraftTable.convert(spark, plainDir, Nil, collectStats = false)
+    assert(c.rowCountFromStats().isEmpty)
+    assert(c.count() == 100)
+  }
+
   test("merge respects vectors: deleted rows are not matched, keys re-insertable") {
     val t = freshTable("dv_merge")
     t.write(bars.repartition(3))

@@ -196,6 +196,36 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 SQL DELETE FROM routes through the copy-on-write delete") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val path = Files.createTempDirectory("gsrc_v2d").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(2))
+    val n0 = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    assert(aapl > 0)
+
+    spark.sql(s"DELETE FROM graft.`$path` WHERE ticker = 'AAPL'")
+    assert(t.read().count() == n0 - aapl)
+    assert(t.read().filter(col("ticker") === "AAPL").count() == 0)
+    assert(t.history().select("operation").collect().map(_.getString(0))
+      .contains("DELETE"))
+    // pre-delete version stays time-travelable (logical delete)
+    assert(t.readVersion(0).count() == n0)
+
+    // NULL-predicate rows are kept (SQL three-valued DELETE semantics
+    // survive the filter translation: close has injected nulls)
+    val n1 = t.read().count()
+    spark.sql(s"DELETE FROM graft.`$path` WHERE close > 1e12")
+    assert(t.read().count() == n1)
+
+    // negated predicate translates too (Not(EqualTo))
+    spark.sql(s"DELETE FROM graft.`$path` WHERE ticker <> 'MSFT'")
+    assert(t.read().select("ticker").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("MSFT"))
+    assert(t.readVersion(0).count() == n0)
+  }
+
   test("wide commits collect footer stats distributed, identical to the driver path") {
     val path = Files.createTempDirectory("gsrc_dist").toString
     val t = GraftTable(spark, path)
