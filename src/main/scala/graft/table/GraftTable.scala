@@ -38,6 +38,8 @@ final class GraftTable private (
     val path: String,
     val partitionColumns: Seq[String]) {
 
+  import GraftTable.ColMap
+
   private val root = new Path(path)
   private val logDir = new Path(root, "_graft_log")
   private def fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -116,14 +118,15 @@ final class GraftTable private (
       carriedStats: Map[String, Map[String, (String, String, String)]] = Map.empty,
       collectStats: Boolean = true,
       newGenerated: Option[Map[String, String]] = None,
-      newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None): Long = {
+      newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
+      newColMap: Option[ColMap] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, files, metrics, newConstraints,
-      filesAtBase, carriedStats, collectStats, newGenerated, newDv)
+      filesAtBase, carriedStats, collectStats, newGenerated, newDv, newColMap)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -133,7 +136,7 @@ final class GraftTable private (
         if (!landed)
           Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv",
               f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
-              f"v$v%020d.dv.tsv", f"v$v%020d.claim")
+              f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv", f"v$v%020d.claim")
             .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
         throw e
     }
@@ -146,7 +149,8 @@ final class GraftTable private (
       carriedStats: Map[String, Map[String, (String, String, String)]],
       collectStats: Boolean,
       newGenerated: Option[Map[String, String]],
-      newDv: Option[Long => Map[String, Seq[(Long, Long)]]]): Long = {
+      newDv: Option[Long => Map[String, Seq[(Long, Long)]]],
+      newColMap: Option[ColMap]): Long = {
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
@@ -154,6 +158,7 @@ final class GraftTable private (
     // them
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
+    val cmap = newColMap.getOrElse(colMapOf(v - 1))
     // per-file column min/max stats (Delta data-skipping parity): stats
     // for surviving files carry over; only files ADDED by this commit
     // pay a parquet-footer read. (Footers are read on the driver — the
@@ -197,6 +202,7 @@ final class GraftTable private (
     val generatedPath = new Path(logDir, f"v$v%020d.generated.tsv")
     val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
     val dvPath = new Path(logDir, f"v$v%020d.dv.tsv")
+    val colmapPath = new Path(logDir, f"v$v%020d.colmap.tsv")
     val jsonPath = new Path(logDir, f"v$v%020d.json")
     def writeAtomic(target: Path, content: String): Unit = {
       val tmp = new Path(target.getParent, s".${target.getName}.tmp")
@@ -222,6 +228,9 @@ final class GraftTable private (
     }.mkString("\n"))
     writeAtomic(dvPath, dv.toSeq.sortBy(_._1).map { case (f, runs) =>
       s"${enc(f)}\t${GraftTable.encodeRuns(runs)}" }.mkString("\n"))
+    writeAtomic(colmapPath,
+      (cmap.entries.map { case (l, ph) => s"${enc(l)}\t${enc(ph)}\ta" } ++
+        cmap.retired.map(ph => s"-\t${enc(ph)}\tr")).mkString("\n"))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
@@ -245,10 +254,12 @@ final class GraftTable private (
   private def commitRewrite(operation: String, inputs: Seq[String],
       added: Seq[String], metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
-      newGenerated: Option[Map[String, String]] = None): Long = {
+      newGenerated: Option[Map[String, String]] = None,
+      newColMap: Option[ColMap] = None): Long = {
     val inputSet = inputs.toSet
     retryOnConflict()(commit(operation, Nil, metrics,
       newConstraints = newConstraints, newGenerated = newGenerated,
+      newColMap = newColMap,
       filesAtBase = Some { base =>
         val nowLive = manifestFiles(base)
         val gone = inputs.filterNot(nowLive.toSet)
@@ -359,6 +370,129 @@ final class GraftTable private (
   /** Row count: metadata-served when possible, scan otherwise. */
   def count(): Long = rowCountFromStats().getOrElse(read().count())
 
+  // ---- column mapping (Delta column-mapping parity) --------------------
+  //
+  // RENAME/DROP COLUMN without touching data files: a versioned
+  // vN.colmap.tsv sidecar maps LOGICAL column names (what users see)
+  // to PHYSICAL names (what parquet files store). An empty/absent
+  // sidecar is the identity mapping and pays zero overhead — the
+  // mapping only materializes on the first rename/drop. Physical names
+  // are stable across renames (stats, files and vectors never change);
+  // a DROPPED column's physical name is recorded as RETIRED so a later
+  // re-add of the same logical name gets a FRESH physical name and the
+  // old files' values can never resurrect (Delta solves the same
+  // problem with column-id physical names). Time travel, RESTORE and
+  // CLONE carry the map like every other versioned metadata.
+
+  def colMapOf(version: Long): ColMap = {
+    if (version < 0) return ColMap(Nil, Nil)
+    val p = new Path(logDir, f"v$version%020d.colmap.tsv")
+    if (!fs.exists(p)) return ColMap(Nil, Nil)
+    val in = fs.open(p)
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.split('\t')).toList
+      ColMap(
+        lines.collect { case Array(l, ph, "a") => dec(l) -> dec(ph) },
+        lines.collect { case Array(_, ph, "r") => dec(ph) })
+    } finally in.close()
+  }
+
+  def colMap: ColMap = colMapOf(currentVersion)
+
+  /** Physical frame → logical view: select mapped columns (in map
+    * order) plus any internal bookkeeping columns present (__path,
+    * __pos survive the rename so DV plumbing composes). Entries whose
+    * physical column is absent from this frame subset (schema
+    * evolution) are skipped — unionByName fills them as null. */
+  private def toLogical(df: DataFrame, cm: ColMap): DataFrame = {
+    if (cm.isIdentity) return df
+    val have = df.columns.toSet
+    val internals = Seq("__path", "__pos").filter(have)
+    df.select(cm.entries.collect { case (l, ph) if have(ph) => col(ph).as(l) } ++
+      internals.map(col): _*)
+  }
+
+  /** Logical frame → physical layout for writing. Columns not in the
+    * map are NEW (mergeSchema evolution): they keep their own name as
+    * physical unless that name is retired or already used as another
+    * column's physical — then they get a fresh versioned physical name.
+    * Returns the physical frame plus the map additions to commit. */
+  private def toPhysical(df: DataFrame, cm: ColMap): (DataFrame, Seq[(String, String)]) = {
+    if (cm.isIdentity) return (df, Nil)
+    val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
+    val additions = df.columns.toSeq.filterNot(cm.physicalOf.contains).map { l =>
+      l -> (if (taken(l)) s"${l}__v${currentVersion + 1}" else l)
+    }
+    val physOf = cm.physicalOf ++ additions.toMap
+    (df.select(df.columns.toIndexedSeq.map(c => col(c).as(physOf(c))): _*), additions)
+  }
+
+  /** Rewrite frames derive from read() and can never ADD columns. */
+  private def toPhysicalStrict(df: DataFrame): DataFrame = {
+    val (phys, additions) = toPhysical(df, colMap)
+    require(additions.isEmpty,
+      s"internal: rewrite introduced unmapped columns ${additions.map(_._1)}")
+    phys
+  }
+
+  private def parseRefs(sqlExpr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.toSet
+
+  private def guardMappable(name: String, op: String): Unit = {
+    require(!partitionColumns.contains(name),
+      s"cannot $op partition column $name (hive directory layout is physical)")
+    val usedBy = (constraints.view.mapValues(parseRefs) ++
+      generatedColumns.view.mapValues(parseRefs))
+      .collect { case (n, refs) if refs(name) => n }.toSeq
+    require(usedBy.isEmpty,
+      s"cannot $op column $name: referenced by constraint/generated column ${usedBy.mkString(", ")}")
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only commit; the data files,
+    * stats and deletion vectors are untouched (physical name stable). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(!Seq(oldName, newName).exists(_.exists(c => c == '\t' || c == '\n' || c == '\r')),
+      "column names must not contain tabs or newlines")
+    val logical = read().columns.toSeq
+    require(logical.contains(oldName), s"no such column $oldName (have: ${logical.mkString(", ")})")
+    require(!logical.contains(newName), s"column $newName already exists")
+    guardMappable(oldName, "rename")
+    val cm = materialized(logical)
+    val next = cm.copy(entries = cm.entries.map {
+      case (l, ph) if l == oldName => newName -> ph
+      case e => e
+    })
+    commitRewrite("RENAME COLUMN", Nil, Nil,
+      Map("oldName" -> oldName, "newName" -> newName),
+      newColMap = Some(next))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only commit; the physical
+    * column stays in the files (invisible) and its name is RETIRED so
+    * a re-added column of the same name starts empty. */
+  def dropColumn(name: String): Long = {
+    val logical = read().columns.toSeq
+    require(logical.contains(name), s"no such column $name (have: ${logical.mkString(", ")})")
+    require(logical.size > 1, "cannot drop the last column")
+    guardMappable(name, "drop")
+    val cm = materialized(logical)
+    val ph = cm.physicalOf(name)
+    val next = ColMap(cm.entries.filterNot(_._1 == name), cm.retired :+ ph)
+    commitRewrite("DROP COLUMN", Nil, Nil, Map("name" -> name),
+      newColMap = Some(next))
+  }
+
+  /** The current map, materialized from the logical schema when still
+    * the implicit identity. */
+  private def materialized(logical: Seq[String]): ColMap = {
+    val cm = colMap
+    if (cm.isIdentity) ColMap(logical.map(l => l -> l), Nil) else cm
+  }
+
   private def utf8Compare(a: String, b: String): Int = GraftTable.utf8Compare(a, b)
 
   /** Footer-derived min/max of one file's top-level primitive columns
@@ -372,7 +506,19 @@ final class GraftTable private (
   def dataSkippedFiles(version: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     import org.apache.spark.sql.sources._
-    val stats = statsOf(version)
+    val rawStats = statsOf(version)
+    // pushed filters carry LOGICAL names; footer stats are keyed by the
+    // PHYSICAL column name — re-key through the version's column map
+    // (identity map: no-op). A dropped column's stats become unreachable
+    // (no logical name maps to them) — conservative, never wrong.
+    val cm = colMapOf(version)
+    val stats =
+      if (cm.isIdentity) rawStats
+      else {
+        val logicalOf = cm.entries.map(_.swap).toMap
+        rawStats.view.mapValues(_.flatMap { case (ph, b) =>
+          logicalOf.get(ph).map(_ -> b) }).toMap
+      }
     // Try-wrapped: a non-numeric stat (legacy "Infinity" sidecar, NaN
     // filter value) yields None → no proof → the file is kept
     def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
@@ -420,7 +566,7 @@ final class GraftTable private (
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    val pruned = readFilesDv(kept, dvOf(version))
+    val pruned = toLogical(readFilesDv(kept, dvOf(version)), colMapOf(version))
     val have = pruned.columns.toSet
     val aligned = full.schema.fields.foldLeft(pruned) { (d, f) =>
       if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
@@ -602,7 +748,23 @@ final class GraftTable private (
           (if (mode != SaveMode.Append) " or overwriteSchema=true to replace" else ""))
     }
     enforceConstraints(df0)
-    val added = appendDataFiles(df0)
+    // incoming LOGICAL columns land under their mapped PHYSICAL names;
+    // mergeSchema-new columns extend the map (fresh physical when the
+    // name was retired by a DROP — old files' values never resurrect).
+    // An overwriteSchema overwrite REPLACES every live file, so the
+    // map resets to identity and the new data lands under its own
+    // names (earlier versions keep their own maps for time travel).
+    val schemaReset = mode != SaveMode.Append && overwriteSchema
+    val (physDf, mapAdds) =
+      if (schemaReset) (df0, Nil) else toPhysical(df0, colMap)
+    val nextMap: Option[ColMap] =
+      if (schemaReset) Some(ColMap(Nil, Nil))
+      else if (mapAdds.isEmpty) None
+      else Some {
+        val cm = materialized(read().columns.toSeq)
+        cm.copy(entries = cm.entries ++ mapAdds)
+      }
+    val added = appendDataFiles(physDf)
     val metrics =
       Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
     def attempt(): Long = mode match {
@@ -610,8 +772,9 @@ final class GraftTable private (
       // concurrent commit between a manifest read here and the claim
       // would otherwise be dropped from the new manifest)
       case SaveMode.Append => commit("APPEND", Nil, metrics,
-        filesAtBase = Some(base => manifestFiles(base) ++ added))
-      case _ => commit("WRITE", added, metrics)
+        filesAtBase = Some(base => manifestFiles(base) ++ added),
+        newColMap = nextMap)
+      case _ => commit("WRITE", added, metrics, newColMap = nextMap)
     }
     // blind appends are commutative: a losing concurrent writer re-reads
     // the new current manifest and re-commits ITS files on top (Delta's
@@ -785,7 +948,7 @@ final class GraftTable private (
     if (files.isEmpty)
       throw new IllegalStateException(
         s"graft table at $path has no committed version $version")
-    readFilesDv(files, dvOf(version))
+    toLogical(readFilesDv(files, dvOf(version)), colMapOf(version))
   }
 
   // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
@@ -841,7 +1004,7 @@ final class GraftTable private (
         "targetFileSizeBytes" -> targetFileSizeBytes.toString,
         "zOrderBy" -> clusterBy.mkString(","),
         "where" -> where.getOrElse("")))
-    val df = readFilesDv(scopeFiles, dvOf(currentVersion))
+    val df = readLive(scopeFiles) // logical view; clusterBy names are logical
     val scopeSet = scopeFiles.toSet
     val scopeBytes = scopeFiles.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
     val bins = math.max(1L,
@@ -856,7 +1019,7 @@ final class GraftTable private (
       if (sortCols.nonEmpty)
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
-    val added = appendDataFiles(compacted)
+    val added = appendDataFiles(toPhysicalStrict(compacted))
     commitRewrite("OPTIMIZE", scopeFiles, added, Map(
       "numFilesAdded" -> added.size.toString,
       "numFilesRemoved" -> scopeFiles.size.toString,
@@ -1014,14 +1177,19 @@ final class GraftTable private (
     else readFiles(clean).unionByName(live, allowMissingColumns = true)
   }
 
-  /** Manifest files holding at least one LIVE row matching `cond`.
-    * Partition and data-skipping filters push into this scan, so at
-    * scale the scan touches only candidate files. */
+  /** Manifest files holding at least one LIVE row matching `cond`
+    * (logical column names). Partition and data-skipping filters push
+    * into this scan, so at scale the scan touches only candidate files. */
   private def affectedFiles(cond: Column): Seq[String] =
-    readFilesMeta(manifestFiles(), dvOf(currentVersion))
+    toLogical(readFilesMeta(manifestFiles(), dvOf(currentVersion)), colMap)
       .filter(cond)
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
+
+  /** DV-applied LOGICAL view of a live-file subset — what every
+    * copy-on-write rewrite reads before writing back physical. */
+  private def readLive(files: Seq[String]): DataFrame =
+    toLogical(readFilesDv(files, dvOf(currentVersion)), colMap)
 
   /** Physically write `df`'s files into the table layout and return
     * exactly the relative paths written. Staged through a unique temp
@@ -1079,7 +1247,7 @@ final class GraftTable private (
       // commit-metadata-fits-on-the-driver assumption as the manifest;
       // at bitmap scale executors would write per-file DV sidecars.
       val dvNow = dvOf(currentVersion)
-      val hit = readFilesMeta(affected, dvNow).filter(matches)
+      val hit = toLogical(readFilesMeta(affected, dvNow), colMap).filter(matches)
         .groupBy(col("__path"))
         .agg(sort_array(collect_list(col("__pos"))).as("pos"))
         .collect()
@@ -1107,8 +1275,8 @@ final class GraftTable private (
             f -> GraftTable.mergeRuns(cur.getOrElse(f, Nil), r) }
         }))
     }
-    val added = appendDataFiles(readFilesDv(affected, dvOf(currentVersion))
-      .filter(!matches))
+    val added = appendDataFiles(toPhysicalStrict(
+      readLive(affected).filter(!matches)))
     commitRewrite("DELETE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
@@ -1121,7 +1289,7 @@ final class GraftTable private (
     val dv = dvOf(currentVersion)
     val vectored = manifestFiles().filter(f => dv.get(f).exists(_.nonEmpty))
     if (vectored.isEmpty) return currentVersion
-    val added = appendDataFiles(readFilesDv(vectored, dv))
+    val added = appendDataFiles(toPhysicalStrict(readLive(vectored)))
     commitRewrite("PURGE", vectored, added, Map(
       "numFilesRewritten" -> vectored.size.toString,
       "numFilesAdded" -> added.size.toString,
@@ -1146,8 +1314,7 @@ final class GraftTable private (
     // the match flag is PINNED before any assignment: an assignment that
     // mutates a column the predicate references must not change which
     // rows the remaining assignments (or recomputes) apply to
-    val marked = readFilesDv(affected, dvOf(currentVersion))
-      .withColumn("__upd", matches)
+    val marked = readLive(affected).withColumn("__upd", matches)
     val hit = col("__upd")
     val afterSet = set.foldLeft(marked) { case (d, (name, value)) =>
       d.withColumn(name, when(hit, value.cast(types(name))).otherwise(col(name)))
@@ -1168,7 +1335,7 @@ final class GraftTable private (
     }
     val updated = regenerated.drop("__upd")
     enforceConstraints(updated)
-    val added = appendDataFiles(updated)
+    val added = appendDataFiles(toPhysicalStrict(updated))
     commitRewrite("UPDATE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
@@ -1235,14 +1402,14 @@ final class GraftTable private (
           on.mkString(", "))
     }
     val dvNow = dvOf(currentVersion)
-    val affected = readFilesMeta(manifestFiles(), dvNow)
+    val affected = toLogical(readFilesMeta(manifestFiles(), dvNow), colMap)
       .join(srcKeys, on, "left_semi")
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
     // rewritten rows of affected files: first applicable matched clause
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
-      val joined = readFilesDv(affected, dvNow).alias("target").join(marked.alias("source"),
+      val joined = readLive(affected).alias("target").join(marked.alias("source"),
         on.map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _), "left")
       val isMatched = col("source.__m").isNotNull
       val clauseIdx = matched.zipWithIndex
@@ -1267,7 +1434,7 @@ final class GraftTable private (
       .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
         when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
     val inserts = (if (affected.isEmpty) src
-      else src.join(readFilesDv(affected, dvNow).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
+      else src.join(readLive(affected).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
       .alias("source")
       .filter(nmIdx >= 0)
       .select(fields.map(f => col(f.name)): _*)
@@ -1281,7 +1448,7 @@ final class GraftTable private (
         s"definition ($e) on $bad rows")
     }
     enforceConstraints(out)
-    val added = appendDataFiles(out)
+    val added = appendDataFiles(toPhysicalStrict(out))
     commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString))
@@ -1305,10 +1472,15 @@ final class GraftTable private (
     val removed = (before -- after).toSeq
     val dvFrom = dvOf(from)
     val dvTo = dvOf(to)
+    // both sides surface under the TO version's LOGICAL names: physical
+    // names are stable across renames, so mapping the from-side through
+    // the to-map gives a consistent diff even across RENAME COLUMN
+    // (which itself changes no rows and emits an empty feed)
+    val cmTo = colMapOf(to)
     // a removed file's rows AT `from` exclude its then-deleted positions;
     // an added file's rows AT `to` exclude its current vector
     def snap(files: Seq[String], dv: Map[String, Seq[(Long, Long)]]): Option[DataFrame] =
-      if (files.isEmpty) None else Some(readFilesDv(files, dv))
+      if (files.isEmpty) None else Some(toLogical(readFilesDv(files, dv), cmTo))
     // files live at BOTH versions whose vector differs: positions in
     // `drop` but not `keep` surface as row-level changes (a merge-on-read
     // delete grows the vector → deletes; RESTORE across one shrinks it →
@@ -1330,7 +1502,7 @@ final class GraftTable private (
         val posDf = runRows.toDF("__dv_path", "__dv_start", "__dv_len")
           .select(col("__dv_path"), explode(expr(
             "sequence(__dv_start, __dv_start + __dv_len - 1)")).as("__dv_pos"))
-        val withMeta = readFilesMeta(diff.map(_._1), Map.empty)
+        val withMeta = toLogical(readFilesMeta(diff.map(_._1), Map.empty), cmTo)
         Some(withMeta.join(broadcast(posDf),
             withMeta("__path") === posDf("__dv_path") &&
               withMeta("__pos") === posDf("__dv_pos"),
@@ -1385,7 +1557,8 @@ final class GraftTable private (
       Map("restoredVersion" -> version.toString),
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
-      newDv = Some(_ => dvOf(version)))
+      newDv = Some(_ => dvOf(version)),
+      newColMap = Some(colMapOf(version)))
   }
 
   /** SHALLOW CLONE (Delta parity): a new table at `targetPath` whose v0
@@ -1419,7 +1592,8 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
       carriedStats = carried, collectStats = false,
-      newDv = Some(_ => carriedDv))
+      newDv = Some(_ => carriedDv),
+      newColMap = Some(colMapOf(srcV)))
     t
   }
 
@@ -1447,7 +1621,8 @@ final class GraftTable private (
         // delete the commit marker LAST so a crash mid-cleanup never
         // leaves a committed version with missing sidecars
         Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
-            f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv", f"v$v%020d.claim")
+            f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv",
+            f"v$v%020d.colmap.tsv", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1
@@ -1543,6 +1718,17 @@ object GraftTable {
     * ingest or full-table OPTIMIZE commit reads thousands of footers;
     * below it, job-launch overhead beats the driver loop. */
   val DistributedStatsThreshold: Int = 12
+
+  /** Column mapping: `entries` = visible columns in order (logical →
+    * physical); `retired` = physical names of dropped columns (never
+    * reusable). Empty ⇒ identity mapping (physical schema is logical). */
+  final case class ColMap(entries: Seq[(String, String)], retired: Seq[String]) {
+    def isIdentity: Boolean = entries.isEmpty && retired.isEmpty
+    def physicalOf: Map[String, String] = entries.toMap
+    /** physical name for pruning lookups: mapped, or the name itself
+      * under the identity mapping. */
+    def phys(logical: String): String = physicalOf.getOrElse(logical, logical)
+  }
 
   /** Extracts the filesystem path from a URI-or-path string — the SQL
     * counterpart of `new URI(s).getPath`, used to match
