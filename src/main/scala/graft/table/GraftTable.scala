@@ -119,7 +119,7 @@ final class GraftTable private (
       collectStats: Boolean = true,
       newGenerated: Option[Map[String, String]] = None,
       newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
-      newColMap: Option[ColMap] = None): Long = {
+      newColMap: Option[Long => ColMap] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -150,7 +150,7 @@ final class GraftTable private (
       collectStats: Boolean,
       newGenerated: Option[Map[String, String]],
       newDv: Option[Long => Map[String, Seq[(Long, Long)]]],
-      newColMap: Option[ColMap]): Long = {
+      newColMap: Option[Long => ColMap]): Long = {
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
@@ -158,7 +158,7 @@ final class GraftTable private (
     // them
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
-    val cmap = newColMap.getOrElse(colMapOf(v - 1))
+    val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
     // per-file column min/max stats (Delta data-skipping parity): stats
     // for surviving files carry over; only files ADDED by this commit
     // pay a parquet-footer read. (Footers are read on the driver — the
@@ -255,7 +255,7 @@ final class GraftTable private (
       added: Seq[String], metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
-      newColMap: Option[ColMap] = None): Long = {
+      newColMap: Option[Long => ColMap] = None): Long = {
     val inputSet = inputs.toSet
     retryOnConflict()(commit(operation, Nil, metrics,
       newConstraints = newConstraints, newGenerated = newGenerated,
@@ -461,14 +461,18 @@ final class GraftTable private (
     require(logical.contains(oldName), s"no such column $oldName (have: ${logical.mkString(", ")})")
     require(!logical.contains(newName), s"column $newName already exists")
     guardMappable(oldName, "rename")
-    val cm = materialized(logical)
-    val next = cm.copy(entries = cm.entries.map {
-      case (l, ph) if l == oldName => newName -> ph
-      case e => e
-    })
+    // the transformation applies to the CLAIMED predecessor's map, so a
+    // concurrent commit's map changes (e.g. an evolving append) are
+    // never overwritten by this rename's pre-claim snapshot
     commitRewrite("RENAME COLUMN", Nil, Nil,
       Map("oldName" -> oldName, "newName" -> newName),
-      newColMap = Some(next))
+      newColMap = Some { base =>
+        val cm = materializedAt(base)
+        cm.copy(entries = cm.entries.map {
+          case (l, ph) if l == oldName => newName -> ph
+          case e => e
+        })
+      })
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only commit; the physical
@@ -479,18 +483,21 @@ final class GraftTable private (
     require(logical.contains(name), s"no such column $name (have: ${logical.mkString(", ")})")
     require(logical.size > 1, "cannot drop the last column")
     guardMappable(name, "drop")
-    val cm = materialized(logical)
-    val ph = cm.physicalOf(name)
-    val next = ColMap(cm.entries.filterNot(_._1 == name), cm.retired :+ ph)
     commitRewrite("DROP COLUMN", Nil, Nil, Map("name" -> name),
-      newColMap = Some(next))
+      newColMap = Some { base =>
+        val cm = materializedAt(base)
+        val ph = cm.physicalOf.getOrElse(name, name)
+        ColMap(cm.entries.filterNot(_._1 == name), cm.retired :+ ph)
+      })
   }
 
-  /** The current map, materialized from the logical schema when still
-    * the implicit identity. */
-  private def materialized(logical: Seq[String]): ColMap = {
-    val cm = colMap
-    if (cm.isIdentity) ColMap(logical.map(l => l -> l), Nil) else cm
+  /** `base`'s map, materialized from its logical schema when still the
+    * implicit identity. */
+  private def materializedAt(base: Long): ColMap = {
+    val cm = colMapOf(base)
+    if (cm.isIdentity)
+      ColMap(readVersion(base).columns.toSeq.map(l => l -> l), Nil)
+    else cm
   }
 
   private def utf8Compare(a: String, b: String): Int = GraftTable.utf8Compare(a, b)
@@ -757,12 +764,18 @@ final class GraftTable private (
     val schemaReset = mode != SaveMode.Append && overwriteSchema
     val (physDf, mapAdds) =
       if (schemaReset) (df0, Nil) else toPhysical(df0, colMap)
-    val nextMap: Option[ColMap] =
-      if (schemaReset) Some(ColMap(Nil, Nil))
+    val nextMap: Option[Long => ColMap] =
+      if (schemaReset) Some(_ => ColMap(Nil, Nil))
       else if (mapAdds.isEmpty) None
-      else Some {
-        val cm = materialized(read().columns.toSeq)
-        cm.copy(entries = cm.entries ++ mapAdds)
+      else Some { base =>
+        // extend the CLAIMED predecessor's map: a concurrent rename's
+        // entries survive (physical names are stable, so this write's
+        // additions stay valid), and an addition a concurrent writer
+        // already registered is not duplicated
+        val cm = colMapOf(base)
+        if (cm.isIdentity) cm // concurrent schema reset: stay identity
+        else cm.copy(entries = cm.entries ++
+          mapAdds.filterNot(a => cm.physicalOf.contains(a._1)))
       }
     val added = appendDataFiles(physDf)
     val metrics =
@@ -945,9 +958,29 @@ final class GraftTable private (
     * time with missing files — same contract as Delta). */
   def readVersion(version: Long): DataFrame = {
     val files = manifestFiles(version)
-    if (files.isEmpty)
-      throw new IllegalStateException(
-        s"graft table at $path has no committed version $version")
+    if (files.isEmpty) {
+      // a committed version CAN be legitimately empty (DELETE matched
+      // every row): serve an empty frame with the schema of the latest
+      // earlier version that still has readable files, mapped through
+      // THIS version's column map (physical names are stable). Only a
+      // table that never had data — or whose history was fully
+      // vacuumed — is unreadable.
+      if (!hasVersion(version) && version != currentVersion)
+        throw new IllegalStateException(
+          s"graft table at $path has no committed version $version")
+      val schema = ((version - 1) to 0L by -1).iterator
+        .map(v => scala.util.Try {
+          val fs = manifestFiles(v)
+          if (fs.isEmpty) throw new IllegalStateException("empty")
+          toLogical(readFilesDv(fs, Map.empty), colMapOf(version)).schema
+        }).collectFirst { case scala.util.Success(s) => s }
+      schema match {
+        case Some(s) => return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalStateException(
+          s"graft table at $path has no committed version $version")
+      }
+    }
     toLogical(readFilesDv(files, dvOf(version)), colMapOf(version))
   }
 
@@ -1558,7 +1591,7 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
       newDv = Some(_ => dvOf(version)),
-      newColMap = Some(colMapOf(version)))
+      newColMap = Some(_ => colMapOf(version)))
   }
 
   /** SHALLOW CLONE (Delta parity): a new table at `targetPath` whose v0
@@ -1593,7 +1626,7 @@ final class GraftTable private (
       newGenerated = Some(generatedOf(srcV)),
       carriedStats = carried, collectStats = false,
       newDv = Some(_ => carriedDv),
-      newColMap = Some(colMapOf(srcV)))
+      newColMap = Some(_ => colMapOf(srcV)))
     t
   }
 

@@ -92,6 +92,39 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  // ---- within-document repetition removal ------------------------------
+
+  val IntraBlockWords = 10
+
+  /** Within-document repeated-block removal (the RefinedWeb/CCNet-style
+    * boilerplate pass that runs BEFORE inter-doc dedup): non-overlapping
+    * [[IntraBlockWords]]-word blocks, keep each block's FIRST occurrence
+    * in document order, drop repeats. Per doc: block counts plus the md5
+    * of the cleaned text, so the oracle pins the reconstruction exactly
+    * (not just the counts). One explode + two hash aggregates per doc —
+    * no join against the rest of the corpus, trivially 100 TB-safe. */
+  def intraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(w) >= $IntraBlockWords THEN
+           |  transform(sequence(1, size(w) div $IntraBlockWords),
+           |    i -> concat_ws(' ', slice(w, (i - 1) * $IntraBlockWords + 1, $IntraBlockWords)))
+           |ELSE array() END""".stripMargin)).as(Seq("i", "block")))
+    val kept = blocks.groupBy(col("doc_id"), col("block"))
+      .agg(min("i").as("i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(sort_array(collect_list(struct(i, block))), x -> x.block)"),
+          " ")).as("clean_md5"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(kept, "doc_id")
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        (col("n_blocks") - col("n_kept")).as("n_dup_blocks"), col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- deterministic temperature sampling over sources -----------------
 
   /** Target sample size as a fraction of the corpus. */
@@ -131,6 +164,7 @@ object QualityFilters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_quality" -> gopherQuality _,
     "block_dedup" -> blockDedup _,
+    "intra_dedup" -> intraDedup _,
     "source_mixture" -> sourceMixture _)
 
   val oracles: Map[String, String] = Map(
@@ -168,6 +202,27 @@ object QualityFilters {
          |       CAST(n_shared AS BIGINT) AS n_shared_blocks,
          |       ROUND(CAST(n_shared AS DOUBLE) / n_blocks, 4) AS shared_frac
          |FROM per ORDER BY doc_id""".stripMargin,
+    "intra_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, i, array_to_string(
+         |           w[(i - 1) * $IntraBlockWords + 1 : i * $IntraBlockWords], ' ') AS block
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(1, greatest(len(w) // $IntraBlockWords, 0) + 1)) AS i
+         |        FROM d)),
+         |f AS (SELECT doc_id, block, MIN(i) AS i FROM b GROUP BY doc_id, block),
+         |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |        md5(string_agg(block, ' ' ORDER BY i)) AS clean_md5
+         |      FROM f GROUP BY doc_id),
+         |t AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+         |       CAST(k.n_kept AS BIGINT) AS n_kept,
+         |       CAST(t.n_blocks - k.n_kept AS BIGINT) AS n_dup_blocks,
+         |       k.clean_md5
+         |FROM t JOIN k ON t.doc_id = k.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "source_mixture" ->
       s"""WITH counts AS (
          |  SELECT source, COUNT(*) AS n, sqrt(COUNT(*)) AS sqrtn

@@ -224,6 +224,16 @@ class GraftSourceSpec extends SparkSpec {
     assert(t.read().select("ticker").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("MSFT"))
     assert(t.readVersion(0).count() == n0)
+
+    // DELETE with no WHERE = logical truncate: the table stays READABLE
+    // (empty frame with the prior version's schema) and time-travelable
+    spark.sql(s"DELETE FROM graft.`$path`")
+    assert(t.read().count() == 0)
+    assert(t.read().columns.contains("ticker"))
+    assert(t.readVersion(0).count() == n0)
+    // and writable again
+    t.write(bars.limit(7), org.apache.spark.sql.SaveMode.Append)
+    assert(t.read().count() == 7)
   }
 
   test("wide commits collect footer stats distributed, identical to the driver path") {

@@ -50,6 +50,38 @@ class QualityFiltersSpec extends SparkSpec {
       got.values.exists(_._2 > 0))
   }
 
+  test("intra_dedup matches a driver-side first-occurrence reconstruction") {
+    import graft.text.QualityFilters
+    val got = QualityFilters.intraDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    }
+    val bw = QualityFilters.IntraBlockWords
+    graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val w = text.trim.split("\\s+")
+        val blocks = (0 until w.length / bw)
+          .map(i => w.slice(i * bw, (i + 1) * bw).mkString(" "))
+        if (blocks.isEmpty) assert(!got.contains(id), s"doc $id should be absent")
+        else {
+          val kept = blocks.zipWithIndex.groupBy(_._1)
+            .map { case (b, occ) => b -> occ.map(_._2).min }
+            .toSeq.sortBy(_._2).map(_._1)
+          val (nBlocks, nKept, nDup, cleanMd5) = got(id)
+          assert(nBlocks == blocks.size, s"doc $id n_blocks")
+          assert(nKept == kept.size, s"doc $id n_kept")
+          assert(nDup == blocks.size - kept.size, s"doc $id n_dup")
+          assert(cleanMd5 == md5hex(kept.mkString(" ")), s"doc $id clean_md5")
+        }
+      }
+  }
+
   test("source_mixture: quotas respected, ~half the corpus kept, deterministic") {
     val df = QualityFilters.sourceMixture(spark, sf).cache()
     // per-source: exactly quota rows, ranks are 1..quota
