@@ -161,8 +161,14 @@ object Dedup {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // init fused with round 1: label(v) = min(v, min(neighbors)) in ONE
+    // aggregate — identical to initializing label(v)=v and running one
+    // propagation round, but skips the distinct-vertices shuffle and
+    // the first join (for shallow near-dup graphs this IS most of the
+    // loop: a star/clique graph converges immediately after this)
+    var labels = sym.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label")).localCheckpoint()
     var converged = false
     while (!converged) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
