@@ -1029,7 +1029,26 @@ final class GraftTable private (
     val live = manifestFiles()
     val scopeFiles = where match {
       case None => live
-      case Some(w) => affectedFiles(expr(w))
+      case Some(w) =>
+        // resolve the scope from hive paths ALONE — no data read (at
+        // scale the predicate prunes directories, not rows), and a
+        // fully-vectored partition still compacts (a DV-applied row
+        // scan would see no live rows and skip it)
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__file",
+            org.apache.spark.sql.types.StringType) +:
+          partitionColumns.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType)))
+        val rows = live.map { f =>
+          val kvs = f.split('/').filter(_.contains('=')).map { s =>
+            val i = s.indexOf('=')
+            s.take(i) -> java.net.URLDecoder.decode(s.drop(i + 1), "UTF-8")
+          }.toMap
+          org.apache.spark.sql.Row.fromSeq(f +: partitionColumns.map(c =>
+            kvs.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+          .filter(expr(w)).select("__file").collect().map(_.getString(0)).toSeq
     }
     if (scopeFiles.isEmpty)
       return commitRewrite("OPTIMIZE", Nil, Nil, Map(

@@ -48,13 +48,18 @@ object GraftFunctions {
 }
 
 /** Builder-time injection: `SparkSession.builder().withExtensions(new
-  * GraftExtensions)` makes the functions available in every session. */
+  * GraftExtensions)` (or `spark.sql.extensions=
+  * org.apache.spark.sql.graft.GraftExtensions`) makes the functions
+  * available in every session and enables SQL UPDATE / MERGE INTO on
+  * graft tables (see [[GraftDmlRule]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder, usage) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
+    e.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+  }
 }

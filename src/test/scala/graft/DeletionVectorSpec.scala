@@ -195,6 +195,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(c.deletedRowCount() == aapl)
   }
 
+  test("partition-scoped OPTIMIZE materializes only the scoped partition's vectors") {
+    val t = freshTable("dv_opt_scope")
+    t.write(bars.repartition(3))
+    val total = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    val msft = t.read().filter(col("ticker") === "MSFT").count()
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+    t.delete(col("ticker") === "MSFT", mergeOnRead = true)
+    assert(t.deletedRowCount() == aapl + msft)
+
+    // compact ONLY the AAPL partition: its vectors materialize (files
+    // rewritten without deleted rows), MSFT's vectors stay in place
+    t.optimize(Seq("timestamp_ms"), where = Some("ticker = 'AAPL'"))
+    assert(t.deletedRowCount() == msft, "unscoped partition keeps its vector")
+    assert(t.read().count() == total - aapl - msft)
+    assert(t.read().filter(col("ticker").isin("AAPL", "MSFT")).count() == 0)
+    // the MSFT files were carried over untouched (still vectored)
+    assert(t.dvOf(t.currentVersion).keys.forall(_.contains("ticker=MSFT")))
+  }
+
   test("metadata row count: served from the stats sidecar, vector-aware, scan fallback") {
     val t = freshTable("dv_count")
     t.write(bars.repartition(3))

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** SQL UPDATE / MERGE INTO on graft tables through the GraftDmlRule
+  * analyzer extension (Delta's pattern) — verifies routing onto the
+  * copy-on-write API paths, clause surface, and clear rejection of the
+  * unsupported surface. The test session enables the extension via
+  * `.withExtensions(new GraftExtensions)` in SparkSpec.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def freshTable(prefix: String): (GraftTable, String) = {
+    val path = Files.createTempDirectory(prefix).toString
+    (GraftTable(spark, path, Seq("ticker", "trade_date")), path)
+  }
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0)).cache()
+
+  test("SQL UPDATE routes through the copy-on-write update") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_upd")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    // close carries injected nulls: null + 1000 stays null, so the
+    // bumped-row count is the NON-NULL AAPL close count
+    val aaplNonNull = t.read()
+      .filter(col("ticker") === "AAPL" && col("close").isNotNull).count()
+
+    spark.sql(s"UPDATE graft.`$path` SET close = close + 1000 WHERE ticker = 'AAPL'")
+    assert(t.read().count() == total)
+    assert(t.read().filter(col("ticker") === "AAPL" && col("close") > 900).count()
+      == aaplNonNull)
+    assert(t.history().select("operation").collect().map(_.getString(0))
+      .contains("UPDATE"))
+    // NULL-predicate rows kept (three-valued semantics reach SQL UPDATE):
+    // close has injected nulls, so `close > 1e12` is NULL there
+    val before = t.read().agg(sum("volume")).collect().head.getLong(0)
+    spark.sql(s"UPDATE graft.`$path` SET volume = 0 WHERE close > 1e12")
+    assert(t.read().agg(sum("volume")).collect().head.getLong(0) == before)
+    // pre-update version stays time-travelable
+    assert(t.readVersion(0).filter(col("close") > 900).count() == 0)
+  }
+
+  test("SQL MERGE INTO: update + delete + insert clauses") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_merge")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+
+    // source: 5 existing keys with bumped volume, 1 fresh row
+    t.read().limit(5).withColumn("volume", lit(777L))
+      .unionByName(t.read().limit(1)
+        .withColumn("timestamp_ms", col("timestamp_ms") + 999999))
+      .createOrReplaceTempView("dml_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN MATCHED THEN UPDATE SET volume = s.volume
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().count() == total + 1)
+    assert(t.read().filter(col("volume") === 777L).count() == 5)
+
+    // conditional DELETE clause
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN MATCHED AND t.volume = 777 THEN DELETE""".stripMargin)
+    // all five updated rows deleted; the inserted row kept its original
+    // volume and survives the conditional delete
+    assert(t.read().filter(col("volume") === 777L).count() === 0)
+    assert(t.read().count() == total + 1 - 5)
+  }
+
+  test("unsupported MERGE surface fails with clear errors; time travel rejected") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_rej")
+    t.write(bars.repartition(2))
+    t.read().limit(1).createOrReplaceTempView("dml_rej_src")
+
+    // differently-named join keys
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` AS t USING dml_rej_src AS s
+           |ON t.timestamp_ms = s.volume
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("same-named"), e1.getMessage)
+
+    // explicit insert column list
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` AS t USING dml_rej_src AS s
+           |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+           |WHEN NOT MATCHED THEN INSERT (ticker) VALUES (s.ticker)""".stripMargin)
+    }
+    assert(e2.getMessage.contains("INSERT"), e2.getMessage)
+
+    // UPDATE on a time-travel relation
+    val e3 = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$path` VERSION AS OF 0 SET volume = 0")
+    }
+    assert(e3.getMessage.toLowerCase.contains("time-travel") ||
+      e3.getMessage.contains("VERSION"), e3.getMessage)
+  }
+}
