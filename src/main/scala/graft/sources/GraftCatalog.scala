@@ -79,10 +79,27 @@ final class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     GraftTable(SparkSession.active, pathOf(ident)).currentVersion >= 0
 
+  /** SQL `CREATE TABLE graft.\`/path\` (cols…) [PARTITIONED BY (…)]` —
+    * commits a file-less v0 whose schema sidecar establishes the
+    * table: reads serve an empty frame with that schema, and the first
+    * INSERT INTO is schema-enforced against it. Only identity
+    * partition transforms are supported (hive layout). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only: create tables via df.write.format(\"graft\")")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val parts = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft supports identity partition transforms only, got $t")
+    }
+    val missing = parts.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition columns not in schema: ${missing.mkString(", ")}")
+    GraftTable.create(spark, path, schema, parts)
+    GraftV2Table(spark, path, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")
@@ -120,12 +137,10 @@ final case class GraftV2Table(spark: SparkSession, path: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** Hive partition columns, recovered from the manifest's file paths. */
+  /** Hive partition columns: manifest paths, or the CREATE TABLE record
+    * for a still-empty table. */
   private def hivePartitionCols(version: Long): Seq[String] =
-    table.manifestFiles(version).headOption.toSeq.flatMap {
-      f => f.split('/').dropRight(1).filter(_.contains('='))
-        .map(_.takeWhile(_ != '='))
-    }
+    table.layoutPartitionColumns(version)
 
   override def partitioning(): Array[Transform] =
     hivePartitionCols(pinnedVersion).map(Expressions.identity).toArray

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Partitioned-parquet table with a versioned manifest log — the engine's
   * replacement for the reference's Delta Lake layer (SURVEY.md §7.3; the
@@ -119,14 +120,16 @@ final class GraftTable private (
       collectStats: Boolean = true,
       newGenerated: Option[Map[String, String]] = None,
       newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
-      newColMap: Option[Long => ColMap] = None): Long = {
+      newColMap: Option[Long => ColMap] = None,
+      newSchema: Option[Long => StructType] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, files, metrics, newConstraints,
-      filesAtBase, carriedStats, collectStats, newGenerated, newDv, newColMap)
+      filesAtBase, carriedStats, collectStats, newGenerated, newDv, newColMap,
+      newSchema)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -136,7 +139,8 @@ final class GraftTable private (
         if (!landed)
           Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv",
               f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
-              f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv", f"v$v%020d.claim")
+              f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv",
+              f"v$v%020d.schema", f"v$v%020d.claim")
             .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
         throw e
     }
@@ -150,7 +154,8 @@ final class GraftTable private (
       collectStats: Boolean,
       newGenerated: Option[Map[String, String]],
       newDv: Option[Long => Map[String, Seq[(Long, Long)]]],
-      newColMap: Option[Long => ColMap]): Long = {
+      newColMap: Option[Long => ColMap],
+      newSchema: Option[Long => StructType]): Long = {
     val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
@@ -159,6 +164,11 @@ final class GraftTable private (
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
     val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
+    // physical schema carried forward when this commit doesn't change it
+    // (legacy versions without a sidecar carry nothing — reads stay
+    // footer-derived until a schema-recording commit lands)
+    val schemaRec: Option[StructType] =
+      newSchema.map(f => f(v - 1)).orElse(schemaOf(v - 1))
     // per-file column min/max stats (Delta data-skipping parity): stats
     // for surviving files carry over; only files ADDED by this commit
     // pay a parquet-footer read. (Footers are read on the driver — the
@@ -231,6 +241,8 @@ final class GraftTable private (
     writeAtomic(colmapPath,
       (cmap.entries.map { case (l, ph) => s"${enc(l)}\t${enc(ph)}\ta" } ++
         cmap.retired.map(ph => s"-\t${enc(ph)}\tr")).mkString("\n"))
+    schemaRec.foreach(s =>
+      writeAtomic(new Path(logDir, f"v$v%020d.schema"), s.json))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
@@ -255,11 +267,12 @@ final class GraftTable private (
       added: Seq[String], metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
-      newColMap: Option[Long => ColMap] = None): Long = {
+      newColMap: Option[Long => ColMap] = None,
+      newSchema: Option[Long => StructType] = None): Long = {
     val inputSet = inputs.toSet
     retryOnConflict()(commit(operation, Nil, metrics,
       newConstraints = newConstraints, newGenerated = newGenerated,
-      newColMap = newColMap,
+      newColMap = newColMap, newSchema = newSchema,
       filesAtBase = Some { base =>
         val nowLive = manifestFiles(base)
         val gone = inputs.filterNot(nowLive.toSet)
@@ -383,6 +396,62 @@ final class GraftTable private (
   // old files' values can never resurrect (Delta solves the same
   // problem with column-id physical names). Time travel, RESTORE and
   // CLONE carry the map like every other versioned metadata.
+
+  // ---- schema in the log (Delta metadata-action parity) ----------------
+  //
+  // Every commit records the table's PHYSICAL schema as a vN.schema JSON
+  // sidecar. Data-file footers stay the source of truth for scans (no
+  // behavior change for populated tables); the sidecar is what makes a
+  // FILE-LESS table well-defined: SQL CREATE TABLE establishes a schema
+  // before any data exists, DELETE-everything keeps the table readable,
+  // and ALTER TABLE ADD COLUMN can introduce a column no file carries
+  // yet (reads align it in as nulls). Legacy versions without the
+  // sidecar behave exactly as before.
+
+  /** Physical schema recorded with `version`, if any. */
+  def schemaOf(version: Long): Option[StructType] = {
+    if (version < 0) return None
+    val p = new Path(logDir, f"v$version%020d.schema")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      .asInstanceOf[StructType]).toOption
+    finally in.close()
+  }
+
+  /** ALTER TABLE ADD COLUMN (metadata-only): the column joins the
+    * recorded schema; no file carries it, so reads align it in as
+    * nulls until writes populate it. A name retired by DROP COLUMN
+    * gets a fresh physical name via the column map (no resurrection). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "column names must not contain tabs or newlines")
+    val logical = read().columns.toSeq
+    require(!logical.contains(name), s"column $name already exists")
+    val cm = colMap
+    val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
+    val physName = if (taken(name)) s"${name}__v${currentVersion + 1}" else name
+    val needsMap = physName != name || !cm.isIdentity
+    commitRewrite("ADD COLUMN", Nil, Nil,
+      Map("name" -> name, "dataType" -> dataType.simpleString),
+      newColMap = if (!needsMap) None else Some { base =>
+        val bm = materializedAt(base)
+        bm.copy(entries = bm.entries :+ (name -> physName))
+      },
+      newSchema = Some { base =>
+        val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+        cur.add(org.apache.spark.sql.types.StructField(physName, dataType))
+      })
+  }
+
+  /** Physical schema of `base`, derived from its files when no sidecar
+    * exists (legacy versions). */
+  private def physicalSchemaAt(base: Long): StructType = {
+    val files = manifestFiles(base)
+    if (files.isEmpty) new StructType()
+    else readFiles(files).schema
+  }
 
   def colMapOf(version: Long): ColMap = {
     if (version < 0) return ColMap(Nil, Nil)
@@ -735,7 +804,8 @@ final class GraftTable private (
     // accidental overwrite with a different schema must not silently
     // replace the table schema); `overwriteSchema = true` is the
     // explicit escape hatch, mirroring Delta's overwriteSchema option
-    if (currentVersion >= 0 && manifestFiles().nonEmpty &&
+    if (currentVersion >= 0 &&
+        (manifestFiles().nonEmpty || schemaOf(currentVersion).exists(_.nonEmpty)) &&
         (mode == SaveMode.Append || !overwriteSchema)) {
       val existing = read().schema
       val incoming = df0.schema
@@ -780,14 +850,24 @@ final class GraftTable private (
     val added = appendDataFiles(physDf)
     val metrics =
       Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
+    // record the physical schema: append UNIONS new columns onto the
+    // base schema (mergeSchema evolution); overwrite REPLACES it
+    val nextSchema: Option[Long => StructType] =
+      if (mode == SaveMode.Append) Some { base =>
+        val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+        val have = cur.fieldNames.toSet
+        physDf.schema.fields.filterNot(f => have(f.name)).foldLeft(cur)(_ add _)
+      }
+      else Some(_ => physDf.schema)
     def attempt(): Long = mode match {
       // append's carried-over list is recomputed INSIDE the claim (a
       // concurrent commit between a manifest read here and the claim
       // would otherwise be dropped from the new manifest)
       case SaveMode.Append => commit("APPEND", Nil, metrics,
         filesAtBase = Some(base => manifestFiles(base) ++ added),
-        newColMap = nextMap)
-      case _ => commit("WRITE", added, metrics, newColMap = nextMap)
+        newColMap = nextMap, newSchema = nextSchema)
+      case _ => commit("WRITE", added, metrics, newColMap = nextMap,
+        newSchema = nextSchema)
     }
     // blind appends are commutative: a losing concurrent writer re-reads
     // the new current manifest and re-commits ITS files on top (Delta's
@@ -920,6 +1000,30 @@ final class GraftTable private (
     * columns in the schema. */
   def read(): DataFrame = readVersion(currentVersion)
 
+  /** Hive partition columns of `version`'s layout: parsed from the
+    * manifest's file paths, or — for a file-less table — from the most
+    * recent commit that recorded them (CREATE TABLE). */
+  def layoutPartitionColumns(version: Long = currentVersion): Seq[String] =
+    manifestFiles(version).headOption match {
+      case Some(f) =>
+        f.split('/').dropRight(1).filter(_.contains('='))
+          .map(_.takeWhile(_ != '=')).toSeq
+      case None =>
+        (version to 0L by -1).iterator
+          .flatMap(v => commitMetric(v, "partitionColumns"))
+          .collectFirst { case s if s.nonEmpty => s.split(',').toSeq }
+          .getOrElse(Nil)
+    }
+
+  private def commitMetric(version: Long, key: String): Option[String] = {
+    val p = new Path(logDir, f"v$version%020d.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(s).map(_.group(1))
+  }
+
   /** Commit wall-clock of `version` (epoch ms), from its commit record. */
   def commitTimestamp(version: Long): Option[Long] = {
     val p = new Path(logDir, f"v$version%020d.json")
@@ -956,24 +1060,34 @@ final class GraftTable private (
     * of past versions remain on disk until VACUUM reclaims them, so any
     * un-vacuumed version stays readable (vacuumed versions fail at scan
     * time with missing files — same contract as Delta). */
+  /** Physical sidecar schema → logical view (mapped names, map order). */
+  private def logicalSchema(phys: StructType, cm: ColMap): StructType =
+    if (cm.isIdentity) phys
+    else StructType(cm.entries.flatMap { case (l, ph) =>
+      phys.fields.find(_.name == ph).map(f => f.copy(name = l)) })
+
   def readVersion(version: Long): DataFrame = {
     val files = manifestFiles(version)
+    val cm = colMapOf(version)
     if (files.isEmpty) {
-      // a committed version CAN be legitimately empty (DELETE matched
-      // every row): serve an empty frame with the schema of the latest
-      // earlier version that still has readable files, mapped through
-      // THIS version's column map (physical names are stable). Only a
-      // table that never had data — or whose history was fully
+      // a committed version CAN be legitimately FILE-LESS (SQL CREATE
+      // TABLE before any data, DELETE that matched every row): serve an
+      // empty frame with the version's recorded schema — or, for legacy
+      // versions without a schema sidecar, the schema of the latest
+      // earlier version that still has readable files. Only a table
+      // that never had data or schema — or whose history was fully
       // vacuumed — is unreadable.
       if (!hasVersion(version) && version != currentVersion)
         throw new IllegalStateException(
           s"graft table at $path has no committed version $version")
-      val schema = ((version - 1) to 0L by -1).iterator
-        .map(v => scala.util.Try {
-          val fs = manifestFiles(v)
-          if (fs.isEmpty) throw new IllegalStateException("empty")
-          toLogical(readFilesDv(fs, Map.empty), colMapOf(version)).schema
-        }).collectFirst { case scala.util.Success(s) => s }
+      val schema = schemaOf(version).map(logicalSchema(_, cm))
+        .filter(_.nonEmpty)
+        .orElse(((version - 1) to 0L by -1).iterator
+          .map(v => scala.util.Try {
+            val fs = manifestFiles(v)
+            if (fs.isEmpty) throw new IllegalStateException("empty")
+            toLogical(readFilesDv(fs, Map.empty), cm).schema
+          }).collectFirst { case scala.util.Success(s) => s })
       schema match {
         case Some(s) => return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -981,7 +1095,16 @@ final class GraftTable private (
           s"graft table at $path has no committed version $version")
       }
     }
-    toLogical(readFilesDv(files, dvOf(version)), colMapOf(version))
+    val frame = toLogical(readFilesDv(files, dvOf(version)), cm)
+    // ALTER TABLE ADD COLUMN: a recorded column no live file carries yet
+    // aligns in as nulls (appended in schema order)
+    schemaOf(version).map(logicalSchema(_, cm)) match {
+      case Some(logical) =>
+        val have = frame.columns.toSet
+        logical.fields.filterNot(f => have(f.name))
+          .foldLeft(frame)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => frame
+    }
   }
 
   // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
@@ -1674,7 +1797,7 @@ final class GraftTable private (
         // leaves a committed version with missing sidecars
         Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
             f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv",
-            f"v$v%020d.colmap.tsv", f"v$v%020d.claim")
+            f"v$v%020d.colmap.tsv", f"v$v%020d.schema", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1
@@ -1961,6 +2084,21 @@ object GraftTable {
   def apply(spark: SparkSession, path: String,
       partitionColumns: Seq[String] = Nil): GraftTable =
     new GraftTable(spark, path, partitionColumns)
+
+  /** CREATE TABLE: commit a file-less v0 whose schema sidecar
+    * establishes the table — reads serve an empty frame with this
+    * schema and the first write is schema-enforced against it. */
+  def create(spark: SparkSession, path: String, schema: StructType,
+      partitionColumns: Seq[String] = Nil): GraftTable = {
+    require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+    val t = new GraftTable(spark, path, partitionColumns)
+    require(t.currentVersion < 0,
+      s"$path is already a graft table (v${t.currentVersion})")
+    t.commit("CREATE TABLE", Nil,
+      Map("partitionColumns" -> partitionColumns.mkString(",")),
+      newSchema = Some(_ => schema))
+    t
+  }
 
   /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA` parity): adopt an
     * existing plain hive-partitioned parquet directory IN PLACE by

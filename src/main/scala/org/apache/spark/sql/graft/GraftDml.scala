@@ -148,10 +148,7 @@ private[graft] object GraftDml {
     * rewrites land in the right partition directories. */
   def tableAt(session: SparkSession, path: String): GraftTable = {
     val probe = GraftTable(session, path)
-    val parts = probe.manifestFiles().headOption.toSeq.flatMap(f =>
-      f.split('/').dropRight(1).filter(_.contains('='))
-        .map(_.takeWhile(_ != '=')))
-    GraftTable(session, path, parts)
+    GraftTable(session, path, probe.layoutPartitionColumns())
   }
 }
 
