@@ -101,8 +101,24 @@ final class GraftCatalog extends TableCatalog {
     GraftV2Table(spark, path, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  /** SQL `ALTER TABLE graft.\`/p\` ADD COLUMN / RENAME COLUMN / DROP
+    * COLUMN` — routed onto the metadata-only schema-evolution commits
+    * (top-level columns only; every other change kind is rejected). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val t = GraftTable(spark, pathOf(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        t.dropColumn(del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN only, got $other")
+    }
+    GraftV2Table(spark, pathOf(ident), None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")

@@ -78,6 +78,27 @@ class SchemaLogSpec extends SparkSpec {
     assert(t.count() == 11)
   }
 
+  test("SQL ALTER TABLE ADD/RENAME/DROP COLUMN route to the metadata commits") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val path = Files.createTempDirectory("slog_alter").toString
+    val t = GraftTable(spark, path, Nil)
+    t.write(spark.range(0, 5).toDF("id").withColumn("v", col("id") * 1.5))
+
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMN note STRING")
+    assert(t.read().columns.toSeq == Seq("id", "v", "note"))
+    assert(spark.sql(s"SELECT * FROM graft.`$path` WHERE note IS NULL").count() == 5)
+
+    spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN v TO price")
+    assert(spark.sql(s"SELECT price FROM graft.`$path`").count() == 5)
+
+    spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN note")
+    assert(t.read().columns.toSeq == Seq("id", "price"))
+    // unsupported change kinds fail clearly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` ALTER COLUMN id TYPE STRING")
+    }
+  }
+
   test("API create + truncation keeps the recorded schema without probing history") {
     val path = Files.createTempDirectory("slog_api").toString
     val t = GraftTable.create(spark, path,
