@@ -36,6 +36,7 @@ object SparkEntry {
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
+      graft.queries.MergeOps.queries ++
       graft.queries.SqlInterface.queries ++
       graft.queries.Sessionize.queries ++
       graft.queries.IoAndScalars.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++
+      graft.queries.MergeOps.oracles ++
       graft.queries.SqlInterface.oracles ++
       graft.queries.Sessionize.oracles ++
       graft.queries.IoAndScalars.oracles ++

@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.table.GraftTable
+import graft.tables.Tables
+
+/** Sync-shaped MERGE over testdata (the Delta `WHEN NOT MATCHED BY
+  * SOURCE` flow a warehouse sync runs nightly): the target table is
+  * seeded from `orders`, the source is the "current" snapshot (open
+  * orders, reforecast price), and one MERGE statement reconciles —
+  * matched rows take the source price, target rows absent from the
+  * source are retired (small ones deleted, large ones flagged). Unlike
+  * the bar-table mutation queries this one derives from a testdata
+  * table, so the END STATE is relationally expressible and DuckDB
+  * hash-verifies the whole clause algebra (matched update + conditional
+  * NOT MATCHED BY SOURCE delete + fallback NOT MATCHED BY SOURCE
+  * update) rather than a rows-only count.
+  */
+object MergeOps {
+
+  def mergeSync(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_merge_sync").toString
+    val t = GraftTable(spark, path)
+    val seed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .withColumn("state", lit("active"))
+    t.write(seed.repartition(4))
+    // current snapshot: open orders only, price doubled (×2 is exact in
+    // binary, so round-to-2-decimals never lands on a HALF_UP/.005
+    // boundary where Spark and DuckDB round differently; ×1.1 did)
+    val source = seed.filter(col("o_orderstatus") === "O")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.mergeInto(source, Seq("o_orderkey"))
+      .whenMatchedUpdate(Map("o_totalprice" -> col("source.o_totalprice")))
+      .whenNotMatchedBySourceDelete(col("target.o_totalprice") < 100000)
+      .whenNotMatchedBySourceUpdate(Map("state" -> lit("retired")))
+      .execute()
+    val out = t.read()
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("state"))
+      .orderBy("o_orderkey")
+    // materialize before the temp table goes out of scope
+    val rows = out.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_sync" -> mergeSync _)
+
+  val oracles: Map[String, String] = Map(
+    "merge_sync" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'O'
+        |            THEN round(CAST(o_totalprice AS DOUBLE) * 2, 2)
+        |            ELSE round(CAST(o_totalprice AS DOUBLE), 2) END AS price,
+        |       CASE WHEN o_orderstatus = 'O' THEN 'active'
+        |            ELSE 'retired' END AS state
+        |FROM orders
+        |WHERE o_orderstatus = 'O' OR o_totalprice >= 100000
+        |ORDER BY o_orderkey""".stripMargin)
+}

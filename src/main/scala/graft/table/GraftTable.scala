@@ -429,19 +429,38 @@ final class GraftTable private (
       "column names must not contain tabs or newlines")
     val logical = read().columns.toSeq
     require(!logical.contains(name), s"column $name already exists")
-    val cm = colMap
-    val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
-    val physName = if (taken(name)) s"${name}__v${currentVersion + 1}" else name
-    val needsMap = physName != name || !cm.isIdentity
+    // the physical name derives from the CLAIMED predecessor inside the
+    // commit closures (deterministically: both closures agree given the
+    // same base), never from pre-claim state — under the conflict retry
+    // the commit can land on a different base where a concurrent commit
+    // took the name (or materialized the map), and a stale-derived
+    // physical would silently alias two logical columns onto one
+    // physical or read back null
+    def physFor(base: Long): String = {
+      val conflict = () => new java.util.ConcurrentModificationException(
+        s"ADD COLUMN $name aborted: a concurrent commit added the same " +
+        "column; re-run against the new snapshot")
+      val bm0 = colMapOf(base)
+      if (bm0.isIdentity) {
+        val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+        if (cur.fieldNames.contains(name)) throw conflict()
+        name
+      } else {
+        if (bm0.entries.exists(_._1 == name)) throw conflict()
+        val taken = bm0.entries.map(_._2).toSet ++ bm0.retired.toSet
+        if (taken(name)) s"${name}__v${base + 1}" else name
+      }
+    }
     commitRewrite("ADD COLUMN", Nil, Nil,
       Map("name" -> name, "dataType" -> dataType.simpleString),
-      newColMap = if (!needsMap) None else Some { base =>
-        val bm = materializedAt(base)
-        bm.copy(entries = bm.entries :+ (name -> physName))
+      newColMap = Some { base =>
+        val bm0 = colMapOf(base)
+        if (bm0.isIdentity) { physFor(base); bm0 } // stays identity
+        else bm0.copy(entries = bm0.entries :+ (name -> physFor(base)))
       },
       newSchema = Some { base =>
         val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
-        cur.add(org.apache.spark.sql.types.StructField(physName, dataType))
+        cur.add(org.apache.spark.sql.types.StructField(physFor(base), dataType))
       })
   }
 
@@ -841,11 +860,37 @@ final class GraftTable private (
         // extend the CLAIMED predecessor's map: a concurrent rename's
         // entries survive (physical names are stable, so this write's
         // additions stay valid), and an addition a concurrent writer
-        // already registered is not duplicated
+        // already registered is not duplicated. The data files were
+        // ALREADY written under the pre-claim physical names, so if the
+        // claimed base disagrees with a pre-chosen name — a concurrent
+        // commit registered the same logical under a different physical,
+        // or took/retired our chosen physical — the commit must ABORT
+        // (the staged files would read back null or alias another
+        // column); the orphaned files await VACUUM and the caller
+        // re-runs against the new snapshot.
         val cm = colMapOf(base)
         if (cm.isIdentity) cm // concurrent schema reset: stay identity
-        else cm.copy(entries = cm.entries ++
-          mapAdds.filterNot(a => cm.physicalOf.contains(a._1)))
+        else {
+          val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
+          mapAdds.foreach { case (l, ph) =>
+            cm.physicalOf.get(l) match {
+              case Some(existing) if existing != ph =>
+                throw new java.util.ConcurrentModificationException(
+                  s"mergeSchema write aborted: concurrent commit mapped " +
+                  s"column $l to physical $existing (this write staged $ph); " +
+                  "re-run against the new snapshot")
+              case Some(_) => () // same mapping already registered
+              case None if taken(ph) =>
+                throw new java.util.ConcurrentModificationException(
+                  s"mergeSchema write aborted: physical name $ph for new " +
+                  s"column $l was taken by a concurrent commit; re-run " +
+                  "against the new snapshot")
+              case None => ()
+            }
+          }
+          cm.copy(entries = cm.entries ++
+            mapAdds.filterNot(a => cm.physicalOf.contains(a._1)))
+        }
       }
     val added = appendDataFiles(physDf)
     val metrics =
@@ -1170,8 +1215,17 @@ final class GraftTable private (
           org.apache.spark.sql.Row.fromSeq(f +: partitionColumns.map(c =>
             kvs.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
         }
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-          .filter(expr(w)).select("__file").collect().map(_.getString(0)).toSeq
+        // parsed values are strings; cast them to the TABLE'S partition
+        // column types before evaluating the predicate, so `year > 9`
+        // compares numerically exactly as a data scan would (string
+        // coercion would scope `"10" > "9"` wrongly)
+        val partTypes = read().schema.fields
+          .filter(f => partitionColumns.contains(f.name))
+          .map(f => f.name -> f.dataType).toMap
+        val typed = partTypes.foldLeft(
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)) {
+            case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+        typed.filter(expr(w)).select("__file").collect().map(_.getString(0)).toSeq
     }
     if (scopeFiles.isEmpty)
       return commitRewrite("OPTIMIZE", Nil, Nil, Map(
@@ -1301,12 +1355,14 @@ final class GraftTable private (
 
   /** Like [[readFiles]] but each row carries `__path` (the file's
     * filesystem path, scheme stripped) and `__pos` (`_metadata
-    * .row_index`), and `dv`'s deleted positions are anti-joined away.
-    * The metadata columns must be materialized per scan group BEFORE any
-    * union/join — `_metadata` only resolves directly on a file scan. */
+    * .row_index`), and `dv`'s deleted positions are filtered away INSIDE
+    * the scan by the codegen'd [[DvDeleted]] predicate over the file's
+    * broadcast RLE runs — no join in the plan regardless of vector size
+    * (see [[DeletionVectors]]). The metadata columns must be
+    * materialized per scan group BEFORE any union/join — `_metadata`
+    * only resolves directly on a file scan. */
   private def readFilesMeta(files: Seq[String],
       dv: Map[String, Seq[(Long, Long)]]): DataFrame = {
-    import spark.implicits._
     val (abs, rel) = files.partition(_.startsWith("/"))
     def group(base: String, paths: Seq[String]): DataFrame =
       spark.read
@@ -1320,24 +1376,13 @@ final class GraftTable private (
       (if (rel.nonEmpty) Seq(group(path, rel.map(f => s"$path/$f"))) else Nil) ++
       abs.groupBy(baseOf).toSeq.sortBy(_._1).map { case (b, fs) => group(b, fs) }
     val all = frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val runs = dv.toSeq.collect {
+    val runs: Map[String, Seq[(Long, Long)]] = dv.toSeq.collect {
       case (f, rs) if rs.nonEmpty && files.contains(f) =>
         (dataPath(f).toUri.getPath, rs)
-    }
+    }.toMap
     if (runs.isEmpty) return all
-    // expand RLE runs to (path, pos) on EXECUTORS (the driver ships only
-    // the compact runs); broadcast while the deleted-row count is hash-
-    // join-sized, fall back to a shuffle join beyond that (at true DV
-    // scale the bitmap belongs inside the scan, as Delta does)
-    val deletedRows = runs.flatMap(_._2.map(_._2)).sum
-    val dvDf = runs.flatMap { case (p, rs) => rs.map(r => (p, r._1, r._2)) }
-      .toDF("__dv_path", "__dv_start", "__dv_len")
-      .select(col("__dv_path"), explode(expr(
-        "sequence(__dv_start, __dv_start + __dv_len - 1)")).as("__dv_pos"))
-    val right = if (deletedRows <= 4000000L) broadcast(dvDf) else dvDf
-    all.join(right,
-      all("__path") === right("__dv_path") && all("__pos") === right("__dv_pos"),
-      "left_anti")
+    all.filter(!DeletionVectors.deletedColumn(spark, runs,
+      col("__path"), col("__pos")))
   }
 
   /** DV-applied scan: files WITHOUT a deletion vector keep the plain
@@ -1543,13 +1588,19 @@ final class GraftTable private (
 
   private[table] def executeMerge(source: DataFrame, on: Seq[String],
       matched: Seq[MergeBuilder.Matched],
-      notMatched: Seq[MergeBuilder.NotMatched]): Long = {
-    require(matched.nonEmpty || notMatched.nonEmpty,
+      notMatched: Seq[MergeBuilder.NotMatched],
+      notMatchedBySource: Seq[MergeBuilder.NotMatchedBySource] = Nil): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     def holds(cond: Option[Column]): Column =
       cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
     if (currentVersion < 0) {
-      // empty table: only NOT MATCHED clauses can apply
+      // empty table: only NOT MATCHED clauses can apply (there are no
+      // target rows for matched / not-matched-by-source), and explicit
+      // insert lists need a target schema to define unmentioned columns
+      require(notMatched.forall(_.set.isEmpty),
+        "MERGE with an explicit INSERT column list needs an existing table " +
+        "(unmentioned columns are defined by the target schema)")
       val first = notMatched.zipWithIndex
         .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
           when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
@@ -1557,12 +1608,23 @@ final class GraftTable private (
     }
     val tgt = read()
     val missing = tgt.columns.toSet -- source.columns.toSet
-    require(missing.isEmpty, s"MERGE source lacks target columns: ${missing.mkString(", ")}")
+    // UPDATE ALL / INSERT ALL copy every target column from the source;
+    // explicit-assignment clauses only need what they reference, so a
+    // narrower source is fine (the sync shape: source carries the key +
+    // changed columns) — absent target columns align in as NULL
+    val hasAllClause = matched.exists(m => !m.delete && m.set.isEmpty) ||
+      notMatched.exists(_.set.isEmpty)
+    if (hasAllClause) require(missing.isEmpty,
+      s"MERGE source lacks target columns: ${missing.mkString(", ")} " +
+      "(required by UPDATE ALL / INSERT ALL clauses)")
+    require(on.forall(source.columns.contains),
+      s"MERGE source lacks key columns: ${on.filterNot(source.columns.contains).mkString(", ")}")
     // align column order AND types to the target (schema enforcement:
     // source values store-assign into the target's column types)
     val fields = tgt.schema.fields.toIndexedSeq
-    val src = source.select(fields
-      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val src = source.select(fields.map(f =>
+      (if (missing(f.name)) lit(null) else col(f.name))
+        .cast(f.dataType).as(f.name)): _*)
     val srcKeys = src.select(on.map(col).toIndexedSeq: _*).distinct()
     if (matched.nonEmpty) {
       // Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW guard: a
@@ -1577,11 +1639,26 @@ final class GraftTable private (
           on.mkString(", "))
     }
     val dvNow = dvOf(currentVersion)
-    val affected = toLogical(readFilesMeta(manifestFiles(), dvNow), colMap)
-      .join(srcKeys, on, "left_semi")
+    // files to rewrite: those holding a matched key — plus, under NOT
+    // MATCHED BY SOURCE clauses, those holding an unmatched row some
+    // clause applies to (clause conditions reference the target only,
+    // so they evaluate on the scan; a sync-merge whose source covers a
+    // partition's keys rewrites only files with genuinely retired rows)
+    val metaScan = toLogical(readFilesMeta(manifestFiles(), dvNow), colMap)
+    val affected = (if (notMatchedBySource.isEmpty)
+        metaScan.join(srcKeys, on, "left_semi")
+      else {
+        val flagged = metaScan.alias("target")
+          .join(srcKeys.withColumn("__sk", lit(1)), on, "left")
+        val nmbsApplies = notMatchedBySource
+          .foldLeft(lit(false))((acc, c) => acc || holds(c.cond))
+        flagged.filter(col("__sk").isNotNull || nmbsApplies)
+      })
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
     // rewritten rows of affected files: first applicable matched clause
+    // for source-matched rows, first applicable not-matched-by-source
+    // clause for the rest
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
       val joined = readLive(affected).alias("target").join(marked.alias("source"),
@@ -1590,32 +1667,78 @@ final class GraftTable private (
       val clauseIdx = matched.zipWithIndex
         .foldLeft(lit(-1)) { case (acc, (m, i)) =>
           when(isMatched && holds(m.cond) && acc === -1, lit(i)).otherwise(acc) }
+      val nmbsIdx = notMatchedBySource.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (c, i)) =>
+          when(!isMatched && holds(c.cond) && acc === -1, lit(i)).otherwise(acc) }
       val deleteIdx = matched.zipWithIndex.collect { case (m, i) if m.delete => i }
-      val kept = joined.withColumn("__ci", clauseIdx)
-        .filter(if (deleteIdx.isEmpty) lit(true) else !col("__ci").isin(deleteIdx: _*))
-      Some(kept.select(fields.map { f =>
-        matched.zipWithIndex.filterNot(_._1.delete)
+      val nmbsDeleteIdx = notMatchedBySource.zipWithIndex
+        .collect { case (c, i) if c.delete => i }
+      val kept = joined.withColumn("__ci", clauseIdx).withColumn("__ni", nmbsIdx)
+        .filter(
+          (if (deleteIdx.isEmpty) lit(true) else !col("__ci").isin(deleteIdx: _*)) &&
+          (if (nmbsDeleteIdx.isEmpty) lit(true) else !col("__ni").isin(nmbsDeleteIdx: _*)))
+      val picked = kept.select(fields.map { f =>
+        val withMatched = matched.zipWithIndex.filterNot(_._1.delete)
           .foldLeft(when(lit(false), lit(null))) { case (acc, (m, i)) =>
             val v = m.set match {
               case None => col(s"source.${f.name}") // UPDATE ALL
               case Some(s) => s.getOrElse(f.name, col(s"target.${f.name}"))
             }
             acc.when(col("__ci") === i, v)
+          }
+        notMatchedBySource.zipWithIndex.filterNot(_._1.delete)
+          .foldLeft(withMatched) { case (acc, (c, i)) =>
+            acc.when(col("__ni") === i,
+              c.set.get.getOrElse(f.name, col(s"target.${f.name}")))
           }.otherwise(col(s"target.${f.name}")).cast(f.dataType).as(f.name)
-      }: _*))
+      } :+ col("__ni"): _*)
+      // generated columns a not-matched-by-source UPDATE didn't assign
+      // recompute from their definitions over the updated row (same
+      // semantics as UPDATE); matched-clause rows keep the r5 contract
+      // (full source rows, validated below)
+      val types = fields.map(f => f.name -> f.dataType).toMap
+      Some(generatedColumns.foldLeft(picked) { case (d, (g, e)) =>
+        val omitted = notMatchedBySource.zipWithIndex.collect {
+          case (MergeBuilder.NotMatchedBySource(_, Some(s), _), i)
+            if !s.contains(g) => i }
+        if (omitted.isEmpty) d
+        else d.withColumn(g, when(col("__ni").isin(omitted: _*),
+          expr(e).cast(types(g))).otherwise(col(g)))
+      }.drop("__ni"))
     }
     // unmatched source rows: first applicable not-matched clause inserts
+    // (INSERT ALL copies the aligned source row; an explicit column list
+    // inserts its assignments, NULL for unmentioned columns, and
+    // unmentioned GENERATED columns recompute from their definitions)
     val nmIdx = notMatched.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
         when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
-    val inserts = (if (affected.isEmpty) src
+    val types = fields.map(f => f.name -> f.dataType).toMap
+    val insertsPicked = (if (affected.isEmpty) src
       else src.join(readLive(affected).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
       .alias("source")
-      .filter(nmIdx >= 0)
-      .select(fields.map(f => col(f.name)): _*)
+      .withColumn("__nmi", nmIdx)
+      .filter(col("__nmi") >= 0)
+      .select(fields.map { f =>
+        notMatched.zipWithIndex
+          .foldLeft(when(lit(false), lit(null))) { case (acc, (nm, i)) =>
+            val v = nm.set match {
+              case None => col(s"source.${f.name}")
+              case Some(s) => s.getOrElse(f.name, lit(null))
+            }
+            acc.when(col("__nmi") === i, v)
+          }.otherwise(lit(null)).cast(f.dataType).as(f.name)
+      } :+ col("__nmi"): _*)
+    val inserts = generatedColumns.foldLeft(insertsPicked) { case (d, (g, e)) =>
+      val omitted = notMatched.zipWithIndex.collect {
+        case (MergeBuilder.NotMatched(_, Some(s)), i) if !s.contains(g) => i }
+      if (omitted.isEmpty) d
+      else d.withColumn(g, when(col("__nmi").isin(omitted: _*),
+        expr(e).cast(types(g))).otherwise(col(g)))
+    }.drop("__nmi")
     val out = rewritten.map(_.unionByName(inserts)).getOrElse(inserts)
-    // MERGE sources carry every target column, so generated columns are
-    // always "supplied": validate them against their definitions
+    // every written row now carries a value for each generated column
+    // (copied, recomputed, or explicitly assigned): validate the set
     generatedColumns.foreach { case (name, e) =>
       val bad = out.filter(!(col(name) <=> expr(e))).count()
       if (bad > 0) throw new IllegalArgumentException(
@@ -1671,17 +1794,14 @@ final class GraftTable private (
         }
       if (diff.isEmpty) None
       else {
-        import spark.implicits._
-        val runRows = diff.flatMap { case (f, rs) =>
-          rs.map(r => (dataPath(f).toUri.getPath, r._1, r._2)) }
-        val posDf = runRows.toDF("__dv_path", "__dv_start", "__dv_len")
-          .select(col("__dv_path"), explode(expr(
-            "sequence(__dv_start, __dv_start + __dv_len - 1)")).as("__dv_pos"))
+        // RLE runs straight into the scan filter (same kernel as the
+        // vectored read): a window spanning a billion-row vector diff
+        // broadcasts kilobytes of runs, never an expanded position frame
+        val runMap = diff.map { case (f, rs) =>
+          dataPath(f).toUri.getPath -> rs }.toMap
         val withMeta = toLogical(readFilesMeta(diff.map(_._1), Map.empty), cmTo)
-        Some(withMeta.join(broadcast(posDf),
-            withMeta("__path") === posDf("__dv_path") &&
-              withMeta("__pos") === posDf("__dv_pos"),
-            "left_semi")
+        Some(withMeta.filter(DeletionVectors.deletedColumn(spark, runMap,
+            col("__path"), col("__pos")))
           .drop("__path", "__pos"))
       }
     }
@@ -1712,8 +1832,10 @@ final class GraftTable private (
       case (Some(x), None) => x
       case (None, Some(y)) => y
       case (None, None) =>
-        // no file- or vector-level change: empty feed with the table's schema
-        val schema = read().schema.add("_change_type", "string", nullable = false)
+        // no file- or vector-level change: empty feed with the WINDOW'S
+        // to-version schema (not the current one — later renames/drops
+        // must not leak into an older window's feed)
+        val schema = readVersion(to).schema.add("_change_type", "string", nullable = false)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
@@ -1846,8 +1968,16 @@ object MergeBuilder {
   /** One WHEN MATCHED clause: `set=None` ⇒ UPDATE ALL; `delete` ⇒ DELETE. */
   final case class Matched(cond: Option[Column],
       set: Option[Map[String, Column]], delete: Boolean)
-  /** One WHEN NOT MATCHED clause (INSERT ALL). */
-  final case class NotMatched(cond: Option[Column])
+  /** One WHEN NOT MATCHED clause: `set=None` ⇒ INSERT ALL; explicit
+    * `set` inserts the listed columns, unmentioned ones land NULL
+    * (generated columns recompute from their definitions). */
+  final case class NotMatched(cond: Option[Column],
+      set: Option[Map[String, Column]] = None)
+  /** One WHEN NOT MATCHED BY SOURCE clause (target rows with no source
+    * match — Delta's sync/retire surface): `delete` retires the row,
+    * otherwise `set` updates it (target references only). */
+  final case class NotMatchedBySource(cond: Option[Column],
+      set: Option[Map[String, Column]], delete: Boolean)
 }
 
 /** Fluent clause builder returned by [[GraftTable.mergeInto]]; clauses
@@ -1857,6 +1987,7 @@ final class MergeBuilder private[table] (
   import MergeBuilder._
   private var matched = Vector.empty[Matched]
   private var notMatched = Vector.empty[NotMatched]
+  private var notMatchedBySource = Vector.empty[NotMatchedBySource]
 
   def whenMatchedUpdateAll(): this.type =
     { matched :+= Matched(None, None, delete = false); this }
@@ -1874,9 +2005,27 @@ final class MergeBuilder private[table] (
     { notMatched :+= NotMatched(None); this }
   def whenNotMatchedInsertAll(cond: Column): this.type =
     { notMatched :+= NotMatched(Some(cond)); this }
+  /** Explicit INSERT column list: unmentioned columns insert NULL;
+    * unmentioned GENERATED columns recompute from their definitions.
+    * Values may reference the source row (`source.<col>` or bare). */
+  def whenNotMatchedInsert(set: Map[String, Column]): this.type =
+    { notMatched :+= NotMatched(None, Some(set)); this }
+  def whenNotMatchedInsert(cond: Column, set: Map[String, Column]): this.type =
+    { notMatched :+= NotMatched(Some(cond), Some(set)); this }
+  /** WHEN NOT MATCHED BY SOURCE THEN UPDATE SET … — `set` values may
+    * reference the target row only (there is no source row to cite). */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column]): this.type =
+    { notMatchedBySource :+= NotMatchedBySource(None, Some(set), delete = false); this }
+  def whenNotMatchedBySourceUpdate(cond: Column, set: Map[String, Column]): this.type =
+    { notMatchedBySource :+= NotMatchedBySource(Some(cond), Some(set), delete = false); this }
+  def whenNotMatchedBySourceDelete(): this.type =
+    { notMatchedBySource :+= NotMatchedBySource(None, None, delete = true); this }
+  def whenNotMatchedBySourceDelete(cond: Column): this.type =
+    { notMatchedBySource :+= NotMatchedBySource(Some(cond), None, delete = true); this }
 
   /** Run the merge; returns the committed version. */
-  def execute(): Long = t.executeMerge(source, on, matched, notMatched)
+  def execute(): Long =
+    t.executeMerge(source, on, matched, notMatched, notMatchedBySource)
 }
 
 object GraftTable {

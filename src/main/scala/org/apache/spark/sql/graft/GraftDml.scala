@@ -24,11 +24,12 @@ import graft.table.GraftTable
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`.
   * Supported MERGE surface = the [[graft.table.MergeBuilder]] clause
   * set: WHEN MATCHED [AND cond] UPDATE SET … / UPDATE SET star /
-  * DELETE and WHEN NOT MATCHED [AND cond] INSERT star, with an
-  * equi-join merge
-  * condition on same-named columns; WHEN NOT MATCHED BY SOURCE,
-  * explicit INSERT column lists and schema evolution are rejected with
-  * clear errors. DELETE stays on the SupportsDelete path (S12).
+  * DELETE, WHEN NOT MATCHED [AND cond] INSERT star / explicit column
+  * lists (unmentioned columns NULL, unmentioned generated columns
+  * recomputed), and WHEN NOT MATCHED BY SOURCE [AND cond] UPDATE SET …
+  * / DELETE — with an equi-join merge condition on same-named columns;
+  * WITH SCHEMA EVOLUTION is rejected with a clear error. DELETE stays
+  * on the SupportsDelete path (S12).
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -37,6 +38,14 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftV2Table] =>
         r.table.asInstanceOf[GraftV2Table]
     }
+
+  /** NULL literal (possibly analyzer-cast) — the fill the assignment
+    * aligner uses for insert-list columns the statement didn't mention. */
+  private def isNullLiteral(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
+    case org.apache.spark.sql.catalyst.expressions.Cast(c, _, _, _) => isNullLiteral(c)
+    case _ => false
+  }
 
   /** Resolved expression → name-based Column (re-resolvable against the
     * API's own frames); attributes route to `target.`/`source.` by
@@ -74,8 +83,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val t = graftTable(target).get
       require(t.versionAsOf.isEmpty,
         s"cannot MERGE into a time-travel relation (${t.name()})")
-      require(notMatchedBySource.isEmpty,
-        "graft MERGE does not support WHEN NOT MATCHED BY SOURCE clauses")
       require(!withSchemaEvolution,
         "graft MERGE does not support WITH SCHEMA EVOLUTION")
       val tgtSet = AttributeSet(target.output)
@@ -115,9 +122,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"graft MERGE does not support matched action $other")
       }
       // the analyzer rewrites INSERT * into an InsertAction assigning
-      // every target column from the same-named source column — accept
-      // exactly that shape (a genuine explicit column list leaves
-      // unmentioned columns as null literals and is rejected)
+      // every target column from the same-named source column — detect
+      // that shape as INSERT ALL; a genuine explicit column list arrives
+      // analyzer-aligned to the full target width with NULL literals for
+      // unmentioned columns and maps to an explicit assignment set
       def isStarLike(assigns: Seq[Assignment]): Boolean =
         assigns.size == target.output.size && assigns.forall {
           case Assignment(k: AttributeReference, v: AttributeReference) =>
@@ -127,17 +135,47 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             k.name == v.name
           case _ => false
         }
+      def assignSet(assigns: Seq[Assignment]): Map[String, Column] =
+        assigns.map {
+          case Assignment(key: AttributeReference, value) =>
+            key.name -> unresolve(value, tgtSet, srcSet)
+          case Assignment(key, _) => throw new UnsupportedOperationException(
+            s"graft MERGE supports top-level column assignments only, got $key")
+        }.toMap
       val notMatchedSpecs = notMatched.map {
-        case InsertStarAction(c) => c.map(unresolve(_, tgtSet, srcSet))
+        case InsertStarAction(c) =>
+          GraftMergeCommand.InsertSpec(c.map(unresolve(_, tgtSet, srcSet)), None)
         case InsertAction(c, assigns) if isStarLike(assigns) =>
-          c.map(unresolve(_, tgtSet, srcSet))
-        case _: InsertAction => throw new UnsupportedOperationException(
-          "graft MERGE supports WHEN NOT MATCHED THEN INSERT * only " +
-          "(explicit insert column lists are not supported)")
+          GraftMergeCommand.InsertSpec(c.map(unresolve(_, tgtSet, srcSet)), None)
+        case InsertAction(c, assigns) =>
+          GraftMergeCommand.InsertSpec(c.map(unresolve(_, tgtSet, srcSet)),
+            Some(assigns.map {
+              case Assignment(key: AttributeReference, value) =>
+                // keep the analyzer's null fills out of the explicit set:
+                // unmentioned columns are NULL by the builder contract
+                // anyway, and stripping them lets unmentioned GENERATED
+                // columns recompute instead of failing validation
+                key.name -> value
+              case Assignment(key, _) => throw new UnsupportedOperationException(
+                s"graft MERGE supports top-level column assignments only, got $key")
+            }.collect { case (k, v) if !isNullLiteral(v) =>
+              k -> unresolve(v, tgtSet, srcSet) }.toMap))
         case other => throw new UnsupportedOperationException(
           s"graft MERGE does not support not-matched action $other")
       }
-      GraftMergeCommand(t.path, source, keys(cond), matchedSpecs, notMatchedSpecs)
+      // WHEN NOT MATCHED BY SOURCE: conditions/assignments reference the
+      // target side only (Spark's analyzer already enforces that)
+      val nmbsSpecs = notMatchedBySource.map {
+        case DeleteAction(c) =>
+          GraftMergeCommand.MatchedSpec(c.map(unresolve(_, tgtSet, srcSet)), None, delete = true)
+        case UpdateAction(c, assigns, _) =>
+          GraftMergeCommand.MatchedSpec(c.map(unresolve(_, tgtSet, srcSet)),
+            Some(assignSet(assigns)), delete = false)
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE does not support not-matched-by-source action $other")
+      }
+      GraftMergeCommand(t.path, source, keys(cond), matchedSpecs,
+        notMatchedSpecs, nmbsSpecs)
 
     case _ => plan
   }
@@ -161,14 +199,20 @@ case class GraftUpdateCommand(path: String, cond: Column,
 }
 
 object GraftMergeCommand {
-  /** `set=None` ⇒ UPDATE ALL; `delete` ⇒ DELETE. */
+  /** `set=None` ⇒ UPDATE ALL; `delete` ⇒ DELETE. Doubles as the
+    * NOT MATCHED BY SOURCE spec (same clause algebra, target-only refs). */
   final case class MatchedSpec(cond: Option[Column],
       set: Option[Map[String, Column]], delete: Boolean)
+  /** `set=None` ⇒ INSERT ALL; explicit set ⇒ listed columns only. */
+  final case class InsertSpec(cond: Option[Column],
+      set: Option[Map[String, Column]])
 }
 
 case class GraftMergeCommand(path: String, source: LogicalPlan,
     on: Seq[String], matched: Seq[GraftMergeCommand.MatchedSpec],
-    notMatched: Seq[Option[Column]]) extends LeafRunnableCommand {
+    notMatched: Seq[GraftMergeCommand.InsertSpec],
+    notMatchedBySource: Seq[GraftMergeCommand.MatchedSpec] = Nil)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -184,8 +228,18 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       case GraftMergeCommand.MatchedSpec(None, None, _) => b.whenMatchedUpdateAll()
     }
     notMatched.foreach {
-      case Some(c) => b.whenNotMatchedInsertAll(c)
-      case None => b.whenNotMatchedInsertAll()
+      case GraftMergeCommand.InsertSpec(Some(c), Some(s)) => b.whenNotMatchedInsert(c, s)
+      case GraftMergeCommand.InsertSpec(None, Some(s)) => b.whenNotMatchedInsert(s)
+      case GraftMergeCommand.InsertSpec(Some(c), None) => b.whenNotMatchedInsertAll(c)
+      case GraftMergeCommand.InsertSpec(None, None) => b.whenNotMatchedInsertAll()
+    }
+    notMatchedBySource.foreach {
+      case GraftMergeCommand.MatchedSpec(Some(c), None, true) => b.whenNotMatchedBySourceDelete(c)
+      case GraftMergeCommand.MatchedSpec(None, None, true) => b.whenNotMatchedBySourceDelete()
+      case GraftMergeCommand.MatchedSpec(Some(c), Some(s), _) => b.whenNotMatchedBySourceUpdate(c, s)
+      case GraftMergeCommand.MatchedSpec(None, Some(s), _) => b.whenNotMatchedBySourceUpdate(s)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported NOT MATCHED BY SOURCE spec $other")
     }
     b.execute()
     Nil

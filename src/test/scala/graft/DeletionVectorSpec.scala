@@ -239,6 +239,63 @@ class DeletionVectorSpec extends SparkSpec {
     assert(c.count() == 100)
   }
 
+  test("vectored scan embeds the vector as a scan filter — no join at any vector size") {
+    val t = freshTable("dv_nojoin")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+
+    // the DV-applied read must contain NO join node: the vector applies
+    // as a codegen'd per-file predicate inside the scan stage, so the
+    // plan shape is independent of how many rows the vector holds (the
+    // pre-r6 design anti-joined an exploded position frame and fell
+    // back to shuffling the whole scan above 4M deleted rows)
+    val plan = t.read().queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"vectored read must not join, got:\n$plan")
+    assert(t.read().count() == total - aapl)
+
+    // synthetic huge vector (far beyond the old 4M broadcast cap, RLE'd
+    // to a handful of runs): the probe stays run-based — correctness of
+    // the binary search over wide runs, not just small test vectors
+    assert(GraftTable.decodeRuns(GraftTable.encodeRuns(
+      Seq((0L, 3000000000L), (5000000000L, 2500000000L)))) ==
+      Seq((0L, 3000000000L), (5000000000L, 2500000000L)))
+  }
+
+  test("hive-escaped partition values ('%', ' ', ':') keep vectors effective") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("dv_escape").toString
+    val t = GraftTable(spark, path, Seq("bucket"))
+    val rows = Seq(
+      ("a%b", 1L), ("a%b", 2L), ("a b", 3L), ("a b", 4L),
+      ("a:b", 5L), ("a:b", 6L), ("plain", 7L), ("plain", 8L))
+      .toDF("bucket", "v")
+    t.write(rows.repartition(2))
+    assert(t.read().count() == 8)
+
+    // merge-on-read delete inside escaped partitions: the vector keys
+    // and the scan's file-path probe must agree on ONE canonical path
+    // form, or these rows silently resurrect (the encoded
+    // `_metadata.file_path` vs decoded manifest-key mismatch)
+    t.delete(col("v").isin(1L, 3L, 5L, 7L), mergeOnRead = true)
+    assert(t.deletedRowCount() == 4, "vector keys must survive the commit filter")
+    assert(t.read().count() == 4)
+    assert(t.read().select("v").as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L, 8L))
+
+    // copy-on-write delete over the same escaped layout
+    t.delete(col("v") === 2L)
+    assert(t.read().count() == 3)
+    assert(t.read().filter(col("bucket") === "a%b").count() == 0)
+
+    // purge materializes the remaining vectors in escaped partitions
+    t.purge()
+    assert(t.deletedRowCount() == 0)
+    assert(t.read().select("v").as[Long].collect().sorted.toSeq == Seq(4L, 6L, 8L))
+  }
+
   test("merge respects vectors: deleted rows are not matched, keys re-insertable") {
     val t = freshTable("dv_merge")
     t.write(bars.repartition(3))

@@ -107,6 +107,91 @@ class MutationSpec extends SparkSpec {
     assert(t.read().filter(col("id") < 300L).count() == 0)
   }
 
+  test("concurrent copy-on-write deletes on DISJOINT partitions both land") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_conc_disjoint").toString
+    val t = graft.table.GraftTable(spark, path, Seq("p"))
+    t.write((0 until 900).map(i => (i % 3, i.toLong)).toDF("p", "id").repartition(3))
+    assert(t.read().count() == 900)
+
+    // two writers race deletes scoped to DIFFERENT hive partitions: the
+    // partition-pruned scans touch disjoint file sets, so the claim-race
+    // loser retries onto the winner's manifest and lands cleanly (the
+    // Delta disjoint-rewrite rule) — neither op may abort or lose rows
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1, 2).map { p =>
+      val th = new Thread(() => {
+        val mine = graft.table.GraftTable(spark, path, Seq("p"))
+        mine.delete(col("p") === p && col("id") < 600L)
+      })
+      th.setUncaughtExceptionHandler((_, e) => errs.add(e))
+      th
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint deletes must both land: ${Option(errs.peek())}")
+    // p=0 intact; p=1 and p=2 keep only id >= 600
+    assert(t.read().filter(col("p") === 0).count() == 300)
+    assert(t.read().filter(col("p") =!= 0 && col("id") < 600L).count() == 0)
+    assert(t.read().count() == 300 + 2 * 100)
+    val ops = t.history().select("operation").as[String].collect()
+    assert(ops.count(_ == "DELETE") == 2, "both deletes must commit")
+  }
+
+  test("overlapping concurrent rewrites: one clear abort or clean serialization, never lost updates") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_conc_overlap").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((0 until 1000).map(_.toLong).toDF("id").repartition(2))
+
+    // both deletes touch BOTH files: depending on interleaving either
+    // they serialize cleanly (second snapshot taken after the first
+    // commit) or the loser aborts with ConcurrentModificationException —
+    // what must NEVER happen is silent corruption (a lost delete or
+    // resurrected rows)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(col("id") < 500L, col("id") >= 500L).map { cond =>
+      val th = new Thread(() => {
+        val mine = graft.table.GraftTable(spark, path, Nil)
+        mine.delete(cond)
+      })
+      th.setUncaughtExceptionHandler((_, e) => errs.add(e))
+      th
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val aborts = errs.size()
+    assert(aborts <= 1, s"at most one loser: ${errs}")
+    errs.forEach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException],
+      s"overlap must abort with ConcurrentModificationException, got $e"))
+    val n = t.read().count()
+    if (aborts == 0) assert(n == 0, "both landed => all rows deleted")
+    else assert(n == 500, "loser aborted => exactly the winner's delete applied")
+  }
+
+  test("concurrent ADD COLUMN of distinct columns: both land with consistent schema") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_conc_addcol").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((0 until 10).map(_.toLong).toDF("id").repartition(1))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("extra_a", "extra_b").map { name =>
+      val th = new Thread(() => {
+        val mine = graft.table.GraftTable(spark, path, Nil)
+        mine.addColumn(name, org.apache.spark.sql.types.StringType)
+      })
+      th.setUncaughtExceptionHandler((_, e) => errs.add(e))
+      th
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"distinct adds must both land: ${Option(errs.peek())}")
+    val cols = t.read().columns.toSeq
+    assert(cols.contains("extra_a") && cols.contains("extra_b"), cols.toString)
+    assert(t.read().filter(col("extra_a").isNull && col("extra_b").isNull).count() == 10)
+  }
+
   test("update predicate is pinned before assignments mutate its columns") {
     import spark.implicits._
     val path = Files.createTempDirectory("gt_upd_pin").toString
@@ -452,5 +537,84 @@ class MutationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.merge(bars.drop("volume"), Seq("ticker", "timestamp_ms"))
     }
+  }
+
+  test("merge accepts a NARROW source for explicit-assignment clauses (sync shape)") {
+    val t = freshTable("gt_merge_narrow")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    // source carries only the key + the one changed column — the shape a
+    // sync feed actually ships; UPDATE ALL would (rightly) reject it
+    val narrow = t.read().limit(5)
+      .select(col("ticker"), col("timestamp_ms"))
+      .withColumn("volume", lit(31337L))
+    t.mergeInto(narrow, Seq("ticker", "timestamp_ms"))
+      .whenMatchedUpdate(Map("volume" -> col("source.volume")))
+      .execute()
+    assert(t.read().count() == total)
+    assert(t.read().filter(col("volume") === 31337L).count() == 5)
+  }
+
+  test("whenNotMatchedBySource: delete and update retire rows absent from the source") {
+    val t = freshTable("gt_merge_nmbs")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    val msftEven = t.read()
+      .filter(col("ticker") === "MSFT" && pmod(col("volume"), lit(2)) === 0).count()
+    assert(aapl > 0 && msftEven > 0)
+
+    // source covers AAPL + MSFT keys; every other ticker is unmatched-by-
+    // source → deleted; MSFT rows match and keep; conditional NMBS must
+    // not fire on matched rows
+    val src = t.read().filter(col("ticker").isin("AAPL", "MSFT"))
+    val msft = t.read().filter(col("ticker") === "MSFT").count()
+    t.mergeInto(src, Seq("ticker", "timestamp_ms"))
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(t.read().count() == aapl + msft)
+    assert(t.read().select("ticker").distinct().count() == 2)
+
+    // NMBS UPDATE with a target-side condition; unmatched rows below the
+    // condition stay untouched
+    val src2 = t.read().filter(col("ticker") === "AAPL")
+    t.mergeInto(src2, Seq("ticker", "timestamp_ms"))
+      .whenNotMatchedBySourceUpdate(pmod(col("target.volume"), lit(2)) === 0,
+        Map("volume" -> lit(-5L)))
+      .execute()
+    assert(t.read().filter(col("volume") === -5L).count() == msftEven)
+    assert(t.read().filter(col("ticker") === "AAPL" && col("volume") === -5L).count() == 0)
+    assert(t.read().count() == aapl + msft, "NMBS UPDATE must not drop rows")
+  }
+
+  test("explicit insert list: unmentioned columns NULL, generated columns recompute") {
+    val t = freshTable("gt_merge_inslist")
+    t.write(bars.repartition(2))
+    // declare close_x2 generated (over an existing column pattern: use a
+    // derivable column on this schema — vwap is present; declare a rule
+    // over volume instead on a fresh derived column via mergeSchema)
+    t.write(t.read().withColumn("vol2", col("volume") * 2),
+      org.apache.spark.sql.SaveMode.Overwrite, overwriteSchema = true)
+    t.addGeneratedColumn("vol2", "volume * 2")
+    val total = t.read().count()
+
+    val fresh = t.read().limit(3)
+      .select(col("ticker"), col("trade_date"),
+        (col("timestamp_ms") + 987654321L).as("timestamp_ms"))
+      .withColumn("volume", lit(999999937L))
+    t.mergeInto(fresh, Seq("ticker", "timestamp_ms"))
+      .whenNotMatchedInsert(Map(
+        "ticker" -> col("source.ticker"),
+        "trade_date" -> col("source.trade_date"),
+        "timestamp_ms" -> col("source.timestamp_ms"),
+        "volume" -> col("source.volume")))
+      .execute()
+    assert(t.read().count() == total + 3)
+    val ins = t.read().filter(col("volume") === 999999937L)
+    assert(ins.count() == 3)
+    assert(ins.filter(col("close").isNull && col("open").isNull).count() == 3,
+      "unmentioned columns must land NULL")
+    // the generated column recomputed from its definition, not NULL
+    assert(ins.filter(col("vol2") === col("volume") * 2).count() == 3)
   }
 }

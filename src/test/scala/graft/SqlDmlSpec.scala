@@ -81,6 +81,66 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.read().count() == total + 1 - 5)
   }
 
+  test("SQL MERGE: explicit INSERT column list — unmentioned columns NULL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_inslist")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    t.read().limit(1)
+      .withColumn("timestamp_ms", col("timestamp_ms") + 123456789L)
+      .createOrReplaceTempView("dml_ins_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_ins_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN NOT MATCHED THEN
+         |  INSERT (ticker, trade_date, timestamp_ms, volume)
+         |  VALUES (s.ticker, s.trade_date, s.timestamp_ms, 42)""".stripMargin)
+    assert(t.read().count() == total + 1)
+    val ins = t.read().filter(col("volume") === 42L)
+    assert(ins.count() == 1)
+    // listed columns carry the assigned values; unmentioned ones are NULL
+    val row = ins.select("close", "open", "high").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("SQL MERGE: WHEN NOT MATCHED BY SOURCE retires/updates unmatched target rows") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_nmbs")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    assert(aapl > 0 && aapl < total)
+    // source = every current AAPL row: the sync shape — rows absent from
+    // the source (every other ticker) are retired by NOT MATCHED BY SOURCE
+    t.read().filter(col("ticker") === "AAPL").createOrReplaceTempView("dml_nmbs_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_nmbs_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN MATCHED THEN UPDATE SET volume = s.volume
+         |WHEN NOT MATCHED BY SOURCE AND t.volume > 0 THEN DELETE""".stripMargin)
+    val kept = t.read()
+    assert(kept.filter(col("ticker") === "AAPL").count() == aapl)
+    // non-AAPL rows with volume > 0 retired; volume<=0/null rows kept
+    assert(kept.filter(col("ticker") =!= "AAPL" && col("volume") > 0).count() == 0)
+    val v1 = t.currentVersion
+
+    // NOT MATCHED BY SOURCE UPDATE: flag the remaining unmatched rows
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_nmbs_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET volume = -1""".stripMargin)
+    assert(t.read().filter(col("ticker") =!= "AAPL").count() ==
+      t.read().filter(col("ticker") =!= "AAPL" && col("volume") === -1L).count())
+    assert(t.read().filter(col("ticker") === "AAPL" && col("volume") === -1L).count() == 0)
+    // both merges are commits: time travel still serves the pre-merge state
+    assert(t.readVersion(v1).filter(col("volume") === -1L).count() == 0)
+  }
+
   test("unsupported MERGE surface fails with clear errors; time travel rejected") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val (t, path) = freshTable("dml_rej")
@@ -95,15 +155,6 @@ class SqlDmlSpec extends SparkSpec {
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e1.getMessage.contains("same-named"), e1.getMessage)
-
-    // explicit insert column list
-    val e2 = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO graft.`$path` AS t USING dml_rej_src AS s
-           |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
-           |WHEN NOT MATCHED THEN INSERT (ticker) VALUES (s.ticker)""".stripMargin)
-    }
-    assert(e2.getMessage.contains("INSERT"), e2.getMessage)
 
     // UPDATE on a time-travel relation
     val e3 = intercept[Exception] {
