@@ -43,11 +43,13 @@ object MergeOps {
       .select(col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"),
         col("state"))
-      .orderBy("o_orderkey")
-    // materialize before the temp table goes out of scope
+    // materialize before the temp table goes out of scope; the total
+    // order goes on the RETURNED frame (the driver sorts-and-hashes what
+    // this plan produces)
     val rows = out.collect()
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      .orderBy("o_orderkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -7,39 +7,54 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** Partitioned-parquet table with a versioned manifest log — the engine's
-  * replacement for the reference's Delta Lake layer (SURVEY.md §7.3; the
-  * environment ships no delta jar).
+/** Partitioned-parquet table with a versioned, INCREMENTAL commit log —
+  * the engine's replacement for the reference's Delta Lake layer
+  * (SURVEY.md §7.3; the environment ships no delta jar).
   *
   * Layout:
   * {{{
-  *   <path>/<part>=.../part-*.parquet      data files (never mutated)
-  *   <path>/_graft_log/v<N>.files          file list of version N (text)
-  *   <path>/_graft_log/v<N>.json           commit record of version N
+  *   <path>/<part>=.../part-*.parquet        data files (never mutated)
+  *   <path>/_graft_log/v<N>.actions.tsv      file adds/removes of commit N
+  *   <path>/_graft_log/v<N>.stats.tsv        min/max stats of N's ADDED files
+  *   <path>/_graft_log/v<N>.dv.tsv           deletion vectors CHANGED by N
+  *   <path>/_graft_log/v<N>.json             commit record (the commit point)
+  *   <path>/_graft_log/v<N>.ckpt.parquet/    manifest checkpoint (periodic)
   * }}}
   *
-  * Every operation writes NEW data files and commits a NEW manifest that
-  * references exactly the live set; old files become orphans that
-  * `vacuum` reclaims after a retention window. Readers resolve the
-  * current manifest and scan only its files — this is what makes
-  * OPTIMIZE (M1), VACUUM (M2), history (M3) and DESCRIBE DETAIL (D5)
-  * expressible over plain parquet. The `.json` rename is the commit
-  * point (single-writer; concurrent-writer ACID and time-travel reads
-  * are explicitly out of scope, as in SURVEY.md §7.3 — the reference is
-  * a single-writer overwrite pipeline, stock_harvester.py:117-152).
+  * Commits record ACTIONS, not snapshots (Delta's add/remove-action log
+  * design): a one-row append to a million-file table writes O(1) log
+  * entries, never an O(live-files) manifest. Every CheckpointInterval
+  * commits — and before log truncation — the full snapshot (file list +
+  * per-file stats + vectors) is checkpointed as a parquet dataset
+  * written and readable as a DataFrame; readers reconstruct any
+  * version from the nearest checkpoint (or legacy full-snapshot
+  * `vN.files` manifest, still readable) plus the action tail, with an
+  * LRU snapshot cache making the common v-1 → v step incremental.
+  * Schema/constraint/column-map sidecars stay full per commit — they
+  * are O(columns), not O(files).
+  *
+  * Every operation writes NEW data files and commits NEW actions; files
+  * leaving the live set become orphans that `vacuum` reclaims after a
+  * retention window. Readers resolve the snapshot and scan only its
+  * files — this is what makes OPTIMIZE (M1), VACUUM (M2), history (M3)
+  * and DESCRIBE DETAIL (D5) expressible over plain parquet. The `.json`
+  * rename is the commit point; the version claim file is the writer
+  * mutex, blind appends retry on claim races and snapshot-derived
+  * rewrites retry iff their inputs are still live (Delta's
+  * WriteSerializable conflict rules).
   *
   * Scale notes: data files are hive-partitioned so partition pruning is
-  * free; the manifest is one small text file per version (at 100 TB you
-  * would shard it and checkpoint like Delta's log — the single-file
-  * manifest is the only component here that assumes "directory listing
-  * fits on the driver", and it isolates that assumption in one place).
+  * free. Planning a scan still materializes the file list on the
+  * driver, like Delta's driver-side snapshot — the checkpoint itself is
+  * written/read as a distributed DataFrame, so the one remaining
+  * driver-sized artifact is the live-file LIST, not the log history.
   */
 final class GraftTable private (
     val spark: SparkSession,
     val path: String,
     val partitionColumns: Seq[String]) {
 
-  import GraftTable.ColMap
+  import GraftTable.{ColMap, Snapshot}
 
   private val root = new Path(path)
   private val logDir = new Path(root, "_graft_log")
@@ -63,13 +78,201 @@ final class GraftTable private (
   def hasVersion(version: Long): Boolean =
     version >= 0 && fs.exists(new Path(logDir, f"v$version%020d.json"))
 
-  /** Live data files (relative paths) of a version's manifest. */
-  def manifestFiles(version: Long = currentVersion): Seq[String] = {
-    if (version < 0) return Nil
-    val f = new Path(logDir, f"v$version%020d.files")
-    val in = fs.open(f)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+  /** Live data files (relative paths) of a version's snapshot. */
+  def manifestFiles(version: Long = currentVersion): Seq[String] =
+    snapshotAt(version).files
+
+  // ---- snapshot reconstruction (incremental action log) ----------------
+
+  private def rootKey: String = root.toUri.getPath
+  private def actionsPath(v: Long) = new Path(logDir, f"v$v%020d.actions.tsv")
+  private def legacyFilesPath(v: Long) = new Path(logDir, f"v$v%020d.files")
+  private def manifestCkptPath(v: Long) = new Path(logDir, f"v$v%020d.ckpt.parquet")
+
+  private def encU(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decU(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  private def parseStatsLines(lines: Seq[String])
+      : Map[String, Map[String, (String, String, String)]] =
+    lines.map(_.split('\t')).collect {
+      case Array(f, c, tag, lo, hi) => (decU(f), decU(c), tag, decU(lo), decU(hi))
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    }
+
+  private def parseDvLines(lines: Seq[String]): Map[String, Seq[(Long, Long)]] =
+    lines.map { l =>
+      val i = l.indexOf('\t')
+      decU(l.substring(0, i)) -> GraftTable.decodeRuns(l.substring(i + 1))
+    }.toMap
+
+  /** Pre-r6 full-snapshot manifest (vN.files + full sidecars). */
+  private def legacySnapshot(v: Long): Snapshot = {
+    val statsP = new Path(logDir, f"v$v%020d.stats.tsv")
+    val dvP = new Path(logDir, f"v$v%020d.dv.tsv")
+    Snapshot(
+      readLines(legacyFilesPath(v)).toVector,
+      if (fs.exists(statsP)) parseStatsLines(readLines(statsP)) else Map.empty,
+      if (fs.exists(dvP)) parseDvLines(readLines(dvP)).filter(_._2.nonEmpty)
+      else Map.empty)
+  }
+
+  /** One commit's action record: file adds/removes, stats of the adds,
+    * and per-file deletion-vector REPLACEMENTS (empty runs = clear). */
+  private final case class Actions(adds: Seq[String], removes: Seq[String],
+      addStats: Map[String, Map[String, (String, String, String)]],
+      dvChanges: Map[String, Seq[(Long, Long)]])
+
+  private def readActionRecord(v: Long): Actions = {
+    val lines = readLines(actionsPath(v))
+    val statsP = new Path(logDir, f"v$v%020d.stats.tsv")
+    val dvP = new Path(logDir, f"v$v%020d.dv.tsv")
+    Actions(
+      lines.collect { case l if l.startsWith("a\t") => decU(l.substring(2)) },
+      lines.collect { case l if l.startsWith("r\t") => decU(l.substring(2)) },
+      if (fs.exists(statsP)) parseStatsLines(readLines(statsP)) else Map.empty,
+      if (fs.exists(dvP)) parseDvLines(readLines(dvP)) else Map.empty)
+  }
+
+  /** Roll `base` (state at v-1) forward through commit v's actions. */
+  private def applyActions(base: Snapshot, v: Long): Snapshot = {
+    val a = readActionRecord(v)
+    val removed = a.removes.toSet
+    val kept = base.files.filterNot(removed)
+    val keptSet = kept.toSet
+    val newAdds = a.adds.filterNot(keptSet) // re-adds (RESTORE) dedup here
+    val files = kept ++ newAdds
+    val fileSet = keptSet ++ newAdds
+    val stats = (base.stats -- removed) ++
+      a.addStats.view.filterKeys(fileSet).toMap
+    val dv0 = base.dv -- removed
+    val dv = a.dvChanges.foldLeft(dv0) { case (m, (f, runs)) =>
+      if (!fileSet(f)) m
+      else if (runs.isEmpty) m - f
+      else m + (f -> runs)
+    }
+    Snapshot(files, stats, dv)
+  }
+
+  /** Full table state at `version`: nearest base (cached snapshot,
+    * checkpoint, or legacy manifest) + the action tail. Cached per
+    * (table, version) — committed versions are immutable. */
+  private def snapshotAt(version: Long): Snapshot = {
+    if (version < 0) return Snapshot(Vector.empty, Map.empty, Map.empty)
+    GraftTable.cachedSnapshot(rootKey, version) match {
+      case Some(s) => return s
+      case None => ()
+    }
+    val snap =
+      if (fs.exists(legacyFilesPath(version))) legacySnapshot(version)
+      else if (fs.exists(actionsPath(version))) {
+        GraftTable.cachedSnapshot(rootKey, version - 1) match {
+          case Some(prev) => applyActions(prev, version) // the hot v-1 → v step
+          case None =>
+            // walk down to the nearest base — a checkpoint AT the version
+            // itself counts (that's the post-truncation shape: the oldest
+            // retained version keeps a checkpoint, its ancestry is gone)
+            var b = version
+            var base: Snapshot = null
+            while (base == null && b >= 0) {
+              GraftTable.cachedSnapshot(rootKey, b) match {
+                case Some(s) => base = s
+                case None =>
+                  if (fs.exists(manifestCkptPath(b))) base = readManifestCheckpoint(b)
+                  else if (fs.exists(legacyFilesPath(b))) base = legacySnapshot(b)
+                  else if (fs.exists(actionsPath(b))) b -= 1
+                  else throw new IllegalStateException(
+                    s"cannot reconstruct version $version of the graft table " +
+                    s"at $path: no log record for v$b (log cleaned up?)")
+              }
+            }
+            if (base == null) base = Snapshot(Vector.empty, Map.empty, Map.empty)
+            ((b + 1) to version).foldLeft(base)(applyActions)
+        }
+      }
+      else if (fs.exists(manifestCkptPath(version)))
+        readManifestCheckpoint(version) // truncated ancestry: ckpt is the base
+      else throw new IllegalStateException(
+        s"graft table at $path has no committed version $version")
+    GraftTable.cacheSnapshot(rootKey, version, snap)
+    snap
+  }
+
+  /** Periodic full-snapshot checkpoint as a PARQUET DATASET written and
+    * read through Spark — at a million files this is a distributed
+    * write/scan, not a driver-serialized text blob (Delta's multi-part
+    * parquet checkpoint design). Row shape: (file, encoded dv runs,
+    * array of per-column stats). Best-effort: a failed checkpoint write
+    * only costs replay length, never correctness. Returns success. */
+  private def writeManifestCheckpoint(v: Long): Boolean = try {
+    import org.apache.spark.sql.types._
+    val snap = snapshotAt(v)
+    val schema = StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("dv", StringType),
+      StructField("stats", ArrayType(StructType(Seq(
+        StructField("c", StringType), StructField("t", StringType),
+        StructField("lo", StringType), StructField("hi", StringType)))))))
+    val rows = snap.files.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.Row(i.toLong, f,
+        snap.dv.get(f).map(GraftTable.encodeRuns).orNull,
+        snap.stats.get(f).map(_.toSeq.sortBy(_._1).map {
+          case (c, (t, lo, hi)) => org.apache.spark.sql.Row(c, t, lo, hi)
+        }).getOrElse(Seq.empty))
+    }
+    val target = manifestCkptPath(v)
+    val tmp = new Path(logDir, f".v$v%020d.ckpt.parquet.tmp")
+    fs.delete(tmp, true)
+    val slices = math.max(1, math.min(rows.size / 50000 + 1,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(tmp, target) || { fs.delete(tmp, true); false }
+  } catch { case _: Exception => false }
+
+  private def readManifestCheckpoint(v: Long): Snapshot = {
+    val rows = spark.read.parquet(manifestCkptPath(v).toString)
+      .select("seq", "file", "dv", "stats").collect()
+    val files = Vector.newBuilder[String]
+    val stats = Map.newBuilder[String, Map[String, (String, String, String)]]
+    val dv = Map.newBuilder[String, Seq[(Long, Long)]]
+    // the seq ordinal restores MANIFEST order exactly (parquet row order
+    // is write-partition-dependent): a checkpoint-based reconstruction
+    // is indistinguishable from an incremental one
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val f = r.getString(1)
+      files += f
+      if (!r.isNullAt(2)) {
+        val runs = GraftTable.decodeRuns(r.getString(2))
+        if (runs.nonEmpty) dv += f -> runs
+      }
+      val st = r.getSeq[org.apache.spark.sql.Row](3)
+      if (st != null && st.nonEmpty)
+        stats += f -> st.map(s =>
+          s.getString(0) -> ((s.getString(1), s.getString(2), s.getString(3)))).toMap
+    }
+    Snapshot(files.result(), stats.result(), dv.result())
+  }
+
+  /** Latest manifest checkpoint at or below `upTo`, if any. */
+  def latestManifestCheckpoint(upTo: Long = currentVersion): Option[Long] = {
+    if (!fs.exists(logDir)) return None
+    val vs = fs.listStatus(logDir).flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".ckpt.parquet"))
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".ckpt.parquet").toLong).toOption
+      else None
+    }.filter(_ <= upTo)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -99,27 +302,31 @@ final class GraftTable private (
     }
   }
 
-  /** `filesAtBase`, when given, recomputes the committed file list from
-    * the claimed predecessor version — AFTER the version claim, so a
-    * concurrent commit landing between a caller's manifest read and the
-    * claim can never be dropped from an append's carried-over list. */
-  /** `carriedStats` supplies bounds for files whose footers this table
-    * has never read (clone/convert adopting another table's files) —
+  /** Commit version `currentVersion + 1` as an ACTION RECORD: `adds`
+    * enter the live set, `removes(base)` leave it — computed AFTER the
+    * version claim against the claimed predecessor, so a concurrent
+    * commit landing between a caller's snapshot read and the claim is
+    * never clobbered. Commit I/O is O(adds + removes), never
+    * O(live-files).
+    *
+    * `carriedStats` supplies bounds for added files whose footers this
+    * table has never read (clone/convert/restore adopting files) —
     * consulted before falling back to a footer read; `collectStats =
     * false` skips the fallback entirely (files without stats are simply
-    * never pruned — correct, just unoptimized). */
-  /** `newDv`, when given, computes the deletion-vector map ON TOP OF the
-    * claimed predecessor version (so a concurrent merge-on-read delete's
-    * vectors are never lost); otherwise the predecessor's vectors carry
-    * forward for surviving files. */
-  private def commit(operation: String, files: Seq[String],
+    * never pruned — correct, just unoptimized).
+    *
+    * `dvChanges(base)` returns per-file deletion-vector REPLACEMENTS
+    * computed on top of the claimed predecessor (empty runs = clear the
+    * file's vector); unnamed surviving files keep their vectors, and
+    * removed files drop theirs with the file, both by replay. */
+  private def commit(operation: String, adds: Seq[String],
       metrics: Map[String, String],
+      removes: Long => Seq[String] = _ => Nil,
       newConstraints: Option[Map[String, String]] = None,
-      filesAtBase: Option[Long => Seq[String]] = None,
       carriedStats: Map[String, Map[String, (String, String, String)]] = Map.empty,
       collectStats: Boolean = true,
       newGenerated: Option[Map[String, String]] = None,
-      newDv: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
+      dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None): Long = {
     val v = currentVersion + 1
@@ -127,8 +334,8 @@ final class GraftTable private (
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
     // (and sweep partial sidecars) or the version slot wedges forever
-    try commitClaimed(v, operation, files, metrics, newConstraints,
-      filesAtBase, carriedStats, collectStats, newGenerated, newDv, newColMap,
+    try commitClaimed(v, operation, adds, metrics, newConstraints,
+      removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
       newSchema)
     catch {
       case e: Throwable =>
@@ -137,7 +344,7 @@ final class GraftTable private (
         val landed = scala.util.Try(
           fs.exists(new Path(logDir, f"v$v%020d.json"))).getOrElse(true)
         if (!landed)
-          Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv",
+          Seq(f"v$v%020d.actions.tsv", f"v$v%020d.constraints.tsv",
               f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
               f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv",
               f"v$v%020d.schema", f"v$v%020d.claim")
@@ -146,21 +353,22 @@ final class GraftTable private (
     }
   }
 
-  private def commitClaimed(v: Long, operation: String, files: Seq[String],
+  private def commitClaimed(v: Long, operation: String, adds: Seq[String],
       metrics: Map[String, String],
       newConstraints: Option[Map[String, String]],
-      filesAtBase: Option[Long => Seq[String]],
+      removes: Long => Seq[String],
       carriedStats: Map[String, Map[String, (String, String, String)]],
       collectStats: Boolean,
       newGenerated: Option[Map[String, String]],
-      newDv: Option[Long => Map[String, Seq[(Long, Long)]]],
+      dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]],
       newColMap: Option[Long => ColMap],
       newSchema: Option[Long => StructType]): Long = {
-    val committedFiles = filesAtBase.map(f => f(v - 1)).getOrElse(files)
+    val removed = removes(v - 1)
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
     // in the log): carried forward unchanged unless this commit alters
-    // them
+    // them. These sidecars stay full per commit — O(columns), not
+    // O(files).
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
     val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
@@ -169,17 +377,12 @@ final class GraftTable private (
     // footer-derived until a schema-recording commit lands)
     val schemaRec: Option[StructType] =
       newSchema.map(f => f(v - 1)).orElse(schemaOf(v - 1))
-    // per-file column min/max stats (Delta data-skipping parity): stats
-    // for surviving files carry over; only files ADDED by this commit
-    // pay a parquet-footer read. (Footers are read on the driver — the
-    // same "commit metadata fits on the driver" assumption as the
-    // manifest; a 100 TB ingest would collect footers in a Spark job.)
-    val prevStats = statsOf(v - 1)
-    // files this table has never seen pay the footer read; wide commits
-    // (bulk ingest, full-table OPTIMIZE) read footers in a Spark job so
-    // commit latency doesn't scale with the driver's serial I/O
-    val needFooter = committedFiles
-      .filterNot(f => prevStats.contains(f) || carriedStats.contains(f))
+    // per-file column min/max stats (Delta data-skipping parity): only
+    // files ADDED by this commit pay a parquet-footer read — surviving
+    // files' stats live in the snapshot and carry by replay. Wide
+    // commits (bulk ingest, full-table OPTIMIZE) read footers in a
+    // Spark job so commit latency doesn't scale with driver serial I/O.
+    val needFooter = adds.filterNot(carriedStats.contains)
     val collected: Map[String, Map[String, (String, String, String)]] =
       if (!collectStats || needFooter.isEmpty) Map.empty
       else if (needFooter.size < GraftTable.DistributedStatsThreshold)
@@ -197,17 +400,11 @@ final class GraftTable private (
           .collect().toMap
         finally bc.destroy()
       }
-    val stats = committedFiles.flatMap { f =>
-      prevStats.get(f).orElse(carriedStats.get(f)).orElse(collected.get(f))
-        .map(f -> _)
+    val stats = adds.flatMap { f =>
+      carriedStats.get(f).orElse(collected.get(f)).map(f -> _)
     }.toMap
-    // deletion vectors: surviving files keep theirs; files leaving the
-    // manifest (rewrite/overwrite) drop theirs with the file; a
-    // merge-on-read delete supplies the updated map via `newDv`
-    val committedSet = committedFiles.toSet
-    val dv = newDv.map(f => f(v - 1)).getOrElse(dvOf(v - 1))
-      .collect { case (f, runs) if committedSet(f) && runs.nonEmpty => f -> runs }
-    val filesPath = new Path(logDir, f"v$v%020d.files")
+    val dvc = dvChanges.map(f => f(v - 1)).getOrElse(Map.empty)
+    val actionsP = actionsPath(v)
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
     val generatedPath = new Path(logDir, f"v$v%020d.generated.tsv")
     val statsPath = new Path(logDir, f"v$v%020d.stats.tsv")
@@ -226,29 +423,34 @@ final class GraftTable private (
           s"commit conflict renaming to $target")
       }
     }
-    writeAtomic(filesPath, committedFiles.mkString("\n"))
+    writeAtomic(actionsP,
+      (removed.map(f => s"r\t${encU(f)}") ++ adds.map(f => s"a\t${encU(f)}"))
+        .mkString("\n"))
     writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     writeAtomic(generatedPath, gen.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     writeAtomic(statsPath, stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, (tag, lo, hi)) =>
-        s"${enc(f)}\t${enc(c)}\t$tag\t${enc(lo)}\t${enc(hi)}" }
+        s"${encU(f)}\t${encU(c)}\t$tag\t${encU(lo)}\t${encU(hi)}" }
     }.mkString("\n"))
-    writeAtomic(dvPath, dv.toSeq.sortBy(_._1).map { case (f, runs) =>
-      s"${enc(f)}\t${GraftTable.encodeRuns(runs)}" }.mkString("\n"))
+    writeAtomic(dvPath, dvc.toSeq.sortBy(_._1).map { case (f, runs) =>
+      s"${encU(f)}\t${GraftTable.encodeRuns(runs)}" }.mkString("\n"))
     writeAtomic(colmapPath,
-      (cmap.entries.map { case (l, ph) => s"${enc(l)}\t${enc(ph)}\ta" } ++
-        cmap.retired.map(ph => s"-\t${enc(ph)}\tr")).mkString("\n"))
+      (cmap.entries.map { case (l, ph) => s"${encU(l)}\t${encU(ph)}\ta" } ++
+        cmap.retired.map(ph => s"-\t${encU(ph)}\tr")).mkString("\n"))
     schemaRec.foreach(s =>
       writeAtomic(new Path(logDir, f"v$v%020d.schema"), s.json))
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
-    // .json rename is the commit point; a .files without .json is garbage
+    // .json rename is the commit point; actions without .json are garbage
     writeAtomic(jsonPath,
       s"""{"version":$v,"timestamp":"${java.time.Instant.now()}","operation":"${jsonEscape(operation)}","operationMetrics":$metricsJson}""")
+    // a landed commit invalidates any STALE cache entries at >= v (a
+    // table recreated at the same path after external deletion); the
+    // fresh snapshot re-caches on first read
+    GraftTable.invalidateSnapshotsFrom(rootKey, v)
     if (v > 0 && v % GraftTable.CheckpointInterval == 0) writeCheckpoint(v)
     v
   }
@@ -268,21 +470,19 @@ final class GraftTable private (
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
-      newSchema: Option[Long => StructType] = None): Long = {
-    val inputSet = inputs.toSet
-    retryOnConflict()(commit(operation, Nil, metrics,
+      newSchema: Option[Long => StructType] = None): Long =
+    retryOnConflict()(commit(operation, added, metrics,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
-      filesAtBase = Some { base =>
+      removes = { base =>
         val nowLive = manifestFiles(base)
         val gone = inputs.filterNot(nowLive.toSet)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"$operation aborted: ${gone.size} of its input files (e.g. " +
           s"${gone.head}) were removed by a concurrent commit; " +
           "re-run against the new snapshot")
-        nowLive.filterNot(inputSet) ++ added
+        inputs
       }))
-  }
 
   /** All data files currently on disk (relative paths), manifest or not. */
   private def listDataFiles(): Seq[(String, Long, Long)] = {
@@ -311,21 +511,9 @@ final class GraftTable private (
   // intersects, not every file of the partition (hive pruning handles
   // partition columns; this handles everything OPTIMIZE sorted).
 
-  /** file → column → (type tag, min, max) committed with `version`. */
-  def statsOf(version: Long): Map[String, Map[String, (String, String, String)]] = {
-    if (version < 0) return Map.empty
-    val p = new Path(logDir, f"v$version%020d.stats.tsv")
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.split('\t')).collect {
-        case Array(f, c, tag, lo, hi) => (dec(f), dec(c), tag, dec(lo), dec(hi))
-      }.toSeq.groupBy(_._1).map { case (f, rows) =>
-        f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
-      }
-    finally in.close()
-  }
+  /** file → column → (type tag, min, max) live at `version`. */
+  def statsOf(version: Long): Map[String, Map[String, (String, String, String)]] =
+    snapshotAt(version).stats
 
   // ---- deletion vectors (Delta merge-on-read DELETE parity) ------------
   //
@@ -346,20 +534,9 @@ final class GraftTable private (
   // file. Runs encode as "start:len,start:len" with starts ascending.
 
   /** file → sorted disjoint (start, len) runs of deleted row positions
-    * committed with `version` (empty when the version has no vectors). */
-  def dvOf(version: Long): Map[String, Seq[(Long, Long)]] = {
-    if (version < 0) return Map.empty
-    val p = new Path(logDir, f"v$version%020d.dv.tsv")
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t')
-        dec(l.substring(0, i)) -> GraftTable.decodeRuns(l.substring(i + 1))
-      }.toMap
-    finally in.close()
-  }
+    * live at `version` (empty when the version has no vectors). */
+  def dvOf(version: Long): Map[String, Seq[(Long, Long)]] =
+    snapshotAt(version).dv
 
   /** Rows deleted by vectors of `version` (sum of run lengths). */
   def deletedRowCount(version: Long = currentVersion): Long =
@@ -826,7 +1003,11 @@ final class GraftTable private (
     if (currentVersion >= 0 &&
         (manifestFiles().nonEmpty || schemaOf(currentVersion).exists(_.nonEmpty)) &&
         (mode == SaveMode.Append || !overwriteSchema)) {
-      val existing = read().schema
+      // schema-sidecar fast path: enforcement needs the SCHEMA, not a
+      // scan — a blind append to a recorded-schema table never plans a
+      // read over the live file list
+      val existing = schemaOf(currentVersion).filter(_.nonEmpty)
+        .map(logicalSchema(_, colMap)).getOrElse(read().schema)
       val incoming = df0.schema
       val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
       val iTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
@@ -905,14 +1086,17 @@ final class GraftTable private (
       }
       else Some(_ => physDf.schema)
     def attempt(): Long = mode match {
-      // append's carried-over list is recomputed INSIDE the claim (a
-      // concurrent commit between a manifest read here and the claim
-      // would otherwise be dropped from the new manifest)
-      case SaveMode.Append => commit("APPEND", Nil, metrics,
-        filesAtBase = Some(base => manifestFiles(base) ++ added),
+      // a blind append is a pure ADD action: no file-list read at all —
+      // this is the O(delta) commit (a one-row append to a million-file
+      // table writes one action line), and the claim race keeps
+      // concurrent commits' actions ordered
+      case SaveMode.Append => commit("APPEND", added, metrics,
         newColMap = nextMap, newSchema = nextSchema)
-      case _ => commit("WRITE", added, metrics, newColMap = nextMap,
-        newSchema = nextSchema)
+      // overwrite removes the CLAIMED predecessor's whole live set —
+      // inherently O(live-files), as the operation's semantics demand
+      case _ => commit("WRITE", added, metrics,
+        removes = base => manifestFiles(base),
+        newColMap = nextMap, newSchema = nextSchema)
     }
     // blind appends are commutative: a losing concurrent writer re-reads
     // the new current manifest and re-commits ITS files on top (Delta's
@@ -1007,18 +1191,21 @@ final class GraftTable private (
     }
   }
 
-  /** Write the checkpoint sidecar for `v` (best-effort: derived data). */
-  private def writeCheckpoint(v: Long): Unit =
+  /** Write the txn + manifest checkpoints for `v` (best-effort: derived
+    * data — a failure only lengthens replay, never loses state). */
+  private def writeCheckpoint(v: Long): Unit = {
     try {
-      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
       val content = txnMapAt(v).toSeq.sortBy(_._1)
-        .map { case (a, tv) => s"${enc(a)}\t$tv" }.mkString("\n")
+        .map { case (a, tv) => s"${encU(a)}\t$tv" }.mkString("\n")
       val target = new Path(logDir, f"v$v%020d.ckpt.tsv")
       val tmp = new Path(logDir, f".v$v%020d.ckpt.tsv.tmp")
       val out = fs.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
       fs.rename(tmp, target)
     } catch { case _: Exception => () }
+    writeManifestCheckpoint(v)
+    ()
+  }
 
   /** Highest transaction version committed for `appId`, −1 if none —
     * Delta's SetTransaction lookup. Reads the latest checkpoint plus at
@@ -1480,18 +1667,21 @@ final class GraftTable private (
         "mode" -> "merge-on-read",
         "numDeletionVectorsUpdated" -> newRuns.size.toString,
         "numDeletedRows" -> numDeleted.toString),
-        filesAtBase = Some { base =>
+        removes = { base =>
           val nowLive = manifestFiles(base)
           val gone = affected.filterNot(nowLive.toSet)
           if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
             s"DELETE aborted: ${gone.size} of its input files (e.g. " +
             s"${gone.head}) were removed by a concurrent commit; " +
             "re-run against the new snapshot")
-          nowLive
+          Nil
         },
-        newDv = Some { base =>
+        // per-file replacement vectors MERGED into the claimed base's
+        // (a concurrent merge-on-read delete's positions are never lost:
+        // union of position sets ≡ sequential application)
+        dvChanges = Some { base =>
           val cur = dvOf(base)
-          cur ++ newRuns.map { case (f, r) =>
+          newRuns.map { case (f, r) =>
             f -> GraftTable.mergeRuns(cur.getOrElse(f, Nil), r) }
         }))
     }
@@ -1849,12 +2039,27 @@ final class GraftTable private (
       s"no committed version $version to restore")
     // file list, constraint set, generated-column set AND deletion
     // vectors come back (a RESTORE across a merge-on-read delete
-    // un-deletes those rows — Delta's RESTORE semantics)
-    commit("RESTORE", manifestFiles(version),
+    // un-deletes those rows — Delta's RESTORE semantics). As actions:
+    // adds = the restored set (replay dedups files still live), removes
+    // = base files outside it, dv = per-file diff against the base with
+    // explicit clears; re-added files carry the restored version's
+    // stats instead of paying footer re-reads.
+    val restored = manifestFiles(version)
+    val restoredSet = restored.toSet
+    commit("RESTORE", restored,
       Map("restoredVersion" -> version.toString),
+      removes = base => manifestFiles(base).filterNot(restoredSet),
+      carriedStats = statsOf(version),
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
-      newDv = Some(_ => dvOf(version)),
+      dvChanges = Some { base =>
+        val target = dvOf(version)
+        val cur = dvOf(base)
+        restored.flatMap { f =>
+          val t = target.getOrElse(f, Nil)
+          if (t == cur.getOrElse(f, Nil)) None else Some(f -> t)
+        }.toMap
+      },
       newColMap = Some(_ => colMapOf(version)))
   }
 
@@ -1889,7 +2094,7 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
       carriedStats = carried, collectStats = false,
-      newDv = Some(_ => carriedDv),
+      dvChanges = Some(_ => carriedDv),
       newColMap = Some(_ => colMapOf(srcV)))
     t
   }
@@ -1911,13 +2116,22 @@ final class GraftTable private (
     // fresh checkpoint first, so truncation never loses replay
     // protection (exactly-once streams span cleanups)
     if (!latestCheckpointVersion(cur).exists(_ > cutoff)) writeCheckpoint(cur)
+    // the OLDEST RETAINED version must keep a reconstruction base once
+    // its action ancestry is dropped: checkpoint it first, and if that
+    // write fails keep the whole log (correctness over reclamation)
+    val oldest = cutoff + 1
+    if (oldest <= cur && fs.exists(actionsPath(oldest)) &&
+        !fs.exists(legacyFilesPath(oldest)) &&
+        !fs.exists(manifestCkptPath(oldest)) &&
+        !writeManifestCheckpoint(oldest)) return 0
     var dropped = 0
     (0L to cutoff).foreach { v =>
       val json = new Path(logDir, f"v$v%020d.json")
       if (fs.exists(json)) {
         // delete the commit marker LAST so a crash mid-cleanup never
         // leaves a committed version with missing sidecars
-        Seq(f"v$v%020d.files", f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
+        Seq(f"v$v%020d.actions.tsv", f"v$v%020d.files",
+            f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
             f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv",
             f"v$v%020d.colmap.tsv", f"v$v%020d.schema", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
@@ -1926,7 +2140,11 @@ final class GraftTable private (
       }
       // superseded checkpoints go with their versions
       fs.delete(new Path(logDir, f"v$v%020d.ckpt.tsv"), false)
+      fs.delete(manifestCkptPath(v), true)
     }
+    // the retention CONTRACT says dropped versions are unavailable —
+    // cached snapshots must not keep serving them
+    GraftTable.invalidateSnapshotsUpTo(rootKey, cutoff)
     dropped
   }
 
@@ -2036,6 +2254,54 @@ object GraftTable {
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */
   val CheckpointInterval: Long = 10L
+
+  /** Full table state at one version: live files (manifest order),
+    * per-file column stats, per-file deletion-vector runs. Immutable
+    * once the version commits — safe to cache JVM-wide. */
+  final case class Snapshot(
+      files: Vector[String],
+      stats: Map[String, Map[String, (String, String, String)]],
+      dv: Map[String, Seq[(Long, Long)]])
+
+  // (table root, version) → snapshot, LRU-bounded. The hot pattern —
+  // commit then read — hits (path, v-1) and rolls one action record
+  // forward instead of replaying from the last checkpoint.
+  private val SnapCacheMax = 48
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > SnapCacheMax
+    }
+
+  private[graft] def cachedSnapshot(rootKey: String, v: Long): Option[Snapshot] =
+    snapCache.synchronized(Option(snapCache.get((rootKey, v))))
+
+  private[graft] def cacheSnapshot(rootKey: String, v: Long, s: Snapshot): Unit =
+    snapCache.synchronized { snapCache.put((rootKey, v), s); () }
+
+  /** Drop cached snapshots of `rootKey` at versions >= `v` — a commit
+    * landing at `v` proves any such entry is stale (only possible when a
+    * table was deleted externally and recreated at the same path). */
+  private[graft] def invalidateSnapshotsFrom(rootKey: String, v: Long): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == rootKey && k._2 >= v) it.remove()
+      }
+    }
+
+  /** Drop cached snapshots of `rootKey` at versions <= `v` — log
+    * truncation makes them unavailable by contract. */
+  private[graft] def invalidateSnapshotsUpTo(rootKey: String, v: Long): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == rootKey && k._2 <= v) it.remove()
+      }
+    }
 
   /** Commits adding at least this many new files collect their footer
     * stats in a Spark job instead of serially on the driver — a bulk
