@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main — one JSON line with total + per-query seconds on the
   * sf dir from SPARK_GRAFT_SF_DIR (driver contract). Runs the headline
@@ -87,7 +88,68 @@ object Bench {
     val totalR4 =
       if (r4Results.exists(_._2 < 0)) -1.0 else r4Results.map(_._2).sum
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val maint = maintenanceBench(spark, sfDir)
+    val maintJson = maint.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Table-layer micro-bench: the write → append → OPTIMIZE → DV DELETE
+    * → MERGE → PURGE → VACUUM lifecycle on a lineitem-derived graft
+    * table, one wall-clock second count per op. Read queries alone
+    * can't see a table-layer regression (commit cost, rewrite planning,
+    * vector plumbing) — this gives those a per-round timing trail.
+    * Failures report as -1 for the failing op, like the query bench. */
+  def maintenanceBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.table.GraftTable
+    val out = Seq.newBuilder[(String, Double)]
+    def timed[T](name: String)(body: => T): Option[T] = {
+      val t0 = System.nanoTime()
+      try {
+        val r = body
+        out += name -> (System.nanoTime() - t0) / 1e9
+        Some(r)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] maintenance/$name failed: ${e.getMessage}")
+        out += name -> -1.0
+        None
+      }
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString
+    try {
+      val t = GraftTable(spark, path, Seq("l_returnflag"))
+      val li = graft.tables.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_shipdate")
+      timed("write")(t.write(li.repartition(8)))
+      timed("append")(t.write(li.limit(1000), SaveMode.Append))
+      timed("optimize")(t.optimize(Seq("l_orderkey")))
+      // narrow-source sync merge: keys + one changed column (before the
+      // DV delete — its copy-on-write rewrite would materialize the
+      // vectors and leave purge nothing to do)
+      timed("merge")(
+        t.mergeInto(
+            t.read().filter(pmod(col("l_orderkey"), lit(101)) === 0)
+              .select(col("l_orderkey"), col("l_linenumber"))
+              .distinct() // the append above duplicated 1000 rows
+              .withColumn("l_quantity", lit(1.0)),
+            Seq("l_orderkey", "l_linenumber"))
+          .whenMatchedUpdate(Map("l_quantity" -> col("source.l_quantity")))
+          .execute())
+      // ~1% of rows, spread across every file: the DV commit is
+      // metadata-sized while a copy-on-write delete would rewrite all
+      timed("delete_dv")(t.delete(pmod(col("l_orderkey"), lit(97)) === 0,
+        mergeOnRead = true))
+      timed("purge")(t.purge())
+      timed("vacuum")(t.vacuum(retainHours = 0.0,
+        retentionCheckEnabled = false,
+        nowMs = System.currentTimeMillis() + 3600 * 1000))
+      out.result()
+    } finally {
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path)))
+      ()
+    }
   }
 }

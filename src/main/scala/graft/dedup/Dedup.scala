@@ -253,6 +253,29 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    // exact n-gram Jaccard IS deterministic — the only approximation in
+    // ngram_jaccard is the LSH candidate set, and at the 0.6 output
+    // threshold the 32x6 S-curve's miss probability is < 1e-13 for any
+    // pair that could pass the exact filter (every qualifying pair in
+    // the corpus sits above j=0.9), so the DuckDB brute-force all-pairs
+    // oracle agrees pair-for-pair and the query hash-verifies instead of
+    // rows-only. The oracle intersects DISTINCT SHINGLE STRINGS where
+    // the query intersects their xxhash64 images — identical Jaccard
+    // absent a 64-bit collision inside one document pair.
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(length(text) - 4, 1) + 1),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))) AS shingles
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |         len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |SELECT a, b, round(jaccard, 4) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
@@ -276,9 +299,9 @@ object Dedup {
         |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r)
         |SELECT min(r) AS cluster, id AS doc_id FROM reach
         |GROUP BY id ORDER BY cluster, doc_id""".stripMargin)
-    // minhash/simhash/candidate-verified jaccard: sketch outputs are
-    // implementation-defined → rows-only; DedupSpec pins recall/precision
-    // against brute-force Jaccard. dedup_clusters inherits the LSH edge
-    // set → rows-only; its component operator is oracle-checked via
-    // cluster_minsh and ≡-union-find in DedupSpec.
+    // minhash/simhash sketch outputs are implementation-defined →
+    // rows-only; DedupSpec pins recall/precision against brute-force
+    // Jaccard. dedup_clusters inherits the LSH edge set → rows-only; its
+    // component operator is oracle-checked via cluster_minsh and
+    // ≡-union-find in DedupSpec.
 }
