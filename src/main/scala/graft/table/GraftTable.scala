@@ -124,9 +124,11 @@ final class GraftTable private (
       else Map.empty)
   }
 
-  /** One commit's action record: file adds/removes, stats of the adds,
-    * and per-file deletion-vector REPLACEMENTS (empty runs = clear). */
-  private final case class Actions(adds: Seq[String], removes: Seq[String],
+  /** One commit's action record: file adds/removes (adds carry their
+    * byte size), stats of the adds, and per-file deletion-vector
+    * REPLACEMENTS (empty runs = clear). */
+  private final case class Actions(adds: Seq[(String, Option[Long])],
+      removes: Seq[String],
       addStats: Map[String, Map[String, (String, String, String)]],
       dvChanges: Map[String, Seq[(Long, Long)]])
 
@@ -135,7 +137,12 @@ final class GraftTable private (
     val statsP = new Path(logDir, f"v$v%020d.stats.tsv")
     val dvP = new Path(logDir, f"v$v%020d.dv.tsv")
     Actions(
-      lines.collect { case l if l.startsWith("a\t") => decU(l.substring(2)) },
+      lines.collect { case l if l.startsWith("a\t") =>
+        l.substring(2).split('\t') match {
+          case Array(f, sz) => decU(f) -> scala.util.Try(sz.toLong).toOption
+          case parts => decU(parts(0)) -> None
+        }
+      },
       lines.collect { case l if l.startsWith("r\t") => decU(l.substring(2)) },
       if (fs.exists(statsP)) parseStatsLines(readLines(statsP)) else Map.empty,
       if (fs.exists(dvP)) parseDvLines(readLines(dvP)) else Map.empty)
@@ -147,18 +154,20 @@ final class GraftTable private (
     val removed = a.removes.toSet
     val kept = base.files.filterNot(removed)
     val keptSet = kept.toSet
-    val newAdds = a.adds.filterNot(keptSet) // re-adds (RESTORE) dedup here
+    val newAdds = a.adds.map(_._1).filterNot(keptSet) // re-adds (RESTORE) dedup here
     val files = kept ++ newAdds
     val fileSet = keptSet ++ newAdds
     val stats = (base.stats -- removed) ++
       a.addStats.view.filterKeys(fileSet).toMap
+    val sizes = (base.sizes -- removed) ++
+      a.adds.collect { case (f, Some(sz)) if fileSet(f) => f -> sz }
     val dv0 = base.dv -- removed
     val dv = a.dvChanges.foldLeft(dv0) { case (m, (f, runs)) =>
       if (!fileSet(f)) m
       else if (runs.isEmpty) m - f
       else m + (f -> runs)
     }
-    Snapshot(files, stats, dv)
+    Snapshot(files, stats, dv, sizes)
   }
 
   /** Full table state at `version`: nearest base (cached snapshot,
@@ -217,12 +226,14 @@ final class GraftTable private (
     val schema = StructType(Seq(
       StructField("seq", LongType, nullable = false),
       StructField("file", StringType, nullable = false),
+      StructField("size", LongType),
       StructField("dv", StringType),
       StructField("stats", ArrayType(StructType(Seq(
         StructField("c", StringType), StructField("t", StringType),
         StructField("lo", StringType), StructField("hi", StringType)))))))
     val rows = snap.files.zipWithIndex.map { case (f, i) =>
       org.apache.spark.sql.Row(i.toLong, f,
+        snap.sizes.get(f).map(java.lang.Long.valueOf).orNull,
         snap.dv.get(f).map(GraftTable.encodeRuns).orNull,
         snap.stats.get(f).map(_.toSeq.sortBy(_._1).map {
           case (c, (t, lo, hi)) => org.apache.spark.sql.Row(c, t, lo, hi)
@@ -240,11 +251,14 @@ final class GraftTable private (
   } catch { case _: Exception => false }
 
   private def readManifestCheckpoint(v: Long): Snapshot = {
-    val rows = spark.read.parquet(manifestCkptPath(v).toString)
-      .select("seq", "file", "dv", "stats").collect()
+    val df = spark.read.parquet(manifestCkptPath(v).toString)
+    val hasSize = df.columns.contains("size") // absent in pre-size ckpts
+    val rows = (if (hasSize) df.select("seq", "file", "dv", "stats", "size")
+                else df.select("seq", "file", "dv", "stats")).collect()
     val files = Vector.newBuilder[String]
     val stats = Map.newBuilder[String, Map[String, (String, String, String)]]
     val dv = Map.newBuilder[String, Seq[(Long, Long)]]
+    val sizes = Map.newBuilder[String, Long]
     // the seq ordinal restores MANIFEST order exactly (parquet row order
     // is write-partition-dependent): a checkpoint-based reconstruction
     // is indistinguishable from an incremental one
@@ -259,8 +273,9 @@ final class GraftTable private (
       if (st != null && st.nonEmpty)
         stats += f -> st.map(s =>
           s.getString(0) -> ((s.getString(1), s.getString(2), s.getString(3)))).toMap
+      if (hasSize && !r.isNullAt(4)) sizes += f -> r.getLong(4)
     }
-    Snapshot(files.result(), stats.result(), dv.result())
+    Snapshot(files.result(), stats.result(), dv.result(), sizes.result())
   }
 
   /** Latest manifest checkpoint at or below `upTo`, if any. */
@@ -328,7 +343,8 @@ final class GraftTable private (
       newGenerated: Option[Map[String, String]] = None,
       dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
       newColMap: Option[Long => ColMap] = None,
-      newSchema: Option[Long => StructType] = None): Long = {
+      newSchema: Option[Long => StructType] = None,
+      addSizes: Map[String, Long] = Map.empty): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -336,7 +352,7 @@ final class GraftTable private (
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, adds, metrics, newConstraints,
       removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
-      newSchema)
+      newSchema, addSizes)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -362,8 +378,17 @@ final class GraftTable private (
       newGenerated: Option[Map[String, String]],
       dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]],
       newColMap: Option[Long => ColMap],
-      newSchema: Option[Long => StructType]): Long = {
+      newSchema: Option[Long => StructType],
+      addSizes: Map[String, Long]): Long = {
     val removed = removes(v - 1)
+    // every add records its byte size (Delta's AddFile.size): writers
+    // that staged the files know it for free; adoption paths
+    // (clone/convert/restore) carry it; the residual fallback is one
+    // status RPC per ADDED file — the delta, never the live set
+    val sizedAdds: Seq[(String, Option[Long])] = adds.map { f =>
+      f -> addSizes.get(f).orElse(
+        scala.util.Try(fs.getFileStatus(dataPath(f)).getLen).toOption)
+    }
     // constraints and generated-column definitions are table METADATA
     // versioned with the commit (Delta records them as metadata actions
     // in the log): carried forward unchanged unless this commit alters
@@ -424,8 +449,10 @@ final class GraftTable private (
       }
     }
     writeAtomic(actionsP,
-      (removed.map(f => s"r\t${encU(f)}") ++ adds.map(f => s"a\t${encU(f)}"))
-        .mkString("\n"))
+      (removed.map(f => s"r\t${encU(f)}") ++ sizedAdds.map {
+        case (f, Some(sz)) => s"a\t${encU(f)}\t$sz"
+        case (f, None) => s"a\t${encU(f)}"
+      }).mkString("\n"))
     writeAtomic(constraintsPath, cs.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     writeAtomic(generatedPath, gen.toSeq.sortBy(_._1)
@@ -466,12 +493,13 @@ final class GraftTable private (
     * are stale and the commit aborts (the orphaned output files await
     * VACUUM). Claim-race losers retry. */
   private def commitRewrite(operation: String, inputs: Seq[String],
-      added: Seq[String], metrics: Map[String, String],
+      added: Seq[(String, Long)], metrics: Map[String, String],
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None): Long =
-    retryOnConflict()(commit(operation, added, metrics,
+    retryOnConflict()(commit(operation, added.map(_._1), metrics,
+      addSizes = added.toMap,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
       removes = { base =>
@@ -1090,11 +1118,12 @@ final class GraftTable private (
       // this is the O(delta) commit (a one-row append to a million-file
       // table writes one action line), and the claim race keeps
       // concurrent commits' actions ordered
-      case SaveMode.Append => commit("APPEND", added, metrics,
-        newColMap = nextMap, newSchema = nextSchema)
+      case SaveMode.Append => commit("APPEND", added.map(_._1), metrics,
+        addSizes = added.toMap, newColMap = nextMap, newSchema = nextSchema)
       // overwrite removes the CLAIMED predecessor's whole live set —
       // inherently O(live-files), as the operation's semantics demand
-      case _ => commit("WRITE", added, metrics,
+      case _ => commit("WRITE", added.map(_._1), metrics,
+        addSizes = added.toMap,
         removes = base => manifestFiles(base),
         newColMap = nextMap, newSchema = nextSchema)
     }
@@ -1422,7 +1451,11 @@ final class GraftTable private (
         "where" -> where.getOrElse("")))
     val df = readLive(scopeFiles) // logical view; clusterBy names are logical
     val scopeSet = scopeFiles.toSet
-    val scopeBytes = scopeFiles.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
+    // bin count from LOGGED sizes (status-RPC fallback for legacy files
+    // only): sizing a million-file compaction costs zero filesystem calls
+    val sizesNow = snapshotAt(currentVersion).sizes
+    val scopeBytes = scopeFiles.map(f =>
+      sizesNow.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
     val bins = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
     // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
@@ -1604,13 +1637,15 @@ final class GraftTable private (
     * committer's shared `_temporary` if they wrote to the root directly,
     * and a listing-diff would mis-attribute a concurrent writer's files.
     * The per-file moves are same-filesystem renames (metadata ops). */
-  private def appendDataFiles(df: DataFrame): Seq[String] = {
+  private def appendDataFiles(df: DataFrame): Seq[(String, Long)] = {
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID}")
     val writer = df.write.mode(SaveMode.Append)
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
      else writer).parquet(staging.toString)
     val stagingUri = staging.toUri.getPath
-    val moved = Seq.newBuilder[String]
+    // the staging listing already knows each file's length — carried to
+    // the commit's add actions so nothing re-stats the files later
+    val moved = Seq.newBuilder[(String, Long)]
     val it = fs.listFiles(staging, true)
     while (it.hasNext) {
       val s = it.next()
@@ -1621,7 +1656,7 @@ final class GraftTable private (
         fs.mkdirs(target.getParent)
         if (!fs.rename(s.getPath, target))
           throw new IllegalStateException(s"failed to move staged file to $target")
-        moved += rel
+        moved += ((rel, s.getLen))
       }
     }
     fs.delete(staging, true)
@@ -1649,18 +1684,26 @@ final class GraftTable private (
       return commitRewrite("DELETE", Nil, Nil, Map("numFilesRewritten" -> "0"))
     if (mergeOnRead) {
       // positions of newly deleted rows among LIVE rows (already-vectored
-      // positions excluded by the dv-applied scan). The position list
-      // returns to the driver RLE-compressed per file — same
-      // commit-metadata-fits-on-the-driver assumption as the manifest;
-      // at bitmap scale executors would write per-file DV sidecars.
+      // positions excluded by the dv-applied scan). The RLE compression
+      // happens ON EXECUTORS (gaps-and-islands: pos − row_number is
+      // constant within a consecutive run), so the driver receives each
+      // file's RUNS — for the clustered deletes vectors exist for, that
+      // is kilobytes where the raw position list would be gigabytes.
       val dvNow = dvOf(currentVersion)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__path")).orderBy(col("__pos"))
       val hit = toLogical(readFilesMeta(affected, dvNow), colMap).filter(matches)
+        .select(col("__path"), col("__pos"))
+        .withColumn("__rk", col("__pos") - row_number().over(w))
+        .groupBy(col("__path"), col("__rk"))
+        .agg(min(col("__pos")).as("start"),
+          org.apache.spark.sql.functions.count(lit(1)).as("len"))
         .groupBy(col("__path"))
-        .agg(sort_array(collect_list(col("__pos"))).as("pos"))
+        .agg(sort_array(collect_list(struct(col("start"), col("len")))).as("runs"))
         .collect()
       val newRuns: Map[String, Seq[(Long, Long)]] = hit.map { r =>
         relPath(r.getString(0)) ->
-          GraftTable.toRuns(r.getSeq[Long](1))
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))
       }.toMap
       val numDeleted = newRuns.values.flatten.map(_._2).sum
       return retryOnConflict()(commit("DELETE", Nil, Map(
@@ -1773,7 +1816,54 @@ final class GraftTable private (
     * that finds them broadcasts `source`'s keys when small. */
   def mergeInto(source: DataFrame, on: Seq[String]): MergeBuilder = {
     require(on.nonEmpty, "MERGE needs at least one key column")
-    new MergeBuilder(this, source, on)
+    new MergeBuilder(this, source, on.map(k => k -> k), None)
+  }
+
+  /** MERGE with explicit (targetCol, sourceCol) key pairs — the keys
+    * need not share names — plus an optional arbitrary residual
+    * condition over `target.<col>` / `source.<col>` references ANDed
+    * onto the key equality. The equi keys drive affected-file discovery
+    * (the reason at least one pair is required: a keyless merge is a
+    * cross join, which is never the plan you want at scale); the
+    * residual narrows which joined pairs count as MATCHED. */
+  def mergeIntoOn(source: DataFrame, keys: Seq[(String, String)],
+      residual: Option[Column] = None): MergeBuilder = {
+    require(keys.nonEmpty, "MERGE needs at least one (target, source) key pair")
+    new MergeBuilder(this, source, keys, residual)
+  }
+
+  /** Delta-style MERGE on an arbitrary condition: the conjunction is
+    * split into `target.<x> = source.<y>` equi pairs (which drive file
+    * discovery) and a residual; conditions with no recognizable equi
+    * conjunct are rejected with a clear error. */
+  def mergeInto(source: DataFrame, condition: Column): MergeBuilder = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def side(e: Expression): Option[(String, String)] = e match {
+      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
+        (a.nameParts.head == "target" || a.nameParts.head == "source") =>
+        Some(a.nameParts.head -> a.nameParts(1))
+      case _ => None
+    }
+    def split(e: Expression): (Seq[(String, String)], Seq[Expression]) = e match {
+      case CAnd(l, r) =>
+        val (kl, rl) = split(l); val (kr, rr) = split(r)
+        (kl ++ kr, rl ++ rr)
+      case CEq(a, b) =>
+        (side(a), side(b)) match {
+          case (Some(("target", t)), Some(("source", s))) => (Seq(t -> s), Nil)
+          case (Some(("source", s)), Some(("target", t))) => (Seq(t -> s), Nil)
+          case _ => (Nil, Seq(e))
+        }
+      case other => (Nil, Seq(other))
+    }
+    val (keys, resid) = split(
+      org.apache.spark.sql.graft.ColumnBridge.expression(condition))
+    require(keys.nonEmpty,
+      "MERGE condition needs at least one target.<x> = source.<y> equi " +
+      s"conjunct to drive file discovery; got: $condition")
+    mergeIntoOn(source, keys,
+      resid.reduceOption(CAnd).map(org.apache.spark.sql.graft.ColumnBridge.column))
   }
 
   private[table] def executeMerge(source: DataFrame, on: Seq[String],
@@ -2050,6 +2140,7 @@ final class GraftTable private (
       Map("restoredVersion" -> version.toString),
       removes = base => manifestFiles(base).filterNot(restoredSet),
       carriedStats = statsOf(version),
+      addSizes = snapshotAt(version).sizes,
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
       dvChanges = Some { base =>
@@ -2089,11 +2180,13 @@ final class GraftTable private (
     // deletion vectors travel with the clone (keys rewritten like stats):
     // the clone sees the same live rows as the source at srcV
     val carriedDv = dvOf(srcV).map { case (f, runs) => abs(f) -> runs }
+    val carriedSizes = snapshotAt(srcV).sizes.map { case (f, sz) => abs(f) -> sz }
     t.commit("CLONE", absFiles, Map(
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
       carriedStats = carried, collectStats = false,
+      addSizes = carriedSizes,
       dvChanges = Some(_ => carriedDv),
       newColMap = Some(_ => colMapOf(srcV)))
     t
@@ -2162,9 +2255,13 @@ final class GraftTable private (
       sizeInBytes: Long, partitionColumns: Seq[String], version: Long)
 
   def detail(): Detail = {
-    val live = manifestFiles()
-    val bytes = live.map(f => fs.getFileStatus(dataPath(f)).getLen).sum
-    Detail("graft+parquet", path, live.size.toLong, bytes,
+    // byte sizes come from the commit log (recorded per add action) —
+    // one status RPC only for legacy files committed before sizes were
+    // logged, never one per live file
+    val snap = snapshotAt(currentVersion)
+    val bytes = snap.files.map(f =>
+      snap.sizes.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
+    Detail("graft+parquet", path, snap.files.size.toLong, bytes,
       partitionColumns, currentVersion)
   }
 
@@ -2256,12 +2353,16 @@ object GraftTable {
   val CheckpointInterval: Long = 10L
 
   /** Full table state at one version: live files (manifest order),
-    * per-file column stats, per-file deletion-vector runs. Immutable
-    * once the version commits — safe to cache JVM-wide. */
+    * per-file column stats, per-file deletion-vector runs, per-file
+    * byte sizes (Delta's AddFile.size — DESCRIBE DETAIL and OPTIMIZE
+    * bin-packing read these instead of issuing one filesystem RPC per
+    * live file; absent for legacy commits, which fall back to the RPC).
+    * Immutable once the version commits — safe to cache JVM-wide. */
   final case class Snapshot(
       files: Vector[String],
       stats: Map[String, Map[String, (String, String, String)]],
-      dv: Map[String, Seq[(Long, Long)]])
+      dv: Map[String, Seq[(Long, Long)]],
+      sizes: Map[String, Long] = Map.empty)
 
   // (table root, version) → snapshot, LRU-bounded. The hot pattern —
   // commit then read — hits (path, v-1) and rolls one action record
@@ -2530,10 +2631,12 @@ object GraftTable {
     val t = new GraftTable(spark, path, partitionColumns)
     require(t.currentVersion < 0,
       s"$path is already a graft table (v${t.currentVersion})")
-    val files = t.listDataFiles().map(_._1)
-    require(files.nonEmpty, s"no parquet files under $path to convert")
-    t.commit("CONVERT", files, Map("numFiles" -> files.size.toString),
-      collectStats = collectStats)
+    val listed = t.listDataFiles()
+    require(listed.nonEmpty, s"no parquet files under $path to convert")
+    t.commit("CONVERT", listed.map(_._1),
+      Map("numFiles" -> listed.size.toString),
+      collectStats = collectStats,
+      addSizes = listed.map { case (f, len, _) => f -> len }.toMap)
     t
   }
 }

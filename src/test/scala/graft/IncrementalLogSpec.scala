@@ -59,6 +59,39 @@ class IncrementalLogSpec extends SparkSpec {
     assert(t.manifestFiles(50).size == 54)
   }
 
+  test("add actions record file sizes; DESCRIBE DETAIL serves bytes from the log") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("il_sizes").toString
+    val fs = hfs(path)
+    val t = GraftTable(spark, path, Nil)
+    t.write((0 until 500).map(_.toLong).toDF("id").repartition(3))
+    t.write(Seq(9999L).toDF("id").coalesce(1), org.apache.spark.sql.SaveMode.Append)
+
+    // every add action carries its byte size as a third field
+    (0L to 1L).foreach { v =>
+      val adds = scala.io.Source.fromInputStream(
+        fs.open(logFile(path, f"v$v%020d.actions.tsv")), "UTF-8")
+        .getLines().filter(_.startsWith("a\t")).toList
+      assert(adds.nonEmpty)
+      adds.foreach { l =>
+        val parts = l.split('\t')
+        assert(parts.length == 3 && parts(2).toLong > 0, s"sized add expected: $l")
+      }
+    }
+    // detail() totals match the filesystem ground truth exactly
+    val truth = t.manifestFiles().map(f =>
+      fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+    assert(t.detail().sizeInBytes == truth)
+    assert(t.detail().numFiles == 4)
+
+    // adoption paths carry sizes too: a shallow clone's detail agrees
+    // with the source without re-stat'ing (same numbers either way —
+    // the carried sizes just make it log-served)
+    val clonePath = Files.createTempDirectory("il_sizes_clone").toString + "/c"
+    val c = t.shallowClone(clonePath)
+    assert(c.detail().sizeInBytes == truth)
+  }
+
   test("manifest checkpoints are parquet datasets readable as DataFrames") {
     import spark.implicits._
     val path = Files.createTempDirectory("il_ckpt").toString
@@ -75,7 +108,7 @@ class IncrementalLogSpec extends SparkSpec {
     // stats and vectors as columns — a distributed artifact, not a
     // driver text blob
     val df = spark.read.parquet(ckpt.toString)
-    assert(df.columns.toSet == Set("seq", "file", "dv", "stats"))
+    assert(df.columns.toSet == Set("seq", "file", "size", "dv", "stats"))
     assert(df.count() == t.manifestFiles(10).size)
     assert(df.select("file").as[String].collect().toSet ==
       t.manifestFiles(10).toSet)
