@@ -22,34 +22,39 @@ import graft.tables.Tables
 object MergeOps {
 
   def mergeSync(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_merge_sync").toString
-    val t = GraftTable(spark, path)
-    val seed = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("double").as("o_totalprice"))
-      .withColumn("state", lit("active"))
-    t.write(seed.repartition(4))
-    // current snapshot: open orders only, price doubled (×2 is exact in
-    // binary, so round-to-2-decimals never lands on a HALF_UP/.005
-    // boundary where Spark and DuckDB round differently; ×1.1 did)
-    val source = seed.filter(col("o_orderstatus") === "O")
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
-    t.mergeInto(source, Seq("o_orderkey"))
-      .whenMatchedUpdate(Map("o_totalprice" -> col("source.o_totalprice")))
-      .whenNotMatchedBySourceDelete(col("target.o_totalprice") < 100000)
-      .whenNotMatchedBySourceUpdate(Map("state" -> lit("retired")))
-      .execute()
-    val out = t.read()
-      .select(col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"),
-        col("state"))
-    // materialize before the temp table goes out of scope; the total
-    // order goes on the RETURNED frame (the driver sorts-and-hashes what
-    // this plan produces)
-    val rows = out.collect()
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
-      .orderBy("o_orderkey")
+    val path = Files.createTempDirectory("graft_merge_sync")
+    try {
+      val t = GraftTable(spark, path.toString)
+      val seed = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .withColumn("state", lit("active"))
+      t.write(seed.repartition(4))
+      // current snapshot: open orders only, price doubled (×2 is exact in
+      // binary, so round-to-2-decimals never lands on a HALF_UP/.005
+      // boundary where Spark and DuckDB round differently; ×1.1 did)
+      val source = seed.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.mergeInto(source, Seq("o_orderkey"))
+        .whenMatchedUpdate(Map("o_totalprice" -> col("source.o_totalprice")))
+        .whenNotMatchedBySourceDelete(col("target.o_totalprice") < 100000)
+        .whenNotMatchedBySourceUpdate(Map("state" -> lit("retired")))
+        .execute()
+      val out = t.read()
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("state"))
+      // materialize before the temp table goes out of scope; the total
+      // order goes on the RETURNED frame (the driver sorts-and-hashes what
+      // this plan produces)
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("o_orderkey")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

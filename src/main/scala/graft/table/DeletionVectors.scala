@@ -31,20 +31,46 @@ object DeletionVectors {
     out
   }
 
+  // One broadcast per DISTINCT vector state, LRU-bounded: repeated scans
+  // of the same snapshot (the hot pattern — a query fans into many scans
+  // of one version) reuse one broadcast instead of accumulating one per
+  // scan on the driver and executors; evicted entries unpersist (the
+  // driver-side value survives, so an in-flight query lazily re-sends).
+  private val BcCacheMax = 32
+  private val bcCache = new java.util.LinkedHashMap[
+      (org.apache.spark.SparkContext, Map[String, Seq[(Long, Long)]]),
+      Broadcast[Map[String, Array[Long]]]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.SparkContext, Map[String, Seq[(Long, Long)]]),
+        Broadcast[Map[String, Array[Long]]]]): Boolean =
+      if (size() > BcCacheMax) {
+        scala.util.Try(e.getValue.unpersist(blocking = false)); true
+      } else false
+  }
+
+  private def broadcastOf(spark: org.apache.spark.sql.SparkSession,
+      dv: Map[String, Seq[(Long, Long)]]): Broadcast[Map[String, Array[Long]]] =
+    bcCache.synchronized {
+      val key = (spark.sparkContext, dv)
+      Option(bcCache.get(key)).getOrElse {
+        val flat = dv.collect { case (p, rs) if rs.nonEmpty => p -> flatten(rs) }
+        val bc = spark.sparkContext.broadcast(flat)
+        bcCache.put(key, bc)
+        bc
+      }
+    }
+
   /** `true` iff (`path`, `pos`) is a deleted position of `dv` (keys are
     * decoded absolute filesystem paths). Usable as a DELETED-side filter
     * (CDF diffs) or negated as the live-row filter of a vectored scan. */
   private[table] def deletedColumn(
       spark: org.apache.spark.sql.SparkSession,
       dv: Map[String, Seq[(Long, Long)]],
-      path: Column, pos: Column): Column = {
-    val flat = dv.collect { case (p, rs) if rs.nonEmpty => p -> flatten(rs) }
-    val bc = spark.sparkContext.broadcast(flat)
+      path: Column, pos: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(DvDeleted(
       org.apache.spark.sql.graft.ColumnBridge.expression(path),
       org.apache.spark.sql.graft.ColumnBridge.expression(pos),
-      new DvLookup(bc)))
-  }
+      new DvLookup(broadcastOf(spark, dv))))
 }
 
 /** Executor-side probe state: resolves a row's file path to its flat run

@@ -489,11 +489,15 @@ final class GraftTable private (
     * commit are carried over instead of silently dropped (Delta's
     * WriteSerializable rule: concurrent inserts survive a snapshot-based
     * rewrite). If any of this operation's INPUT files is no longer live
-    * — a concurrent commit rewrote or removed it — the rewrite's outputs
-    * are stale and the commit aborts (the orphaned output files await
-    * VACUUM). Claim-race losers retry. */
+    * — a concurrent commit rewrote or removed it — or its deletion
+    * vector differs from the state this rewrite READ (`readDv`; a
+    * concurrent merge-on-read DELETE touched rows the rewrite copied),
+    * the rewrite's outputs are stale and the commit aborts (the orphaned
+    * output files await VACUUM; Delta likewise conflicts on DV changes
+    * to read files). Claim-race losers retry. */
   private def commitRewrite(operation: String, inputs: Seq[String],
       added: Seq[(String, Long)], metrics: Map[String, String],
+      readDv: Map[String, Seq[(Long, Long)]] = Map.empty,
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
@@ -509,6 +513,17 @@ final class GraftTable private (
           s"$operation aborted: ${gone.size} of its input files (e.g. " +
           s"${gone.head}) were removed by a concurrent commit; " +
           "re-run against the new snapshot")
+        if (inputs.nonEmpty) {
+          val baseDv = dvOf(base)
+          val dvChanged = inputs.filter(f =>
+            baseDv.getOrElse(f, Nil) != readDv.getOrElse(f, Nil))
+          if (dvChanged.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$operation aborted: deletion vectors of ${dvChanged.size} " +
+              s"of its input files (e.g. ${dvChanged.head}) changed under " +
+              "a concurrent merge-on-read DELETE; re-run against the new " +
+              "snapshot")
+        }
         inputs
       }))
 
@@ -1356,17 +1371,21 @@ final class GraftTable private (
           s"graft table at $path has no committed version $version")
       }
     }
-    val frame = toLogical(readFilesDv(files, dvOf(version)), cm)
-    // ALTER TABLE ADD COLUMN: a recorded column no live file carries yet
-    // aligns in as nulls (appended in schema order)
-    schemaOf(version).map(logicalSchema(_, cm)) match {
+    alignToRecorded(toLogical(readFilesDv(files, dvOf(version)), cm), version)
+  }
+
+  /** ALTER TABLE ADD COLUMN: a recorded column no live file carries yet
+    * aligns in as nulls (appended in schema order). Applied by every
+    * logical read — including the rewrite scans, so DML predicates and
+    * clauses can reference a column added a commit ago. */
+  private def alignToRecorded(frame: DataFrame, version: Long): DataFrame =
+    schemaOf(version).map(logicalSchema(_, colMapOf(version))) match {
       case Some(logical) =>
         val have = frame.columns.toSet
         logical.fields.filterNot(f => have(f.name))
           .foldLeft(frame)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       case None => frame
     }
-  }
 
   // ---- M1: OPTIMIZE (compact + cluster + bin-pack) ---------------------
 
@@ -1449,7 +1468,8 @@ final class GraftTable private (
         "targetFileSizeBytes" -> targetFileSizeBytes.toString,
         "zOrderBy" -> clusterBy.mkString(","),
         "where" -> where.getOrElse("")))
-    val df = readLive(scopeFiles) // logical view; clusterBy names are logical
+    val dvRead = dvOf(currentVersion)
+    val df = readLive(scopeFiles, dvRead) // logical view; clusterBy names are logical
     val scopeSet = scopeFiles.toSet
     // bin count from LOGGED sizes (status-RPC fallback for legacy files
     // only): sizing a million-file compaction costs zero filesystem calls
@@ -1474,7 +1494,7 @@ final class GraftTable private (
       "numFilesRemoved" -> scopeFiles.size.toString,
       "targetFileSizeBytes" -> targetFileSizeBytes.toString,
       "zOrderBy" -> clusterBy.mkString(","),
-      "where" -> where.getOrElse("")))
+      "where" -> where.getOrElse("")), readDv = dvRead)
   }
 
   // ---- M2: VACUUM ------------------------------------------------------
@@ -1620,16 +1640,22 @@ final class GraftTable private (
   /** Manifest files holding at least one LIVE row matching `cond`
     * (logical column names). Partition and data-skipping filters push
     * into this scan, so at scale the scan touches only candidate files. */
-  private def affectedFiles(cond: Column): Seq[String] =
-    toLogical(readFilesMeta(manifestFiles(), dvOf(currentVersion)), colMap)
+  private def affectedFiles(cond: Column,
+      dv: Map[String, Seq[(Long, Long)]]): Seq[String] =
+    alignToRecorded(
+        toLogical(readFilesMeta(manifestFiles(), dv), colMap), currentVersion)
       .filter(cond)
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
 
   /** DV-applied LOGICAL view of a live-file subset — what every
-    * copy-on-write rewrite reads before writing back physical. */
-  private def readLive(files: Seq[String]): DataFrame =
-    toLogical(readFilesDv(files, dvOf(currentVersion)), colMap)
+    * copy-on-write rewrite reads before writing back physical. Callers
+    * pin `dv` ONCE per operation and hand the same map to
+    * [[commitRewrite]], which aborts if a concurrent merge-on-read
+    * DELETE moved any input file's vector past what was read. */
+  private def readLive(files: Seq[String],
+      dv: Map[String, Seq[(Long, Long)]]): DataFrame =
+    alignToRecorded(toLogical(readFilesDv(files, dv), colMap), currentVersion)
 
   /** Physically write `df`'s files into the table layout and return
     * exactly the relative paths written. Staged through a unique temp
@@ -1679,7 +1705,8 @@ final class GraftTable private (
     * and row-local). */
   def delete(cond: Column, mergeOnRead: Boolean = false): Long = {
     val matches = coalesce(cond, lit(false))
-    val affected = affectedFiles(matches)
+    val dvRead = dvOf(currentVersion)
+    val affected = affectedFiles(matches, dvRead)
     if (affected.isEmpty)
       return commitRewrite("DELETE", Nil, Nil, Map("numFilesRewritten" -> "0"))
     if (mergeOnRead) {
@@ -1689,10 +1716,9 @@ final class GraftTable private (
       // constant within a consecutive run), so the driver receives each
       // file's RUNS — for the clustered deletes vectors exist for, that
       // is kilobytes where the raw position list would be gigabytes.
-      val dvNow = dvOf(currentVersion)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__path")).orderBy(col("__pos"))
-      val hit = toLogical(readFilesMeta(affected, dvNow), colMap).filter(matches)
+      val hit = toLogical(readFilesMeta(affected, dvRead), colMap).filter(matches)
         .select(col("__path"), col("__pos"))
         .withColumn("__rk", col("__pos") - row_number().over(w))
         .groupBy(col("__path"), col("__rk"))
@@ -1729,10 +1755,10 @@ final class GraftTable private (
         }))
     }
     val added = appendDataFiles(toPhysicalStrict(
-      readLive(affected).filter(!matches)))
+      readLive(affected, dvRead).filter(!matches)))
     commitRewrite("DELETE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString))
+      "numFilesAdded" -> added.size.toString), readDv = dvRead)
   }
 
   /** REORG … APPLY (PURGE) parity: materialize deletion vectors by
@@ -1742,12 +1768,12 @@ final class GraftTable private (
     val dv = dvOf(currentVersion)
     val vectored = manifestFiles().filter(f => dv.get(f).exists(_.nonEmpty))
     if (vectored.isEmpty) return currentVersion
-    val added = appendDataFiles(toPhysicalStrict(readLive(vectored)))
+    val added = appendDataFiles(toPhysicalStrict(readLive(vectored, dv)))
     commitRewrite("PURGE", vectored, added, Map(
       "numFilesRewritten" -> vectored.size.toString,
       "numFilesAdded" -> added.size.toString,
       "numDeletedRowsMaterialized" ->
-        vectored.flatMap(dv(_)).map(_._2).sum.toString))
+        vectored.flatMap(dv(_)).map(_._2).sum.toString), readDv = dv)
   }
 
   /** UPDATE … SET col = expr WHERE cond. Assignments may target partition
@@ -1758,7 +1784,8 @@ final class GraftTable private (
     val unknown = set.keySet -- schemaCols
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(", ")}")
     val matches = coalesce(cond, lit(false))
-    val affected = affectedFiles(matches)
+    val dvRead = dvOf(currentVersion)
+    val affected = affectedFiles(matches, dvRead)
     if (affected.isEmpty)
       return commitRewrite("UPDATE", Nil, Nil, Map("numFilesRewritten" -> "0"))
     // assignments cast to the column's existing type — schema enforcement
@@ -1767,7 +1794,7 @@ final class GraftTable private (
     // the match flag is PINNED before any assignment: an assignment that
     // mutates a column the predicate references must not change which
     // rows the remaining assignments (or recomputes) apply to
-    val marked = readLive(affected).withColumn("__upd", matches)
+    val marked = readLive(affected, dvRead).withColumn("__upd", matches)
     val hit = col("__upd")
     val afterSet = set.foldLeft(marked) { case (d, (name, value)) =>
       d.withColumn(name, when(hit, value.cast(types(name))).otherwise(col(name)))
@@ -1791,7 +1818,7 @@ final class GraftTable private (
     val added = appendDataFiles(toPhysicalStrict(updated))
     commitRewrite("UPDATE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString))
+      "numFilesAdded" -> added.size.toString), readDv = dvRead)
   }
 
   /** MERGE (plain upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT
@@ -1837,39 +1864,20 @@ final class GraftTable private (
     * discovery) and a residual; conditions with no recognizable equi
     * conjunct are rejected with a clear error. */
   def mergeInto(source: DataFrame, condition: Column): MergeBuilder = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def side(e: Expression): Option[(String, String)] = e match {
-      case a: UnresolvedAttribute if a.nameParts.size == 2 &&
-        (a.nameParts.head == "target" || a.nameParts.head == "source") =>
-        Some(a.nameParts.head -> a.nameParts(1))
-      case _ => None
-    }
-    def split(e: Expression): (Seq[(String, String)], Seq[Expression]) = e match {
-      case CAnd(l, r) =>
-        val (kl, rl) = split(l); val (kr, rr) = split(r)
-        (kl ++ kr, rl ++ rr)
-      case CEq(a, b) =>
-        (side(a), side(b)) match {
-          case (Some(("target", t)), Some(("source", s))) => (Seq(t -> s), Nil)
-          case (Some(("source", s)), Some(("target", t))) => (Seq(t -> s), Nil)
-          case _ => (Nil, Seq(e))
-        }
-      case other => (Nil, Seq(other))
-    }
-    val (keys, resid) = split(
-      org.apache.spark.sql.graft.ColumnBridge.expression(condition))
+    val (keys, resid) =
+      org.apache.spark.sql.graft.ColumnBridge.splitMergeCondition(condition)
     require(keys.nonEmpty,
       "MERGE condition needs at least one target.<x> = source.<y> equi " +
       s"conjunct to drive file discovery; got: $condition")
-    mergeIntoOn(source, keys,
-      resid.reduceOption(CAnd).map(org.apache.spark.sql.graft.ColumnBridge.column))
+    mergeIntoOn(source, keys, resid)
   }
 
-  private[table] def executeMerge(source: DataFrame, on: Seq[String],
+  private[table] def executeMerge(source: DataFrame, keys: Seq[(String, String)],
+      residual: Option[Column],
       matched: Seq[MergeBuilder.Matched],
       notMatched: Seq[MergeBuilder.NotMatched],
-      notMatchedBySource: Seq[MergeBuilder.NotMatchedBySource] = Nil): Long = {
+      notMatchedBySource: Seq[MergeBuilder.NotMatchedBySource] = Nil,
+      schemaEvolution: Boolean = false): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     def holds(cond: Option[Column]): Column =
@@ -1886,6 +1894,16 @@ final class GraftTable private (
           when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
       return write(source.alias("source").filter(first >= 0), SaveMode.Overwrite)
     }
+    // WITH SCHEMA EVOLUTION: union new source columns into the target
+    // schema before the merge plans — each lands as a metadata-only ADD
+    // COLUMN commit (existing rows align in as NULL), so UPDATE ALL /
+    // INSERT ALL then carry the source values and the rewrite backfills
+    // NULL on untouched rows. New columns only; no type migration.
+    if (schemaEvolution) {
+      val have = read().columns.toSet
+      source.schema.fields.filterNot(f => have.contains(f.name))
+        .foreach(f => addColumn(f.name, f.dataType))
+    }
     val tgt = read()
     val missing = tgt.columns.toSet -- source.columns.toSet
     // UPDATE ALL / INSERT ALL copy every target column from the source;
@@ -1897,26 +1915,43 @@ final class GraftTable private (
     if (hasAllClause) require(missing.isEmpty,
       s"MERGE source lacks target columns: ${missing.mkString(", ")} " +
       "(required by UPDATE ALL / INSERT ALL clauses)")
-    require(on.forall(source.columns.contains),
-      s"MERGE source lacks key columns: ${on.filterNot(source.columns.contains).mkString(", ")}")
+    require(keys.forall(k => source.columns.contains(k._2)),
+      s"MERGE source lacks key columns: ${keys.map(_._2).filterNot(source.columns.contains).mkString(", ")}")
+    require(keys.forall(k => tgt.columns.contains(k._1)),
+      s"MERGE target lacks key columns: ${keys.map(_._1).filterNot(tgt.columns.contains).mkString(", ")}")
     // align column order AND types to the target (schema enforcement:
-    // source values store-assign into the target's column types)
+    // source values store-assign into the target's column types); source
+    // columns with no target counterpart — differently-named keys,
+    // residual inputs — ride along unaligned so the join condition can
+    // still cite them as source.<name>
     val fields = tgt.schema.fields.toIndexedSeq
+    val tgtType = fields.map(f => f.name -> f.dataType).toMap
+    val extraSrc = source.columns.filterNot(fields.map(_.name).toSet).toIndexedSeq
     val src = source.select(fields.map(f =>
       (if (missing(f.name)) lit(null) else col(f.name))
-        .cast(f.dataType).as(f.name)): _*)
-    val srcKeys = src.select(on.map(col).toIndexedSeq: _*).distinct()
-    if (matched.nonEmpty) {
+        .cast(f.dataType).as(f.name)) ++ extraSrc.map(col): _*)
+    val tKeys = keys.map(_._1)
+    // source key values under the target-side names: file discovery and
+    // the residual-free multi-match guard join on these
+    val srcKeyRows = src.select(keys.map { case (t, s) =>
+      col(s).cast(tgtType(t)).as(t) }.toIndexedSeq: _*)
+    val srcKeys = srcKeyRows.distinct()
+    def joinCond(tAlias: String, sAlias: String): Column =
+      keys.map { case (t, s) => col(s"$tAlias.$t") === col(s"$sAlias.$s") }
+        .reduce(_ && _) && residual.getOrElse(lit(true))
+    if (matched.nonEmpty && residual.isEmpty) {
       // Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW guard: a
-      // target row updated/deleted by two source rows is nondeterministic
-      val dupMatched = src.groupBy(on.map(col).toIndexedSeq: _*)
+      // target row updated/deleted by two source rows is nondeterministic.
+      // Key-precise; with a residual the key count over-approximates, so
+      // that variant runs row-precise over the joined affected files below
+      val dupMatched = srcKeyRows.groupBy(tKeys.map(col).toIndexedSeq: _*)
         .count().filter(col("count") > 1)
-        .join(tgt.select(on.map(col).toIndexedSeq: _*).distinct(), on, "left_semi")
+        .join(tgt.select(tKeys.map(col).toIndexedSeq: _*).distinct(), tKeys, "left_semi")
       if (!dupMatched.isEmpty)
         throw new IllegalStateException(
           "MERGE: multiple source rows match the same target row " +
           "(nondeterministic update/delete); de-duplicate the source on " +
-          on.mkString(", "))
+          tKeys.mkString(", "))
     }
     val dvNow = dvOf(currentVersion)
     // files to rewrite: those holding a matched key — plus, under NOT
@@ -1924,12 +1959,21 @@ final class GraftTable private (
     // clause applies to (clause conditions reference the target only,
     // so they evaluate on the scan; a sync-merge whose source covers a
     // partition's keys rewrites only files with genuinely retired rows)
-    val metaScan = toLogical(readFilesMeta(manifestFiles(), dvNow), colMap)
+    val metaScan = alignToRecorded(
+      toLogical(readFilesMeta(manifestFiles(), dvNow), colMap), currentVersion)
     val affected = (if (notMatchedBySource.isEmpty)
-        metaScan.join(srcKeys, on, "left_semi")
+        metaScan.join(srcKeys, tKeys, "left_semi")
       else {
+        // MATCHED means keys AND residual, so the not-matched-by-source
+        // flag must see the full condition; residual-free merges keep
+        // the cheaper distinct-keys probe
+        val (flagSrc, cond) =
+          if (residual.isEmpty)
+            (srcKeys,
+              tKeys.map(t => col(s"target.$t") === col(s"source.$t")).reduce(_ && _))
+          else (src, joinCond("target", "source"))
         val flagged = metaScan.alias("target")
-          .join(srcKeys.withColumn("__sk", lit(1)), on, "left")
+          .join(flagSrc.withColumn("__sk", lit(1)).alias("source"), cond, "left")
         val nmbsApplies = notMatchedBySource
           .foldLeft(lit(false))((acc, c) => acc || holds(c.cond))
         flagged.filter(col("__sk").isNotNull || nmbsApplies)
@@ -1941,9 +1985,23 @@ final class GraftTable private (
     // clause for the rest
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
-      val joined = readLive(affected).alias("target").join(marked.alias("source"),
-        on.map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _), "left")
+      val live = if (matched.nonEmpty && residual.isDefined)
+        readLive(affected, dvNow).withColumn("__tid", monotonically_increasing_id())
+      else readLive(affected, dvNow)
+      val joined = live.alias("target").join(marked.alias("source"),
+        joinCond("target", "source"), "left")
       val isMatched = col("source.__m").isNotNull
+      if (matched.nonEmpty && residual.isDefined) {
+        // row-precise multi-match guard (the key-level check above is
+        // too strict when a residual can disqualify one of the key dups)
+        val dup = joined.filter(isMatched).groupBy(col("__tid"))
+          .count().filter(col("count") > 1)
+        if (!dup.isEmpty)
+          throw new IllegalStateException(
+            "MERGE: multiple source rows match the same target row under " +
+            "the merge condition (nondeterministic update/delete); " +
+            "de-duplicate the source")
+      }
       val clauseIdx = matched.zipWithIndex
         .foldLeft(lit(-1)) { case (acc, (m, i)) =>
           when(isMatched && holds(m.cond) && acc === -1, lit(i)).otherwise(acc) }
@@ -1995,7 +2053,8 @@ final class GraftTable private (
         when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
     val types = fields.map(f => f.name -> f.dataType).toMap
     val insertsPicked = (if (affected.isEmpty) src
-      else src.join(readLive(affected).select(on.map(col).toIndexedSeq: _*), on, "left_anti"))
+      else src.alias("source").join(readLive(affected, dvNow).alias("target"),
+        joinCond("target", "source"), "left_anti"))
       .alias("source")
       .withColumn("__nmi", nmIdx)
       .filter(col("__nmi") >= 0)
@@ -2029,7 +2088,7 @@ final class GraftTable private (
     val added = appendDataFiles(toPhysicalStrict(out))
     commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString))
+      "numFilesAdded" -> added.size.toString), readDv = dvNow)
   }
 
   /** Change data feed between two committed versions (Delta CDF parity
@@ -2296,13 +2355,23 @@ object MergeBuilder {
 }
 
 /** Fluent clause builder returned by [[GraftTable.mergeInto]]; clauses
-  * apply in declaration order (first condition that holds wins). */
+  * apply in declaration order (first condition that holds wins). `keys`
+  * are (targetCol, sourceCol) equi pairs driving affected-file
+  * discovery; `residual` is an extra condition over `target.<col>` /
+  * `source.<col>` ANDed onto the key equality to decide MATCHED. */
 final class MergeBuilder private[table] (
-    t: GraftTable, source: DataFrame, on: Seq[String]) {
+    t: GraftTable, source: DataFrame,
+    keys: Seq[(String, String)], residual: Option[Column]) {
   import MergeBuilder._
   private var matched = Vector.empty[Matched]
   private var notMatched = Vector.empty[NotMatched]
   private var notMatchedBySource = Vector.empty[NotMatchedBySource]
+  private var schemaEvolution = false
+
+  /** Delta's `WITH SCHEMA EVOLUTION`: source columns absent from the
+    * target are ADDed (metadata-only, NULL backfill) before the merge
+    * plans, so UPDATE ALL / INSERT ALL carry them through. */
+  def withSchemaEvolution(): this.type = { schemaEvolution = true; this }
 
   def whenMatchedUpdateAll(): this.type =
     { matched :+= Matched(None, None, delete = false); this }
@@ -2340,7 +2409,8 @@ final class MergeBuilder private[table] (
 
   /** Run the merge; returns the committed version. */
   def execute(): Long =
-    t.executeMerge(source, on, matched, notMatched, notMatchedBySource)
+    t.executeMerge(source, keys, residual, matched, notMatched,
+      notMatchedBySource, schemaEvolution)
 }
 
 object GraftTable {

@@ -14,6 +14,39 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Split a MERGE condition into `target.<x> = source.<y>` equi key
+    * pairs and the residual of the remaining conjuncts. Walks the
+    * Column's ColumnNode tree (the Catalyst conversion wraps the whole
+    * tree in one opaque lazy ColumnNodeExpression, so conjunct structure
+    * is only visible at the node layer — and the node types are
+    * `private[sql]`, hence this bridge). */
+  def splitMergeCondition(c: Column): (Seq[(String, String)], Option[Column]) = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      UnresolvedAttribute => NAttr, UnresolvedFunction => NFun}
+    def side(n: ColumnNode): Option[(String, String)] = n match {
+      case a: NAttr if a.nameParts.size == 2 &&
+        (a.nameParts.head == "target" || a.nameParts.head == "source") =>
+        Some(a.nameParts.head -> a.nameParts(1))
+      case _ => None
+    }
+    def split(n: ColumnNode): (Seq[(String, String)], Seq[ColumnNode]) = n match {
+      case f: NFun if f.functionName == "and" && f.arguments.size == 2 =>
+        val (kl, rl) = split(f.arguments.head)
+        val (kr, rr) = split(f.arguments(1))
+        (kl ++ kr, rl ++ rr)
+      case f: NFun if f.functionName == "=" && f.arguments.size == 2 =>
+        (side(f.arguments.head), side(f.arguments(1))) match {
+          case (Some(("target", t)), Some(("source", s))) => (Seq(t -> s), Nil)
+          case (Some(("source", s)), Some(("target", t))) => (Seq(t -> s), Nil)
+          case _ => (Nil, Seq(n))
+        }
+      case other => (Nil, Seq(other))
+    }
+    val (keys, resid) = split(c.node)
+    (keys, resid.reduceOption((a, b) => NFun("and", Seq(a, b)))
+      .map(n => Column(n)))
+  }
+
   /** Build a streaming-tagged DataFrame from a batch plan's InternalRow
     * RDD — what every DSv1 streaming Source returns from `getBatch`
     * (`internalCreateDataFrame` is public bytecode, `private[sql]` in

@@ -27,9 +27,11 @@ import graft.table.GraftTable
   * DELETE, WHEN NOT MATCHED [AND cond] INSERT star / explicit column
   * lists (unmentioned columns NULL, unmentioned generated columns
   * recomputed), and WHEN NOT MATCHED BY SOURCE [AND cond] UPDATE SET …
-  * / DELETE — with an equi-join merge condition on same-named columns;
-  * WITH SCHEMA EVOLUTION is rejected with a clear error. DELETE stays
-  * on the SupportsDelete path (S12).
+  * / DELETE — the merge condition may use differently-named keys plus
+  * an arbitrary residual (at least one target=source equi conjunct is
+  * required to drive file discovery), and WITH SCHEMA EVOLUTION unions
+  * new source columns into the target schema with NULL backfill.
+  * DELETE stays on the SupportsDelete path (S12).
   */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -83,30 +85,53 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val t = graftTable(target).get
       require(t.versionAsOf.isEmpty,
         s"cannot MERGE into a time-travel relation (${t.name()})")
-      require(!withSchemaEvolution,
-        "graft MERGE does not support WITH SCHEMA EVOLUTION")
       val tgtSet = AttributeSet(target.output)
       val srcSet = AttributeSet(source.output)
-      // merge condition must decompose into same-named equi-join keys —
-      // the MergeBuilder contract (arbitrary conditions would need a
-      // different join shape and are rejected explicitly)
-      def keys(e: Expression): Seq[String] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) => keys(l) ++ keys(r)
-        case EqualTo(a: AttributeReference, b: AttributeReference) =>
-          val (ta, sb) =
-            if (tgtSet.contains(a) && srcSet.contains(b)) (a, b)
-            else if (tgtSet.contains(b) && srcSet.contains(a)) (b, a)
-            else throw new UnsupportedOperationException(
-              s"graft MERGE condition must compare target to source columns, got $e")
-          if (ta.name != sb.name) throw new UnsupportedOperationException(
-            "graft MERGE requires same-named equi-join keys, got " +
-            s"${ta.name} = ${sb.name}")
-          Seq(ta.name)
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE condition must be a conjunction of equi-joins, got $other")
+      // merge condition decomposes into target=source equi key pairs
+      // (any names) driving affected-file discovery, plus an arbitrary
+      // residual ANDed onto the key equality — the mergeIntoOn contract;
+      // a condition with NO equi conjunct is rejected (keyless merge =
+      // cross join, never the plan you want at scale)
+      def split(e: Expression): (Seq[(String, String)], Seq[Expression]) = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          val (kl, rl) = split(l); val (kr, rr) = split(r)
+          (kl ++ kr, rl ++ rr)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgtSet.contains(a) && srcSet.contains(b) =>
+          (Seq(a.name -> b.name), Nil)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgtSet.contains(b) && srcSet.contains(a) =>
+          (Seq(b.name -> a.name), Nil)
+        case other => (Nil, Seq(other))
       }
+      val (keyPairs, residConjuncts) = split(cond)
+      if (keyPairs.isEmpty) throw new UnsupportedOperationException(
+        "graft MERGE condition needs at least one target.<x> = source.<y> " +
+        s"equi conjunct to drive file discovery, got $cond")
+      val residual = residConjuncts
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        .map(unresolve(_, tgtSet, srcSet))
+      // the analyzer rewrites UPDATE SET * / INSERT * into actions
+      // assigning every target column from the same-named source column
+      // — detect that shape as UPDATE ALL / INSERT ALL (under WITH
+      // SCHEMA EVOLUTION the star expands at the PRE-evolution width, so
+      // only the ALL form carries the newly added columns); a genuine
+      // explicit column list arrives analyzer-aligned to the full target
+      // width with NULL literals for unmentioned columns and maps to an
+      // explicit assignment set
+      def isStarLike(assigns: Seq[Assignment]): Boolean =
+        assigns.size == target.output.size && assigns.forall {
+          case Assignment(k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name
+          case Assignment(k: AttributeReference,
+              org.apache.spark.sql.catalyst.expressions.Cast(v: AttributeReference, _, _, _)) =>
+            k.name == v.name
+          case _ => false
+        }
       val matchedSpecs = matched.map {
         case UpdateStarAction(c) =>
+          GraftMergeCommand.MatchedSpec(c.map(unresolve(_, tgtSet, srcSet)), None, delete = false)
+        case UpdateAction(c, assigns, _) if isStarLike(assigns) =>
           GraftMergeCommand.MatchedSpec(c.map(unresolve(_, tgtSet, srcSet)), None, delete = false)
         case UpdateAction(c, assigns, _) =>
           val set = assigns.map {
@@ -121,20 +146,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new UnsupportedOperationException(
           s"graft MERGE does not support matched action $other")
       }
-      // the analyzer rewrites INSERT * into an InsertAction assigning
-      // every target column from the same-named source column — detect
-      // that shape as INSERT ALL; a genuine explicit column list arrives
-      // analyzer-aligned to the full target width with NULL literals for
-      // unmentioned columns and maps to an explicit assignment set
-      def isStarLike(assigns: Seq[Assignment]): Boolean =
-        assigns.size == target.output.size && assigns.forall {
-          case Assignment(k: AttributeReference, v: AttributeReference) =>
-            k.name == v.name
-          case Assignment(k: AttributeReference,
-              org.apache.spark.sql.catalyst.expressions.Cast(v: AttributeReference, _, _, _)) =>
-            k.name == v.name
-          case _ => false
-        }
       def assignSet(assigns: Seq[Assignment]): Map[String, Column] =
         assigns.map {
           case Assignment(key: AttributeReference, value) =>
@@ -174,8 +185,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case other => throw new UnsupportedOperationException(
           s"graft MERGE does not support not-matched-by-source action $other")
       }
-      GraftMergeCommand(t.path, source, keys(cond), matchedSpecs,
-        notMatchedSpecs, nmbsSpecs)
+      GraftMergeCommand(t.path, source, keyPairs, residual, matchedSpecs,
+        notMatchedSpecs, nmbsSpecs, withSchemaEvolution)
 
     case _ => plan
   }
@@ -209,16 +220,19 @@ object GraftMergeCommand {
 }
 
 case class GraftMergeCommand(path: String, source: LogicalPlan,
-    on: Seq[String], matched: Seq[GraftMergeCommand.MatchedSpec],
+    keys: Seq[(String, String)], residual: Option[Column],
+    matched: Seq[GraftMergeCommand.MatchedSpec],
     notMatched: Seq[GraftMergeCommand.InsertSpec],
-    notMatchedBySource: Seq[GraftMergeCommand.MatchedSpec] = Nil)
+    notMatchedBySource: Seq[GraftMergeCommand.MatchedSpec] = Nil,
+    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sourceDf = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
-    val b = GraftDml.tableAt(session, path).mergeInto(sourceDf, on)
+    val b0 = GraftDml.tableAt(session, path).mergeIntoOn(sourceDf, keys, residual)
+    val b = if (schemaEvolution) b0.withSchemaEvolution() else b0
     matched.foreach {
       case GraftMergeCommand.MatchedSpec(Some(c), None, true) => b.whenMatchedDelete(c)
       case GraftMergeCommand.MatchedSpec(None, None, true) => b.whenMatchedDelete()

@@ -420,6 +420,133 @@ class MutationSpec extends SparkSpec {
     assert(t.read().filter(col("ticker") === "WWWW").count() == 2)
   }
 
+  test("mergeIntoOn: differently-named keys with a residual condition") {
+    val t = freshTable("gt_merge_keys")
+    t.write(bars.repartition(4))
+    val total = t.read().count()
+    // source carries the keys under different names + a patch value
+    val matchedSrc = t.read().filter(col("ticker") === "AAPL")
+      .orderBy("timestamp_ms").limit(3)
+      .select(col("ticker").as("sym"), col("timestamp_ms").as("ts"),
+        col("close").as("close_src"), col("trade_date").as("dt"))
+    val freshSrc = matchedSrc.limit(1)
+      .withColumn("sym", lit("ZZZZ")).withColumn("close_src", lit(42.0))
+    val source = matchedSrc.unionByName(freshSrc).cache()
+    source.count()
+    // residual: only matched rows with positive source close update;
+    // AAPL has injected null closes, so some key matches fail the residual
+    val passing = matchedSrc.filter(col("close_src") > 0).count()
+    t.mergeIntoOn(source,
+        Seq("ticker" -> "sym", "timestamp_ms" -> "ts"),
+        Some(col("source.close_src") > 0))
+      .whenMatchedUpdate(Map("volume" -> lit(123L)))
+      .whenNotMatchedInsert(Map(
+        "ticker" -> col("source.sym"),
+        "timestamp_ms" -> col("source.ts"),
+        "trade_date" -> col("source.dt"),
+        "close" -> col("source.close_src")))
+      .execute()
+    val after = t.read().cache()
+    // key-matched rows failing the residual are NOT MATCHED → inserted
+    val inserted = source.count() - passing
+    assert(after.count() == total + inserted)
+    assert(after.filter(col("volume") === 123L).count() == passing)
+    assert(after.filter(col("ticker") === "ZZZZ" && col("close") === 42.0).count() == 1)
+  }
+
+  test("mergeInto(condition): equi conjuncts split from the residual") {
+    val t = freshTable("gt_merge_cond")
+    t.write(bars.repartition(2))
+    val src = t.read().filter(col("ticker") === "MSFT").orderBy("timestamp_ms").limit(2)
+      .select(col("ticker").as("sym"), col("timestamp_ms").as("ts"))
+      .withColumn("flag", lit(1)).cache()
+    src.count()
+    t.mergeInto(src,
+        col("target.ticker") === col("source.sym") &&
+        col("target.timestamp_ms") === col("source.ts") &&
+        col("source.flag") === 1)
+      .whenMatchedUpdate(Map("volume" -> lit(5L)))
+      .execute()
+    assert(t.read().filter(col("volume") === 5L).count() == 2)
+    // a condition with no target=source equi conjunct is rejected
+    intercept[IllegalArgumentException] {
+      t.mergeInto(src, col("source.flag") === 1)
+    }
+  }
+
+  test("merge residual: key dups disambiguated by the residual do not raise") {
+    val t = freshTable("gt_merge_resid_dup")
+    t.write(bars.repartition(2))
+    val one = t.read().filter(col("ticker") === "AAPL").orderBy("timestamp_ms").limit(1)
+    // two source rows, same key, but only pick=1 passes the residual
+    val dup = one.withColumn("pick", lit(1))
+      .unionByName(one.withColumn("volume", lit(99L)).withColumn("pick", lit(0)))
+      .cache()
+    dup.count()
+    t.mergeIntoOn(dup, Seq("ticker" -> "ticker", "timestamp_ms" -> "timestamp_ms"),
+        Some(col("source.pick") === 1))
+      .whenMatchedUpdate(Map("volume" -> lit(7L)))
+      .execute()
+    assert(t.read().filter(col("volume") === 7L).count() == 1)
+    // both dups passing the residual DOES raise the row-precise guard
+    val both = one.withColumn("pick", lit(1))
+      .unionByName(one.withColumn("volume", lit(99L)).withColumn("pick", lit(1)))
+    intercept[IllegalStateException] {
+      t.mergeIntoOn(both, Seq("ticker" -> "ticker", "timestamp_ms" -> "timestamp_ms"),
+          Some(col("source.pick") === 1))
+        .whenMatchedUpdate(Map("volume" -> lit(8L)))
+        .execute()
+    }
+  }
+
+  test("merge withSchemaEvolution: new columns NULL-backfill, generated recompute") {
+    val t = freshTable("gt_merge_evo")
+    t.write(bars.repartition(2))
+    t.write(t.read().withColumn("vol2", col("volume") * 2),
+      org.apache.spark.sql.SaveMode.Overwrite, overwriteSchema = true)
+    t.addGeneratedColumn("vol2", "volume * 2")
+    val total = t.read().count()
+    val src = t.read().limit(2).withColumn("volume", lit(888L))
+      .withColumn("vol2", col("volume") * 2)  // generation rule must hold
+      .withColumn("score", lit(3.5))          // not in the target schema
+    t.mergeIntoOn(src, Seq("ticker" -> "ticker", "timestamp_ms" -> "timestamp_ms"))
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll()
+      .execute()
+    val after = t.read()
+    assert(after.columns.contains("score"))
+    assert(after.count() == total)
+    assert(after.filter(col("score") === 3.5).count() == 2)
+    assert(after.filter(col("score").isNull).count() == total - 2)
+    assert(after.filter(col("volume") === 888L && col("vol2") === 1776L).count() == 2)
+    // without the flag, an unknown source column is NOT added — the
+    // aligned select drops it and the schema is unchanged
+    t.mergeIntoOn(src.withColumn("extra2", lit(1)),
+        Seq("ticker" -> "ticker", "timestamp_ms" -> "timestamp_ms"))
+      .whenMatchedUpdateAll()
+      .execute()
+    assert(!t.read().columns.contains("extra2"))
+  }
+
+  test("merge residual: not-matched-by-source sees the full condition") {
+    val t = freshTable("gt_merge_resid_nmbs")
+    t.write(bars.repartition(2))
+    val aapl = t.read().filter(col("ticker") === "AAPL").cache()
+    val aaplCount = aapl.count()
+    // source covers ALL AAPL keys, but the residual disqualifies every
+    // pair → every AAPL row is NOT MATCHED BY SOURCE and retires
+    val src = aapl.select(col("ticker").as("sym"), col("timestamp_ms").as("ts"))
+      .withColumn("live", lit(0)).cache()
+    src.count()
+    t.mergeIntoOn(src, Seq("ticker" -> "sym", "timestamp_ms" -> "ts"),
+        Some(col("source.live") === 1))
+      .whenNotMatchedBySourceDelete(col("target.ticker") === "AAPL")
+      .execute()
+    assert(t.read().filter(col("ticker") === "AAPL").count() == 0)
+    assert(t.readVersion(t.currentVersion - 1)
+      .filter(col("ticker") === "AAPL").count() == aaplCount)
+  }
+
   test("constraints are versioned: add/drop are commits, RESTORE restores the set") {
     val t = freshTable("gt_check_ver")
     t.write(bars.repartition(2))

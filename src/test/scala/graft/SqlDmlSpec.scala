@@ -141,20 +141,73 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.readVersion(v1).filter(col("volume") === -1L).count() == 0)
   }
 
+  test("SQL MERGE: differently-named keys and an arbitrary residual") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_keys")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    // source under renamed key columns + a gate the residual reads
+    t.read().filter(col("ticker") === "MSFT").limit(3)
+      .select(col("ticker").as("sym"), col("timestamp_ms").as("ts"))
+      .withColumn("gate", lit(1))
+      .createOrReplaceTempView("dml_keys_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_keys_src AS s
+         |ON t.ticker = s.sym AND t.timestamp_ms = s.ts AND s.gate = 1
+         |WHEN MATCHED THEN UPDATE SET volume = 31337""".stripMargin)
+    assert(t.read().count() == total)
+    assert(t.read().filter(col("volume") === 31337L).count() == 3)
+
+    // residual disqualifies every pair → nothing is MATCHED
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_keys_src AS s
+         |ON t.ticker = s.sym AND t.timestamp_ms = s.ts AND s.gate = 0
+         |WHEN MATCHED THEN UPDATE SET volume = 99""".stripMargin)
+    assert(t.read().filter(col("volume") === 99L).count() == 0)
+    assert(t.read().filter(col("volume") === 31337L).count() == 3)
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION unions new source columns in") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_evo")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    t.read().limit(2)
+      .withColumn("volume", lit(555L))
+      .withColumn("rating", lit("AA"))          // new column
+      .createOrReplaceTempView("dml_evo_src")
+
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` AS t
+         |USING dml_evo_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val after = t.read()
+    assert(after.columns.contains("rating"))
+    assert(after.count() == total)
+    // matched rows carry the source value, untouched rows backfill NULL
+    assert(after.filter(col("rating") === "AA").count() == 2)
+    assert(after.filter(col("rating").isNull).count() == total - 2)
+    assert(after.filter(col("volume") === 555L).count() == 2)
+  }
+
   test("unsupported MERGE surface fails with clear errors; time travel rejected") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val (t, path) = freshTable("dml_rej")
     t.write(bars.repartition(2))
     t.read().limit(1).createOrReplaceTempView("dml_rej_src")
 
-    // differently-named join keys
+    // no target=source equi conjunct at all → keyless merge rejected
     val e1 = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO graft.`$path` AS t USING dml_rej_src AS s
-           |ON t.timestamp_ms = s.volume
+           |ON t.timestamp_ms > s.timestamp_ms
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e1.getMessage.contains("same-named"), e1.getMessage)
+    assert(e1.getMessage.contains("equi conjunct"), e1.getMessage)
 
     // UPDATE on a time-travel relation
     val e3 = intercept[Exception] {
