@@ -57,10 +57,58 @@ object MergeOps {
     }
   }
 
+  /** Arbitrary-condition MERGE: differently-named keys plus a residual.
+    * The target is seeded from `orders` under renamed columns; the
+    * source carries the ORIGINAL column names, so the merge condition
+    * `target.okey = source.o_orderkey AND source.o_totalprice >= 200000`
+    * exercises both the key-pair decomposition and the residual path.
+    * Matched rows (open orders whose doubled price clears the residual)
+    * take that price; key-matched rows failing it stay untouched. */
+  def mergeCond(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_merge_cond")
+    try {
+      val t = GraftTable(spark, path.toString)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val seed = orders.select(col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      t.write(seed.repartition(4))
+      val source = orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.mergeInto(source,
+          col("target.okey") === col("source.o_orderkey") &&
+          col("source.o_totalprice") >= 200000)
+        .whenMatchedUpdate(Map("price" -> col("source.o_totalprice")))
+        .execute()
+      val out = t.read()
+        .select(col("okey"), col("status"),
+          round(col("price"), 2).as("price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("okey")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "merge_sync" -> mergeSync _)
+    "merge_sync" -> mergeSync _,
+    "merge_cond" -> mergeCond _)
 
   val oracles: Map[String, String] = Map(
+    "merge_cond" ->
+      """SELECT o_orderkey AS okey,
+        |       o_orderstatus AS status,
+        |       CASE WHEN o_orderstatus = 'O'
+        |                 AND CAST(o_totalprice AS DOUBLE) * 2 >= 200000
+        |            THEN round(CAST(o_totalprice AS DOUBLE) * 2, 2)
+        |            ELSE round(CAST(o_totalprice AS DOUBLE), 2) END AS price
+        |FROM orders
+        |ORDER BY okey""".stripMargin,
     "merge_sync" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderstatus = 'O'

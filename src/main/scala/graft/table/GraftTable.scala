@@ -2434,32 +2434,65 @@ object GraftTable {
       dv: Map[String, Seq[(Long, Long)]],
       sizes: Map[String, Long] = Map.empty)
 
-  // (table root, version) → snapshot, LRU-bounded. The hot pattern —
-  // commit then read — hits (path, v-1) and rolls one action record
-  // forward instead of replaying from the last checkpoint.
-  private val SnapCacheMax = 48
+  // (table root, version) → snapshot, LRU-bounded by entry count AND by
+  // approximate WEIGHT (Σ files + stats + dv runs + sizes across cached
+  // snapshots): 48 count-bounded snapshots of a million-file table would
+  // be tens of GB of driver heap, so eviction tracks how big the cached
+  // state actually is, not how many versions it spans. The newest entry
+  // always survives (it is the planning working set the caller just
+  // materialized anyway). The hot pattern — commit then read — hits
+  // (path, v-1) and rolls one action record forward instead of
+  // replaying from the last checkpoint.
+  private val SnapCacheMaxEntries = 48
+  // ~4M retained entries ≈ low hundreds of MB: roomy for thousands of
+  // normal tables, but two ~2M-file/stat snapshots already exceed it
+  private[graft] var snapCacheMaxWeight: Long = 4L << 20
+  private var snapCacheWeight = 0L
   private val snapCache =
-    new java.util.LinkedHashMap[(String, Long), Snapshot](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
-        size() > SnapCacheMax
-    }
+    new java.util.LinkedHashMap[(String, Long), Snapshot](64, 0.75f, true)
+
+  private def weightOf(s: Snapshot): Long =
+    s.files.size.toLong +
+    s.stats.valuesIterator.map(_.size.toLong).sum +
+    s.dv.valuesIterator.map(_.size.toLong).sum +
+    s.sizes.size
+
+  private[graft] def snapshotCacheSize: Int =
+    snapCache.synchronized(snapCache.size)
 
   private[graft] def cachedSnapshot(rootKey: String, v: Long): Option[Snapshot] =
     snapCache.synchronized(Option(snapCache.get((rootKey, v))))
 
   private[graft] def cacheSnapshot(rootKey: String, v: Long, s: Snapshot): Unit =
-    snapCache.synchronized { snapCache.put((rootKey, v), s); () }
+    snapCache.synchronized {
+      val prev = snapCache.put((rootKey, v), s)
+      snapCacheWeight += weightOf(s) - Option(prev).map(weightOf).getOrElse(0L)
+      // evict LRU-first until under both bounds; access-ordered map puts
+      // the just-inserted entry last, so it is never evicted here
+      val it = snapCache.entrySet().iterator()
+      while (snapCache.size > 1 &&
+          (snapCache.size > SnapCacheMaxEntries ||
+           snapCacheWeight > snapCacheMaxWeight) && it.hasNext) {
+        val e = it.next()
+        if (!(e.getKey._1 == rootKey && e.getKey._2 == v)) {
+          snapCacheWeight -= weightOf(e.getValue)
+          it.remove()
+        }
+      }
+    }
 
   /** Drop cached snapshots of `rootKey` at versions >= `v` — a commit
     * landing at `v` proves any such entry is stale (only possible when a
     * table was deleted externally and recreated at the same path). */
   private[graft] def invalidateSnapshotsFrom(rootKey: String, v: Long): Unit =
     snapCache.synchronized {
-      val it = snapCache.keySet().iterator()
+      val it = snapCache.entrySet().iterator()
       while (it.hasNext) {
-        val k = it.next()
-        if (k._1 == rootKey && k._2 >= v) it.remove()
+        val e = it.next()
+        if (e.getKey._1 == rootKey && e.getKey._2 >= v) {
+          snapCacheWeight -= weightOf(e.getValue)
+          it.remove()
+        }
       }
     }
 
@@ -2467,10 +2500,13 @@ object GraftTable {
     * truncation makes them unavailable by contract. */
   private[graft] def invalidateSnapshotsUpTo(rootKey: String, v: Long): Unit =
     snapCache.synchronized {
-      val it = snapCache.keySet().iterator()
+      val it = snapCache.entrySet().iterator()
       while (it.hasNext) {
-        val k = it.next()
-        if (k._1 == rootKey && k._2 <= v) it.remove()
+        val e = it.next()
+        if (e.getKey._1 == rootKey && e.getKey._2 <= v) {
+          snapCacheWeight -= weightOf(e.getValue)
+          it.remove()
+        }
       }
     }
 

@@ -41,14 +41,6 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         r.table.asInstanceOf[GraftV2Table]
     }
 
-  /** NULL literal (possibly analyzer-cast) — the fill the assignment
-    * aligner uses for insert-list columns the statement didn't mention. */
-  private def isNullLiteral(e: Expression): Boolean = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
-    case org.apache.spark.sql.catalyst.expressions.Cast(c, _, _, _) => isNullLiteral(c)
-    case _ => false
-  }
-
   /** Resolved expression → name-based Column (re-resolvable against the
     * API's own frames); attributes route to `target.`/`source.` by
     * which side of the merge owns them. */
@@ -116,9 +108,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // — detect that shape as UPDATE ALL / INSERT ALL (under WITH
       // SCHEMA EVOLUTION the star expands at the PRE-evolution width, so
       // only the ALL form carries the newly added columns); a genuine
-      // explicit column list arrives analyzer-aligned to the full target
-      // width with NULL literals for unmentioned columns and maps to an
-      // explicit assignment set
+      // explicit column list keeps exactly the listed columns and maps
+      // to an explicit assignment set
       def isStarLike(assigns: Seq[Assignment]): Boolean =
         assigns.size == target.output.size && assigns.forall {
           case Assignment(k: AttributeReference, v: AttributeReference) =>
@@ -159,18 +150,18 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case InsertAction(c, assigns) if isStarLike(assigns) =>
           GraftMergeCommand.InsertSpec(c.map(unresolve(_, tgtSet, srcSet)), None)
         case InsertAction(c, assigns) =>
+          // the aligner emits assignments ONLY for the statement's listed
+          // columns (unmentioned ones are simply absent and default to
+          // NULL / generated recompute at the builder), so an explicit
+          // `NULL` stays IN the set — assigning NULL to a generated
+          // column then fails validation instead of silently recomputing
           GraftMergeCommand.InsertSpec(c.map(unresolve(_, tgtSet, srcSet)),
             Some(assigns.map {
               case Assignment(key: AttributeReference, value) =>
-                // keep the analyzer's null fills out of the explicit set:
-                // unmentioned columns are NULL by the builder contract
-                // anyway, and stripping them lets unmentioned GENERATED
-                // columns recompute instead of failing validation
-                key.name -> value
+                key.name -> unresolve(value, tgtSet, srcSet)
               case Assignment(key, _) => throw new UnsupportedOperationException(
                 s"graft MERGE supports top-level column assignments only, got $key")
-            }.collect { case (k, v) if !isNullLiteral(v) =>
-              k -> unresolve(v, tgtSet, srcSet) }.toMap))
+            }.toMap))
         case other => throw new UnsupportedOperationException(
           s"graft MERGE does not support not-matched action $other")
       }

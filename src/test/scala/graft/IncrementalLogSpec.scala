@@ -59,6 +59,29 @@ class IncrementalLogSpec extends SparkSpec {
     assert(t.manifestFiles(50).size == 54)
   }
 
+  test("snapshot cache evicts by WEIGHT: two wide snapshots under a small cap") {
+    val saved = GraftTable.snapCacheMaxWeight
+    try {
+      // a "wide" snapshot: 100 files × (1 file + 3 stat columns + 1
+      // size) entries = 500 — far beyond the 600 cap when two are held
+      def wide(tag: String) = GraftTable.Snapshot(
+        files = Vector.tabulate(100)(i => s"$tag/part-$i.parquet"),
+        stats = (0 until 100).map(i => s"$tag/part-$i.parquet" ->
+          Map("a" -> ("l", "0", "9"), "b" -> ("l", "0", "9"),
+              "c" -> ("l", "0", "9"))).toMap,
+        dv = Map.empty,
+        sizes = (0 until 100).map(i => s"$tag/part-$i.parquet" -> 1L).toMap)
+      GraftTable.snapCacheMaxWeight = 600
+      GraftTable.cacheSnapshot("/il_weight/rootA", 7, wide("a"))
+      assert(GraftTable.cachedSnapshot("/il_weight/rootA", 7).isDefined)
+      GraftTable.cacheSnapshot("/il_weight/rootB", 9, wide("b"))
+      assert(GraftTable.cachedSnapshot("/il_weight/rootB", 9).isDefined,
+        "the newest snapshot always survives eviction")
+      assert(GraftTable.cachedSnapshot("/il_weight/rootA", 7).isEmpty,
+        "the older wide snapshot must be evicted by weight, not count")
+    } finally GraftTable.snapCacheMaxWeight = saved
+  }
+
   test("add actions record file sizes; DESCRIBE DETAIL serves bytes from the log") {
     import spark.implicits._
     val path = Files.createTempDirectory("il_sizes").toString

@@ -105,6 +105,40 @@ class SqlDmlSpec extends SparkSpec {
     assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
   }
 
+  test("SQL MERGE: explicit NULL on a generated column is rejected, not recomputed") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val (t, path) = freshTable("dml_gennull")
+    t.write(bars.repartition(2))
+    t.write(t.read().withColumn("vol2", col("volume") * 2),
+      org.apache.spark.sql.SaveMode.Overwrite, overwriteSchema = true)
+    t.addGeneratedColumn("vol2", "volume * 2")
+    t.read().limit(1)
+      .withColumn("timestamp_ms", col("timestamp_ms") + 5555555L)
+      .createOrReplaceTempView("dml_gennull_src")
+
+    // explicitly assigning NULL to the generated column contradicts its
+    // definition (volume 42 → vol2 must be 84) → clear rejection
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` AS t
+           |USING dml_gennull_src AS s
+           |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+           |WHEN NOT MATCHED THEN
+           |  INSERT (ticker, trade_date, timestamp_ms, volume, vol2)
+           |  VALUES (s.ticker, s.trade_date, s.timestamp_ms, 42, NULL)""".stripMargin)
+    }
+    assert(e.getMessage.contains("vol2"), e.getMessage)
+    // leaving it OUT of the list recomputes from the definition
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING dml_gennull_src AS s
+         |ON t.ticker = s.ticker AND t.timestamp_ms = s.timestamp_ms
+         |WHEN NOT MATCHED THEN
+         |  INSERT (ticker, trade_date, timestamp_ms, volume)
+         |  VALUES (s.ticker, s.trade_date, s.timestamp_ms, 42)""".stripMargin)
+    assert(t.read().filter(col("volume") === 42L && col("vol2") === 84L).count() == 1)
+  }
+
   test("SQL MERGE: WHEN NOT MATCHED BY SOURCE retires/updates unmatched target rows") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val (t, path) = freshTable("dml_nmbs")
