@@ -61,5 +61,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

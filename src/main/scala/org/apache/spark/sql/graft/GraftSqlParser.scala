@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.table.GraftTable
+
+/** SQL surface for the table-maintenance commands stock Spark has no
+  * grammar for — the Delta pattern (DeltaSqlParser): a delegating
+  * ParserInterface that recognizes
+  *
+  *   OPTIMIZE <tbl> [WHERE <pred>] [ZORDER BY (c, …)]
+  *   VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]
+  *   RESTORE [TABLE] <tbl> [TO] VERSION AS OF <n>
+  *   DESCRIBE HISTORY <tbl>
+  *   REORG TABLE <tbl> APPLY (PURGE)
+  *
+  * and hands everything else to the session parser unchanged. `<tbl>`
+  * is `graft.`+backticked path (the graft catalog form), a bare
+  * backticked path, or a session-catalog table name whose metadata
+  * carries a location. Injected via [[GraftExtensions]].
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // table reference: optional `graft` catalog prefix + backticked path,
+  // a bare backticked path, or a dotted identifier
+  private val Tbl = """((?:\w+\s*\.\s*)?`[^`]+`|[\w.]+)"""
+
+  private val OptimizeRe =
+    s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+  private val VacuumRe =
+    s"""(?is)^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
+  private val RestoreRe =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val HistoryRe =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
+  private val ReorgRe =
+    s"""(?is)^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+
+  private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
+    case OptimizeRe(tbl, where, zorder) =>
+      val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      Some(GraftOptimizeCommand(tbl, Option(where).map(_.trim), cols))
+    case VacuumRe(tbl, hours, dry) =>
+      Some(GraftVacuumCommand(tbl,
+        Option(hours).map(_.toDouble), dry != null))
+    case RestoreRe(tbl, v) => Some(GraftRestoreCommand(tbl, v.toLong))
+    case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
+    case _ => None
+  }
+
+  /** Resolve a parsed table reference to a GraftTable handle. Backticked
+    * forms are paths (with or without the `graft.` catalog prefix);
+    * bare names go through the session catalog's table metadata. */
+  private[graft] def resolve(session: SparkSession, tbl: String): GraftTable = {
+    val trimmed = tbl.trim
+    val path =
+      if (trimmed.endsWith("`")) {
+        val tick = trimmed.indexOf('`')
+        val prefix = trimmed.take(tick).trim
+        require(prefix.isEmpty ||
+          prefix.stripSuffix(".").trim.toLowerCase(Locale.ROOT) == "graft",
+          s"unknown catalog '$prefix' in table reference $tbl")
+        trimmed.substring(tick + 1, trimmed.length - 1)
+      } else {
+        val parts = trimmed.split('.')
+        val ti = if (parts.length == 1) TableIdentifier(parts(0))
+          else TableIdentifier(parts.last, Some(parts(parts.length - 2)))
+        new java.net.URI(session.sessionState.catalog
+          .getTableMetadata(ti).location.toString).getPath
+      }
+    GraftDml.tableAt(session, path)
+  }
+}
+
+case class GraftOptimizeCommand(table: String, where: Option[String],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(session, table)
+      .optimize(zorderBy, where = where)))
+}
+
+case class GraftVacuumCommand(table: String, retainHours: Option[Double],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_deleted", IntegerType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    // spark.graft.retentionDurationCheck.enabled=false lifts the 168 h
+    // floor for short retention, mirroring the Databricks/Delta conf
+    val checkEnabled = session.conf
+      .getOption("spark.graft.retentionDurationCheck.enabled")
+      .forall(_.toBoolean)
+    val (v, n) = GraftSqlParser.resolve(session, table).vacuum(
+      retainHours.getOrElse(168.0),
+      retentionCheckEnabled = checkEnabled, dryRun = dryRun)
+    Seq(Row(v, n))
+  }
+}
+
+case class GraftRestoreCommand(table: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(session, table).restore(version)))
+}
+
+case class GraftHistoryCommand(table: String) extends LeafRunnableCommand {
+  // fixed, order-stable projection of the commit records (the full JSON
+  // log may carry operation-specific metric keys; these are the columns
+  // every commit has — Delta's DESCRIBE HISTORY core columns)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = true)(),
+    AttributeReference("timestamp", StringType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    GraftSqlParser.resolve(session, table).history()
+      .select(col("version").cast(LongType),
+        col("timestamp").cast(StringType), col("operation"))
+      .collect().toSeq
+  }
+}
+
+case class GraftReorgCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(session, table).purge()))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** The maintenance SQL grammar (OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+  * HISTORY / REORG … APPLY (PURGE)) injected by GraftSqlParser — stock
+  * Spark has no syntax for any of these, so the delegating parser is
+  * the only way they reach the GraftTable API (Delta's DeltaSqlParser
+  * pattern). Statements address tables as `graft.`+backticked path.
+  */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private def freshTable(prefix: String): (GraftTable, String) = {
+    val path = Files.createTempDirectory(prefix).toString
+    (GraftTable(spark, path, Seq("ticker", "trade_date")), path)
+  }
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0)).cache()
+
+  test("OPTIMIZE ... WHERE ... ZORDER BY compacts through SQL") {
+    val (t, path) = freshTable("sqlm_opt")
+    t.write(bars.repartition(8))
+    val before = t.manifestFiles().size
+    val rows = spark.sql(
+      s"OPTIMIZE graft.`$path` WHERE ticker = 'AAPL' ZORDER BY (timestamp_ms)")
+      .collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == t.currentVersion)
+    // scoped compaction touched only AAPL partitions; count didn't change
+    assert(t.read().count() == bars.count())
+    val hist = t.history().filter(col("operation") === "OPTIMIZE")
+    assert(!hist.isEmpty)
+    // unscoped full OPTIMIZE compacts down to <= partition count
+    spark.sql(s"OPTIMIZE graft.`$path`")
+    assert(t.manifestFiles().size <= before)
+  }
+
+  test("VACUUM: DRY RUN reports, RETAIN 0 HOURS deletes under the conf override") {
+    val (t, path) = freshTable("sqlm_vac")
+    t.write(bars.repartition(4))
+    t.delete(col("ticker") === "AAPL")          // orphans AAPL's files
+    // safety floor holds without the conf override
+    intercept[Exception] { spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS") }
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    try {
+      val dry = spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS DRY RUN").collect()(0)
+      assert(dry.getInt(1) > 0, "dry run must report deletable files")
+      assert(t.readVersion(0).count() == bars.count(), "dry run deletes nothing")
+      val real = spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS").collect()(0)
+      assert(real.getInt(1) == dry.getInt(1))
+      // current version unaffected; vacuumed history is gone
+      assert(t.read().filter(col("ticker") === "AAPL").count() == 0)
+    } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
+  }
+
+  test("RESTORE TABLE ... VERSION AS OF rolls back through SQL") {
+    val (t, path) = freshTable("sqlm_rst")
+    t.write(bars.repartition(2))
+    val v0 = t.currentVersion
+    val total = t.read().count()
+    t.delete(col("ticker") === "MSFT")
+    assert(t.read().count() < total)
+    spark.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF $v0")
+    assert(t.read().count() == total)
+    // RESTORE is itself a commit
+    assert(t.currentVersion == v0 + 2)
+  }
+
+  test("DESCRIBE HISTORY lists commits newest-first") {
+    val (t, path) = freshTable("sqlm_hist")
+    t.write(bars.repartition(2))
+    t.delete(col("ticker") === "NVDA")
+    val rows = spark.sql(s"DESCRIBE HISTORY graft.`$path`").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(2) == "DELETE")
+    assert(rows(1).getLong(0) == 0L)
+  }
+
+  test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
+    val (t, path) = freshTable("sqlm_reorg")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    val nvda = t.read().filter(col("ticker") === "NVDA").count()
+    t.delete(col("ticker") === "NVDA", mergeOnRead = true)
+    assert(t.dvOf(t.currentVersion).nonEmpty, "merge-on-read delete left vectors")
+    spark.sql(s"REORG TABLE graft.`$path` APPLY (PURGE)")
+    assert(t.dvOf(t.currentVersion).forall(_._2.isEmpty))
+    assert(t.read().count() == total - nvda)
+  }
+}
