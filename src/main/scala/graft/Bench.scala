@@ -35,7 +35,11 @@ object Bench {
     "q21_waiting_supplier", "corpus_select",
     "pii_scrub", "decontaminate")
 
-  val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added
+  /** r7 addition: SemDeDup-style embedding dedup (cell-bounded
+    * quadratic — the heaviest similarity shape). */
+  val HeadlineR7Added: Seq[String] = Seq("semantic_dedup")
+
+  val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

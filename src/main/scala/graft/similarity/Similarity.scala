@@ -260,15 +260,75 @@ object Similarity {
       .select("vec_id", "maxabs", "l2_norm", "max_err")
       .orderBy("vec_id")
 
+  /** SemDeDup-style semantic dedup: cluster the corpus into Voronoi
+    * cells around the deterministic seed centroids (same assignment as
+    * [[knnIvf]]), then prune, WITHIN each cell, every vector that has an
+    * earlier (lower vec_id) cell-mate with cosine >= `DedupTau` —
+    * greedy keep-first pruning. The cells are the scale story exactly as
+    * in the SemDeDup paper: the quadratic comparison is bounded per
+    * cell (one shuffle on the cell key; cells compare locally), never
+    * corpus-wide. Fully deterministic → DuckDB replays the identical
+    * assignment + pruning and hash-checks the survivor set. */
+  val DedupTau = 0.35
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val centroids = emb.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val assigned = emb.join(broadcast(centroids), expr("true"))
+      .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
+      .join(emb, "vec_id")
+    val lhs = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("n").as("na"))
+    val rhs = assigned.select(col("cell").as("cellb"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("n").as("nb"))
+    val pruned = lhs.join(rhs, col("cell") === col("cellb") && col("ia") > col("ib"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= DedupTau)
+      .select(col("ia").as("vec_id")).distinct()
+    assigned.join(pruned, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
     "knn_pq"      -> knnPq _,
     "cosine_dups" -> cosineDups _,
+    "semantic_dedup" -> semanticDedup _,
     "embedding_quantize" -> embeddingQuantize _)
 
   val oracles: Map[String, String] = Map(
+    "semantic_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |score AS (
+         |  SELECT n.vec_id, c.cell,
+         |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
+         |  FROM n, (SELECT vec_id AS cell, v AS cv, nrm AS cn
+         |           FROM n WHERE vec_id < $NumCells) c),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
+         |pruned AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id > b.vec_id
+         |  JOIN n na ON na.vec_id = a.vec_id
+         |  JOIN n nb ON nb.vec_id = b.vec_id
+         |  WHERE ROUND(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+         |        >= $DedupTau)
+         |SELECT vec_id, cell FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+         |ORDER BY vec_id""".stripMargin,
     "embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

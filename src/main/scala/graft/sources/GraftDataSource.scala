@@ -40,6 +40,15 @@ final class GraftDataSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
+    // batch change-feed read (Delta's readChangeFeed batch option):
+    // rows changed between two committed versions, cost ∝ changed files
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val t = GraftTable(sqlContext.sparkSession, path)
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(t.currentVersion)
+      return GraftChangesRelation(sqlContext, path, from, to)
+    }
     // timestampAsOf (ISO-8601 instant or epoch millis) resolves to the
     // latest version committed at or before it — Delta's TIMESTAMP AS OF
     val byTime = parameters.get("timestampAsOf").map { ts =>
@@ -283,6 +292,20 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
       else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
     pruned.rdd
   }
+}
+
+/** Batch change-feed relation (`readChangeFeed=true` +
+  * `startingVersion`/`endingVersion`): serves
+  * [[GraftTable.changes]] between the two pinned versions — insert and
+  * delete row images with `_change_type`, an UPDATE surfacing as a
+  * delete+insert pair. Cost scales with the files that CHANGED between
+  * the versions, never the whole table. */
+final case class GraftChangesRelation(sqlContext: SQLContext, path: String,
+    from: Long, to: Long) extends BaseRelation with TableScan {
+  private def changes: DataFrame =
+    GraftTable(sqlContext.sparkSession, path).changes(from, to)
+  override val schema: StructType = changes.schema
+  override def buildScan(): RDD[Row] = changes.rdd
 }
 
 /** Best-effort translation of source filters into Column predicates so

@@ -190,6 +190,30 @@ private[graft] object GraftDml {
     val probe = GraftTable(session, path)
     GraftTable(session, path, probe.layoutPartitionColumns())
   }
+
+  /** `table_changes(path, startVersion [, endVersion])` — the CDF
+    * table-valued function (Delta parity): resolves to the change-feed
+    * plan between two committed versions of the table at `path`.
+    * Arguments must be literals (the plan is built at analysis time). */
+  def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      s"table_changes(path, startVersion[, endVersion]) takes 2 or 3 " +
+      s"arguments, got ${args.size}")
+    def litOf(e: Expression, what: String): Any = e match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value
+      case other => throw new IllegalArgumentException(
+        s"table_changes $what must be a literal, got $other")
+    }
+    val session = SparkSession.active
+    val path = litOf(args(0), "path").toString
+    val t = GraftTable(session, path)
+    val from = litOf(args(1), "startVersion").toString.toLong
+    val to = if (args.size == 3) litOf(args(2), "endVersion").toString.toLong
+      else t.currentVersion
+    t.changes(from, to)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+  }
 }
 
 case class GraftUpdateCommand(path: String, cond: Column,

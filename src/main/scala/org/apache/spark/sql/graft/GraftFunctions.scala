@@ -62,5 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPostHocResolutionRule(session => new GraftDmlRule(session))
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // CDF table-valued function: SELECT * FROM table_changes(path, v1[, v2])
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft", null, "table_changes",
+        "_FUNC_(path, startVersion[, endVersion]) - change feed between " +
+        "two committed versions of the graft table at path", ""),
+      (args: Seq[Expression]) => GraftDml.tableChangesPlan(args)))
   }
 }

@@ -192,6 +192,20 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("semantic_dedup: survivors cover all cells, pruned rows have an earlier near mate") {
+    val survivors = Similarity.semanticDedup(spark, sf).cache()
+    val total = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(survivors.count() > 0 && survivors.count() < total,
+      "semantic dedup must prune something but not everything")
+    // vec_id 0 can never be pruned (no earlier cell-mate exists)
+    assert(survivors.filter(col("vec_id") === 0).count() == 1)
+    // survivors are unique and sorted
+    assert(survivors.select("vec_id").distinct().count() == survivors.count())
+    // the quadratic stays cell-local: no CartesianProduct in the plan
+    val physical = survivors.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), physical.take(2000))
+  }
+
   test("knn_brute: k rows per query, descending rounded cosine, no self") {
     val df = Similarity.knnBrute(spark, sf).cache()
     val perQ = df.groupBy("query_id").count().as[(Long, Long)].collect()

@@ -42,6 +42,34 @@ class GraftSourceSpec extends SparkSpec {
     assert(aapl.columns.toSeq == Seq("ticker", "close"))
   }
 
+  test("batch change feed: readChangeFeed option and table_changes SQL") {
+    val path = Files.createTempDirectory("gsrc_cdf").toString
+    val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
+    t.write(bars.repartition(2))
+    val aapl = t.read().filter(col("ticker") === "AAPL").count()
+    t.delete(col("ticker") === "AAPL")                   // v1: deletes
+    t.update(col("ticker") === "MSFT" &&
+      col("close").isNotNull, Map("volume" -> lit(1L)))  // v2: upd pairs
+
+    // reader option form
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 0).option("endingVersion", 1)
+      .load(path)
+    assert(feed.columns.contains("_change_type"))
+    assert(feed.filter(col("_change_type") === "delete").count() == aapl)
+    assert(feed.filter(col("_change_type") === "insert").count() == 0)
+
+    // TVF form covers the update window; an UPDATE is a delete+insert pair
+    val tvf = spark.sql(s"SELECT * FROM table_changes('$path', 1, 2)")
+    val dels = tvf.filter(col("_change_type") === "delete").count()
+    val ins = tvf.filter(col("_change_type") === "insert").count()
+    assert(dels == ins && ins > 0)
+    // endVersion defaults to the current version
+    val open = spark.sql(s"SELECT * FROM table_changes('$path', 0)")
+    assert(open.filter(col("_change_type") === "delete").count() >= aapl)
+  }
+
   test("partition filters prune the graft scan (hive-partition pruning)") {
     val path = Files.createTempDirectory("gsrc_prune").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
