@@ -68,6 +68,14 @@ object GraftSqlParser {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
   private val ReorgRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+  private val AddConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
+  private val DropConstraintRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private val CloneRe =
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val ConvertRe =
+    s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeRe(tbl, where, zorder) =>
@@ -80,6 +88,20 @@ object GraftSqlParser {
     case RestoreRe(tbl, v) => Some(GraftRestoreCommand(tbl, v.toLong))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
+    case AddConstraintRe(tbl, name, expr) =>
+      Some(GraftAddConstraintCommand(tbl, name, expr.trim))
+    case DropConstraintRe(tbl, name) =>
+      Some(GraftDropConstraintCommand(tbl, name))
+    case CloneRe(tgt, src, v) =>
+      Some(GraftCloneCommand(tgt, src, Option(v).map(_.toLong)))
+    case ConvertRe(tbl, parts) =>
+      // Delta's CONVERT TO DELTA lists `col type` pairs; hive directory
+      // values are untyped strings here, so only the names matter
+      val cols = Option(parts).toSeq.flatMap(_.split(',').toSeq)
+        .map(_.trim.stripPrefix("`"))
+        .map(c => c.takeWhile(ch => ch != ' ' && ch != '`'))
+        .filter(_.nonEmpty)
+      Some(GraftConvertCommand(tbl, cols))
     case _ => None
   }
 
@@ -104,6 +126,61 @@ object GraftSqlParser {
           .getTableMetadata(ti).location.toString).getPath
       }
     GraftDml.tableAt(session, path)
+  }
+
+  /** Extract the filesystem path of a backticked table reference whose
+    * optional catalog prefix is `graft` or `parquet` — used where the
+    * table need not exist in any catalog yet (CLONE's target, CONVERT's
+    * source directory). */
+  private[graft] def pathOf(tbl: String): String = {
+    val trimmed = tbl.trim
+    require(trimmed.endsWith("`"),
+      s"expected a backticked path, got $tbl")
+    val tick = trimmed.indexOf('`')
+    val prefix = trimmed.take(tick).trim.stripSuffix(".").trim
+      .toLowerCase(Locale.ROOT)
+    require(prefix.isEmpty || prefix == "graft" || prefix == "parquet",
+      s"unknown catalog '$prefix' in table reference $tbl")
+    trimmed.substring(tick + 1, trimmed.length - 1)
+  }
+}
+
+case class GraftAddConstraintCommand(table: String, name: String,
+    expr: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(session, table).addConstraint(name, expr)
+    Nil
+  }
+}
+
+case class GraftDropConstraintCommand(table: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(session, table).dropConstraint(name)
+    Nil
+  }
+}
+
+case class GraftCloneCommand(target: String, source: String,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftSqlParser.resolve(session, source)
+    val clone = src.shallowClone(GraftSqlParser.pathOf(target),
+      version.getOrElse(-1L))
+    Seq(Row(clone.currentVersion))
+  }
+}
+
+case class GraftConvertCommand(table: String,
+    partitionColumns: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.convert(session, GraftSqlParser.pathOf(table),
+      partitionColumns)
+    Seq(Row(t.currentVersion))
   }
 }
 

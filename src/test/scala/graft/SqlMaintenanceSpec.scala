@@ -81,6 +81,48 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 0L)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT gates writes through SQL") {
+    val (t, path) = freshTable("sqlm_check")
+    t.write(bars.repartition(2))
+    spark.sql(s"ALTER TABLE graft.`$path` ADD CONSTRAINT vol_nonneg CHECK (volume >= 0)")
+    assert(t.constraints.keySet == Set("vol_nonneg"))
+    intercept[Exception] {
+      t.update(col("ticker") === "MSFT", Map("volume" -> lit(-5L)))
+    }
+    spark.sql(s"ALTER TABLE graft.`$path` DROP CONSTRAINT vol_nonneg")
+    assert(t.constraints.isEmpty)
+    t.update(col("ticker") === "MSFT", Map("volume" -> lit(-5L)))
+    assert(t.read().filter(col("volume") === -5L).count() > 0)
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE through SQL; clone diverges copy-on-write") {
+    val (t, path) = freshTable("sqlm_clone_src")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    val clonePath = Files.createTempDirectory("sqlm_clone_tgt").toString + "/c"
+    val rows = spark.sql(
+      s"CREATE TABLE graft.`$clonePath` SHALLOW CLONE graft.`$path`").collect()
+    assert(rows(0).getLong(0) == 0L)
+    val c = GraftTable(spark, clonePath, Seq("ticker", "trade_date"))
+    assert(c.read().count() == total)
+    c.delete(col("ticker") === "AAPL")
+    assert(c.read().count() < total)
+    assert(t.read().count() == total, "source untouched by clone mutation")
+  }
+
+  test("CONVERT TO GRAFT adopts a plain parquet directory in place") {
+    val dir = Files.createTempDirectory("sqlm_convert").toString + "/t"
+    bars.write.partitionBy("ticker", "trade_date").parquet(dir)
+    val rows = spark.sql(
+      s"CONVERT TO GRAFT parquet.`$dir` PARTITIONED BY (ticker, trade_date)").collect()
+    assert(rows(0).getLong(0) == 0L)
+    val t = GraftTable(spark, dir, Seq("ticker", "trade_date"))
+    assert(t.read().count() == bars.count())
+    // converted table is immediately maintainable
+    spark.sql(s"OPTIMIZE graft.`$dir`")
+    assert(t.read().count() == bars.count())
+  }
+
   test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
     val (t, path) = freshTable("sqlm_reorg")
     t.write(bars.repartition(2))
