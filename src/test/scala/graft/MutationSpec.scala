@@ -170,6 +170,43 @@ class MutationSpec extends SparkSpec {
     else assert(n == 500, "loser aborted => exactly the winner's delete applied")
   }
 
+  test("merge-on-read DELETE racing a rewrite: no row resurrection, loser aborts cleanly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_conc_dv").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((0 until 1000).map(i => (i.toLong, 0L)).toDF("id", "v").repartition(4))
+
+    // UPDATE rewrites every file; the merge-on-read DELETE changes only
+    // deletion vectors of the same files. Valid outcomes: clean
+    // serialization (both land, in either order) or the rewrite aborts
+    // with ConcurrentModificationException because an input file's
+    // vector moved under it. What must NEVER happen is both landing
+    // with the deleted rows resurrected by the rewrite's output.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val upd = new Thread(() => {
+      val mine = graft.table.GraftTable(spark, path, Nil)
+      mine.update(col("id") >= 0L, Map("v" -> lit(1L)))
+    })
+    val del = new Thread(() => {
+      val mine = graft.table.GraftTable(spark, path, Nil)
+      Thread.sleep(150) // land mid-rewrite with high probability
+      mine.delete(pmod(col("id"), lit(7)) === 0, mergeOnRead = true)
+    })
+    Seq(upd, del).foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+    Seq(upd, del).foreach(_.start())
+    Seq(upd, del).foreach(_.join())
+    errs.forEach(e => assert(
+      e.isInstanceOf[java.util.ConcurrentModificationException],
+      s"losers must abort with ConcurrentModificationException, got $e"))
+    val ops = t.history().select("operation").collect().map(_.getString(0))
+    val bothLanded = ops.contains("UPDATE") && ops.contains("DELETE")
+    val deletedStillThere = t.read().filter(pmod(col("id"), lit(7)) === 0).count()
+    if (bothLanded)
+      assert(deletedStillThere == 0,
+        "concurrently deleted rows must not resurrect through the rewrite")
+    else assert(errs.size() == 1, s"one op missing => exactly one abort: $errs")
+  }
+
   test("concurrent ADD COLUMN of distinct columns: both land with consistent schema") {
     import spark.implicits._
     val path = Files.createTempDirectory("gt_conc_addcol").toString
