@@ -107,6 +107,14 @@ final class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = SparkSession.active
     val t = GraftTable(spark, pathOf(ident))
+    // property changes batch into ONE commit each way (SQL SET/UNSET
+    // TBLPROPERTIES arrives as one TableChange per key)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value }.toMap
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property }
+    if (sets.nonEmpty) t.setProperties(sets)
+    if (unsets.nonEmpty) t.unsetProperties(unsets)
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         t.addColumn(add.fieldNames()(0), add.dataType())
@@ -114,8 +122,10 @@ final class GraftCatalog extends TableCatalog {
         t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN only, got $other")
+        "graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN and " +
+        s"SET/UNSET TBLPROPERTIES only, got $other")
     }
     GraftV2Table(spark, pathOf(ident), None)
   }
@@ -162,8 +172,9 @@ final case class GraftV2Table(spark: SparkSession, path: String,
     hivePartitionCols(pinnedVersion).map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> path,
-      "version" -> pinnedVersion.toString).asJava
+    (table.propertiesOf(pinnedVersion) ++
+      Map("provider" -> "graft", "location" -> path,
+        "version" -> pinnedVersion.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot,

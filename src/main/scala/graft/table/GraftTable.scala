@@ -344,7 +344,8 @@ final class GraftTable private (
       dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]] = None,
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
-      addSizes: Map[String, Long] = Map.empty): Long = {
+      addSizes: Map[String, Long] = Map.empty,
+      newProperties: Option[Map[String, String]] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -352,7 +353,7 @@ final class GraftTable private (
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, adds, metrics, newConstraints,
       removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
-      newSchema, addSizes)
+      newSchema, addSizes, newProperties)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -363,7 +364,8 @@ final class GraftTable private (
           Seq(f"v$v%020d.actions.tsv", f"v$v%020d.constraints.tsv",
               f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
               f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv",
-              f"v$v%020d.schema", f"v$v%020d.claim")
+              f"v$v%020d.schema", f"v$v%020d.properties.tsv",
+              f"v$v%020d.claim")
             .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
         throw e
     }
@@ -379,7 +381,8 @@ final class GraftTable private (
       dvChanges: Option[Long => Map[String, Seq[(Long, Long)]]],
       newColMap: Option[Long => ColMap],
       newSchema: Option[Long => StructType],
-      addSizes: Map[String, Long]): Long = {
+      addSizes: Map[String, Long],
+      newProperties: Option[Map[String, String]] = None): Long = {
     val removed = removes(v - 1)
     // every add records its byte size (Delta's AddFile.size): writers
     // that staged the files know it for free; adoption paths
@@ -396,6 +399,7 @@ final class GraftTable private (
     // O(files).
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
+    val props = newProperties.getOrElse(properties)
     val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
     // physical schema carried forward when this commit doesn't change it
     // (legacy versions without a sidecar carry nothing — reads stay
@@ -457,6 +461,9 @@ final class GraftTable private (
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
     writeAtomic(generatedPath, gen.toSeq.sortBy(_._1)
       .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    writeAtomic(new Path(logDir, f"v$v%020d.properties.tsv"),
+      props.toSeq.sortBy(_._1)
+        .map { case (k, vl) => s"${encU(k)}\t${encU(vl)}" }.mkString("\n"))
     writeAtomic(statsPath, stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, (tag, lo, hi)) =>
         s"${encU(f)}\t${encU(c)}\t$tag\t${encU(lo)}\t${encU(hi)}" }
@@ -501,11 +508,13 @@ final class GraftTable private (
       newConstraints: Option[Map[String, String]] = None,
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
-      newSchema: Option[Long => StructType] = None): Long =
+      newSchema: Option[Long => StructType] = None,
+      newProperties: Option[Map[String, String]] = None): Long =
     retryOnConflict()(commit(operation, added.map(_._1), metrics,
       addSizes = added.toMap,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
+      newProperties = newProperties,
       removes = { base =>
         val nowLive = manifestFiles(base)
         val gone = inputs.filterNot(nowLive.toSet)
@@ -939,6 +948,47 @@ final class GraftTable private (
   def dropConstraint(name: String): Unit =
     commitRewrite("DROP CONSTRAINT", Nil, Nil, Map("name" -> name),
       newConstraints = Some(constraints - name))
+
+  // ---- TBLPROPERTIES (Delta metadata-configuration parity) -------------
+  //
+  // A free-form string map versioned with the commit exactly like
+  // constraints: every commit writes the property set of that version
+  // as a vN.properties.tsv sidecar, SET/UNSET are commits visible in
+  // history(), and RESTORE/CLONE/time travel carry the set of the
+  // version they reference. Keys and values are URL-encoded in the
+  // sidecar so they may contain any character.
+
+  /** Property map committed with `version` (empty before any SET). */
+  def propertiesOf(version: Long): Map[String, String] = {
+    if (version < 0) return Map.empty
+    val p = new Path(logDir, f"v$version%020d.properties.tsv")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        decU(l.substring(0, i)) -> decU(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  def properties: Map[String, String] = propertiesOf(currentVersion)
+
+  /** ALTER TABLE SET TBLPROPERTIES (k=v, …) as one commit. */
+  def setProperties(props: Map[String, String]): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+    commitRewrite("SET TBLPROPERTIES", Nil, Nil,
+      Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
+      newProperties = Some(properties ++ props))
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES (k, …) as one commit. */
+  def unsetProperties(keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    commitRewrite("UNSET TBLPROPERTIES", Nil, Nil,
+      Map("properties" -> keys.sorted.mkString(",")),
+      newProperties = Some(properties -- keys))
+  }
 
   /** One validation job over rows about to be committed. */
   private def enforceConstraints(df: DataFrame): Unit =
@@ -2202,6 +2252,7 @@ final class GraftTable private (
       addSizes = snapshotAt(version).sizes,
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
+      newProperties = Some(propertiesOf(version)),
       dvChanges = Some { base =>
         val target = dvOf(version)
         val cur = dvOf(base)
@@ -2244,6 +2295,7 @@ final class GraftTable private (
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
+      newProperties = Some(propertiesOf(srcV)),
       carriedStats = carried, collectStats = false,
       addSizes = carriedSizes,
       dvChanges = Some(_ => carriedDv),
@@ -2285,7 +2337,8 @@ final class GraftTable private (
         Seq(f"v$v%020d.actions.tsv", f"v$v%020d.files",
             f"v$v%020d.constraints.tsv", f"v$v%020d.stats.tsv",
             f"v$v%020d.generated.tsv", f"v$v%020d.dv.tsv",
-            f"v$v%020d.colmap.tsv", f"v$v%020d.schema", f"v$v%020d.claim")
+            f"v$v%020d.colmap.tsv", f"v$v%020d.schema",
+            f"v$v%020d.properties.tsv", f"v$v%020d.claim")
           .foreach(n => fs.delete(new Path(logDir, n), false))
         fs.delete(json, false)
         dropped += 1

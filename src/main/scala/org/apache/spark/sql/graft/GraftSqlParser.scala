@@ -66,6 +66,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val HistoryRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
+  private val DetailRe =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""".r
   private val ReorgRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val AddConstraintRe =
@@ -87,6 +89,7 @@ object GraftSqlParser {
         Option(hours).map(_.toDouble), dry != null))
     case RestoreRe(tbl, v) => Some(GraftRestoreCommand(tbl, v.toLong))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
+    case DetailRe(tbl) => Some(GraftDetailCommand(tbl))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
     case AddConstraintRe(tbl, name, expr) =>
       Some(GraftAddConstraintCommand(tbl, name, expr.trim))
@@ -233,6 +236,22 @@ case class GraftHistoryCommand(table: String) extends LeafRunnableCommand {
       .select(col("version").cast(LongType),
         col("timestamp").cast(StringType), col("operation"))
       .collect().toSeq
+  }
+}
+
+case class GraftDetailCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("partitionColumns", ArrayType(StringType),
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val d = GraftSqlParser.resolve(session, table).detail()
+    Seq(Row(d.format, d.location, d.numFiles, d.sizeInBytes,
+      d.partitionColumns, d.version))
   }
 }
 

@@ -536,6 +536,78 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("merge differential: random clause sets match a driver-side reference (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 6) {
+      val path = Files.createTempDirectory(s"gt_merge_fuzz$trial").toString
+      val t = graft.table.GraftTable(spark, path, Nil)
+      val n = 60
+      val tgtRows = (0 until n).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      t.write(tgtRows.toDF("id", "v").repartition(3))
+      // distinct source keys: a sample of existing ids (under a RENAMED
+      // key column) plus some fresh ids — exercises the key-pair path
+      val existing = rnd.shuffle((0 until n).toList).take(20)
+      val fresh = (n until n + 10).filter(_ => rnd.nextBoolean())
+      val srcRows = (existing ++ fresh).map(i =>
+        (i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(2)))
+      val srcMap = srcRows.map(r => r._1 -> r).toMap
+      val useResidual = rnd.nextBoolean()
+
+      val withMU = rnd.nextBoolean(); val condMU = rnd.nextBoolean()
+      val withMD = rnd.nextBoolean(); val condMD = rnd.nextBoolean()
+      val withNI = rnd.nextBoolean(); val condNI = rnd.nextBoolean()
+      val withND = rnd.nextBoolean() // nmbs delete (target.v < 30)
+      val withNU = rnd.nextBoolean() // nmbs update (v = -1) after delete
+      val anyClause = withMU || withMD || withNI || withND || withNU
+      val mu = withMU || !anyClause // ensure at least one clause
+
+      var b = t.mergeIntoOn(srcRows.toDF("sid", "sv", "pick"),
+        Seq("id" -> "sid"),
+        if (useResidual) Some(col("source.pick") === 1) else None)
+      if (mu) b = if (condMU)
+          b.whenMatchedUpdate(col("source.sv") >= 50, Map("v" -> col("source.sv")))
+        else b.whenMatchedUpdate(Map("v" -> col("source.sv")))
+      if (withMD) b = if (condMD) b.whenMatchedDelete(col("source.sv") < 25)
+        else b.whenMatchedDelete()
+      if (withNI) b = if (condNI)
+          b.whenNotMatchedInsert(col("source.sv") >= 20,
+            Map("id" -> col("source.sid"), "v" -> col("source.sv")))
+        else b.whenNotMatchedInsert(
+          Map("id" -> col("source.sid"), "v" -> col("source.sv")))
+      if (withND) b = b.whenNotMatchedBySourceDelete(col("target.v") < 30)
+      if (withNU) b = b.whenNotMatchedBySourceUpdate(Map("v" -> lit(-1L)))
+      b.execute()
+
+      // driver-side reference over the same rows
+      def isMatch(id: Long) =
+        srcMap.get(id).exists(s => !useResidual || s._3 == 1)
+      val keptTargets = tgtRows.flatMap { case (id, v) =>
+        if (isMatch(id)) {
+          val sv = srcMap(id)._2
+          if (mu && (!condMU || sv >= 50)) Some((id, sv))
+          else if (withMD && (!condMD || sv < 25)) None
+          else Some((id, v))
+        } else {
+          if (withND && v < 30) None
+          else if (withNU) Some((id, -1L))
+          else Some((id, v))
+        }
+      }
+      val inserts = srcRows.collect {
+        case (sid, sv, pick)
+          if !(tgtRows.exists(_._1 == sid) && (!useResidual || pick == 1)) &&
+             withNI && (!condNI || sv >= 20) => (sid, sv)
+      }
+      val expected = (keptTargets ++ inserts).sorted
+      val actual = t.read().select("id", "v").as[(Long, Long)].collect().sorted
+      assert(actual.toSeq == expected.toSeq,
+        s"trial $trial (residual=$useResidual mu=$mu/$condMU md=$withMD/$condMD " +
+        s"ni=$withNI/$condNI nd=$withND nu=$withNU): " +
+        s"got ${actual.toSeq.take(80)} expected ${expected.toSeq.take(80)}")
+    }
+  }
+
   test("merge withSchemaEvolution: new columns NULL-backfill, generated recompute") {
     val t = freshTable("gt_merge_evo")
     t.write(bars.repartition(2))

@@ -71,6 +71,17 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.currentVersion == v0 + 2)
   }
 
+  test("DESCRIBE DETAIL reports files, bytes, layout, and version") {
+    val (t, path) = freshTable("sqlm_detail")
+    t.write(bars.repartition(2))
+    val row = spark.sql(s"DESCRIBE DETAIL graft.`$path`").collect()(0)
+    assert(row.getString(0) == "graft+parquet")
+    assert(row.getLong(2) == t.manifestFiles().size.toLong)
+    assert(row.getLong(3) > 0L)
+    assert(row.getSeq[String](4) == Seq("ticker", "trade_date"))
+    assert(row.getLong(5) == t.currentVersion)
+  }
+
   test("DESCRIBE HISTORY lists commits newest-first") {
     val (t, path) = freshTable("sqlm_hist")
     t.write(bars.repartition(2))
@@ -121,6 +132,34 @@ class SqlMaintenanceSpec extends SparkSpec {
     // converted table is immediately maintainable
     spark.sql(s"OPTIMIZE graft.`$dir`")
     assert(t.read().count() == bars.count())
+  }
+
+  test("TBLPROPERTIES: SET/UNSET are commits; RESTORE and CLONE carry the set") {
+    val (t, path) = freshTable("sqlm_props")
+    t.write(bars.repartition(2))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // SQL SET routes through the DSv2 catalog as one commit
+    spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES " +
+      "('pipeline.owner' = 'data-eng', 'quality.tier' = 'gold')")
+    assert(t.properties == Map(
+      "pipeline.owner" -> "data-eng", "quality.tier" -> "gold"))
+    val vSet = t.currentVersion
+    spark.sql(s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('quality.tier')")
+    assert(t.properties == Map("pipeline.owner" -> "data-eng"))
+    assert(t.currentVersion == vSet + 1, "SET and UNSET are one commit each")
+    // versioned: the pre-unset version still carries both
+    assert(t.propertiesOf(vSet).contains("quality.tier"))
+    // RESTORE brings the property set of the restored version back
+    t.restore(vSet)
+    assert(t.properties.contains("quality.tier"))
+    // CLONE carries the current set
+    val clonePath = Files.createTempDirectory("sqlm_props_clone").toString + "/c"
+    t.shallowClone(clonePath)
+    assert(GraftTable(spark, clonePath).properties == t.properties)
+    // DSv2 table surface exposes them (SHOW TBLPROPERTIES path)
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$path`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("pipeline.owner").contains("data-eng"))
   }
 
   test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
