@@ -1198,7 +1198,52 @@ final class GraftTable private (
     // are already on disk — only the manifest commit repeats. Overwrite
     // and OPTIMIZE/DELETE/MERGE/etc stay single-attempt: their file list
     // was derived from a snapshot a concurrent commit may invalidate.
-    if (mode == SaveMode.Append) retryOnConflict()(attempt()) else attempt()
+    val v = if (mode == SaveMode.Append) retryOnConflict()(attempt()) else attempt()
+    maybeAutoCompact(added.map(_._1))
+    v
+  }
+
+  /** Post-commit auto-compaction (Delta autoCompact parity, opt-in via
+    * `TBLPROPERTIES ('graft.autoCompact' = 'true')`): when a partition
+    * this write touched has accumulated at least
+    * `graft.autoCompact.minNumFiles` (default 8) live files below 1/8
+    * of the OPTIMIZE target size, compact EXACTLY those partitions with
+    * a scoped OPTIMIZE — streaming/micro-batch ingest then self-heals
+    * its small-file debt right where it accrues instead of waiting for
+    * a table-wide maintenance pass. Best-effort: a compaction lost to a
+    * concurrent commit is dropped (the next write retriggers), never
+    * failing the write that landed. */
+  private def maybeAutoCompact(justAdded: Seq[String]): Unit = {
+    val props = properties
+    if (!props.get("graft.autoCompact").exists(_.equalsIgnoreCase("true")))
+      return
+    val minFiles = props.get("graft.autoCompact.minNumFiles")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
+    val smallCut = GraftTable.DefaultTargetFileSizeBytes / 8
+    val snap = snapshotAt(currentVersion)
+    def partOf(f: String): String = f.lastIndexOf('/') match {
+      case -1 => ""
+      case i => f.take(i)
+    }
+    val touched = justAdded.map(partOf).toSet
+    val smallByPart = snap.files
+      .filter(f => touched(partOf(f)))
+      .filter(f => snap.sizes.get(f).forall(_ < smallCut))
+      .groupBy(partOf)
+      .filter(_._2.size >= minFiles)
+    if (smallByPart.isEmpty) return
+    val where =
+      if (partitionColumns.isEmpty) None
+      else Some(smallByPart.keys.map { dir =>
+        dir.split('/').filter(_.contains('=')).map { kv =>
+          val i = kv.indexOf('=')
+          val c = kv.take(i)
+          val value = java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+          if (value == "__HIVE_DEFAULT_PARTITION__") s"$c IS NULL"
+          else s"$c = '${value.replace("'", "''")}'"
+        }.mkString("(", " AND ", ")")
+      }.mkString(" OR "))
+    scala.util.Try(optimize(Nil, where = where))
   }
 
   /** Bounded retry for append-like commits losing the version race. A

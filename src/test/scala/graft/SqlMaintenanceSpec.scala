@@ -162,6 +162,30 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(shown.get("pipeline.owner").contains("data-eng"))
   }
 
+  test("autoCompact property self-heals small-file debt in the touched partition") {
+    val (t, path) = freshTable("sqlm_autocompact")
+    val aapl = bars.filter(col("ticker") === "AAPL" &&
+      col("trade_date") === bars.select(max(col("trade_date"))).collect()(0).getDate(0))
+    t.write(aapl.repartition(1))
+    // without the property: appends accumulate files, nothing compacts
+    (1 to 9).foreach(_ => t.write(aapl.repartition(1),
+      org.apache.spark.sql.SaveMode.Append))
+    val before = t.manifestFiles().size
+    assert(before >= 10)
+    assert(!t.history().select("operation").collect()
+      .map(_.getString(0)).contains("OPTIMIZE"))
+    // with it: the next append trips the threshold and compacts the
+    // touched partition down to one file
+    t.setProperties(Map("graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "8"))
+    val rows = t.read().count()
+    t.write(aapl.repartition(1), org.apache.spark.sql.SaveMode.Append)
+    assert(t.manifestFiles().size < before)
+    assert(t.history().select("operation").collect()
+      .map(_.getString(0)).contains("OPTIMIZE"))
+    assert(t.read().count() == rows + aapl.count(), "compaction loses no rows")
+  }
+
   test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
     val (t, path) = freshTable("sqlm_reorg")
     t.write(bars.repartition(2))
