@@ -509,13 +509,15 @@ final class GraftTable private (
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
-      newProperties: Option[Map[String, String]] = None): Long =
+      newProperties: Option[Map[String, String]] = None,
+      preCommitCheck: Long => Unit = _ => ()): Long =
     retryOnConflict()(commit(operation, added.map(_._1), metrics,
       addSizes = added.toMap,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
       newProperties = newProperties,
       removes = { base =>
+        preCommitCheck(base)
         val nowLive = manifestFiles(base)
         val gone = inputs.filterNot(nowLive.toSet)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
@@ -977,6 +979,9 @@ final class GraftTable private (
   /** ALTER TABLE SET TBLPROPERTIES (k=v, …) as one commit. */
   def setProperties(props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
+    val reserved = props.keys.filter(_.startsWith("graft.identity."))
+    require(reserved.isEmpty,
+      s"identity metadata is system-managed: ${reserved.mkString(", ")}")
     commitRewrite("SET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
       newProperties = Some(properties ++ props))
@@ -988,6 +993,86 @@ final class GraftTable private (
     commitRewrite("UNSET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> keys.sorted.mkString(",")),
       newProperties = Some(properties -- keys))
+  }
+
+  // ---- identity columns (Delta GENERATED ALWAYS AS IDENTITY parity) ----
+  //
+  // Metadata lives in reserved TBLPROPERTIES (`graft.identity.<col>` =
+  // "start,step,highWaterMark"), versioned with every commit like all
+  // properties. Semantics are GENERATED ALWAYS: the engine assigns
+  // every value — user-supplied values are rejected on write, UPDATE of
+  // an identity column is rejected, and MERGE fills the column only for
+  // inserted rows. Values are unique and move in `step` direction but
+  // are NOT gap-free (Delta's identity contract): each batch allocates
+  // a contiguous range above the high-water mark and the mark advances
+  // in the SAME commit; a concurrent writer racing the allocation
+  // aborts with ConcurrentModificationException (Delta likewise
+  // serializes identity-generating transactions). RESTORE restores the
+  // old mark along with the data — the same caveat Delta documents.
+
+  /** name → (start, step, highWaterMark) from the reserved properties. */
+  def identityColumns: Map[String, (Long, Long, Long)] =
+    properties.collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val parts = v.split(',')
+        k.stripPrefix("graft.identity.") ->
+          (parts(0).toLong, parts(1).toLong, parts(2).toLong)
+    }
+
+  /** ALTER TABLE ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY:
+    * adds the column (metadata-only, existing rows read NULL — they
+    * predate the identity) and registers the generator. */
+  def addIdentityColumn(name: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0, "identity step must be nonzero")
+    addColumn(name, org.apache.spark.sql.types.LongType)
+    commitRewrite("ADD IDENTITY", Nil, Nil,
+      Map("name" -> name, "start" -> start.toString, "step" -> step.toString),
+      newProperties = Some(properties +
+        (s"graft.identity.$name" -> s"$start,$step,${start - step}")))
+  }
+
+  /** Fill NULL identity values of `df` with a fresh contiguous range per
+    * column and return the filled frame plus the commit-closure guard:
+    * `newProperties` advancing each mark, and a check that the CLAIMED
+    * predecessor's marks still match what this allocation read (a
+    * concurrent identity write moved them ⇒ the baked values could
+    * collide ⇒ abort). Costs one extra pass over `df` per identity
+    * column (the range needs the row count). */
+  private def assignIdentity(df: DataFrame)
+      : (DataFrame, Option[Map[String, String]], Long => Unit) = {
+    val ids = identityColumns
+    if (ids.isEmpty) return (df, None, _ => ())
+    var out = ids.keys.filterNot(df.columns.contains)
+      .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("bigint")))
+    var props = properties
+    ids.foreach { case (c, (start, step, hwm)) =>
+      val toFill = out.filter(col(c).isNull)
+      val n = toFill.count()
+      if (n > 0) {
+        // window over a constant key would single-partition the batch;
+        // zipWithIndex keeps the existing partitioning (one extra job)
+        val schema = out.schema
+        val idx = schema.fieldIndex(c)
+        val filledRdd = toFill.rdd.zipWithIndex().map { case (row, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq.updated(idx, hwm + step * (i + 1)))
+        }
+        val filled = spark.createDataFrame(filledRdd, schema)
+        out = out.filter(col(c).isNotNull).unionByName(filled)
+        props = props.updated(s"graft.identity.$c",
+          s"$start,$step,${hwm + step * n}")
+      }
+    }
+    val expected = ids.map { case (k, v) => s"graft.identity.$k" ->
+      s"${v._1},${v._2},${v._3}" }
+    val guard: Long => Unit = { base =>
+      val baseProps = propertiesOf(base)
+      val moved = expected.keys.filter(k => baseProps.get(k) != expected.get(k))
+      if (moved.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"identity allocation aborted: ${moved.mkString(", ")} advanced " +
+        "under a concurrent write; re-run against the new snapshot")
+    }
+    (out, if (props == properties) None else Some(props), guard)
   }
 
   /** One validation job over rows about to be committed. */
@@ -1088,7 +1173,15 @@ final class GraftTable private (
       extraMetrics: Map[String, String] = Map.empty): Long = {
     // absent generated columns complete BEFORE schema enforcement (the
     // completed column is part of the incoming schema, not a mismatch)
-    val df0 = applyGenerated(df)
+    val df0g = applyGenerated(df)
+    // identity columns are GENERATED ALWAYS: user-supplied values are
+    // rejected; absent/NULL values fill from the high-water mark (the
+    // mark advances in this write's own commit, guarded below)
+    identityColumns.keys.filter(df0g.columns.contains).foreach { c =>
+      require(df0g.filter(col(c).isNotNull).isEmpty,
+        s"column $c is GENERATED ALWAYS AS IDENTITY; values cannot be supplied")
+    }
+    val (df0, idProps, idGuard) = assignIdentity(df0g)
     // schema enforcement applies to OVERWRITE too (Delta behavior: an
     // accidental overwrite with a different schema must not silently
     // replace the table schema); `overwriteSchema = true` is the
@@ -1184,13 +1277,16 @@ final class GraftTable private (
       // table writes one action line), and the claim race keeps
       // concurrent commits' actions ordered
       case SaveMode.Append => commit("APPEND", added.map(_._1), metrics,
-        addSizes = added.toMap, newColMap = nextMap, newSchema = nextSchema)
+        addSizes = added.toMap, newColMap = nextMap, newSchema = nextSchema,
+        newProperties = idProps,
+        removes = base => { idGuard(base); Nil })
       // overwrite removes the CLAIMED predecessor's whole live set —
       // inherently O(live-files), as the operation's semantics demand
       case _ => commit("WRITE", added.map(_._1), metrics,
         addSizes = added.toMap,
-        removes = base => manifestFiles(base),
-        newColMap = nextMap, newSchema = nextSchema)
+        removes = base => { idGuard(base); manifestFiles(base) },
+        newColMap = nextMap, newSchema = nextSchema,
+        newProperties = idProps)
     }
     // blind appends are commutative: a losing concurrent writer re-reads
     // the new current manifest and re-commits ITS files on top (Delta's
@@ -1878,6 +1974,9 @@ final class GraftTable private (
     val schemaCols = read().columns.toSet
     val unknown = set.keySet -- schemaCols
     require(unknown.isEmpty, s"UPDATE of unknown columns: ${unknown.mkString(", ")}")
+    val idTouched = identityColumns.keySet & set.keySet
+    require(idTouched.isEmpty,
+      s"cannot UPDATE identity columns: ${idTouched.mkString(", ")}")
     val matches = coalesce(cond, lit(false))
     val dvRead = dvOf(currentVersion)
     val affected = affectedFiles(matches, dvRead)
@@ -2010,6 +2109,18 @@ final class GraftTable private (
     if (hasAllClause) require(missing.isEmpty,
       s"MERGE source lacks target columns: ${missing.mkString(", ")} " +
       "(required by UPDATE ALL / INSERT ALL clauses)")
+    val idCols = identityColumns.keySet
+    if (idCols.nonEmpty) {
+      val idAssigned = (matched.flatMap(_.set).flatMap(_.keys) ++
+        notMatched.flatMap(_.set).flatMap(_.keys) ++
+        notMatchedBySource.flatMap(_.set).flatMap(_.keys)).toSet & idCols
+      require(idAssigned.isEmpty,
+        s"cannot assign identity columns in MERGE: ${idAssigned.mkString(", ")}")
+      require(!hasAllClause,
+        "UPDATE ALL / INSERT ALL is unsupported on identity tables " +
+        "(identity values are engine-assigned, never source-copied); " +
+        "use explicit assignment clauses")
+    }
     require(keys.forall(k => source.columns.contains(k._2)),
       s"MERGE source lacks key columns: ${keys.map(_._2).filterNot(source.columns.contains).mkString(", ")}")
     require(keys.forall(k => tgt.columns.contains(k._1)),
@@ -2170,7 +2281,11 @@ final class GraftTable private (
       else d.withColumn(g, when(col("__nmi").isin(omitted: _*),
         expr(e).cast(types(g))).otherwise(col(g)))
     }.drop("__nmi")
-    val out = rewritten.map(_.unionByName(inserts)).getOrElse(inserts)
+    // identity fills apply to INSERTED rows only: rewritten rows keep
+    // their existing values, and legacy NULLs (rows predating the
+    // identity column) stay NULL exactly as Delta leaves them
+    val (insertsId, idProps, idGuard) = assignIdentity(inserts)
+    val out = rewritten.map(_.unionByName(insertsId)).getOrElse(insertsId)
     // every written row now carries a value for each generated column
     // (copied, recomputed, or explicitly assigned): validate the set
     generatedColumns.foreach { case (name, e) =>
@@ -2183,7 +2298,8 @@ final class GraftTable private (
     val added = appendDataFiles(toPhysicalStrict(out))
     commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString), readDv = dvNow)
+      "numFilesAdded" -> added.size.toString), readDv = dvNow,
+      newProperties = idProps, preCommitCheck = idGuard)
   }
 
   /** Change data feed between two committed versions (Delta CDF parity

@@ -70,6 +70,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""".r
   private val ReorgRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
+  private val IdentityRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+BIGINT\\s+GENERATED\\s+ALWAYS\\s+AS\\s+IDENTITY(?:\\s*\\(\\s*START\\s+WITH\\s+(-?\\d+)\\s+INCREMENT\\s+BY\\s+(-?\\d+)\\s*\\))?\\s*;?\\s*$$""".r
   private val AddConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private val DropConstraintRe =
@@ -91,6 +93,10 @@ object GraftSqlParser {
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
     case DetailRe(tbl) => Some(GraftDetailCommand(tbl))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
+    case IdentityRe(tbl, name, start, step) =>
+      Some(GraftAddIdentityCommand(tbl, name,
+        Option(start).map(_.toLong).getOrElse(1L),
+        Option(step).map(_.toLong).getOrElse(1L)))
     case AddConstraintRe(tbl, name, expr) =>
       Some(GraftAddConstraintCommand(tbl, name, expr.trim))
     case DropConstraintRe(tbl, name) =>
@@ -145,6 +151,14 @@ object GraftSqlParser {
     require(prefix.isEmpty || prefix == "graft" || prefix == "parquet",
       s"unknown catalog '$prefix' in table reference $tbl")
     trimmed.substring(tick + 1, trimmed.length - 1)
+  }
+}
+
+case class GraftAddIdentityCommand(table: String, name: String,
+    start: Long, step: Long) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(session, table).addIdentityColumn(name, start, step)
+    Nil
   }
 }
 

@@ -536,6 +536,65 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("identity columns: unique engine-assigned values, ALWAYS semantics, merge fills inserts only") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_identity").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "s").repartition(4))
+    t.addIdentityColumn("rid", start = 100L, step = 2L)
+    // rows predating the column read NULL (no backfill — Delta behavior)
+    assert(t.read().filter(col("rid").isNotNull).count() == 0)
+
+    // appends WITHOUT the column get assigned unique values from the mark
+    t.write((50 until 80).map(i => (i.toLong, s"r$i")).toDF("k", "s"),
+      org.apache.spark.sql.SaveMode.Append)
+    val first = t.read().filter(col("rid").isNotNull)
+      .select("rid").as[Long].collect().sorted
+    assert(first.length == 30 && first.distinct.length == 30)
+    assert(first.head >= 100L && first.forall(v => (v - 100L) % 2 == 0))
+
+    // a second append continues ABOVE the advanced mark
+    t.write((80 until 90).map(i => (i.toLong, s"r$i")).toDF("k", "s"),
+      org.apache.spark.sql.SaveMode.Append)
+    val all = t.read().filter(col("rid").isNotNull)
+      .select("rid").as[Long].collect()
+    assert(all.length == 40 && all.distinct.length == 40)
+    assert(all.max >= first.max + 2L)
+
+    // GENERATED ALWAYS: user-supplied values are rejected on write,
+    // UPDATE of the column is rejected
+    intercept[IllegalArgumentException] {
+      t.write(Seq((99L, "x", 7L)).toDF("k", "s", "rid"),
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    intercept[IllegalArgumentException] {
+      t.update(col("k") === 0L, Map("rid" -> lit(1L)))
+    }
+
+    // MERGE: inserted rows get fresh ids; matched rows keep theirs;
+    // ALL-clauses and explicit identity assignment are rejected
+    val src = Seq((60L, "upd"), (990L, "new"), (991L, "new2")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      t.mergeInto(src, Seq("k")).whenNotMatchedInsertAll().execute()
+    }
+    val beforeIds = t.read().filter(col("k") === 60L)
+      .select("rid").as[Long].collect().toSet
+    t.mergeInto(src, Seq("k"))
+      .whenMatchedUpdate(Map("s" -> col("source.s")))
+      .whenNotMatchedInsert(Map("k" -> col("source.k"), "s" -> col("source.s")))
+      .execute()
+    val afterIds = t.read().filter(col("k") === 60L)
+      .select("rid").as[Long].collect().toSet
+    assert(afterIds == beforeIds, "matched rows keep their identity values")
+    val newIds = t.read().filter(col("k") >= 990L)
+      .select("rid").as[Long].collect()
+    assert(newIds.length == 2 && newIds.forall(_ > all.max))
+    val everything = t.read().filter(col("rid").isNotNull)
+      .select("rid").as[Long].collect()
+    assert(everything.length == everything.distinct.length,
+      "identity values stay globally unique")
+  }
+
   test("merge differential: random clause sets match a driver-side reference (seeded)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)

@@ -186,6 +186,18 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.read().count() == rows + aapl.count(), "compaction loses no rows")
   }
 
+  test("ADD COLUMN ... GENERATED ALWAYS AS IDENTITY through SQL") {
+    val (t, path) = freshTable("sqlm_identity")
+    t.write(bars.repartition(2))
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMN row_id BIGINT " +
+      "GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 10)")
+    assert(t.identityColumns == Map("row_id" -> ((1000L, 10L, 990L))))
+    t.write(bars.limit(5), org.apache.spark.sql.SaveMode.Append)
+    val ids = t.read().filter(col("row_id").isNotNull)
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 5 && ids.head == 1000L && ids.distinct.length == 5)
+  }
+
   test("REORG TABLE ... APPLY (PURGE) materializes deletion vectors") {
     val (t, path) = freshTable("sqlm_reorg")
     t.write(bars.repartition(2))
