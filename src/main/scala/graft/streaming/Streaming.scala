@@ -215,6 +215,33 @@ object Streaming {
     "streaming_sessions"      -> streamingSessions _)
 
   val oracles: Map[String, String] = Map(
+    // flatMapGroupsWithState emits a session exactly when the FIRST
+    // event of the next session is processed, so over a finite source
+    // the output is every session EXCEPT each user's final (still-open)
+    // one — the batch gaps-and-islands sessionization minus the last
+    // island, which DuckDB replays exactly
+    "streaming_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x),
+        |agg AS (
+        |  SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+        |         COUNT(*) AS n_events,
+        |         MAX(ts_us) - MIN(ts_us) AS duration_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT a.user_id, a.session_id, a.n_events, a.duration_us
+        |FROM agg a
+        |WHERE a.session_id < (SELECT MAX(b.session_id) FROM agg b
+        |                      WHERE b.user_id = a.user_id)
+        |ORDER BY user_id, session_id""".stripMargin,
     "streaming_interval_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
         |       v.user_id,
