@@ -79,14 +79,20 @@ object Relational {
       .orderBy("event_type")
 
   /** Approximate distinct count (HLL++) next to the exact count — the
-    * scale-path cardinality estimator. Sketch output is
-    * implementation-defined → rows-only; RelationalSpec bounds the error. */
+    * scale-path cardinality estimator. The HLL sketch value itself is
+    * query emits the exact count plus the BOUND ASSERTION (approx
+    * within 10% of exact at rsd=0.02 — a ~5-sigma margin): DuckDB then
+    * hash-verifies that Spark's sketch actually met its contract,
+    * instead of the query being unverifiable rows-only. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.10).as("approx_within_10pct"))
       .orderBy("l_returnflag")
 
   /** Pivot: per-user event-type counts as columns. */
@@ -135,6 +141,10 @@ object Relational {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS approx_within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "having_filter" ->
       """SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
         |FROM orders GROUP BY 1 HAVING COUNT(*) >= 12 ORDER BY 1""".stripMargin,
@@ -142,7 +152,6 @@ object Relational {
       """SELECT event_type, quantile_cont(value, 0.25) AS q25,
         |       quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.75) AS q75
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    // approx_distinct: HLL sketch values are implementation-defined → rows-only
     "pivot_counts" ->
       """SELECT user_id,
         |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
