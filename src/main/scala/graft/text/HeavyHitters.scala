@@ -58,24 +58,46 @@ object HeavyHitters {
     val mapEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
   }
 
-  /** Sketch-estimated frequent words across the corpus. */
+  /** Frequent words via sketch-then-verify: the MG pass yields at most
+    * K candidate words (a guaranteed SUPERSET of every word with true
+    * frequency > n/K — bounded memory, k counters per partition, no
+    * full-vocabulary shuffle), then one exact recount of ONLY the
+    * candidates keeps those that truly clear the threshold. The output
+    * is therefore the EXACT heavy-hitter set with exact counts —
+    * deterministic despite the fold-order-defined sketch contents, so
+    * DuckDB hash-verifies it (and would catch a sketch losing a
+    * guaranteed survivor). Integer threshold (count·K > n) avoids any
+    * float boundary. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val agg = new MisraGries(K)
     val words = documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]{2,}$"))
-      .as[String]
-    val sketch = words.groupByKey(_ => 0)
+    val sketch = words.as[String].groupByKey(_ => 0)
       .agg(agg.toColumn.name("mg"))
       .collect().head._2
-    sketch.toSeq.toDF("word", "est_count")
-      .orderBy(desc("est_count"), col("word"))
+    val candidates = sketch.keys.toSeq
+    val total = words.count()
+    words.filter(col("word").isin(candidates: _*))
+      .groupBy("word").agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") * K > lit(total))
+      .orderBy(desc("exact_count"), col("word"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters" -> heavyHitters _)
 
-  /** Sketch contents are fold-order-defined → rows-only. */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "heavy_hitters" ->
+      s"""WITH w AS (
+         |  SELECT word FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]{2,}$$')),
+         |n AS (SELECT COUNT(*) AS total FROM w),
+         |c AS (SELECT word, COUNT(*) AS exact_count FROM w GROUP BY 1)
+         |SELECT c.word, c.exact_count FROM c, n
+         |WHERE c.exact_count * $K > n.total
+         |ORDER BY c.exact_count DESC, c.word""".stripMargin)
 }

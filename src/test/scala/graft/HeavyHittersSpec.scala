@@ -7,19 +7,21 @@ class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
 
   test("MG sketch keeps every true heavy hitter, estimates within n/k") {
-    val words = graft.tables.Tables.documents(spark, sf)
+    val wordsDf = graft.tables.Tables.documents(spark, sf)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]{2,}$"))
-      .as[String].collect()
+    val words = wordsDf.as[String].collect()
     val n = words.length.toLong
     val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
     val bound = n / HeavyHitters.K
 
-    val sketch = HeavyHitters.heavyHitters(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw sketch (the query's internal candidate pass)
+    val agg = new HeavyHitters.MisraGries(HeavyHitters.K)
+    val sketch = wordsDf.as[String].groupByKey(_ => 0)
+      .agg(agg.toColumn.name("mg")).collect().head._2
 
     assert(sketch.size <= HeavyHitters.K)
-    // guarantee 1: every item with true count > n/k survives
+    // guarantee 1: every item with true count > n/k survives the sketch
     val mustKeep = exact.filter(_._2 > bound).keySet
     assert(mustKeep.subsetOf(sketch.keySet),
       s"missing heavy hitters: ${mustKeep -- sketch.keySet}")
@@ -30,6 +32,13 @@ class HeavyHittersSpec extends SparkSpec {
       assert(est <= truth, s"$w overestimated: $est > $truth")
       assert(truth - est <= bound, s"$w underestimated beyond n/k")
     }
+
+    // the QUERY (sketch candidates → exact recount → threshold) returns
+    // EXACTLY the true heavy hitters with exact counts
+    val result = HeavyHitters.heavyHitters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = exact.filter { case (_, c) => c * HeavyHitters.K > n }
+    assert(result == expected)
   }
 
   test("sketch is deterministic across runs on the same input") {
