@@ -326,8 +326,30 @@ object TextAnalysis {
          |    WHEN hits_zh > 0 AND hits_zh >= hits_en AND hits_zh >= hits_fr AND hits_zh >= hits_es AND hits_zh >= hits_de THEN 'zh'
          |    ELSE 'und' END AS predicted_lang
          |FROM h ORDER BY doc_id""".stripMargin,
-    // doc_fingerprint: custom expression — no SQL equivalent (rows-only);
-    // golden values asserted in TextAnalysisSpec.
+    // doc_fingerprint: the winnowing kernel is pure polynomial
+    // arithmetic over ASCII code units mod 2^61-1, so DuckDB replays it
+    // exactly with HUGEINT folds (list_reduce's first element doubles
+    // as the 0*B+c1 seed); positions 1..n-k+1, whole string when n<=k
+    "doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text AS t1,
+        |                  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t2
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(t1) = 0 THEN 0 ELSE CAST(list_min(list_transform(
+        |    range(1, greatest(length(t1) - 6, 2)),
+        |    i -> list_reduce(
+        |      list_transform(string_split(substring(t1, CAST(i AS INTEGER), 8), ''),
+        |                     c -> CAST(ord(c) AS HUGEINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2305843009213693951))) AS BIGINT)
+        |  END AS fingerprint,
+        |  CASE WHEN length(t2) = 0 THEN 0 ELSE CAST(list_min(list_transform(
+        |    range(1, greatest(length(t2) - 6, 2)),
+        |    i -> list_reduce(
+        |      list_transform(string_split(substring(t2, CAST(i AS INTEGER), 8), ''),
+        |                     c -> CAST(ord(c) AS HUGEINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2305843009213693951))) AS BIGINT)
+        |  END AS normalized_fingerprint
+        |FROM d ORDER BY doc_id""".stripMargin,
     "trigram_topk" ->
       """WITH g AS (
         |  SELECT lang, unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
