@@ -25,14 +25,26 @@ object Sampling {
   val Fractions: Map[String, Double] =
     Map("en" -> 0.5, "fr" -> 1.0, "es" -> 1.0, "de" -> 1.0, "zh" -> 1.0)
 
+  /** The sampled COUNT is Spark-RNG-dependent, so the query emits the
+    * population plus the BOUND ASSERTION instead: fraction-1.0 strata
+    * must sample exactly, the Bernoulli stratum must land within
+    * 6·sd + 5 of its expectation (a ~6-sigma margin) — DuckDB then
+    * hash-verifies that sampleBy met its contract per stratum. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     val sampled = docs.stat.sampleBy("lang", Fractions, 42L)
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    val frac = coalesce(
+      element_at(typedLit(Fractions), col("lang")), lit(0.0))
     docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
       .join(sampled, Seq("lang"), "left")
       .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
-      .select("lang", "n_total", "n_sampled")
+      .withColumn("tol", when(frac === 1.0 || frac === 0.0, lit(0.0))
+        .otherwise(lit(6.0) * sqrt(col("n_total") * frac * (lit(1.0) - frac))
+          + lit(5.0)))
+      .select(col("lang"), col("n_total"),
+        (abs(col("n_sampled") - frac * col("n_total")) <= col("tol"))
+          .as("sampled_ok"))
       .orderBy("lang")
   }
 
@@ -52,8 +64,9 @@ object Sampling {
     "hash_split"        -> hashSplit _)
 
   val oracles: Map[String, String] = Map(
-    // stratified_sample: Spark-RNG-dependent → rows-only; SamplingSpec
-    // pins per-stratum proportions and determinism under the fixed seed.
+    "stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total, TRUE AS sampled_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_split" ->
       """SELECT doc_id,
         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

@@ -6,11 +6,17 @@ import graft.queries.Sampling
 class SamplingSpec extends SparkSpec {
 
   test("stratified sample hits per-stratum fractions and is seed-stable") {
-    val a = Sampling.stratifiedSample(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // non-downsampled strata keep every row; 'en' lands near 50%
+    // raw sampleBy counts (what the query audits internally)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    def counts() = docs.stat.sampleBy("lang", Sampling.Fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = counts()
     Sampling.Fractions.foreach { case (lang, frac) =>
-      a.get(lang).foreach { case (total, sampled) =>
+      totals.get(lang).foreach { total =>
+        val sampled = a.getOrElse(lang, 0L)
         if (frac == 1.0) assert(sampled == total, lang)
         else {
           val ratio = sampled.toDouble / total
@@ -19,9 +25,11 @@ class SamplingSpec extends SparkSpec {
       }
     }
     // same seed → identical sample on rerun
-    val b = Sampling.stratifiedSample(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(a == b)
+    assert(a == counts())
+    // the query's per-stratum bound assertion holds everywhere
+    val audit = Sampling.stratifiedSample(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r => assert(r.getBoolean(2), s"bound failed for ${r.getString(0)}"))
   }
 
   test("hash split is deterministic, exhaustive, and ~81/19") {
