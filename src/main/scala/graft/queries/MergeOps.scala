@@ -95,11 +95,98 @@ object MergeOps {
     }
   }
 
+  /** Targeted overwrite (Delta `replaceWhere`): seed from `orders`
+    * hive-partitioned by status, then (1) replace the 'O' partition
+    * wholesale via the partition-predicate fast path — files resolved
+    * from hive paths alone, nothing read — and (2) replace a
+    * key-derived row slice via the data-predicate path — only files
+    * holding matching rows rewritten, their other rows kept. The end
+    * state is relational, so DuckDB hash-verifies both paths. */
+  def replaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_replace_where")
+    try {
+      val t = GraftTable(spark, path.toString, Seq("status"))
+      val seed = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("price"))
+      t.write(seed.repartition(4))
+      // partition fast path: swap the whole 'O' slice, prices doubled
+      t.write(seed.filter(col("status") === "O")
+          .withColumn("price", col("price") * 2),
+        org.apache.spark.sql.SaveMode.Overwrite,
+        replaceWhere = Some("status = 'O'"))
+      // data-predicate path: +1 on a key-derived slice across partitions
+      t.write(t.read().filter(col("o_orderkey") % 10 === 3)
+          .withColumn("price", col("price") + 1),
+        org.apache.spark.sql.SaveMode.Overwrite,
+        replaceWhere = Some("o_orderkey % 10 = 3"))
+      val out = t.read()
+        .select(col("o_orderkey"), col("status"),
+          round(col("price"), 2).as("price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("o_orderkey")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
+  }
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
+    * rewrite ONLY the partitions the incoming frame lands in — here the
+    * 'F' slice at tripled price — while untouched partitions carry over
+    * unread. */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_dyn_overwrite")
+    try {
+      val t = GraftTable(spark, path.toString, Seq("status"))
+      val seed = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("double").as("price"))
+      t.write(seed.repartition(4))
+      t.write(seed.filter(col("status") === "F")
+          .withColumn("price", col("price") * 3),
+        org.apache.spark.sql.SaveMode.Overwrite,
+        dynamicPartitionOverwrite = true)
+      val out = t.read()
+        .select(col("o_orderkey"), col("status"),
+          round(col("price"), 2).as("price"))
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("o_orderkey")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_sync" -> mergeSync _,
-    "merge_cond" -> mergeCond _)
+    "merge_cond" -> mergeCond _,
+    "replace_where" -> replaceWhere _,
+    "dynamic_overwrite" -> dynamicOverwrite _)
 
   val oracles: Map[String, String] = Map(
+    "replace_where" ->
+      """SELECT o_orderkey,
+        |       o_orderstatus AS status,
+        |       round(CASE WHEN o_orderstatus = 'O'
+        |                  THEN CAST(o_totalprice AS DOUBLE) * 2
+        |                  ELSE CAST(o_totalprice AS DOUBLE) END
+        |             + CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END,
+        |             2) AS price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "dynamic_overwrite" ->
+      """SELECT o_orderkey,
+        |       o_orderstatus AS status,
+        |       round(CASE WHEN o_orderstatus = 'F'
+        |                  THEN CAST(o_totalprice AS DOUBLE) * 3
+        |                  ELSE CAST(o_totalprice AS DOUBLE) END, 2) AS price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "merge_cond" ->
       """SELECT o_orderkey AS okey,
         |       o_orderstatus AS status,

@@ -161,7 +161,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
   /** Hive partition columns: manifest paths, or the CREATE TABLE record
     * for a still-empty table. */
@@ -208,9 +209,26 @@ final case class GraftV2Table(spark: SparkSession, path: String,
     require(versionAsOf.isEmpty,
       s"cannot write to a time-travel relation ($name)")
     new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var overwrite = false
+      private var overwriteFilters: Array[Filter] = Array.empty
+      private var dynamic = false
       override def truncate(): this.type = { overwrite = true; this }
+      /** `INSERT OVERWRITE … PARTITION (p = v)` under static overwrite
+        * mode: the partition spec arrives as filters — mapped onto the
+        * replaceWhere commit (replace exactly the matching files). An
+        * AlwaysTrue-only filter set is a plain truncate. */
+      override def overwrite(filters: Array[Filter]): this.type = {
+        overwrite = true
+        overwriteFilters = filters.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+        this
+      }
+      override def overwriteDynamicPartitions(): this.type = {
+        dynamic = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
@@ -220,9 +238,16 @@ final case class GraftV2Table(spark: SparkSession, path: String,
               // snapshot): hive partitioning carries over on append
               val t = GraftTable(data.sparkSession, path,
                 hivePartitionCols(table.currentVersion))
-              t.write(data, if (overwrite)
-                org.apache.spark.sql.SaveMode.Overwrite
-              else org.apache.spark.sql.SaveMode.Append)
+              if (dynamic)
+                t.write(data, org.apache.spark.sql.SaveMode.Overwrite,
+                  dynamicPartitionOverwrite = true)
+              else t.write(data,
+                if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+                else org.apache.spark.sql.SaveMode.Append,
+                replaceWhere =
+                  if (overwriteFilters.isEmpty) None
+                  else Some(overwriteFilters.map(GraftFilters.toSql)
+                    .mkString("(", ") AND (", ")")))
               ()
             }
         }

@@ -128,10 +128,27 @@ final class GraftDataSource extends RelationProvider
         throw new IllegalStateException(s"graft table already exists at $path")
       case SaveMode.Ignore if table.currentVersion >= 0 => ()
       case m =>
-        table.write(data,
-          if (m == SaveMode.Append) SaveMode.Append else SaveMode.Overwrite,
+        val effMode =
+          if (m == SaveMode.Append) SaveMode.Append else SaveMode.Overwrite
+        val replaceWhere = parameters.get("replaceWhere").map(_.trim)
+          .filter(_.nonEmpty)
+        // the explicit writer option beats the session conf (Delta's
+        // precedence for spark.sql.sources.partitionOverwriteMode);
+        // replaceWhere beats a conf-level dynamic mode but conflicts
+        // with an explicitly dynamic option
+        val explicitDpo = parameters.get("partitionOverwriteMode")
+          .map(_.equalsIgnoreCase("dynamic"))
+        require(!(replaceWhere.isDefined && explicitDpo.contains(true)),
+          "replaceWhere and partitionOverwriteMode=dynamic cannot be combined")
+        val dynamic = effMode != SaveMode.Append && replaceWhere.isEmpty &&
+          explicitDpo.getOrElse(sqlContext.sparkSession.conf
+            .getOption("spark.sql.sources.partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic")))
+        table.write(data, effMode,
           mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
-          overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
+          overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
+          replaceWhere = replaceWhere,
+          dynamicPartitionOverwrite = dynamic)
     }
     createRelation(sqlContext, parameters)
   }
@@ -331,5 +348,50 @@ private[sources] object GraftFilters {
     case _: AlwaysTrue => Some(lit(true))
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
+  }
+
+  /** Render a pushed filter as SQL text — the bridge from `INSERT
+    * OVERWRITE … PARTITION (p = v)`'s static spec to the replaceWhere
+    * commit. Unsupported shapes throw: replacing the WRONG files on a
+    * silent mistranslation is never acceptable. */
+  def toSql(f: Filter): String = f match {
+    case EqualTo(a, v) => s"`$a` = ${litSql(v)}"
+    case EqualNullSafe(a, v) => s"`$a` <=> ${litSql(v)}"
+    case GreaterThan(a, v) => s"`$a` > ${litSql(v)}"
+    case GreaterThanOrEqual(a, v) => s"`$a` >= ${litSql(v)}"
+    case LessThan(a, v) => s"`$a` < ${litSql(v)}"
+    case LessThanOrEqual(a, v) => s"`$a` <= ${litSql(v)}"
+    case In(a, vs) => s"`$a` IN (${vs.map(litSql).mkString(", ")})"
+    case IsNull(a) => s"`$a` IS NULL"
+    case IsNotNull(a) => s"`$a` IS NOT NULL"
+    case And(l, r) => s"(${toSql(l)}) AND (${toSql(r)})"
+    case Or(l, r) => s"(${toSql(l)}) OR (${toSql(r)})"
+    case Not(c) => s"NOT (${toSql(c)})"
+    case other => throw new IllegalArgumentException(
+      s"cannot express overwrite filter $other as a replaceWhere " +
+      "predicate; use the API write with an explicit replaceWhere option")
+  }
+
+  private def litSql(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      "'" + s.toString.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case t: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => n.toString
+    case n: Double => n.toString
+    case n: java.math.BigDecimal => n.toString
+    case n: BigDecimal => n.toString
+    case other => throw new IllegalArgumentException(
+      s"cannot render overwrite literal $other " +
+      s"(${other.getClass.getName}) as SQL")
   }
 }

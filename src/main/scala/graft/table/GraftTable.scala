@@ -345,7 +345,7 @@ final class GraftTable private (
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
       addSizes: Map[String, Long] = Map.empty,
-      newProperties: Option[Map[String, String]] = None): Long = {
+      newProperties: Option[Long => Map[String, String]] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -382,7 +382,7 @@ final class GraftTable private (
       newColMap: Option[Long => ColMap],
       newSchema: Option[Long => StructType],
       addSizes: Map[String, Long],
-      newProperties: Option[Map[String, String]] = None): Long = {
+      newProperties: Option[Long => Map[String, String]] = None): Long = {
     val removed = removes(v - 1)
     // every add records its byte size (Delta's AddFile.size): writers
     // that staged the files know it for free; adoption paths
@@ -399,7 +399,11 @@ final class GraftTable private (
     // O(files).
     val cs = newConstraints.getOrElse(constraints)
     val gen = newGenerated.getOrElse(generatedColumns)
-    val props = newProperties.getOrElse(properties)
+    // properties are a FUNCTION of the claimed base (like removes /
+    // dvChanges): a SET/UNSET delta recomputes over the predecessor that
+    // actually won the claim, so a concurrent property commit's keys
+    // survive instead of being reverted by a stale pre-claim snapshot
+    val props = newProperties.map(f => f(v - 1)).getOrElse(propertiesOf(v - 1))
     val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
     // physical schema carried forward when this commit doesn't change it
     // (legacy versions without a sidecar carry nothing — reads stay
@@ -509,7 +513,7 @@ final class GraftTable private (
       newGenerated: Option[Map[String, String]] = None,
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
-      newProperties: Option[Map[String, String]] = None,
+      newProperties: Option[Long => Map[String, String]] = None,
       preCommitCheck: Long => Unit = _ => ()): Long =
     retryOnConflict()(commit(operation, added.map(_._1), metrics,
       addSizes = added.toMap,
@@ -748,6 +752,44 @@ final class GraftTable private (
     (df.select(df.columns.toIndexedSeq.map(c => col(c).as(physOf(c))): _*), additions)
   }
 
+  /** Commit closure extending the CLAIMED predecessor's map with
+    * pre-chosen (logical → physical) additions: a concurrent rename's
+    * entries survive (physical names are stable, so the additions stay
+    * valid), and an addition a concurrent writer already registered is
+    * not duplicated. The data files were ALREADY written under the
+    * pre-claim physical names, so if the claimed base disagrees — a
+    * concurrent commit registered the same logical under a different
+    * physical, or took/retired a chosen physical — the commit must
+    * ABORT (the staged files would read back null or alias another
+    * column); the orphaned files await VACUUM and the caller re-runs
+    * against the new snapshot. */
+  private def colMapExtension(op: String,
+      mapAdds: Seq[(String, String)]): Long => ColMap = { base =>
+    val cm = colMapOf(base)
+    if (cm.isIdentity) cm // concurrent schema reset: stay identity
+    else {
+      val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
+      mapAdds.foreach { case (l, ph) =>
+        cm.physicalOf.get(l) match {
+          case Some(existing) if existing != ph =>
+            throw new java.util.ConcurrentModificationException(
+              s"$op aborted: concurrent commit mapped " +
+              s"column $l to physical $existing (this write staged $ph); " +
+              "re-run against the new snapshot")
+          case Some(_) => () // same mapping already registered
+          case None if taken(ph) =>
+            throw new java.util.ConcurrentModificationException(
+              s"$op aborted: physical name $ph for new " +
+              s"column $l was taken by a concurrent commit; re-run " +
+              "against the new snapshot")
+          case None => ()
+        }
+      }
+      cm.copy(entries = cm.entries ++
+        mapAdds.filterNot(a => cm.physicalOf.contains(a._1)))
+    }
+  }
+
   /** Rewrite frames derive from read() and can never ADD columns. */
   private def toPhysicalStrict(df: DataFrame): DataFrame = {
     val (phys, additions) = toPhysical(df, colMap)
@@ -984,15 +1026,21 @@ final class GraftTable private (
       s"identity metadata is system-managed: ${reserved.mkString(", ")}")
     commitRewrite("SET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
-      newProperties = Some(properties ++ props))
+      newProperties = Some(base => propertiesOf(base) ++ props))
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES (k, …) as one commit. */
   def unsetProperties(keys: Seq[String]): Long = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    // same reserved-prefix guard as setProperties: dropping an identity
+    // high-water mark would restart allocation at `start` and mint
+    // duplicate identity values
+    val reserved = keys.filter(_.startsWith("graft.identity."))
+    require(reserved.isEmpty,
+      s"identity metadata is system-managed: ${reserved.mkString(", ")}")
     commitRewrite("UNSET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> keys.sorted.mkString(",")),
-      newProperties = Some(properties -- keys))
+      newProperties = Some(base => propertiesOf(base) -- keys))
   }
 
   // ---- identity columns (Delta GENERATED ALWAYS AS IDENTITY parity) ----
@@ -1027,7 +1075,7 @@ final class GraftTable private (
     addColumn(name, org.apache.spark.sql.types.LongType)
     commitRewrite("ADD IDENTITY", Nil, Nil,
       Map("name" -> name, "start" -> start.toString, "step" -> step.toString),
-      newProperties = Some(properties +
+      newProperties = Some(base => propertiesOf(base) +
         (s"graft.identity.$name" -> s"$start,$step,${start - step}")))
   }
 
@@ -1039,12 +1087,16 @@ final class GraftTable private (
     * collide ⇒ abort). Costs one extra pass over `df` per identity
     * column (the range needs the row count). */
   private def assignIdentity(df: DataFrame)
-      : (DataFrame, Option[Map[String, String]], Long => Unit) = {
+      : (DataFrame, Option[Long => Map[String, String]], Long => Unit) = {
     val ids = identityColumns
     if (ids.isEmpty) return (df, None, _ => ())
     var out = ids.keys.filterNot(df.columns.contains)
       .foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("bigint")))
-    var props = properties
+    // only the moved identity keys are recorded, applied as a DELTA over
+    // the claimed base's properties — a concurrent non-identity
+    // SET TBLPROPERTIES survives this write's commit (the guard below
+    // still aborts if the identity marks themselves moved)
+    var delta = Map.empty[String, String]
     ids.foreach { case (c, (start, step, hwm)) =>
       val toFill = out.filter(col(c).isNull)
       val n = toFill.count()
@@ -1059,7 +1111,7 @@ final class GraftTable private (
         }
         val filled = spark.createDataFrame(filledRdd, schema)
         out = out.filter(col(c).isNotNull).unionByName(filled)
-        props = props.updated(s"graft.identity.$c",
+        delta = delta.updated(s"graft.identity.$c",
           s"$start,$step,${hwm + step * n}")
       }
     }
@@ -1072,7 +1124,8 @@ final class GraftTable private (
         s"identity allocation aborted: ${moved.mkString(", ")} advanced " +
         "under a concurrent write; re-run against the new snapshot")
     }
-    (out, if (props == properties) None else Some(props), guard)
+    val d = delta
+    (out, if (d.isEmpty) None else Some(base => propertiesOf(base) ++ d), guard)
   }
 
   /** One validation job over rows about to be committed. */
@@ -1170,7 +1223,23 @@ final class GraftTable private (
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       mergeSchema: Boolean = false,
       overwriteSchema: Boolean = false,
-      extraMetrics: Map[String, String] = Map.empty): Long = {
+      extraMetrics: Map[String, String] = Map.empty,
+      replaceWhere: Option[String] = None,
+      dynamicPartitionOverwrite: Boolean = false): Long = {
+    // targeted overwrites are PARTIAL: they never replace the table
+    // schema and never apply in append mode (Delta rejects the same
+    // combinations)
+    require(replaceWhere.isEmpty || mode != SaveMode.Append,
+      "replaceWhere requires SaveMode.Overwrite")
+    require(!dynamicPartitionOverwrite || mode != SaveMode.Append,
+      "dynamic partition overwrite requires SaveMode.Overwrite")
+    require(replaceWhere.isEmpty || !dynamicPartitionOverwrite,
+      "replaceWhere and dynamic partition overwrite cannot be combined")
+    require((replaceWhere.isEmpty && !dynamicPartitionOverwrite) || !overwriteSchema,
+      "overwriteSchema cannot apply to a partial (replaceWhere / dynamic " +
+      "partition) overwrite")
+    require(!dynamicPartitionOverwrite || partitionColumns.nonEmpty,
+      "dynamic partition overwrite needs a partitioned table")
     // absent generated columns complete BEFORE schema enforcement (the
     // completed column is part of the incoming schema, not a mismatch)
     val df0g = applyGenerated(df)
@@ -1211,6 +1280,14 @@ final class GraftTable private (
           (if (mode != SaveMode.Append) " or overwriteSchema=true to replace" else ""))
     }
     enforceConstraints(df0)
+    // every incoming row must satisfy the replaceWhere predicate (Delta
+    // rejects rows outside the replaced region) — checked BEFORE any
+    // file is staged
+    replaceWhere.foreach { w =>
+      val viol = df0.filter(!coalesce(expr(w), lit(false))).count()
+      require(viol == 0,
+        s"replaceWhere ($w): $viol incoming rows do not satisfy the predicate")
+    }
     // incoming LOGICAL columns land under their mapped PHYSICAL names;
     // mergeSchema-new columns extend the map (fresh physical when the
     // name was retired by a DROP — old files' values never resurrect).
@@ -1223,49 +1300,17 @@ final class GraftTable private (
     val nextMap: Option[Long => ColMap] =
       if (schemaReset) Some(_ => ColMap(Nil, Nil))
       else if (mapAdds.isEmpty) None
-      else Some { base =>
-        // extend the CLAIMED predecessor's map: a concurrent rename's
-        // entries survive (physical names are stable, so this write's
-        // additions stay valid), and an addition a concurrent writer
-        // already registered is not duplicated. The data files were
-        // ALREADY written under the pre-claim physical names, so if the
-        // claimed base disagrees with a pre-chosen name — a concurrent
-        // commit registered the same logical under a different physical,
-        // or took/retired our chosen physical — the commit must ABORT
-        // (the staged files would read back null or alias another
-        // column); the orphaned files await VACUUM and the caller
-        // re-runs against the new snapshot.
-        val cm = colMapOf(base)
-        if (cm.isIdentity) cm // concurrent schema reset: stay identity
-        else {
-          val taken = cm.entries.map(_._2).toSet ++ cm.retired.toSet
-          mapAdds.foreach { case (l, ph) =>
-            cm.physicalOf.get(l) match {
-              case Some(existing) if existing != ph =>
-                throw new java.util.ConcurrentModificationException(
-                  s"mergeSchema write aborted: concurrent commit mapped " +
-                  s"column $l to physical $existing (this write staged $ph); " +
-                  "re-run against the new snapshot")
-              case Some(_) => () // same mapping already registered
-              case None if taken(ph) =>
-                throw new java.util.ConcurrentModificationException(
-                  s"mergeSchema write aborted: physical name $ph for new " +
-                  s"column $l was taken by a concurrent commit; re-run " +
-                  "against the new snapshot")
-              case None => ()
-            }
-          }
-          cm.copy(entries = cm.entries ++
-            mapAdds.filterNot(a => cm.physicalOf.contains(a._1)))
-        }
-      }
+      else Some(colMapExtension("mergeSchema write", mapAdds))
     val added = appendDataFiles(physDf)
     val metrics =
       Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
-    // record the physical schema: append UNIONS new columns onto the
-    // base schema (mergeSchema evolution); overwrite REPLACES it
+    // record the physical schema: append and PARTIAL overwrites UNION
+    // new columns onto the base schema (mergeSchema evolution; a
+    // replaceWhere / dynamic overwrite leaves untouched partitions'
+    // columns intact); a full overwrite REPLACES it
+    val partialOverwrite = replaceWhere.isDefined || dynamicPartitionOverwrite
     val nextSchema: Option[Long => StructType] =
-      if (mode == SaveMode.Append) Some { base =>
+      if (mode == SaveMode.Append || partialOverwrite) Some { base =>
         val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
         val have = cur.fieldNames.toSet
         physDf.schema.fields.filterNot(f => have(f.name)).foldLeft(cur)(_ add _)
@@ -1280,6 +1325,74 @@ final class GraftTable private (
         addSizes = added.toMap, newColMap = nextMap, newSchema = nextSchema,
         newProperties = idProps,
         removes = base => { idGuard(base); Nil })
+      // replaceWhere: replace EXACTLY the rows matching the predicate in
+      // one commit — a partition-column predicate resolves its file set
+      // from hive paths alone (no data read, whole files dropped); a
+      // data predicate rewrites only the files that may hold matching
+      // rows, keeping their non-matching rows. Conflict-checked like any
+      // snapshot-derived rewrite: inputs gone or DV-changed under a
+      // concurrent commit ⇒ abort (orphaned staged files await VACUUM).
+      case _ if replaceWhere.isDefined =>
+        val w = replaceWhere.get
+        val matches = coalesce(expr(w), lit(false))
+        val dvRead = dvOf(currentVersion)
+        val refs = parseRefs(w)
+        val partitionOnly =
+          refs.nonEmpty && refs.subsetOf(partitionColumns.toSet)
+        val affected =
+          if (currentVersion < 0 || manifestFiles().isEmpty) Nil
+          else if (partitionOnly) partitionScopedFiles(w, manifestFiles())
+          else affectedFiles(matches, dvRead)
+        // data-predicate files keep their rows NOT matching the
+        // predicate; partition-scoped files match wholesale (no read)
+        val kept =
+          if (partitionOnly || affected.isEmpty) Nil
+          else appendDataFiles(toPhysicalStrict(
+            readLive(affected, dvRead).filter(!matches)))
+        val allAdds = added ++ kept
+        retryOnConflict()(commit("WRITE", allAdds.map(_._1),
+          metrics ++ Map("replaceWhere" -> w,
+            "numFilesReplaced" -> affected.size.toString),
+          addSizes = allAdds.toMap,
+          removes = { base =>
+            idGuard(base)
+            val nowLive = manifestFiles(base)
+            val gone = affected.filterNot(nowLive.toSet)
+            if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+              s"replaceWhere write aborted: ${gone.size} of its replaced " +
+              s"files (e.g. ${gone.head}) were removed by a concurrent " +
+              "commit; re-run against the new snapshot")
+            val baseDv = dvOf(base)
+            val dvChanged = affected.filter(f =>
+              baseDv.getOrElse(f, Nil) != dvRead.getOrElse(f, Nil))
+            if (dvChanged.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"replaceWhere write aborted: deletion vectors of " +
+                s"${dvChanged.size} replaced files changed under a " +
+                "concurrent commit; re-run against the new snapshot")
+            affected
+          },
+          newColMap = nextMap, newSchema = nextSchema,
+          newProperties = idProps))
+      // dynamic partition overwrite: replace exactly the partitions the
+      // incoming data landed in (Delta's partitionOverwriteMode=dynamic)
+      // — untouched partitions carry over unread
+      case _ if dynamicPartitionOverwrite =>
+        def dirOf(f: String): String = f.lastIndexOf('/') match {
+          case -1 => ""
+          case i => f.take(i)
+        }
+        val touched = added.map(a => dirOf(a._1)).toSet
+        commit("WRITE", added.map(_._1),
+          metrics ++ Map("partitionOverwriteMode" -> "dynamic",
+            "numPartitionsReplaced" -> touched.size.toString),
+          addSizes = added.toMap,
+          removes = base => {
+            idGuard(base)
+            manifestFiles(base).filter(f => touched(dirOf(f)))
+          },
+          newColMap = nextMap, newSchema = nextSchema,
+          newProperties = idProps)
       // overwrite removes the CLAIMED predecessor's whole live set —
       // inherently O(live-files), as the operation's semantics demand
       case _ => commit("WRITE", added.map(_._1), metrics,
@@ -1340,6 +1453,38 @@ final class GraftTable private (
         }.mkString("(", " AND ", ")")
       }.mkString(" OR "))
     scala.util.Try(optimize(Nil, where = where))
+  }
+
+  /** Files of `live` whose hive-path partition values satisfy a
+    * partition-column predicate — resolved from the paths ALONE, no data
+    * read (at scale the predicate prunes directories, not rows), and a
+    * fully-vectored partition still matches (a DV-applied row scan
+    * would see no live rows and skip it). */
+  private def partitionScopedFiles(w: String, live: Seq[String]): Seq[String] = {
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.StringType) +:
+      partitionColumns.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType)))
+    val rows = live.map { f =>
+      val kvs = f.split('/').filter(_.contains('=')).map { s =>
+        val i = s.indexOf('=')
+        s.take(i) -> java.net.URLDecoder.decode(s.drop(i + 1), "UTF-8")
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(f +: partitionColumns.map(c =>
+        kvs.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
+    }
+    // parsed values are strings; cast them to the TABLE'S partition
+    // column types before evaluating the predicate, so `year > 9`
+    // compares numerically exactly as a data scan would (string
+    // coercion would scope `"10" > "9"` wrongly)
+    val partTypes = read().schema.fields
+      .filter(f => partitionColumns.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    val typed = partTypes.foldLeft(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)) {
+        case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    typed.filter(expr(w)).select("__file").collect().map(_.getString(0)).toSeq
   }
 
   /** Bounded retry for append-like commits losing the version race. A
@@ -1623,35 +1768,7 @@ final class GraftTable private (
     val live = manifestFiles()
     val scopeFiles = where match {
       case None => live
-      case Some(w) =>
-        // resolve the scope from hive paths ALONE — no data read (at
-        // scale the predicate prunes directories, not rows), and a
-        // fully-vectored partition still compacts (a DV-applied row
-        // scan would see no live rows and skip it)
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("__file",
-            org.apache.spark.sql.types.StringType) +:
-          partitionColumns.map(c => org.apache.spark.sql.types.StructField(
-            c, org.apache.spark.sql.types.StringType)))
-        val rows = live.map { f =>
-          val kvs = f.split('/').filter(_.contains('=')).map { s =>
-            val i = s.indexOf('=')
-            s.take(i) -> java.net.URLDecoder.decode(s.drop(i + 1), "UTF-8")
-          }.toMap
-          org.apache.spark.sql.Row.fromSeq(f +: partitionColumns.map(c =>
-            kvs.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
-        }
-        // parsed values are strings; cast them to the TABLE'S partition
-        // column types before evaluating the predicate, so `year > 9`
-        // compares numerically exactly as a data scan would (string
-        // coercion would scope `"10" > "9"` wrongly)
-        val partTypes = read().schema.fields
-          .filter(f => partitionColumns.contains(f.name))
-          .map(f => f.name -> f.dataType).toMap
-        val typed = partTypes.foldLeft(
-          spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)) {
-            case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
-        typed.filter(expr(w)).select("__file").collect().map(_.getString(0)).toSeq
+      case Some(w) => partitionScopedFiles(w, live)
     }
     if (scopeFiles.isEmpty)
       return commitRewrite("OPTIMIZE", Nil, Nil, Map(
@@ -2088,17 +2205,25 @@ final class GraftTable private (
           when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
       return write(source.alias("source").filter(first >= 0), SaveMode.Overwrite)
     }
-    // WITH SCHEMA EVOLUTION: union new source columns into the target
-    // schema before the merge plans — each lands as a metadata-only ADD
-    // COLUMN commit (existing rows align in as NULL), so UPDATE ALL /
-    // INSERT ALL then carry the source values and the rewrite backfills
-    // NULL on untouched rows. New columns only; no type migration.
-    if (schemaEvolution) {
-      val have = read().columns.toSet
-      source.schema.fields.filterNot(f => have.contains(f.name))
-        .foreach(f => addColumn(f.name, f.dataType))
-    }
-    val tgt = read()
+    // WITH SCHEMA EVOLUTION: new source columns join the target schema
+    // IN THE MERGE'S OWN COMMIT (Delta applies schema change and row
+    // change atomically — an aborted merge must not leave the schema
+    // evolved with no data). The merge plans against a null-extended
+    // view of the target; the commit threads the evolved schema and
+    // column-map additions through commitRewrite below. New columns
+    // only; no type migration.
+    val evolveCols: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution) Nil
+      else {
+        val have = read().columns.toSet
+        source.schema.fields.filterNot(f => have.contains(f.name)).toSeq
+      }
+    // target rows read during planning align the evolving columns in as
+    // NULL, exactly as committed metadata-only columns would read
+    def extendEvolved(df: DataFrame): DataFrame =
+      evolveCols.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val tgt = extendEvolved(read())
     val missing = tgt.columns.toSet -- source.columns.toSet
     // UPDATE ALL / INSERT ALL copy every target column from the source;
     // explicit-assignment clauses only need what they reference, so a
@@ -2165,8 +2290,8 @@ final class GraftTable private (
     // clause applies to (clause conditions reference the target only,
     // so they evaluate on the scan; a sync-merge whose source covers a
     // partition's keys rewrites only files with genuinely retired rows)
-    val metaScan = alignToRecorded(
-      toLogical(readFilesMeta(manifestFiles(), dvNow), colMap), currentVersion)
+    val metaScan = extendEvolved(alignToRecorded(
+      toLogical(readFilesMeta(manifestFiles(), dvNow), colMap), currentVersion))
     val affected = (if (notMatchedBySource.isEmpty)
         metaScan.join(srcKeys, tKeys, "left_semi")
       else {
@@ -2192,8 +2317,9 @@ final class GraftTable private (
     val marked = src.withColumn("__m", lit(1))
     val rewritten = if (affected.isEmpty) None else {
       val live = if (matched.nonEmpty && residual.isDefined)
-        readLive(affected, dvNow).withColumn("__tid", monotonically_increasing_id())
-      else readLive(affected, dvNow)
+        extendEvolved(readLive(affected, dvNow))
+          .withColumn("__tid", monotonically_increasing_id())
+      else extendEvolved(readLive(affected, dvNow))
       val joined = live.alias("target").join(marked.alias("source"),
         joinCond("target", "source"), "left")
       val isMatched = col("source.__m").isNotNull
@@ -2259,8 +2385,9 @@ final class GraftTable private (
         when(holds(nm.cond) && acc === -1, lit(i)).otherwise(acc) }
     val types = fields.map(f => f.name -> f.dataType).toMap
     val insertsPicked = (if (affected.isEmpty) src
-      else src.alias("source").join(readLive(affected, dvNow).alias("target"),
-        joinCond("target", "source"), "left_anti"))
+      else src.alias("source")
+        .join(extendEvolved(readLive(affected, dvNow)).alias("target"),
+          joinCond("target", "source"), "left_anti"))
       .alias("source")
       .withColumn("__nmi", nmIdx)
       .filter(col("__nmi") >= 0)
@@ -2295,11 +2422,30 @@ final class GraftTable private (
         s"definition ($e) on $bad rows")
     }
     enforceConstraints(out)
-    val added = appendDataFiles(toPhysicalStrict(out))
+    // schema evolution commits WITH the rewrite: the output frame's new
+    // columns get fresh physical names (write()'s mergeSchema path) and
+    // the evolved schema + map additions land in the merge's own commit
+    // — an aborted merge leaves the schema untouched
+    val (physOut, mapAdds) =
+      if (evolveCols.isEmpty) (toPhysicalStrict(out), Nil)
+      else toPhysical(out, colMap)
+    val added = appendDataFiles(physOut)
     commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString), readDv = dvNow,
-      newProperties = idProps, preCommitCheck = idGuard)
+      "numFilesAdded" -> added.size.toString,
+      "numColumnsEvolved" -> evolveCols.size.toString), readDv = dvNow,
+      newProperties = idProps, preCommitCheck = idGuard,
+      newColMap =
+        if (mapAdds.isEmpty) None
+        else Some(colMapExtension("MERGE WITH SCHEMA EVOLUTION", mapAdds)),
+      newSchema =
+        if (evolveCols.isEmpty) None
+        else Some { base =>
+          val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+          val have = cur.fieldNames.toSet
+          physOut.schema.fields.filterNot(f => have(f.name))
+            .foldLeft(cur)(_ add _)
+        })
   }
 
   /** Change data feed between two committed versions (Delta CDF parity
@@ -2413,7 +2559,7 @@ final class GraftTable private (
       addSizes = snapshotAt(version).sizes,
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
-      newProperties = Some(propertiesOf(version)),
+      newProperties = Some(_ => propertiesOf(version)),
       dvChanges = Some { base =>
         val target = dvOf(version)
         val cur = dvOf(base)
@@ -2456,7 +2602,7 @@ final class GraftTable private (
       "sourcePath" -> path, "sourceVersion" -> srcV.toString),
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
-      newProperties = Some(propertiesOf(srcV)),
+      newProperties = Some(_ => propertiesOf(srcV)),
       carriedStats = carried, collectStats = false,
       addSizes = carriedSizes,
       dvChanges = Some(_ => carriedDv),

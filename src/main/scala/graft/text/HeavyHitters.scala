@@ -74,9 +74,13 @@ object HeavyHitters {
     val words = documents(spark, dir)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]{2,}$"))
-    val sketch = words.as[String].groupByKey(_ => 0)
-      .agg(agg.toColumn.name("mg"))
-      .collect().head._2
+    // per-partition MG summaries merged as a TREE (treeAggregate depth
+    // 2): at thousands of partitions no single task (or the driver)
+    // merges them all — each level combines √P sketches of K counters
+    val sketch = words.as[String].rdd.treeAggregate(agg.zero)(
+      seqOp = (buf, w) => agg.reduce(buf, w),
+      combOp = (x, y) => agg.merge(x, y),
+      depth = 2)
     val candidates = sketch.keys.toSeq
     val total = words.count()
     words.filter(col("word").isin(candidates: _*))

@@ -64,6 +64,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val RestoreRe =
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val RestoreTsRe =
+    s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val HistoryRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
   private val DetailRe =
@@ -90,6 +92,7 @@ object GraftSqlParser {
       Some(GraftVacuumCommand(tbl,
         Option(hours).map(_.toDouble), dry != null))
     case RestoreRe(tbl, v) => Some(GraftRestoreCommand(tbl, v.toLong))
+    case RestoreTsRe(tbl, ts) => Some(GraftRestoreTimestampCommand(tbl, ts))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
     case DetailRe(tbl) => Some(GraftDetailCommand(tbl))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
@@ -134,7 +137,16 @@ object GraftSqlParser {
         new java.net.URI(session.sessionState.catalog
           .getTableMetadata(ti).location.toString).getPath
       }
-    GraftDml.tableAt(session, path)
+    val t = GraftDml.tableAt(session, path)
+    // the dotted-identifier form matches ANY session-catalog name, so a
+    // maintenance command on a non-graft table (hive/parquet location
+    // with no committed log) must fail here — executing it would plant a
+    // fresh graft log inside a foreign table's directory
+    require(t.currentVersion >= 0,
+      s"$tbl is not a graft table: no committed graft log at $path " +
+      "(maintenance commands require an existing graft table; use " +
+      "CONVERT TO GRAFT to adopt a parquet directory)")
+    t
   }
 
   /** Extract the filesystem path of a backticked table reference whose
@@ -234,6 +246,23 @@ case class GraftRestoreCommand(table: String, version: Long)
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(session, table).restore(version)))
+}
+
+/** RESTORE … TIMESTAMP AS OF '<ts>': the timestamp resolves to the last
+  * version committed at or before it (Delta's timestamp time travel
+  * rule), then restores that version. */
+case class GraftRestoreTimestampCommand(table: String, timestamp: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(session, table)
+    val ts = java.sql.Timestamp.valueOf(
+      if (timestamp.contains(" ") || timestamp.contains("T"))
+        timestamp.replace("T", " ")
+      else s"$timestamp 00:00:00")
+    Seq(Row(t.restore(t.versionAtTime(ts.getTime))))
+  }
 }
 
 case class GraftHistoryCommand(table: String) extends LeafRunnableCommand {

@@ -71,6 +71,39 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.currentVersion == v0 + 2)
   }
 
+  test("RESTORE TABLE ... TIMESTAMP AS OF resolves the version at that time") {
+    val (t, path) = freshTable("sqlm_rst_ts")
+    t.write(bars.repartition(2))
+    val total = t.read().count()
+    // a timestamp safely after v0's commit but before the delete below
+    Thread.sleep(20)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(20)
+    t.delete(col("ticker") === "MSFT")
+    assert(t.read().count() < total)
+    spark.sql(s"RESTORE TABLE graft.`$path` TO TIMESTAMP AS OF '$mid'")
+    assert(t.read().count() == total)
+  }
+
+  test("maintenance SQL on a non-graft session-catalog table fails cleanly") {
+    spark.sql("DROP TABLE IF EXISTS plain_parquet_tbl")
+    val dir = Files.createTempDirectory("sqlm_nongraft").toString
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "s").write
+      .mode("overwrite").parquet(dir)
+    spark.sql(
+      s"CREATE TABLE plain_parquet_tbl (id INT, s STRING) USING parquet LOCATION '$dir'")
+    try {
+      val e = intercept[Exception] { spark.sql("OPTIMIZE plain_parquet_tbl") }
+      assert(e.getMessage.contains("not a graft table"), e.getMessage)
+      intercept[Exception] { spark.sql("VACUUM plain_parquet_tbl") }
+      intercept[Exception] { spark.sql("DESCRIBE HISTORY plain_parquet_tbl") }
+      // no graft log was planted inside the foreign table's directory
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_graft_log")))
+    } finally spark.sql("DROP TABLE IF EXISTS plain_parquet_tbl")
+  }
+
   test("DESCRIBE DETAIL reports files, bytes, layout, and version") {
     val (t, path) = freshTable("sqlm_detail")
     t.write(bars.repartition(2))
@@ -184,6 +217,39 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.history().select("operation").collect()
       .map(_.getString(0)).contains("OPTIMIZE"))
     assert(t.read().count() == rows + aapl.count(), "compaction loses no rows")
+  }
+
+  test("autoCompact round-trips numeric and URL-encoded partition values") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlm_ac_typed").toString
+    // INT partition column + a string partition value that hive-encodes
+    // ('a b' → 'a%20b'): the rebuilt WHERE must scope the same partition
+    // the trigger counted, through the decode AND the numeric cast
+    val t = GraftTable(spark, path, Seq("bucket", "tag"))
+    def batch(b: Int, tag: String) =
+      Seq((b, tag, 1L), (b, tag, 2L)).toDF("bucket", "tag", "v")
+    t.write(batch(10, "a b=c").repartition(1))
+    t.setProperties(Map("graft.autoCompact" -> "true",
+      "graft.autoCompact.minNumFiles" -> "8"))
+    (1 to 8).foreach(_ => t.write(batch(10, "a b=c").repartition(1),
+      org.apache.spark.sql.SaveMode.Append))
+    // a sibling partition that must NOT be compacted
+    (1 to 3).foreach(_ => t.write(batch(2, "plain").repartition(1),
+      org.apache.spark.sql.SaveMode.Append))
+    val rows = t.read().count()
+    assert(t.history().select("operation").collect()
+      .map(_.getString(0)).contains("OPTIMIZE"),
+      "auto-compaction must fire on the numeric/encoded partition")
+    // the compaction fires when the 8th small file lands; appends after
+    // it accumulate again, so "far fewer than 9" is the honest bound
+    val filesNow = t.manifestFiles()
+    assert(filesNow.count(_.startsWith("bucket=10/")) <= 2,
+      s"bucket=10 should have compacted: $filesNow")
+    assert(filesNow.count(_.startsWith("bucket=2/")) == 3,
+      s"bucket=2 must stay untouched: $filesNow")
+    assert(t.read().count() == rows, "compaction loses no rows")
+    assert(t.read().filter(col("bucket") === 10 && col("tag") === "a b=c")
+      .count() == 18)
   }
 
   test("ADD COLUMN ... GENERATED ALWAYS AS IDENTITY through SQL") {
