@@ -100,6 +100,98 @@ object Dedup {
     est
   }
 
+  /** Incremental dedup against a PERSISTED sketch corpus — the
+    * production flow at 100 TB: the corpus's banded MinHash sketches
+    * are written ONCE to a graft table; deduplicating a new batch then
+    * sketches ONLY the batch and LSH-joins it against the stored
+    * sketches (the corpus text is never re-read for sketching — only
+    * candidate corpus docs are read for exact verification). Corpus =
+    * doc_id % 5 != 0, batch = the rest; output = exact-verified
+    * near-dup pairs involving at least one batch doc, which equals the
+    * full recompute's pair set restricted to the batch (spec-pinned).
+    */
+  /** (doc_id, sketch, band, sig): the in-scan sketch kernel + banding,
+    * exploded one row per band. */
+  def bandedSketch(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        MinHashSketch.minhash_sketch(col("text"), 5, NumPerm).as("sketch"))
+      .select(col("doc_id"), col("sketch"), posexplode(
+        graft.functions.SigKernelColumns.band_signatures(
+          col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
+
+  /** Sketch the corpus ONCE and persist the banded sketch table. */
+  def persistSketchCorpus(spark: SparkSession, corpusDocs: DataFrame,
+      path: String): graft.table.GraftTable = {
+    val t = graft.table.GraftTable(spark, path)
+    t.write(bandedSketch(corpusDocs).repartition(8))
+    t
+  }
+
+  /** LSH-verified near-dup pairs of `batchDocs` against a persisted
+    * banded-sketch corpus plus batch-internal pairs — the corpus side
+    * is `corpusBanded` (read from the sketch table; nothing here
+    * re-sketches corpus text), and exact shingle verification touches
+    * only candidate doc ids. */
+  def incrementalPairs(spark: SparkSession, dir: String,
+      corpusBanded: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val corpus = corpusBanded.repartition(col("band"), col("sig"))
+    val batch = bandedSketch(batchDocs).repartition(col("band"), col("sig"))
+    // batch-vs-corpus (either orientation) + batch-internal pairs,
+    // normalized to a < b; estimate from sketches, verify exactly
+    val cands = batch.as("x").join(corpus.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sketch"))
+          .otherwise(col("y.sketch")).as("ska"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sketch"))
+          .otherwise(col("x.sketch")).as("skb"))
+      .unionByName(batch.as("x").join(batch.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sketch").as("ska"), col("y.sketch").as("skb")))
+      .filter(graft.functions.ArrayKernelColumns
+        .sketch_agreement(col("ska"), col("skb"))
+        .cast("double") / lit(NumPerm.toDouble) >= 0.5)
+      .select("a", "b").distinct()
+    // exact verification reads ONLY candidate docs' shingles
+    val sets = shingleTable(spark, dir)
+      .groupBy("doc_id").agg(collect_set("sh").as("shingles"))
+    cands
+      .join(sets.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("shingles", "sa"), "a")
+      .join(sets.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("shingles", "sb"), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch_corpus")
+    try {
+      val docs = documents(spark, dir)
+      // one-time corpus pass: persist (doc_id, sketch, band, sig)
+      val t = persistSketchCorpus(spark,
+        docs.filter(col("doc_id") % 5 =!= 0), path.toString)
+      // incremental pass: batch sketches computed in-scan; corpus side
+      // read back from the sketch table
+      val out = incrementalPairs(spark, dir, t.read(),
+        docs.filter(col("doc_id") % 5 === 0))
+      // materialize before the sketch table's temp dir is deleted
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("a", "b")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
+  }
+
   /** Exact char-5-gram Jaccard, computed only for LSH candidates. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val candidates = dedupMinhash(spark, dir).select("a", "b")
@@ -250,6 +342,7 @@ object Dedup {
     "dedup_exact"   -> dedupExact _,
     "dedup_minhash" -> dedupMinhash _,
     "ngram_jaccard" -> ngramJaccard _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +367,24 @@ object Dedup {
         |         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
         |         len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        |SELECT a, b, round(jaccard, 4) AS jaccard
+        |FROM pairs WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+    // same determinism argument as ngram_jaccard (exact verification on
+    // an S-curve-complete candidate set), restricted to pairs with at
+    // least one batch (doc_id % 5 = 0) member
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(length(text) - 4, 1) + 1),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))) AS shingles
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |         len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
         |SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
     "dedup_exact" ->

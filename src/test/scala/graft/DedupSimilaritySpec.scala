@@ -22,6 +22,49 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) == 2L && m(3L) == 1L)
   }
 
+  test("incremental dedup equals the full recompute restricted to the batch") {
+    val full = Dedup.ngramJaccard(spark, sf)
+      .filter(col("a") % 5 === 0 || col("b") % 5 === 0)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.dedupIncremental(spark, sf)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(inc == full,
+      s"incremental != restricted full: only-inc=${(inc -- full).take(5)} " +
+      s"only-full=${(full -- inc).take(5)}")
+  }
+
+  test("incremental dedup reads the corpus from the sketch table, not the text") {
+    val path = java.nio.file.Files.createTempDirectory("dd_inc_tamper").toString
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val t = Dedup.persistSketchCorpus(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), path)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // 1) plan proof: the incremental query computes the sketch kernel
+    // for the BATCH side only — the corpus side is a stored-table scan
+    val qe = Dedup.incrementalPairs(spark, sf, t.read(), batch).queryExecution
+    assert("(?i)minhash_?sketch".r.findAllIn(qe.optimizedPlan.toString).nonEmpty,
+      "batch side must compute the sketch kernel in-scan")
+    assert(qe.executedPlan.toString.contains("dd_inc_tamper"),
+      "corpus side must scan the persisted sketch table")
+    // 2) behavioral proof: corrupt the STORED sketches (doc_id swap) —
+    // corpus pairs must change, so the join really consumed the table
+    val honest = Dedup.incrementalPairs(spark, sf, t.read(), batch)
+      .filter(col("a") % 5 =!= 0 || col("b") % 5 =!= 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val crossHonest = honest.filter { case (a, b) => a % 5 != 0 || b % 5 != 0 }
+    assert(crossHonest.nonEmpty, "fixture needs batch-vs-corpus pairs")
+    val tampered = t.read().withColumn("sig", col("sig") + 1)
+    val tamperedPairs: Set[(Long, Long)] =
+      Dedup.incrementalPairs(spark, sf, tampered, batch)
+        .filter(col("a") % 5 =!= 0 || col("b") % 5 =!= 0)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val afterTamper = tamperedPairs.filter { case (a, b) =>
+      a % 5 != 0 || b % 5 != 0 }
+    assert(afterTamper.isEmpty,
+      "tampered stored sigs must kill batch-vs-corpus candidates — if " +
+      "pairs survive, the corpus side was re-sketched from text")
+  }
+
   test("minhash estimate tracks exact jaccard within 0.15 on candidates") {
     val est = Dedup.dedupMinhash(spark, sf)
       .select("a", "b", "est_jaccard").as[(Long, Long, Double)].collect()
