@@ -62,6 +62,49 @@ object Similarity {
   private def signature(v: Column): Column =
     graft.functions.SigKernelColumns.hyperplane_sig(v, SigBits)
 
+  /** Cell count scaled to the corpus, ~√(n/2): 16 at the 500-vector
+    * fixture, 32 at 2000 — the SemDeDup/IVF rule that keeps the
+    * per-cell quadratic (`semantic_dedup`) and per-probe scan fraction
+    * (`knn_ivf`) bounded as the corpus grows; a constant cell count
+    * degrades toward all-pairs at 100 TB. The DuckDB oracles compute
+    * the SAME expression from count(*) (IEEE sqrt/ceil agree bit-wise
+    * on exactly-representable counts). */
+  def scaledCells(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n / 2.0)).toInt)
+
+  /** Probes scale with the cell count (cells/4: 4 at 16 cells). */
+  def scaledProbe(cells: Int): Int = math.max(2, cells / 4)
+
+  /** PQ codebook size scaled like the cells, capped at one byte. */
+  def scaledPqCodes(n: Long): Int = math.min(256, scaledCells(n))
+
+  /** One k-means refinement iteration over the first-`cells` seed
+    * centroids: assign every vector to its nearest seed (deterministic
+    * argmax), then average each cell's members. The mean is an
+    * ORDER-PINNED fold — members sorted by vec_id, summed left-to-right
+    * per dimension — so the DuckDB oracle (list_sum over a
+    * vec_id-ordered list) reproduces the centroid bit-for-bit; a plain
+    * AVG would expose float summation order on both engines. Seeds
+    * always land in their own cell (cos = 1), so no cell is empty. */
+  private def refinedCentroids(emb: DataFrame, cells: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val asg0 = emb.join(broadcast(seeds), expr("true"))
+      .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
+      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+    asg0.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+        count(lit(1)).as("cnt"))
+      .withColumn("csum", expr(
+        """aggregate(vs, transform(element_at(vs, 1).v, x -> cast(0 as double)),
+          |  (acc, s) -> zip_with(acc, s.v, (a, b) -> a + b))""".stripMargin))
+      .withColumn("cv", expr("transform(csum, t -> t / cnt)"))
+      .select(col("cell"), col("cv"))
+      .withColumn("cn", norm(col("cv")))
+  }
+
   /** Approximate top-k via LSH buckets (+ hamming-1 multiprobe). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -90,25 +133,23 @@ object Similarity {
     scored
   }
 
-  /** IVF-style ANN: the corpus is partitioned into `NumCells` Voronoi
-    * cells around deterministic seed centroids (the first NumCells
-    * vectors — a stand-in for a k-means pass, which would just iterate
-    * this assignment); each query probes its `NProbe` nearest cells and
-    * scores only vectors inside them. Assignment is a broadcast join +
-    * max_by argmax — at scale the corpus partitions BY cell, so a probe
+  /** IVF-style ANN: the corpus is partitioned into Voronoi cells around
+    * refined centroids (seed = first `cells` vectors, then ONE k-means
+    * iteration: each centroid becomes the mean of its assigned
+    * vectors); each query probes its `nprobe` nearest cells and scores
+    * only vectors inside them. Assignment is a broadcast join + max_by
+    * argmax — at scale the corpus partitions BY cell, so a probe
     * touches nprobe/cells of the data (the classic IVF trade).
     * Approximate vs brute force but fully DETERMINISTIC (seeded
-    * centroids + argmax + nprobe) → oracle-checked: DuckDB replays the
-    * identical assignment/probe/scoring pipeline. */
-  val NumCells = 16
-  val NProbe = 4
-
+    * centroids + order-pinned mean fold + argmax + nprobe) →
+    * oracle-checked: DuckDB replays the identical refinement/
+    * assignment/probe/scoring pipeline. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val centroids = emb.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val cells = scaledCells(emb.count())
+    val centroids = refinedCentroids(emb, cells)
     def cellScores(side: DataFrame): DataFrame =
       side.join(broadcast(centroids), expr("true"))
         .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
@@ -126,7 +167,7 @@ object Similarity {
           .withColumnRenamed("qv", "v").withColumnRenamed("qn", "n"))
       .withColumn("prk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cscore"), col("cell"))))
-      .filter(col("prk") <= NProbe)
+      .filter(col("prk") <= scaledProbe(cells))
       .select(col("query_id"), col("v").as("qv"), col("n").as("qn"), col("cell"))
     assigned.join(probes,
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
@@ -145,8 +186,9 @@ object Similarity {
 
   /** Product quantization ANN (the serving-side compression path IVF
     * pairs with at scale): vectors split into [[PqM]] subvectors of
-    * [[PqSubDim]] dims; each subspace has a [[PqCodes]]-entry codebook
-    * (subvectors of the first PqCodes corpus vectors — the same seeded
+    * [[PqSubDim]] dims; each subspace has a √n-scaled codebook (byte-
+    * capped; subvectors of the first `scaledPqCodes(n)` corpus vectors
+    * — the same seeded
     * k-means stand-in as [[knnIvf]]'s centroids); a corpus vector is
     * stored as PqM one-byte codes (64× smaller than f32); queries score
     * by asymmetric distance — each query's per-subspace L2 lookup table
@@ -161,18 +203,18 @@ object Similarity {
     * (dist, code) so encoding is reproducible. */
   val PqM = 8
   val PqSubDim = 8
-  val PqCodes = 16
 
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     def l2(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val pqCodes = scaledPqCodes(emb.count())
     val subs = emb
       .select(col("vec_id"), col("v"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
       .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
       .drop("v")
-    val cents = subs.filter(col("vec_id") < PqCodes)
+    val cents = subs.filter(col("vec_id") < pqCodes)
       .select(col("vec_id").as("code"), col("m").as("cm"), col("sub").as("csub"))
     // encode: nearest codebook entry per (vector, subspace)
     val codes = subs.join(broadcast(cents), col("m") === col("cm"))
@@ -209,7 +251,7 @@ object Similarity {
     val scores = codeArr.join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .withColumn("approx_dist", round(
         (0 until PqM).map(m => element_at(col("lut"),
-          (element_at(col("codes"), m + 1) + lit(m * PqCodes) + 1).cast("int")))
+          (element_at(col("codes"), m + 1) + lit(m * pqCodes) + 1).cast("int")))
           .reduce(_ + _), 6))
     scores
       .withColumn("rk", row_number().over(
@@ -261,22 +303,23 @@ object Similarity {
       .orderBy("vec_id")
 
   /** SemDeDup-style semantic dedup: cluster the corpus into Voronoi
-    * cells around the deterministic seed centroids (same assignment as
-    * [[knnIvf]]), then prune, WITHIN each cell, every vector that has an
-    * earlier (lower vec_id) cell-mate with cosine >= `DedupTau` —
-    * greedy keep-first pruning. The cells are the scale story exactly as
-    * in the SemDeDup paper: the quadratic comparison is bounded per
-    * cell (one shuffle on the cell key; cells compare locally), never
-    * corpus-wide. Fully deterministic → DuckDB replays the identical
-    * assignment + pruning and hash-checks the survivor set. */
+    * cells around the refined centroids (same √n-scaled count and
+    * one-iteration k-means as [[knnIvf]]), then prune, WITHIN each
+    * cell, every vector that has an earlier (lower vec_id) cell-mate
+    * with cosine >= `DedupTau` — greedy keep-first pruning. The cells
+    * are the scale story exactly as in the SemDeDup paper: the
+    * quadratic comparison is bounded per cell (one shuffle on the cell
+    * key; cells compare locally), never corpus-wide — and the √n cell
+    * count keeps the bound as the corpus grows. Fully deterministic →
+    * DuckDB replays the identical refinement + assignment + pruning
+    * and hash-checks the survivor set. */
   val DedupTau = 0.35
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val centroids = emb.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
+    val centroids = refinedCentroids(emb, scaledCells(emb.count()))
     val assigned = emb.join(broadcast(centroids), expr("true"))
       .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
       .groupBy("vec_id")
@@ -304,18 +347,50 @@ object Similarity {
     "semantic_dedup" -> semanticDedup _,
     "embedding_quantize" -> embeddingQuantize _)
 
+  /** Shared oracle prefix: √n cell count, seed assignment, and the
+    * one-iteration k-means refinement — the list_sum over a
+    * vec_id-ordered list reproduces the Spark side's order-pinned fold
+    * bit-for-bit (a bare SUM would sum in scan order). range(1, 65)
+    * hardcodes the 64-dim embedding fixture (DuckDB 1.0 cannot
+    * lateral-range over len(v)); the Spark side derives it from the
+    * data and agrees. Ends with `score`: every vector scored against
+    * every REFINED centroid. */
+  private val RefinedScoreCte: String =
+    """cc AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) AS c
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |score0 AS (
+      |  SELECT n.vec_id, c.cell,
+      |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
+      |  FROM n, (SELECT vec_id AS cell, v AS cv, nrm AS cn
+      |           FROM n WHERE vec_id < (SELECT c FROM cc)) c),
+      |asg0 AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cscore DESC, cell DESC) AS rn FROM score0) WHERE rn = 1),
+      |sums AS (
+      |  SELECT a.cell, r.i AS pos,
+      |         list_sum(list(nv.v[r.i] ORDER BY nv.vec_id)) AS s,
+      |         COUNT(*) AS cnt
+      |  FROM asg0 a JOIN n nv USING (vec_id),
+      |       (SELECT unnest(range(1, 65)) AS i) r
+      |  GROUP BY a.cell, r.i),
+      |centn AS (
+      |  SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cn FROM (
+      |    SELECT cell, list(s / cnt ORDER BY pos) AS cv FROM sums
+      |    GROUP BY cell)),
+      |score AS (
+      |  SELECT n.vec_id, c.cell,
+      |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
+      |  FROM n, centn c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "semantic_dedup" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         |score AS (
-         |  SELECT n.vec_id, c.cell,
-         |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
-         |  FROM n, (SELECT vec_id AS cell, v AS cv, nrm AS cn
-         |           FROM n WHERE vec_id < $NumCells) c),
+      s"""WITH $RefinedScoreCte,
          |asg AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
@@ -374,23 +449,15 @@ object Similarity {
          |  AND ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $CosDupThreshold
          |ORDER BY a, b""".stripMargin,
     "knn_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         |score AS (
-         |  SELECT n.vec_id, c.cell,
-         |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
-         |  FROM n, (SELECT vec_id AS cell, v AS cv, nrm AS cn
-         |           FROM n WHERE vec_id < $NumCells) c),
+      s"""WITH $RefinedScoreCte,
          |asg AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
          |probe AS (SELECT query_id, cell FROM (
          |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell) AS prk
-         |  FROM score WHERE vec_id < $NumQueries) WHERE prk <= $NProbe),
+         |  FROM score WHERE vec_id < $NumQueries)
+         |  WHERE prk <= (SELECT GREATEST(2, c // 4) FROM cc)),
          |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
          |        ROUND(list_inner_product(cv2.v, qn.v) / (cv2.nrm * qn.nrm), 6) AS cos
          |      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
@@ -405,14 +472,18 @@ object Similarity {
       val dcols = (0 until PqM).map(i =>
         s"MIN(CASE WHEN k.m = $i THEN a.qd END) AS d$i").mkString(",\n         |        ")
       val dsum = (0 until PqM).map(i => s"d$i").mkString(" + ")
-      s"""WITH e AS (
+      s"""WITH cc AS (
+         |  SELECT LEAST(256,
+         |    GREATEST(4, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT))) AS c
+         |  FROM embeddings),
+         |e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |sub AS (
          |  SELECT vec_id, m, v[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sub
          |  FROM e, (SELECT unnest(range(0, $PqM)) AS m)),
          |cent AS (SELECT vec_id AS code, m AS cm, sub AS csub
-         |         FROM sub WHERE vec_id < $PqCodes),
+         |         FROM sub WHERE vec_id < (SELECT c FROM cc)),
          |enc AS (
          |  SELECT s.vec_id, s.m, c.code,
          |         list_inner_product(s.sub, s.sub)

@@ -249,6 +249,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("cell/codebook counts scale ~sqrt(n) with the corpus, not constant") {
+    // the two shipped corpus sizes (500 → 16, 2000 → 32) plus the
+    // asymptotic shape a 100 TB corpus relies on
+    assert(Similarity.scaledCells(500) == 16)
+    assert(Similarity.scaledCells(2000) == 32)
+    assert(Similarity.scaledCells(2_000_000) == 1000)
+    assert(Similarity.scaledProbe(16) == 4 && Similarity.scaledProbe(32) == 8)
+    // PQ codes follow the same curve but stay one byte
+    assert(Similarity.scaledPqCodes(500) == 16)
+    assert(Similarity.scaledPqCodes(2_000_000) == 256)
+    // per-cell population stays ~2·sqrt(n): the semantic_dedup quadratic
+    // is bounded per cell at any corpus size
+    Seq(1000L, 1_000_000L, 1_000_000_000L).foreach { n =>
+      val perCell = n.toDouble / Similarity.scaledCells(n)
+      assert(perCell <= 2.1 * math.sqrt(n.toDouble),
+        s"n=$n: per-cell $perCell breaks the sqrt bound")
+    }
+  }
+
+  test("refined centroids change the assignment vs seeds and stay deterministic") {
+    // the k-means refinement must actually move centroids (different
+    // survivor set than a degenerate no-op would risk leaving silent),
+    // and repeated runs must agree bit-for-bit (the order-pinned fold)
+    val a = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val b = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b, "semantic_dedup must be run-to-run deterministic")
+    val cellsUsed = a.map(_._2).distinct.size
+    assert(cellsUsed > 1, "refinement collapsed every cell")
+  }
+
   test("knn_brute: k rows per query, descending rounded cosine, no self") {
     val df = Similarity.knnBrute(spark, sf).cache()
     val perQ = df.groupBy("query_id").count().as[(Long, Long)].collect()
