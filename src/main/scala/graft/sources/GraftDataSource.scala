@@ -236,7 +236,11 @@ final class GraftStreamSource(
         if (changeFeed) empty.withColumn("_change_type", lit("insert")) else empty
       case Some(f) if changeFeed => table.changes(f, to)
       case Some(f) =>
-        table.changes(f, to).filter(col("_change_type") === lit("insert"))
+        // new and updated row versions flow (Delta's ignoreChanges
+        // contract): plain inserts plus the postimages of UPDATE/MERGE
+        // commits that recorded CDC images
+        table.changes(f, to)
+          .filter(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type")
     }
     val aligned = batch.select(
@@ -313,10 +317,11 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
 
 /** Batch change-feed relation (`readChangeFeed=true` +
   * `startingVersion`/`endingVersion`): serves
-  * [[GraftTable.changes]] between the two pinned versions — insert and
-  * delete row images with `_change_type`, an UPDATE surfacing as a
-  * delete+insert pair. Cost scales with the files that CHANGED between
-  * the versions, never the whole table. */
+  * [[GraftTable.changes]] between the two pinned versions — the four
+  * Delta change types (`insert`, `delete`, `update_preimage`,
+  * `update_postimage`; UPDATE/MERGE commits record CDC sidecars). Cost
+  * scales with the files that CHANGED between the versions, never the
+  * whole table. */
 final case class GraftChangesRelation(sqlContext: SQLContext, path: String,
     from: Long, to: Long) extends BaseRelation with TableScan {
   private def changes: DataFrame =

@@ -2126,10 +2126,17 @@ final class GraftTable private (
     }
     val updated = regenerated.drop("__upd")
     enforceConstraints(updated)
+    // CDC sidecar (Delta _change_data parity): every matched row's old
+    // and new version, so the change feed surfaces
+    // update_preimage/update_postimage instead of inferred delete+insert
+    val cdcId = writeCdc(Seq(
+      toPhysicalStrict(marked.filter(hit).drop("__upd")) -> "update_preimage",
+      toPhysicalStrict(regenerated.filter(hit).drop("__upd")) -> "update_postimage"))
     val added = appendDataFiles(toPhysicalStrict(updated))
     commitRewrite("UPDATE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString), readDv = dvRead)
+      "numFilesAdded" -> added.size.toString,
+      "cdc" -> cdcId), readDv = dvRead)
   }
 
   /** MERGE (plain upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT
@@ -2315,6 +2322,9 @@ final class GraftTable private (
     // for source-matched rows, first applicable not-matched-by-source
     // clause for the rest
     val marked = src.withColumn("__m", lit(1))
+    var cdcDeletes: Option[DataFrame] = None
+    var cdcPre: Option[DataFrame] = None
+    var cdcPost: Option[DataFrame] = None
     val rewritten = if (affected.isEmpty) None else {
       val live = if (matched.nonEmpty && residual.isDefined)
         extendEvolved(readLive(affected, dvNow))
@@ -2343,10 +2353,17 @@ final class GraftTable private (
       val deleteIdx = matched.zipWithIndex.collect { case (m, i) if m.delete => i }
       val nmbsDeleteIdx = notMatchedBySource.zipWithIndex
         .collect { case (c, i) if c.delete => i }
-      val kept = joined.withColumn("__ci", clauseIdx).withColumn("__ni", nmbsIdx)
-        .filter(
-          (if (deleteIdx.isEmpty) lit(true) else !col("__ci").isin(deleteIdx: _*)) &&
-          (if (nmbsDeleteIdx.isEmpty) lit(true) else !col("__ni").isin(nmbsDeleteIdx: _*)))
+      val indexed = joined.withColumn("__ci", clauseIdx).withColumn("__ni", nmbsIdx)
+      val isDeleted =
+        (if (deleteIdx.isEmpty) lit(false) else col("__ci").isin(deleteIdx: _*)) ||
+        (if (nmbsDeleteIdx.isEmpty) lit(false)
+         else col("__ni").isin(nmbsDeleteIdx: _*))
+      // a row is UPDATED when a non-delete clause applied (carried rows,
+      // __ci = __ni = -1, are rewritten verbatim and are NOT changes)
+      val isUpdated = !isDeleted && (col("__ci") >= 0 || col("__ni") >= 0)
+      def targetRow(d: DataFrame): DataFrame = d.select(fields.map(f =>
+        col(s"target.${f.name}").cast(f.dataType).as(f.name)): _*)
+      val kept = indexed.filter(!isDeleted)
       val picked = kept.select(fields.map { f =>
         val withMatched = matched.zipWithIndex.filterNot(_._1.delete)
           .foldLeft(when(lit(false), lit(null))) { case (acc, (m, i)) =>
@@ -2361,20 +2378,27 @@ final class GraftTable private (
             acc.when(col("__ni") === i,
               c.set.get.getOrElse(f.name, col(s"target.${f.name}")))
           }.otherwise(col(s"target.${f.name}")).cast(f.dataType).as(f.name)
-      } :+ col("__ni"): _*)
+      } :+ col("__ni") :+ isUpdated.as("__chg"): _*)
       // generated columns a not-matched-by-source UPDATE didn't assign
       // recompute from their definitions over the updated row (same
       // semantics as UPDATE); matched-clause rows keep the r5 contract
       // (full source rows, validated below)
       val types = fields.map(f => f.name -> f.dataType).toMap
-      Some(generatedColumns.foldLeft(picked) { case (d, (g, e)) =>
+      val regen = generatedColumns.foldLeft(picked) { case (d, (g, e)) =>
         val omitted = notMatchedBySource.zipWithIndex.collect {
           case (MergeBuilder.NotMatchedBySource(_, Some(s), _), i)
             if !s.contains(g) => i }
         if (omitted.isEmpty) d
         else d.withColumn(g, when(col("__ni").isin(omitted: _*),
           expr(e).cast(types(g))).otherwise(col(g)))
-      }.drop("__ni"))
+      }.drop("__ni")
+      // CDC images of this merge's row-level changes (written later with
+      // the inserts): deleted rows' old versions, updated rows' old and
+      // new versions
+      cdcDeletes = Some(targetRow(indexed.filter(isDeleted)))
+      cdcPre = Some(targetRow(indexed.filter(isUpdated)))
+      cdcPost = Some(regen.filter(col("__chg")).drop("__chg"))
+      Some(regen.drop("__chg"))
     }
     // unmatched source rows: first applicable not-matched clause inserts
     // (INSERT ALL copies the aligned source row; an explicit column list
@@ -2426,14 +2450,23 @@ final class GraftTable private (
     // columns get fresh physical names (write()'s mergeSchema path) and
     // the evolved schema + map additions land in the merge's own commit
     // — an aborted merge leaves the schema untouched
+    def phys(d: DataFrame): DataFrame =
+      if (evolveCols.isEmpty) toPhysicalStrict(d) else toPhysical(d, colMap)._1
     val (physOut, mapAdds) =
       if (evolveCols.isEmpty) (toPhysicalStrict(out), Nil)
       else toPhysical(out, colMap)
+    // CDC sidecar: deletes' old rows, updates' old+new rows, inserts
+    val cdcId = writeCdc(
+      cdcDeletes.map(phys(_) -> "delete").toSeq ++
+      cdcPre.map(phys(_) -> "update_preimage").toSeq ++
+      cdcPost.map(phys(_) -> "update_postimage").toSeq :+
+      (phys(insertsId) -> "insert"))
     val added = appendDataFiles(physOut)
     commitRewrite("MERGE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString,
-      "numColumnsEvolved" -> evolveCols.size.toString), readDv = dvNow,
+      "numColumnsEvolved" -> evolveCols.size.toString,
+      "cdc" -> cdcId), readDv = dvNow,
       newProperties = idProps, preCommitCheck = idGuard,
       newColMap =
         if (mapAdds.isEmpty) None
@@ -2448,31 +2481,67 @@ final class GraftTable private (
         })
   }
 
-  /** Change data feed between two committed versions (Delta CDF parity
-    * for copy-on-write tables): `insert` rows exist at `to` but not at
-    * `from`, `delete` rows the reverse; an UPDATE surfaces as a
-    * delete+insert pair of the old and new row versions.
+  /** Change data feed between two committed versions (Delta CDF
+    * parity): the union of every covered commit's changes — `insert` /
+    * `delete` rows from the per-commit file diff, and, for UPDATE and
+    * MERGE commits that recorded a CDC sidecar (Delta's _change_data
+    * files), `update_preimage` / `update_postimage` rows with exact
+    * `insert` / `delete` classification. Per-commit, nothing nets out
+    * across the window — a row inserted then deleted inside it surfaces
+    * twice, exactly as Delta's table_changes does.
     *
-    * Cost scales with the CHANGED files only — identical manifest
-    * entries carry over between versions, so both sides of the diff
-    * read just the files added or removed in between, never the whole
-    * table. The diff itself is a hash anti-join on the full row. */
+    * Cost scales with the CHANGED files of each covered commit —
+    * identical manifest entries carry over, so each per-version diff
+    * reads just the files that commit added or removed (or its CDC
+    * sidecar, which is update-churn-sized), never the whole table. */
   def changes(from: Long, to: Long): DataFrame = {
     require(from >= 0 && to <= currentVersion && from <= to,
       s"invalid change range v$from..v$to (current: v$currentVersion)")
-    val before = manifestFiles(from).toSet
-    val after = manifestFiles(to).toSet
+    // every version maps under the WINDOW's to-version logical names:
+    // physical names are stable across renames, so one map serves the
+    // whole window
+    val cmTo = colMapOf(to)
+    val parts = (from + 1 to to).flatMap(v => versionChanges(v, cmTo))
+    if (parts.nonEmpty)
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // no file-, vector- or cdc-level change: empty feed with the
+      // WINDOW'S to-version schema (not the current one — later
+      // renames/drops must not leak into an older window's feed)
+      val schema = readVersion(to).schema
+        .add("_change_type", "string", nullable = false)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  /** One commit's change rows (None if it changed nothing): the CDC
+    * sidecar when the commit recorded one, the file/vector diff
+    * otherwise. */
+  private def versionChanges(v: Long, cmTo: ColMap): Option[DataFrame] = {
+    commitMetric(v, "cdc").foreach { id =>
+      val dir = new Path(logDir, s"cdc/$id")
+      if (fs.exists(dir) &&
+          fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))) {
+        val df = spark.read.parquet(dir.toString)
+        return Some(
+          if (cmTo.isIdentity) df
+          else {
+            val have = df.columns.toSet
+            df.select(cmTo.entries.collect {
+              case (l, ph) if have(ph) => col(ph).as(l) } :+
+              col("_change_type"): _*)
+          })
+      }
+    }
+    val before = manifestFiles(v - 1).toSet
+    val after = manifestFiles(v).toSet
     val added = (after -- before).toSeq
     val removed = (before -- after).toSeq
-    val dvFrom = dvOf(from)
-    val dvTo = dvOf(to)
-    // both sides surface under the TO version's LOGICAL names: physical
-    // names are stable across renames, so mapping the from-side through
-    // the to-map gives a consistent diff even across RENAME COLUMN
-    // (which itself changes no rows and emits an empty feed)
-    val cmTo = colMapOf(to)
-    // a removed file's rows AT `from` exclude its then-deleted positions;
-    // an added file's rows AT `to` exclude its current vector
+    val dvFrom = dvOf(v - 1)
+    val dvTo = dvOf(v)
+    // a removed file's rows AT v-1 exclude its then-deleted positions;
+    // an added file's rows AT v exclude its current vector
     def snap(files: Seq[String], dv: Map[String, Seq[(Long, Long)]]): Option[DataFrame] =
       if (files.isEmpty) None else Some(toLogical(readFilesDv(files, dv), cmTo))
     // files live at BOTH versions whose vector differs: positions in
@@ -2523,17 +2592,24 @@ final class GraftTable private (
       }
     val i = cat(fileInserts, dvInserts).map(_.withColumn("_change_type", lit("insert")))
     val d = cat(fileDeletes, dvDeletes).map(_.withColumn("_change_type", lit("delete")))
-    (i, d) match {
-      case (Some(x), Some(y)) => x.unionByName(y)
-      case (Some(x), None) => x
-      case (None, Some(y)) => y
-      case (None, None) =>
-        // no file- or vector-level change: empty feed with the WINDOW'S
-        // to-version schema (not the current one — later renames/drops
-        // must not leak into an older window's feed)
-        val schema = readVersion(to).schema.add("_change_type", "string", nullable = false)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    cat(i, d)
+  }
+
+  /** Write this commit's CDC rows (physical layout + `_change_type`) as
+    * a sidecar under `_graft_log/cdc/<id>`; the id is recorded in the
+    * commit metrics and [[versionChanges]] serves the sidecar instead
+    * of inferring from the file diff. The write happens BEFORE the
+    * commit claims its version — an aborted commit leaves an orphaned
+    * sidecar nobody references (swept with the log's cleanup), never a
+    * commit whose feed is missing. */
+  private def writeCdc(physParts: Seq[(DataFrame, String)]): String = {
+    val id = java.util.UUID.randomUUID().toString
+    val dir = new Path(logDir, s"cdc/$id")
+    physParts.map { case (df, tpe) =>
+      df.withColumn("_change_type", lit(tpe))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .write.mode("overwrite").parquet(dir.toString)
+    id
   }
 
   /** RESTORE to an earlier version (Delta's RESTORE TABLE … TO VERSION):

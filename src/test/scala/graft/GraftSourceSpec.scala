@@ -60,14 +60,20 @@ class GraftSourceSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "delete").count() == aapl)
     assert(feed.filter(col("_change_type") === "insert").count() == 0)
 
-    // TVF form covers the update window; an UPDATE is a delete+insert pair
+    // TVF form covers the update window; an UPDATE surfaces its CDC
+    // images — the four-change-type contract Delta documents
     val tvf = spark.sql(s"SELECT * FROM table_changes('$path', 1, 2)")
-    val dels = tvf.filter(col("_change_type") === "delete").count()
-    val ins = tvf.filter(col("_change_type") === "insert").count()
-    assert(dels == ins && ins > 0)
+    val pre = tvf.filter(col("_change_type") === "update_preimage").count()
+    val post = tvf.filter(col("_change_type") === "update_postimage").count()
+    assert(pre == post && post > 0)
+    assert(tvf.filter(col("_change_type").isin("insert", "delete")).count() == 0)
+    // postimages carry the assigned value; preimages the old one
+    assert(tvf.filter(col("_change_type") === "update_postimage" &&
+      col("volume") =!= 1L).count() == 0)
     // endVersion defaults to the current version
     val open = spark.sql(s"SELECT * FROM table_changes('$path', 0)")
     assert(open.filter(col("_change_type") === "delete").count() >= aapl)
+    assert(open.filter(col("_change_type") === "update_postimage").count() == post)
   }
 
   test("partition filters prune the graft scan (hive-partition pruning)") {

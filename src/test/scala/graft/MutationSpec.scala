@@ -335,18 +335,46 @@ class MutationSpec extends SparkSpec {
     val tsla = t.read().filter(col("ticker") === "TSLA").count()
     t.update(col("ticker") === "TSLA", Map("volume" -> lit(0L)))
     val cdfUpd = t.changes(v1, t.currentVersion).cache()
-    // update = delete of old row versions + insert of new ones, but only
-    // for rows whose volume actually changed
-    val changedRows = cdfUpd.filter(col("_change_type") === "insert").count()
-    assert(changedRows == cdfUpd.filter(col("_change_type") === "delete").count())
-    assert(changedRows <= tsla && changedRows > 0)
-    assert(cdfUpd.filter(col("_change_type") === "insert")
+    // an UPDATE surfaces its CDC images: every matched row's old and
+    // new version, never inferred delete+insert
+    val post = cdfUpd.filter(col("_change_type") === "update_postimage").count()
+    assert(post == cdfUpd.filter(col("_change_type") === "update_preimage").count())
+    assert(post == tsla && post > 0)
+    assert(cdfUpd.filter(col("_change_type").isin("insert", "delete")).count() == 0)
+    assert(cdfUpd.filter(col("_change_type") === "update_postimage")
       .agg(sum("volume")).collect()(0).getLong(0) == 0L)
+    assert(cdfUpd.filter(col("_change_type") === "update_preimage" &&
+      col("ticker") =!= "TSLA").count() == 0)
 
     // no-change range: empty feed, schema intact
     val empty = t.changes(t.currentVersion, t.currentVersion)
     assert(empty.count() == 0)
     assert(empty.columns.contains("_change_type"))
+  }
+
+  test("MERGE records CDC: update images, delete preimages, inserts — per clause") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("gt_merge_cdc").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((1L, "keep", 10.0), (2L, "upd", 20.0), (3L, "del", 30.0))
+      .toDF("k", "tag", "v"))
+    val v0 = t.currentVersion
+    val source = Seq((2L, "upd", 200.0), (3L, "del", 0.0), (4L, "new", 40.0))
+      .toDF("k", "tag", "v")
+    t.mergeInto(source, Seq("k"))
+      .whenMatchedDelete(col("target.tag") === "del")
+      .whenMatchedUpdate(Map("v" -> col("source.v")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val feed = t.changes(v0, t.currentVersion).cache()
+    def rows(tpe: String) = feed.filter(col("_change_type") === tpe)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(rows("update_preimage") == Set((2L, 20.0)))
+    assert(rows("update_postimage") == Set((2L, 200.0)))
+    assert(rows("delete") == Set((3L, 30.0)))
+    assert(rows("insert") == Set((4L, 40.0)))
+    // the carried row (k=1, rewritten verbatim) is NOT a change
+    assert(feed.filter(col("k") === 1L).count() == 0)
   }
 
   test("CHECK constraints gate write, update, and merge; NULL passes") {

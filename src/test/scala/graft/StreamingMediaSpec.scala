@@ -257,7 +257,7 @@ class StreamingTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("readChangeFeed stream: deletes flow as tombstones, updates as delete+insert pairs") {
+  test("readChangeFeed stream: deletes flow as tombstones, updates as CDC image pairs") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
     val t = graft.table.GraftTable(spark, path, Seq("grp"))
@@ -277,12 +277,15 @@ class StreamingTableSpec extends SparkSpec {
       val dels = spark.table(name).filter(col("_change_type") === "delete")
       assert(dels.count() == 5)
       assert(dels.select("id").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L, 6L, 8L))
-      // an UPDATE surfaces as a delete+insert pair of old and new versions
+      // an UPDATE surfaces as its CDC image pair: old row as
+      // update_preimage, new row as update_postimage
       t.update(col("id") === 11L, Map("v" -> lit(-1.0)))
       q.processAllAvailable()
       val u = spark.table(name).filter(col("id") === 11L)
-      assert(u.filter(col("_change_type") === "delete" && col("v") === 11.0).count() == 1)
-      assert(u.filter(col("_change_type") === "insert" && col("v") === -1.0).count() == 1)
+      assert(u.filter(col("_change_type") === "update_preimage" &&
+        col("v") === 11.0).count() == 1)
+      assert(u.filter(col("_change_type") === "update_postimage" &&
+        col("v") === -1.0).count() == 1)
     } finally q.stop()
   }
 
