@@ -41,6 +41,18 @@ object Bench {
 
   val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added
 
+  /** Scale-section subset (r8): run at a ×10 scale-up of the bench dir to
+    * expose super-linear shapes (CC round growth, LSH bucket skew,
+    * per-cell quadratics) the small bench hides. Chosen for scale-
+    * sensitive plan shapes: scan-agg, shuffle joins, windows, sessions,
+    * regex/explode text paths, every dedup family, the ANN scale paths. */
+  val ScaleSubset: Seq[String] = Seq(
+    "pricing_summary", "daily_summary", "filter_project",
+    "revenue_by_nation", "q21_waiting_supplier", "running_totals",
+    "sessionize", "trigram_topk", "pii_scrub",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "cluster_minsh",
+    "knn_ivf", "knn_pq", "semantic_dedup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -95,8 +107,63 @@ object Bench {
     val maint = maintenanceBench(spark, sfDir)
     val maintJson = maint.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"sf":"$sfDir"}""")
+    val sf1Json = scaleBench(spark, sfDir, results.toMap)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"sf1":$sf1Json,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** sf1 scale section: generate a deterministic ×10 scale-up of the
+    * bench dir ([[BenchScale]] — structure-preserving, not copy-paste
+    * duplication) and run [[ScaleSubset]] on it. Reports per-query
+    * seconds, the sf1/sf0.1 ratio, and flags any query whose ratio
+    * exceeds 1.5× the data ratio — the super-linear-shape alarm the
+    * small bench can't ring. Runs only when benching an sf0.1 dir
+    * (SPARK_GRAFT_SKIP_SF1=1 disables); failures degrade to -1 like the
+    * main bench, and a generation failure reports {"skipped":…}. */
+  def scaleBench(
+      spark: SparkSession,
+      sfDir: String,
+      sf01Times: Map[String, Double]): String = {
+    val enabled = !sys.env.contains("SPARK_GRAFT_SKIP_SF1") &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
+    if (!enabled) return "{\"skipped\":\"not an sf0.1 bench dir\"}"
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/target/graft_sf1")
+    val t0 = System.nanoTime()
+    val dir =
+      try BenchScale.ensure(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 generation failed: ${e.getMessage}")
+        return "{\"skipped\":\"generation failed\"}"
+      }
+    val genSec = (System.nanoTime() - t0) / 1e9
+    val queries = SparkEntry.queries
+    val results = ScaleSubset.filter(queries.contains).map { name =>
+      val q0 = System.nanoTime()
+      try {
+        queries(name)(spark, dir).count()
+        name -> (System.nanoTime() - q0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1/$name failed: ${e.getMessage}")
+        name -> -1.0
+      }
+    }
+    val ratios = results.flatMap { case (k, v) =>
+      sf01Times.get(k).filter(t => t > 0 && v >= 0).map(t => k -> v / t)
+    }
+    val flagged = ratios.collect {
+      case (k, r) if r > 1.5 * BenchScale.Factor => "\"" + k + "\""
+    }
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    def n(v: Double): String = // locale-proof numeric literal
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def js(kvs: Seq[(String, Double)]): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + n(v) }
+      .mkString("{", ",", "}")
+    s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
+      s""""total":$total,"queries":${js(results)},"ratio":${js(ratios)},""" +
+      s""""flagged":${flagged.mkString("[", ",", "]")}}"""
   }
 
   /** Table-layer micro-bench: the write → append → OPTIMIZE → DV DELETE

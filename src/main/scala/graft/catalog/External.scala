@@ -11,15 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object External {
 
-  /** `CREATE TABLE … USING parquet LOCATION …` + partition recovery
-    * (the parquet equivalent of the reference's USING DELTA LOCATION,
-    * external_table.py:136-140). Idempotent via DROP IF EXISTS (D1). */
+  /** `CREATE TABLE … LOCATION …` (the reference's USING DELTA LOCATION,
+    * external_table.py:136-140). Idempotent via DROP IF EXISTS (D1).
+    *
+    * A path carrying a graft log MUST be registered `USING graft`: the
+    * directory physically retains files the log has removed (OPTIMIZE
+    * rewrites, DV purges, overwritten partitions) until VACUUM, so a raw
+    * parquet scan double-counts. Plain parquet directories register as
+    * parquet with hive-partition discovery (MSCK equivalent). */
   def registerExternalTable(spark: SparkSession, name: String, path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
-    // partitioned layout → discover hive partitions (MSCK equivalent)
-    try spark.catalog.recoverPartitions(name)
-    catch { case _: Exception => () } // unpartitioned tables have none
+    if (graft.table.GraftTable(spark, path).currentVersion >= 0) {
+      spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$path')")
+    } else {
+      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+      // partitioned layout → discover hive partitions
+      try spark.catalog.recoverPartitions(name)
+      catch { case _: Exception => () } // unpartitioned tables have none
+    }
   }
 
   /** Fallback: a view over the path when an external table can't be

@@ -12,9 +12,13 @@ import graft.transform.Enrich
   * (ingest → maintenance → external-table analytics, SURVEY.md §3)
   * compressed into driver-runnable query functions. Inputs are the
   * deterministic synthetic bar source (zero-egress stand-in for the
-  * Polygon REST API), so these have no DuckDB oracle — the driver records
-  * rows-only checks; ScalaTest asserts the semantics (ingest determinism,
-  * tz edges, maintenance invariants).
+  * Polygon REST API): the seed-42 bars are dumped to a fixed parquet
+  * path as a side effect of the query, and the DuckDB oracle re-runs the
+  * filter/aggregation/mutation algebra independently over that dump
+  * (re-deriving the UTC date from raw epoch ms — not trusting the
+  * engine's timestamp math). Only the queries whose output is
+  * implementation-defined (history operations, maintenance file counts)
+  * stay rows-only, with ScalaTest pinning their semantics.
   *
   * Lifecycle queries materialize their small reports with collect-free
   * local DataFrames where possible; temp tables live under java.io.tmpdir
@@ -25,11 +29,29 @@ object StockPipeline {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Fixed dump location for the seed-42 bars — baked into the oracle SQL
+    * below, so the driver's DuckDB process finds the same files the
+    * Verify process wrote. Timestamp columns are dropped from the dump
+    * (raw epoch ms is engine-neutral; parquet timestamp annotations are
+    * not), and the write happens at most once per JVM. */
+  private val BarDumpDir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_oracle_bars_seed42").getAbsolutePath
+  private val barDumpDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def seededBars(spark: SparkSession): DataFrame =
+    Enrich.withTimeColumns(BarSource.harvest(spark, seed = 42L, delayMs = 0))
+
+  private def dumpBarsForOracle(bars: DataFrame): DataFrame = {
+    if (barDumpDone.compareAndSet(false, true))
+      bars.drop("event_time_utc", "event_time_ny")
+        .coalesce(1).write.mode("overwrite").parquet(BarDumpDir)
+    bars
+  }
+
   /** Ingest summary — analyze_table (stock_harvester.py:189-213): rows,
     * distinct dates, and null-coercion counts per ticker. */
   def barIngestSummary(spark: SparkSession, dir: String): DataFrame = {
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = dumpBarsForOracle(seededBars(spark))
     bars.groupBy("ticker")
       .agg(
         count(lit(1)).as("n_bars"),
@@ -43,8 +65,7 @@ object StockPipeline {
   /** The timezone-edge slice: bars whose UTC date differs from the NY
     * trade_date (stock_harvester.py:154-159 rationale made visible). */
   def barTimezoneEdge(spark: SparkSession, dir: String): DataFrame = {
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = dumpBarsForOracle(seededBars(spark))
     bars
       .filter(to_date(col("event_time_utc")) =!= col("trade_date"))
       .groupBy("ticker", "trade_date")
@@ -57,8 +78,7 @@ object StockPipeline {
     * invariant report. */
   def barMaintenanceReport(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_maint")
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = seededBars(spark)
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     // fixed pre-write partitioning → deterministic file counts everywhere
     table.write(bars.repartition(8))
@@ -70,8 +90,7 @@ object StockPipeline {
     * (maintenance.py:212-216). */
   def barHistory(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_hist")
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = seededBars(spark)
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     table.write(bars.repartition(8))
     table.optimize(Seq("timestamp_ms"))
@@ -88,8 +107,7 @@ object StockPipeline {
     * (A6, external_table.py:148-154) through spark.sql. */
   def barExternalAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_ext")
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = dumpBarsForOracle(seededBars(spark))
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     table.write(bars.repartition(8))
     table.optimize(Seq("timestamp_ms"))
@@ -119,8 +137,7 @@ object StockPipeline {
     * MutationSpec carries the semantic assertions. */
   def barMutations(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_mut")
-    val bars = Enrich.withTimeColumns(
-      BarSource.harvest(spark, seed = 42L, delayMs = 0))
+    val bars = dumpBarsForOracle(seededBars(spark))
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     // one file per hive partition: the mutation sequence below rescans
     // the file listing per op, so file count dominates its wall time
@@ -155,8 +172,57 @@ object StockPipeline {
     "bar_history"            -> barHistory _,
     "bar_external_analytics" -> barExternalAnalytics _)
 
-  /** No DuckDB oracles: inputs are generated, not testdata tables. The
-    * driver records rows-only checks; StockPipelineSpec carries the
-    * semantic assertions. */
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB oracles over the deterministic seed-42 bar dump (written by
+    * the queries themselves; read back via read_parquet at a fixed path).
+    * The oracle re-derives the UTC calendar date from raw epoch ms
+    * (make_timestamp takes microseconds) and re-runs each query's
+    * aggregation — and for bar_mutations, replays the DELETE / UPDATE /
+    * MERGE algebra in plain SQL, independently checking the engine's
+    * copy-on-write DML. bar_history / bar_maintenance_report stay
+    * rows-only: their outputs (operation log, file counts) are
+    * implementation-defined, pinned by StockPipelineSpec instead. */
+  private def dump = s"read_parquet('$BarDumpDir/*.parquet')"
+
+  val oracles: Map[String, String] = Map(
+    "bar_ingest_summary" ->
+      s"""SELECT ticker, COUNT(*) AS n_bars,
+         |       COUNT(DISTINCT trade_date) AS n_days,
+         |       MIN(trade_date) AS first_date, MAX(trade_date) AS last_date,
+         |       CAST(SUM(CASE WHEN close IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS null_closes
+         |FROM $dump
+         |GROUP BY ticker ORDER BY ticker""".stripMargin,
+    "bar_timezone_edge" ->
+      s"""SELECT ticker, trade_date,
+         |       COUNT(*) AS bars_past_utc_midnight
+         |FROM $dump
+         |WHERE CAST(make_timestamp(timestamp_ms * 1000) AS DATE) <> trade_date
+         |GROUP BY ticker, trade_date
+         |ORDER BY ticker, trade_date""".stripMargin,
+    "bar_external_analytics" ->
+      s"""SELECT ticker, trade_date, COUNT(*) AS bar_count,
+         |       ROUND(MIN(low), 2) AS day_low,
+         |       ROUND(MAX(high), 2) AS day_high,
+         |       CAST(SUM(volume) AS BIGINT) AS total_volume
+         |FROM $dump
+         |GROUP BY ticker, trade_date
+         |ORDER BY ticker, trade_date""".stripMargin,
+    "bar_mutations" ->
+      s"""WITH b AS (
+         |  SELECT ticker, trade_date, volume, num_transactions
+         |  FROM $dump WHERE ticker <> 'JPM'),
+         |u AS (
+         |  SELECT ticker, trade_date,
+         |         CASE WHEN ticker = 'TSLA' THEN 0 ELSE volume END AS volume,
+         |         CASE WHEN ticker = 'AAPL' AND trade_date = DATE '2024-01-08'
+         |              THEN 0 ELSE num_transactions END AS num_transactions
+         |  FROM b),
+         |ins AS (
+         |  SELECT 'NEWCO' AS ticker, trade_date, volume, num_transactions
+         |  FROM u WHERE ticker = 'NVDA' AND trade_date = DATE '2024-01-08')
+         |SELECT ticker, COUNT(*) AS n_bars,
+         |       CAST(SUM(volume) AS BIGINT) AS total_volume,
+         |       CAST(SUM(num_transactions) AS BIGINT) AS total_tx
+         |FROM (SELECT * FROM u UNION ALL SELECT * FROM ins)
+         |GROUP BY ticker ORDER BY ticker""".stripMargin)
 }
