@@ -162,13 +162,60 @@ object MergeOps {
     }
   }
 
+  /** Column DEFAULT lifecycle (ANSI/Delta `ALTER COLUMN … SET DEFAULT`):
+    * seed 2/3 of `part` with explicit batch/priority values, declare
+    * defaults (one through the API, one through the SQL grammar), then
+    * append the remaining third OMITTING both columns — the engine
+    * completes them from the defaults. The end state is relational:
+    * DuckDB re-derives which rows carry defaulted values from the key
+    * split alone. */
+  def columnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_col_defaults")
+    try {
+      val t = GraftTable(spark, path.toString)
+      val base = Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          round(col("p_retailprice").cast("double"), 2).as("price"))
+      t.write(base.filter(col("p_partkey") % 3 =!= 0)
+        .withColumn("batch", lit("old"))
+        .withColumn("priority", (col("p_partkey") % 5).cast("int"))
+        .repartition(4))
+      // both through the API — the SQL grammar form needs the session
+      // extension, which the driver's bare Verify session doesn't
+      // install; DefaultsSpec exercises the parser path
+      t.setColumnDefault("priority", "9")
+      t.setColumnDefault("batch", "'backfill'")
+      t.write(base.filter(col("p_partkey") % 3 === 0),
+        org.apache.spark.sql.SaveMode.Append)
+      val out = t.read()
+        .select(col("p_partkey"), col("price"), col("batch"), col("priority"))
+      val rows = out.collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+        .orderBy("p_partkey")
+    } finally {
+      scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_sync" -> mergeSync _,
     "merge_cond" -> mergeCond _,
     "replace_where" -> replaceWhere _,
-    "dynamic_overwrite" -> dynamicOverwrite _)
+    "dynamic_overwrite" -> dynamicOverwrite _,
+    "column_defaults" -> columnDefaults _)
 
   val oracles: Map[String, String] = Map(
+    "column_defaults" ->
+      """SELECT p_partkey,
+        |       round(CAST(p_retailprice AS DOUBLE), 2) AS price,
+        |       CASE WHEN p_partkey % 3 = 0 THEN 'backfill' ELSE 'old' END
+        |         AS batch,
+        |       CAST(CASE WHEN p_partkey % 3 = 0 THEN 9
+        |                 ELSE p_partkey % 5 END AS INTEGER) AS priority
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "replace_where" ->
       """SELECT o_orderkey,
         |       o_orderstatus AS status,

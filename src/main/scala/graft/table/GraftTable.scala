@@ -1190,6 +1190,114 @@ final class GraftTable private (
     commitRewrite("DROP GENERATED COLUMN", Nil, Nil, Map("name" -> name),
       newGenerated = Some(generatedColumns - name))
 
+  // ---- column DEFAULT values (Delta/ANSI parity) -----------------------
+  //
+  // Stored as CURRENT_DEFAULT metadata on the field in the schema
+  // sidecar — the same key Spark itself records for DSv2 column
+  // defaults — so defaults version WITH the schema: carried by every
+  // commit, restored by RESTORE, copied by CLONE, visible to time
+  // travel, and attached to the PHYSICAL field so logical RENAME keeps
+  // them. ANSI/Delta write semantics: the default applies to FUTURE
+  // writes that omit the column; existing rows are untouched, and files
+  // written before the column existed still read NULL (Delta rejects
+  // ADD COLUMN … DEFAULT for exactly this reason — so do we, by only
+  // offering SET DEFAULT on existing columns). Delta scopes application
+  // to SQL INSERT; here the completion lives in write(), so the
+  // DataFrame API and every SQL path funneling through it behave
+  // identically (a strictly wider application, documented divergence).
+
+  /** Logical column → DEFAULT expression recorded with `version`. */
+  def defaultsOf(version: Long): Map[String, String] =
+    schemaOf(version).map { phys =>
+      logicalSchema(phys, colMapOf(version)).fields.iterator.flatMap { f =>
+        if (f.metadata.contains(GraftTable.DefaultKey))
+          Some(f.name -> f.metadata.getString(GraftTable.DefaultKey))
+        else None
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  def columnDefaults: Map[String, String] = defaultsOf(currentVersion)
+
+  /** ALTER TABLE … ALTER COLUMN `name` SET DEFAULT (`sqlExpr`). The
+    * expression must be a constant (no column references) that casts to
+    * the column's type — Spark/Delta's own requirement for defaults. */
+  def setColumnDefault(name: String, sqlExpr: String): Long = {
+    require(parseRefs(sqlExpr).isEmpty,
+      s"DEFAULT ($sqlExpr) must be a constant expression " +
+      "(column references are not allowed)")
+    require(!generatedColumns.contains(name) && !identityColumns.contains(name),
+      s"column $name is generated; generated/identity columns cannot " +
+      "carry a DEFAULT")
+    val cur = schemaOf(currentVersion).map(logicalSchema(_, colMap))
+      .getOrElse(read().schema)
+    val dt = cur.fields.find(_.name == name).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot set DEFAULT on unknown column $name"))
+    // evaluate once: unresolvable functions and ANSI cast failures
+    // surface here, at SET time, not at some later writer's commit; a
+    // non-null value casting to null (non-ANSI) is the same rejection
+    val probe =
+      try spark.range(1)
+        .select(expr(sqlExpr).as("raw"), expr(sqlExpr).cast(dt).as("casted"))
+        .head()
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"DEFAULT ($sqlExpr) does not cast to ${dt.simpleString} for " +
+          s"column $name: ${e.getMessage}", e)
+      }
+    require(probe.isNullAt(0) || !probe.isNullAt(1),
+      s"DEFAULT ($sqlExpr) does not cast to ${dt.simpleString} for column $name")
+    commitRewrite("ALTER COLUMN SET DEFAULT", Nil, Nil,
+      Map("name" -> name, "default" -> sqlExpr),
+      newSchema = Some(base => withFieldMetadata(base, name, m =>
+        m.putString(GraftTable.DefaultKey, sqlExpr))))
+  }
+
+  /** ALTER TABLE … ALTER COLUMN `name` DROP DEFAULT (the column and its
+    * existing values keep; future writes must supply it again). */
+  def dropColumnDefault(name: String): Long =
+    commitRewrite("ALTER COLUMN DROP DEFAULT", Nil, Nil, Map("name" -> name),
+      newSchema = Some(base => withFieldMetadata(base, name, m =>
+        m.remove(GraftTable.DefaultKey))))
+
+  /** Schema of `base` with `name`'s field metadata rewritten through
+    * `f` — resolved against the CLAIMED base inside the commit closure,
+    * so a conflict-retry lands on the schema that actually won. */
+  private def withFieldMetadata(base: Long, name: String,
+      f: org.apache.spark.sql.types.MetadataBuilder =>
+         org.apache.spark.sql.types.MetadataBuilder): StructType = {
+    val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+    val cm = colMapOf(base)
+    val phys =
+      if (cm.isIdentity) name
+      else cm.entries.find(_._1 == name).map(_._2).getOrElse(name)
+    require(cur.fieldNames.contains(phys),
+      s"column $name does not exist (a concurrent commit may have " +
+      "dropped or renamed it); re-run against the new snapshot")
+    StructType(cur.fields.map { fld =>
+      if (fld.name != phys) fld
+      else fld.copy(metadata = f(new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(fld.metadata)).build())
+    })
+  }
+
+  /** Complete absent DEFAULT-carrying columns from their expressions
+    * (cast to the column type); present columns pass through untouched —
+    * defaults never validate, unlike generated columns. */
+  private def applyDefaults(df: DataFrame): DataFrame = {
+    if (currentVersion < 0) return df
+    val defaults = columnDefaults
+    if (defaults.isEmpty) return df
+    val types = schemaOf(currentVersion).map(logicalSchema(_, colMap))
+      .map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    val present = df.columns.toSet
+    defaults.foldLeft(df) { case (d, (name, e)) =>
+      if (present(name) || !types.contains(name)) d
+      else d.withColumn(name, expr(e).cast(types(name)))
+    }
+  }
+
   /** Complete absent generated columns from their expressions; validate
     * the ones the writer supplied. Returns the completed frame. */
   private def applyGenerated(df: DataFrame): DataFrame = {
@@ -1240,9 +1348,10 @@ final class GraftTable private (
       "partition) overwrite")
     require(!dynamicPartitionOverwrite || partitionColumns.nonEmpty,
       "dynamic partition overwrite needs a partitioned table")
-    // absent generated columns complete BEFORE schema enforcement (the
-    // completed column is part of the incoming schema, not a mismatch)
-    val df0g = applyGenerated(df)
+    // absent generated and DEFAULT-carrying columns complete BEFORE
+    // schema enforcement (the completed column is part of the incoming
+    // schema, not a mismatch)
+    val df0g = applyDefaults(applyGenerated(df))
     // identity columns are GENERATED ALWAYS: user-supplied values are
     // rejected; absent/NULL values fill from the high-water mark (the
     // mark advances in this write's own commit, guarded below)
@@ -2636,6 +2745,11 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(version)),
       newGenerated = Some(generatedOf(version)),
       newProperties = Some(_ => propertiesOf(version)),
+      // the restored version's recorded schema comes back too: a
+      // RESTORE across an ADD COLUMN / SET DEFAULT must not leave the
+      // later schema (or its metadata) grafted onto the older file set
+      newSchema = Some(_ =>
+        schemaOf(version).getOrElse(physicalSchemaAt(version))),
       dvChanges = Some { base =>
         val target = dvOf(version)
         val cur = dvOf(base)
@@ -2679,6 +2793,10 @@ final class GraftTable private (
       newConstraints = Some(constraintsOf(srcV)),
       newGenerated = Some(generatedOf(srcV)),
       newProperties = Some(_ => propertiesOf(srcV)),
+      // the recorded schema travels with the clone: without it a
+      // metadata-only ADD COLUMN or a column DEFAULT would vanish
+      // (clone reads would fall back to data-file footers)
+      newSchema = Some(_ => schemaOf(srcV).getOrElse(physicalSchemaAt(srcV))),
       carriedStats = carried, collectStats = false,
       addSizes = carriedSizes,
       dvChanges = Some(_ => carriedDv),
@@ -2951,6 +3069,11 @@ object GraftTable {
     * ingest or full-table OPTIMIZE commit reads thousands of footers;
     * below it, job-launch overhead beats the driver loop. */
   val DistributedStatsThreshold: Int = 12
+
+  /** StructField metadata key carrying a column's DEFAULT expression in
+    * the schema sidecar — Spark's own key for DSv2 column defaults, so
+    * the recorded schema stays interoperable with engines that read it. */
+  val DefaultKey: String = "CURRENT_DEFAULT"
 
   /** Column mapping: `entries` = visible columns in order (logical →
     * physical); `retired` = physical names of dropped columns (never

@@ -78,6 +78,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""".r
   private val DropConstraintRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""".r
+  private val SetDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""".r
+  private val DropDefaultRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""".r
   private val CloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val ConvertRe =
@@ -104,6 +108,10 @@ object GraftSqlParser {
       Some(GraftAddConstraintCommand(tbl, name, expr.trim))
     case DropConstraintRe(tbl, name) =>
       Some(GraftDropConstraintCommand(tbl, name))
+    case SetDefaultRe(tbl, name, expr) =>
+      Some(GraftSetDefaultCommand(tbl, name, expr.trim))
+    case DropDefaultRe(tbl, name) =>
+      Some(GraftDropDefaultCommand(tbl, name))
     case CloneRe(tgt, src, v) =>
       Some(GraftCloneCommand(tgt, src, Option(v).map(_.toLong)))
     case ConvertRe(tbl, parts) =>
@@ -186,6 +194,24 @@ case class GraftDropConstraintCommand(table: String, name: String)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftSqlParser.resolve(session, table).dropConstraint(name)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` (ANSI/Delta). */
+case class GraftSetDefaultCommand(table: String, name: String,
+    expr: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(session, table).setColumnDefault(name, expr)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c DROP DEFAULT`. */
+case class GraftDropDefaultCommand(table: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(session, table).dropColumnDefault(name)
     Nil
   }
 }
