@@ -873,7 +873,6 @@ final class GraftTable private (
     * row can match). */
   def dataSkippedFiles(version: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
-    import org.apache.spark.sql.sources._
     val rawStats = statsOf(version)
     // pushed filters carry LOGICAL names; footer stats are keyed by the
     // PHYSICAL column name — re-key through the version's column map
@@ -887,40 +886,184 @@ final class GraftTable private (
         rawStats.view.mapValues(_.flatMap { case (ph, b) =>
           logicalOf.get(ph).map(_ -> b) }).toMap
       }
-    // Try-wrapped: a non-numeric stat (legacy "Infinity" sidecar, NaN
-    // filter value) yields None → no proof → the file is kept
-    def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
-      case ("string", s: String) => Some(utf8Compare(stat, s))
-      case (("long" | "double"), n: Number) =>
-        scala.util.Try(new java.math.BigDecimal(stat)
-          .compareTo(new java.math.BigDecimal(n.toString))).toOption
-      case _ => None
-    }
-    // Parquet FP min/max ignore NaN while Spark orders NaN LARGEST, so
-    // "hi <= v" never proves a double file has no x > v row (a NaN row
-    // matches). Upper-bound proofs are therefore disabled for doubles;
-    // lower-bound and equality proofs stay sound (NaN satisfies neither
-    // x < v nor x = finite-v).
-    def upperBoundSound(t: String): Boolean = t != "double"
-    def mayMatch(cols: Map[String, (String, String, String)], f: Filter): Boolean = f match {
-      case EqualTo(a, v) => cols.get(a).forall { case (t, lo, hi) =>
-        !(cmp(t, lo, v).exists(_ > 0) || cmp(t, hi, v).exists(_ < 0)) }
-      case In(a, vs) => vs.exists(v => mayMatch(cols, EqualTo(a, v)))
-      case GreaterThan(a, v) => cols.get(a).forall { case (t, _, hi) =>
-        !upperBoundSound(t) || !cmp(t, hi, v).exists(_ <= 0) }
-      case GreaterThanOrEqual(a, v) => cols.get(a).forall { case (t, _, hi) =>
-        !upperBoundSound(t) || !cmp(t, hi, v).exists(_ < 0) }
-      case LessThan(a, v) => cols.get(a).forall { case (t, lo, _) =>
-        !cmp(t, lo, v).exists(_ >= 0) }
-      case LessThanOrEqual(a, v) => cols.get(a).forall { case (t, lo, _) =>
-        !cmp(t, lo, v).exists(_ > 0) }
-      case And(l, r) => mayMatch(cols, l) && mayMatch(cols, r)
-      case Or(l, r) => mayMatch(cols, l) || mayMatch(cols, r)
-      case _ => true // IsNull / Not / string ops: no interval proof → keep
-    }
     manifestFiles(version).filter { f =>
-      stats.get(f).forall(cols => filters.forall(mayMatch(cols, _)))
+      stats.get(f).forall(cols =>
+        filters.forall(GraftTable.statsMayMatch(cols, _)))
     }
+  }
+
+  // ---- distributed planning (scan planning past driver memory) ---------
+  //
+  // The driver path above materializes the full live-file list (the
+  // Snapshot) before pruning — the same ceiling Delta's driver-side log
+  // replay has, fine at millions of files, not at tens of millions.
+  // The distributed path never builds the Snapshot: it evaluates the
+  // SAME pruning predicate (GraftTable.statsMayMatch — shared code, not
+  // a reimplementation) as a Spark job over the manifest-checkpoint
+  // parquet, folds the O(delta) action tail into a small override map
+  // broadcast to the job, and collects ONLY the surviving files. At a
+  // 10 M-file table with a selective predicate the driver holds the
+  // survivors (and the tail), never the 10 M-entry list.
+  //
+  // Activation (spark.graft.distributedPlanning = auto|always|never,
+  // default auto): auto engages when no Snapshot is cached for the
+  // version, a manifest checkpoint exists, and the checkpoint dataset
+  // is at least spark.graft.distributedPlanning.minCheckpointBytes
+  // (default 64 MB ≈ hundreds of thousands of files) — below that the
+  // driver path is cheaper than a Spark job. Falls back to the driver
+  // path whenever its preconditions fail (no checkpoint, no schema
+  // sidecar, an action tail larger than maxTailEntries); results are
+  // byte-identical either way, which DistributedPlanningSpec pins.
+
+  import GraftTable.TailOutcome
+
+  /** Fold the action records (ckptV, version] into per-file outcomes.
+    * Insertion order of first-touch approximates manifest order for
+    * tail-added files (exact for pure appends). Returns None when the
+    * tail exceeds `maxEntries` (a full-table rewrite right after a
+    * checkpoint) — the driver path handles those. */
+  private def tailOutcomes(ckptV: Long, version: Long,
+      maxEntries: Int): Option[scala.collection.mutable.LinkedHashMap[String, TailOutcome]] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, TailOutcome]
+    var v = ckptV + 1
+    while (v <= version) {
+      val a = readActionRecord(v)
+      a.removes.foreach { f =>
+        out(f) = TailOutcome(live = false, Some(None), Some(None))
+      }
+      a.adds.foreach { case (f, _) =>
+        val prev = out.get(f)
+        val wasDead = prev.exists(!_.live)
+        val statsOv: Option[Option[Map[String, (String, String, String)]]] =
+          a.addStats.get(f) match {
+            case Some(m) => Some(Some(m))
+            // a re-add after removal lost its stats at the removal (the
+            // incremental fold drops them with `base.stats -- removed`);
+            // an add of a still-live or unknown file keeps base stats
+            case None => if (wasDead) Some(None) else prev.flatMap(_.statsOv) match {
+              case s @ Some(_) => s
+              case None => None
+            }
+          }
+        val dvOv = if (wasDead) Some(None) else prev.map(_.dvOv).getOrElse(None)
+        out(f) = TailOutcome(live = true, statsOv, dvOv)
+      }
+      a.dvChanges.foreach { case (f, runs) =>
+        out.get(f) match {
+          case Some(o) if !o.live => () // dv change to a dead file: no-op
+          case cur =>
+            val enc = if (runs.isEmpty) None
+              else Some(GraftTable.encodeRuns(runs))
+            out(f) = TailOutcome(live = true,
+              cur.flatMap(_.statsOv) match {
+                case s @ Some(_) => s
+                case None => None
+              },
+              Some(enc))
+        }
+      }
+      if (out.size > maxEntries) return None
+      v += 1
+    }
+    Some(out)
+  }
+
+  /** Distributed pruned plan of `version` under `filters`: the live
+    * (file → deletion-vector runs) surviving the stats proofs, computed
+    * without materializing the snapshot. None ⇒ use the driver path. */
+  private def planPrunedDistributed(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[String], Map[String, Seq[(Long, Long)]])] = {
+    val mode = spark.conf.get("spark.graft.distributedPlanning", "auto")
+    if (mode == "never") return None
+    if (GraftTable.cachedSnapshot(rootKey, version).isDefined && mode != "always")
+      return None // snapshot already paid for — pruning it is free
+    val ckptV = latestManifestCheckpoint(version).getOrElse(return None)
+    if (mode != "always") {
+      val minBytes = spark.conf
+        .get("spark.graft.distributedPlanning.minCheckpointBytes",
+          (64L << 20).toString).toLong
+      val ckptBytes = scala.util.Try(
+        fs.getContentSummary(manifestCkptPath(ckptV)).getLength).getOrElse(0L)
+      if (ckptBytes < minBytes) return None
+    }
+    val maxTail = spark.conf
+      .get("spark.graft.distributedPlanning.maxTailEntries", "100000").toInt
+    val outcomes = tailOutcomes(ckptV, version, maxTail).getOrElse(return None)
+    // filters carry LOGICAL names; checkpoint stats are keyed PHYSICAL —
+    // rename the filters once, driver-side (inverse of the driver
+    // path's stats re-key; same proofs reachable)
+    val cm = colMapOf(version)
+    val physFilters =
+      if (cm.isIdentity) filters.toList
+      else {
+        val m = cm.entries.toMap
+        filters.map(GraftTable.renameFilterAttrs(_, m)).toList
+      }
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(outcomes.toMap)
+    val collected =
+      try spark.read.parquet(manifestCkptPath(ckptV).toString)
+        .select("seq", "file", "dv", "stats")
+        .mapPartitions { it =>
+          val oc = bc.value
+          it.flatMap { r =>
+            val f = r.getString(1)
+            val touched = oc.get(f)
+            if (touched.exists(!_.live)) Iterator.empty
+            else {
+              val baseDv = if (r.isNullAt(2)) None else Option(r.getString(2))
+              val dv = touched.flatMap(_.dvOv) match {
+                case Some(ov) => ov
+                case None => baseDv
+              }
+              val stats: Option[Map[String, (String, String, String)]] =
+                touched.flatMap(_.statsOv) match {
+                  case Some(ov) => ov
+                  case None =>
+                    if (r.isNullAt(3)) None
+                    else {
+                      val st = r.getSeq[org.apache.spark.sql.Row](3)
+                      if (st == null || st.isEmpty) None
+                      else Some(st.map(s => s.getString(0) ->
+                        ((s.getString(1), s.getString(2), s.getString(3)))).toMap)
+                    }
+                }
+              val keep = stats.forall(cols =>
+                physFilters.forall(GraftTable.statsMayMatch(cols, _)))
+              // touched non-survivors still report their presence so the
+              // driver can tell tail-ADDED files from checkpoint re-adds
+              if (keep || touched.isDefined)
+                Iterator.single((r.getLong(0), f, dv, touched.isDefined, keep))
+              else Iterator.empty
+            }
+          }
+        }.collect()
+      finally bc.destroy()
+    val seenInCkpt = collected.collect { case (_, f, _, true, _) => f }.toSet
+    val keptCkpt = collected.filter(_._5).sortBy(_._1)
+    val keptTail = outcomes.iterator.collect {
+      case (f, o) if o.live && !seenInCkpt(f) &&
+          o.statsOv.flatten.forall(cols =>
+            physFilters.forall(GraftTable.statsMayMatch(cols, _))) =>
+        (f, o.dvOv.flatten)
+    }.toSeq
+    val files = keptCkpt.map(_._2) ++ keptTail.map(_._1)
+    val dv = (keptCkpt.iterator.map(t => t._2 -> t._3) ++
+        keptTail.iterator.map(t => t._1 -> t._2)).collect {
+      case (f, Some(enc)) =>
+        val runs = GraftTable.decodeRuns(enc)
+        f -> runs
+    }.filter(_._2.nonEmpty).toMap
+    Some((files.toIndexedSeq, dv))
+  }
+
+  /** Force a checkpoint at the current version (Delta's
+    * `DeltaLog.checkpoint()` parity): writes the txn-map sidecar and the
+    * parquet manifest checkpoint that distributed planning reads. */
+  def checkpoint(): Unit = {
+    require(currentVersion >= 0, "nothing to checkpoint: no committed version")
+    writeCheckpoint(currentVersion)
   }
 
   /** Scan `version` reading only files that can match `filters`; result
@@ -928,6 +1071,26 @@ final class GraftTable private (
     * subset lacks evolved columns (or is empty). */
   def readVersionPruned(version: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    schemaOf(version).filter(_.nonEmpty) match {
+      case Some(phys) =>
+        planPrunedDistributed(version, filters) match {
+          case Some((kept, dv)) =>
+            val cm = colMapOf(version)
+            val schema = logicalSchema(phys, cm)
+            if (kept.isEmpty)
+              return spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            val pruned = toLogical(readFilesDv(kept, dv), cm)
+            val have = pruned.columns.toSet
+            val aligned = schema.fields.foldLeft(pruned) { (d, f) =>
+              if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            return aligned.select(schema.fields
+              .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          case None => ()
+        }
+      case None => () // no schema sidecar: the driver path derives it
+    }
     val full = readVersion(version)
     val kept = dataSkippedFiles(version, filters)
     if (kept.size == manifestFiles(version).size) return full
@@ -3074,6 +3237,84 @@ object GraftTable {
     * the schema sidecar — Spark's own key for DSv2 column defaults, so
     * the recorded schema stays interoperable with engines that read it. */
   val DefaultKey: String = "CURRENT_DEFAULT"
+
+  /** Per-file outcome of folding an action tail over a symbolic
+    * checkpoint base — mirrors the incremental Snapshot fold exactly,
+    * but as overrides keyed by file instead of a materialized list.
+    * `statsOv`/`dvOv`: None = keep the checkpoint row's value,
+    * Some(None) = dropped/cleared, Some(Some(x)) = replaced. A
+    * top-level case class (NOT inner) so broadcasting the outcome map
+    * never drags a table handle into the closure. */
+  private[table] final case class TailOutcome(
+      live: Boolean,
+      statsOv: Option[Option[Map[String, (String, String, String)]]],
+      dvOv: Option[Option[String]])
+
+  // ---- pruning predicate (shared by driver + distributed planning) -----
+
+  /** Try-wrapped: a non-numeric stat (legacy "Infinity" sidecar, NaN
+    * filter value) yields None → no proof → the file is kept. */
+  private def statCmp(tag: String, stat: String, v: Any): Option[Int] =
+    (tag, v) match {
+      case ("string", s: String) => Some(utf8Compare(stat, s))
+      case (("long" | "double"), n: Number) =>
+        scala.util.Try(new java.math.BigDecimal(stat)
+          .compareTo(new java.math.BigDecimal(n.toString))).toOption
+      case _ => None
+    }
+
+  /** True when the interval proofs over `cols` (column → (type-tag,
+    * min, max)) cannot exclude the file for filter `f`. A PURE function
+    * in the companion so the driver path and the distributed planning
+    * job evaluate the IDENTICAL predicate (the distributed path ships
+    * it inside a Spark closure).
+    *
+    * Parquet FP min/max ignore NaN while Spark orders NaN LARGEST, so
+    * "hi <= v" never proves a double file has no x > v row (a NaN row
+    * matches). Upper-bound proofs are therefore disabled for doubles;
+    * lower-bound and equality proofs stay sound (NaN satisfies neither
+    * x < v nor x = finite-v). */
+  def statsMayMatch(cols: Map[String, (String, String, String)],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def upperBoundSound(t: String): Boolean = t != "double"
+    f match {
+      case EqualTo(a, v) => cols.get(a).forall { case (t, lo, hi) =>
+        !(statCmp(t, lo, v).exists(_ > 0) || statCmp(t, hi, v).exists(_ < 0)) }
+      case In(a, vs) => vs.exists(v => statsMayMatch(cols, EqualTo(a, v)))
+      case GreaterThan(a, v) => cols.get(a).forall { case (t, _, hi) =>
+        !upperBoundSound(t) || !statCmp(t, hi, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(a, v) => cols.get(a).forall { case (t, _, hi) =>
+        !upperBoundSound(t) || !statCmp(t, hi, v).exists(_ < 0) }
+      case LessThan(a, v) => cols.get(a).forall { case (t, lo, _) =>
+        !statCmp(t, lo, v).exists(_ >= 0) }
+      case LessThanOrEqual(a, v) => cols.get(a).forall { case (t, lo, _) =>
+        !statCmp(t, lo, v).exists(_ > 0) }
+      case And(l, r) => statsMayMatch(cols, l) && statsMayMatch(cols, r)
+      case Or(l, r) => statsMayMatch(cols, l) || statsMayMatch(cols, r)
+      case _ => true // IsNull / Not / string ops: no interval proof → keep
+    }
+  }
+
+  /** Rewrite the attribute names of the filter shapes [[statsMayMatch]]
+    * understands (logical → physical); shapes it ignores pass through
+    * unchanged (they prove nothing either way). */
+  def renameFilterAttrs(f: org.apache.spark.sql.sources.Filter,
+      m: Map[String, String]): org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    def n(a: String) = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => EqualTo(n(a), v)
+      case In(a, vs) => In(n(a), vs)
+      case GreaterThan(a, v) => GreaterThan(n(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(n(a), v)
+      case LessThan(a, v) => LessThan(n(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(n(a), v)
+      case And(l, r) => And(renameFilterAttrs(l, m), renameFilterAttrs(r, m))
+      case Or(l, r) => Or(renameFilterAttrs(l, m), renameFilterAttrs(r, m))
+      case other => other
+    }
+  }
 
   /** Column mapping: `entries` = visible columns in order (logical →
     * physical); `retired` = physical names of dropped columns (never
