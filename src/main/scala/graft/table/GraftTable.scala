@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.StructType
   *   <path>/_graft_log/v<N>.dv.tsv           deletion vectors CHANGED by N
   *   <path>/_graft_log/v<N>.json             commit record (the commit point)
   *   <path>/_graft_log/v<N>.ckpt.parquet/    manifest checkpoint (periodic)
+  *   <path>/_graft_log/index/<md5>.bloom     per-data-file bloom filters
   * }}}
   *
   * Commits record ACTIONS, not snapshots (Delta's add/remove-action log
@@ -436,6 +437,17 @@ final class GraftTable private (
     val stats = adds.flatMap { f =>
       carriedStats.get(f).orElse(collected.get(f)).map(f -> _)
     }.toMap
+    // bloom index for freshly ADDED files (Delta bloom-index parity):
+    // one distributed pass inside the commit, like the stats job.
+    // Adoption paths (clone/convert pass collectStats = false) skip —
+    // their files either already carry sidecars (same data file, same
+    // md5 key) or backfill via buildBloomIndex(). Sidecars are pure
+    // optimization: a build failure must not lose the commit.
+    if (collectStats && adds.nonEmpty && BloomIndex.declaredColumns(props).nonEmpty)
+      try buildBloomsFor(adds, props, cmap, stats)
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"bloom index build skipped for $v: ${e.getMessage}") }
     val dvc = dvChanges.map(f => f(v - 1)).getOrElse(Map.empty)
     val actionsP = actionsPath(v)
     val constraintsPath = new Path(logDir, f"v$v%020d.constraints.tsv")
@@ -886,10 +898,77 @@ final class GraftTable private (
         rawStats.view.mapValues(_.flatMap { case (ph, b) =>
           logicalOf.get(ph).map(_ -> b) }).toMap
       }
-    manifestFiles(version).filter { f =>
+    val ranged = manifestFiles(version).filter { f =>
       stats.get(f).forall(cols =>
         filters.forall(GraftTable.statsMayMatch(cols, _)))
     }
+    // bloom proofs: only equality/IN conjuncts on indexed columns, only
+    // over the min/max survivors, and only when the table declares an
+    // index — a point lookup on a high-cardinality column skips every
+    // file whose filter proves absence (interval proofs can't).
+    bloomSkippedFiles(version, filters, ranged)
+  }
+
+  /** The subset of `candidates` whose bloom sidecars (if any) admit the
+    * equality probes in `filters`. Missing sidecar/column ⇒ kept. */
+  private def bloomSkippedFiles(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      candidates: Seq[String]): Seq[String] = {
+    if (candidates.isEmpty) return candidates
+    // the property gates PROBING cheaply (no sidecar lookups on
+    // unindexed tables); which columns are actually provable comes from
+    // each sidecar's own keys — rename-stable, and stale property
+    // spellings can't disable files already indexed
+    if (BloomIndex.declaredColumns(propertiesOf(version)).isEmpty)
+      return candidates
+    val demandedLogical = BloomIndex.probes(filters)
+    if (demandedLogical.isEmpty) return candidates
+    // sidecars are keyed by PHYSICAL column name (rename-stable, like
+    // the stats sidecar): re-key the demanded probes through the map
+    val cm = colMapOf(version)
+    val demanded =
+      if (cm.isIdentity) demandedLogical
+      else {
+        val physOf = cm.entries.toMap
+        demandedLogical.flatMap { case (l, s) => physOf.get(l).map(_ -> s) }
+      }
+    if (demanded.isEmpty) return candidates
+    candidates.filter(f => BloomIndex.mayContain(
+      BloomIndex.filtersOf(fs, logDir, rootKey, f), demanded))
+  }
+
+  /** Backfill bloom sidecars for every live file of the current version
+    * missing one (the commit path indexes files as they are ADDED while
+    * `graft.bloom.columns` is set; this covers files that predate the
+    * property). Returns the number of sidecars written. */
+  def buildBloomIndex(): Int = {
+    val props = properties
+    val logical = BloomIndex.declaredColumns(props)
+    require(logical.nonEmpty,
+      s"set TBLPROPERTIES('${BloomIndex.ColumnsProp}'='col,…') before building")
+    buildBloomsFor(manifestFiles(), props, colMap, statsOf(currentVersion))
+  }
+
+  /** Index `files` over the declared bloom columns; no-op when the
+    * property is unset. Row-count hints ride the stats sidecar's
+    * reserved pseudo-column so filter sizing needs no extra I/O. */
+  private def buildBloomsFor(files: Seq[String], props: Map[String, String],
+      cm: ColMap,
+      stats: Map[String, Map[String, (String, String, String)]]): Int = {
+    val logical = BloomIndex.declaredColumns(props)
+    if (logical.isEmpty || files.isEmpty) return 0
+    val physOf = if (cm.isIdentity) logical.map(c => c -> c).toMap
+      else cm.entries.toMap
+    val phys = logical.flatMap(physOf.get).distinct
+    val rowsHint = stats.flatMap { case (f, cols) =>
+      cols.get("").collect { case ("rows", lo, _) => f -> lo.toLong }
+    }
+    val n = BloomIndex.build(spark, fs, logDir, files, dataPath, phys,
+      rowsHint, props)
+    // cached NEGATIVE lookups (probed before the sidecar existed) must
+    // not mask the fresh filters
+    if (n > 0) BloomIndex.invalidate(rootKey)
+    n
   }
 
   // ---- distributed planning (scan planning past driver memory) ---------
@@ -2094,17 +2173,23 @@ final class GraftTable private (
         "pass retentionCheckEnabled=false to override (demo mode)")
     val live = manifestFiles().toSet
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
-    val deletable = listDataFiles()
+    val onDisk = listDataFiles()
+    val deletable = onDisk
       .filter { case (f, _, mtime) => !live.contains(f) && mtime <= cutoff }
     // DRY RUN (Delta parity): report what would be reclaimed, delete
     // nothing, commit nothing
     if (dryRun) return (currentVersion, deletable.size)
     if (deletable.size < GraftTable.DistributedStatsThreshold)
-      deletable.foreach { case (f, _, _) => fs.delete(new Path(root, f), false) }
+      deletable.foreach { case (f, _, _) =>
+        fs.delete(new Path(root, f), false)
+        fs.delete(BloomIndex.indexPath(logDir, f), false)
+      }
     else {
       // wide vacuums delete on executors — a 100 TB table's retention
-      // sweep removes millions of files, far beyond a driver loop
-      val paths = deletable.map { case (f, _, _) => new Path(root, f).toString }
+      // sweep removes millions of files, far beyond a driver loop.
+      // Bloom sidecars ride their data file into the same delete job.
+      val paths = deletable.map { case (f, _, _) => new Path(root, f).toString } ++
+        deletable.map { case (f, _, _) => BloomIndex.indexPath(logDir, f).toString }
       val sconf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val bc = spark.sparkContext.broadcast(sconf)
@@ -2116,6 +2201,22 @@ final class GraftTable private (
           hp.getFileSystem(conf).delete(hp, false)
         }
       } finally bc.destroy()
+    }
+    // orphaned bloom sidecars (a crashed earlier vacuum deleted the data
+    // file but not the sidecar): matched by md5 NAME against every file
+    // that still exists or is live — no sidecar reads. The mtime guard
+    // protects a concurrent commit's fresh sidecar whose data file
+    // postdates our listing.
+    val idxDir = BloomIndex.indexDir(logDir)
+    if (fs.exists(idxDir)) {
+      val gone = deletable.map(_._1).toSet
+      val keepNames = (onDisk.map(_._1).filterNot(gone).toSet ++ live)
+        .map(f => BloomIndex.indexPath(logDir, f).getName)
+      fs.listStatus(idxDir).foreach { s =>
+        if (s.getPath.getName.endsWith(".bloom") &&
+            !keepNames(s.getPath.getName) && s.getModificationTime <= cutoff)
+          fs.delete(s.getPath, false)
+      }
     }
     val v = commitRewrite("VACUUM", Nil, Nil, Map(
       "numFilesDeleted" -> deletable.size.toString,
@@ -2245,7 +2346,21 @@ final class GraftTable private (
     * The per-file moves are same-filesystem renames (metadata ops). */
   private def appendDataFiles(df: DataFrame): Seq[(String, Long)] = {
     val staging = new Path(root, s".staging-${java.util.UUID.randomUUID}")
-    val writer = df.write.mode(SaveMode.Append)
+    var writer = df.write.mode(SaveMode.Append)
+    // parquet-NATIVE bloom filters on the declared index columns: the
+    // sidecar index skips whole FILES at planning; these skip ROW
+    // GROUPS inside files that must be read (parquet readers consult
+    // them during pushdown, executor-side, no driver involvement)
+    locally {
+      val cm = colMap
+      val physOf = if (cm.isIdentity) (c: String) => Some(c)
+        else cm.entries.toMap.get _
+      BloomIndex.declaredColumns(properties)
+        .flatMap(physOf(_)).filter(df.columns.contains)
+        .foreach { c =>
+          writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+        }
+    }
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
      else writer).parquet(staging.toString)
     val stagingUri = staging.toUri.getPath
