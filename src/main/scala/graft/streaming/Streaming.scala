@@ -18,22 +18,34 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored (ts is epoch-nanos long under nanosAsLong). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema as stored, with `ts` matching the file's physical
+    * encoding (epoch-nanos long under nanosAsLong, or TIMESTAMP_NTZ for
+    * the micros encoding) — readStream needs the schema up front, so the
+    * batch reader's inference decides which variant this dir carries. */
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS); a bare session fails at read
-    // time without this (Tables.table sets it for batch, not for streams).
+    // events.parquet may store TIMESTAMP(NANOS); a bare session fails at
+    // read time without this (Tables.table sets it for batch, not streams).
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    spark.readStream
-      .schema(eventsSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private var counter = 0

@@ -27,15 +27,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `ts` lands as Long (epoch nanos) via nanosAsLong; convert to a real
-    * timestamp with integer division — epoch-ns (~1.7e18) exceeds double's
-    * exact range, so `DIV 1000` (exact long math) → timestamp_micros. This
-    * truncation matches DuckDB's own ns→µs conversion of the same files. */
+  /** `ts` normalization across the encodings the driver has shipped:
+    *  - TIMESTAMP(NANOS) read as Long under nanosAsLong → exact integer
+    *    `DIV 1000` to micros (epoch-ns ~1.7e18 exceeds double's exact
+    *    range) — matches DuckDB's own ns→µs conversion;
+    *  - timestamp[us] with isAdjustedToUTC=false (inferred TIMESTAMP_NTZ)
+    *    → cast to session-zone timestamp; sessions here run UTC, so the
+    *    wall-clock values keep the same epoch meaning DuckDB reads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
