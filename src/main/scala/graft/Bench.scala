@@ -216,6 +216,16 @@ object Bench {
       timed("vacuum")(t.vacuum(retainHours = 0.0,
         retentionCheckEnabled = false,
         nowMs = System.currentTimeMillis() + 3600 * 1000))
+      // bloom index lifecycle: backfill cost over the whole table, then
+      // a single-key read through the indexed scan (the 100 TB point-
+      // lookup path: file pruning from sidecar proofs, not a full scan)
+      timed("bloom_build") {
+        t.setProperties(Map(graft.table.BloomIndex.ColumnsProp -> "l_orderkey"))
+        t.buildBloomIndex()
+      }
+      timed("point_lookup")(
+        spark.read.format("graft").load(path)
+          .filter(col("l_orderkey") === 449L).count())
       out.result()
     } finally {
       scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(

@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.SqlInterface.queries ++
       graft.queries.Sessionize.queries ++
       graft.queries.IoAndScalars.queries ++
+      graft.queries.Indexing.queries ++
       graft.table.Bucketing.queries ++
       graft.streaming.Streaming.queries ++
       graft.multimodal.Media.queries
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.queries.SqlInterface.oracles ++
       graft.queries.Sessionize.oracles ++
       graft.queries.IoAndScalars.oracles ++
+      graft.queries.Indexing.oracles ++
       graft.table.Bucketing.oracles ++
       graft.streaming.Streaming.oracles ++
       graft.multimodal.Media.oracles

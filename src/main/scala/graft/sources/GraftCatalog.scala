@@ -179,7 +179,9 @@ final case class GraftV2Table(spark: SparkSession, path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot,
-      filters => table.readVersionPruned(pinnedVersion, filters))
+      filters => table.readVersionPruned(pinnedVersion, filters),
+      filters => table.scanStats(pinnedVersion, filters),
+      filters => table.augmentedFilters(pinnedVersion, filters))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -261,7 +263,9 @@ final case class GraftV2Table(spark: SparkSession, path: String,
   * hint, never a correctness dependency (same contract as the DSv1
   * relation). */
 final class GraftScanBuilder(snapshot: DataFrame,
-    prunedReader: Seq[Filter] => DataFrame) extends ScanBuilder
+    prunedReader: Seq[Filter] => DataFrame,
+    scanStats: Seq[Filter] => (Long, Option[Long]),
+    augment: Seq[Filter] => Seq[Filter] = identity _) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snapshot.schema
@@ -276,7 +280,8 @@ final class GraftScanBuilder(snapshot: DataFrame,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1ScanShim(prunedReader, required, pushed)
+  override def build(): Scan =
+    new GraftV1ScanShim(prunedReader, required, pushed, scanStats, augment)
 }
 
 /** DSv2 scan executing through the V1 relation machinery ([[V1Scan]],
@@ -285,17 +290,40 @@ final class GraftScanBuilder(snapshot: DataFrame,
   * so predicate pushdown and hive-partition pruning hit the parquet
   * source exactly as in the DSv1 path. */
 final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+    required: StructType, filters: Array[Filter],
+    scanStats: Seq[Filter] => (Long, Option[Long]),
+    augment: Seq[Filter] => Seq[Filter] = identity _)
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Manifest-derived size/rows of the files SURVIVING data skipping
+    * for the pushed filters (deletion-vector cardinality subtracted
+    * from rows): join strategy sees the pruned scan, so a selective
+    * point lookup over a huge table still auto-broadcasts. Delta's
+    * PrepareDeltaScan plays the same stats into Catalyst. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rows) = scanStats(filters.toIndexedSeq)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty)(java.util.OptionalLong.of)
+    }
+  }
 
   /** The filtered + pruned snapshot frame this scan executes. Exposed so
     * plan audits can assert that pushed predicates reach the underlying
     * parquet scan as PartitionFilters/PushedFilters (the V1 shim node
     * hides the inner plan from the outer executedPlan string). */
   def scanFrame: DataFrame = {
-    val filtered = filters.flatMap(GraftFilters.translate)
-      .foldLeft(prunedReader(filters.toIndexedSeq))((d, c) => d.filter(c))
+    // generated-column-derived filters are applied as columns alongside
+    // the pushed ones so hive directory pruning sees them in-scan
+    val all = augment(filters.toIndexedSeq)
+    val filtered = all.flatMap(GraftFilters.translate)
+      .foldLeft(prunedReader(all))((d, c) => d.filter(c))
     if (required.isEmpty) filtered.select(lit(1).as("__one"))
     else filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
   }

@@ -300,13 +300,24 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
 
   override val schema: StructType = snapshot.schema
 
+  /** Manifest-summed live bytes of the pinned version (commit-log
+    * sizes, no per-file RPCs) — without this, `BaseRelation` defaults
+    * to `spark.sql.defaultSizeInBytes` (≈Long.Max) and a kilobyte-sized
+    * graft dimension table never qualifies for auto-broadcast. */
+  override lazy val sizeInBytes: Long =
+    GraftTable(sqlContext.sparkSession, path).sizeInBytes(pinnedVersion)
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     // manifest-stats data skipping first (prunes the FILE LIST), then
-    // the translated predicates push into the parquet scan of what's left
-    val base = GraftTable(sqlContext.sparkSession, path)
-      .readVersionPruned(pinnedVersion, filters.toIndexedSeq)
-    val filtered = filters.flatMap(GraftFilters.translate)
+    // the translated predicates push into the parquet scan of what's
+    // left. Filters implied by generated-column definitions are applied
+    // as columns too, so a predicate on a generated PARTITION column
+    // derived from its base prunes hive directories inside the scan.
+    val t = GraftTable(sqlContext.sparkSession, path)
+    val all = t.augmentedFilters(pinnedVersion, filters.toIndexedSeq)
+    val base = t.readVersionPruned(pinnedVersion, all)
+    val filtered = all.flatMap(GraftFilters.translate)
       .foldLeft(base)((d, c) => d.filter(c))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select(lit(1).as("__one"))

@@ -1,0 +1,142 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Filter derivation through generated-column definitions (Delta's
+  * `OptimizeGeneratedColumn` idea, re-expressed over the source-Filter
+  * algebra so ONE derivation feeds every pruning layer).
+  *
+  * A table partitioned (or sorted) by `d GENERATED ALWAYS AS
+  * (to_date(ts))` is almost always queried by `ts` — and a predicate on
+  * `ts` says nothing to partition pruning or stats skipping about `d`
+  * unless someone derives the implied predicate. The rules:
+  *
+  *  - EQUALITY transfers through ANY deterministic definition:
+  *    `g = f(c)` and `c = v` imply `g = f(v)` — determinism is the only
+  *    requirement, so `substring`, `pmod`, hash buckets all derive.
+  *  - RANGES transfer only through definitions this object can prove
+  *    NON-DECREASING over the base column's domain (`to_date`,
+  *    `date_trunc`, `trunc`, `year`, date/timestamp casts — over
+  *    date/timestamp bases): `c > v` implies `g >= f(v)`, with the
+  *    bound always RELAXED to `>=`/`<=` because f collapses distinct
+  *    inputs to one output (to_date maps a whole day to one date).
+  *
+  * Derived filters are IMPLIED by the originals, so adding them to a
+  * scan changes no result — they exist to hand partition pruning and
+  * stats/bloom skipping predicates they can act on. f(v) is evaluated
+  * driver-side through the session's own expression engine (literal
+  * substitution + a one-row local select), so time-zone semantics match
+  * the scan exactly.
+  */
+object GeneratedPruning {
+
+  /** Function names whose presence anywhere in a definition disqualifies
+    * it: value depends on more than the base column's value. */
+  private val NonDeterministic = Set(
+    "rand", "randn", "random", "uuid", "shuffle", "now",
+    "current_timestamp", "current_date", "localtimestamp", "current_timezone",
+    "current_user", "session_user", "user", "monotonically_increasing_id",
+    "spark_partition_id", "input_file_name", "unix_timestamp")
+
+  private def fnName(f: UnresolvedFunction): String =
+    f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+
+  private def deterministic(e: Expression): Boolean =
+    !e.exists {
+      case f: UnresolvedFunction =>
+        val n = fnName(f)
+        NonDeterministic(n) && !(n == "unix_timestamp" && f.arguments.nonEmpty)
+      case _ => false
+    }
+
+  /** Single base attribute referenced by the definition, if exactly one. */
+  private def soleRef(e: Expression): Option[String] = {
+    val refs = e.collect { case a: UnresolvedAttribute => a.nameParts.mkString(".") }
+    refs.distinct match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** Structural proof that the definition is non-decreasing in its base
+    * column: a chain of order-preserving unary time wrappers. Only
+    * meaningful when the base column itself is date/timestamp-typed
+    * (string→date parses are NOT monotone in string order). */
+  private def monotoneShape(e: Expression): Boolean = e match {
+    case _: UnresolvedAttribute => true
+    case c: Cast => (c.dataType match {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }) && monotoneShape(c.child)
+    case f: UnresolvedFunction => fnName(f) match {
+      case "to_date" if f.arguments.size == 1 => monotoneShape(f.arguments.head)
+      case "date_trunc" if f.arguments.size == 2 &&
+        f.arguments.head.isInstanceOf[Literal] => monotoneShape(f.arguments(1))
+      case "trunc" if f.arguments.size == 2 &&
+        f.arguments(1).isInstanceOf[Literal] => monotoneShape(f.arguments.head)
+      case "year" if f.arguments.size == 1 => monotoneShape(f.arguments.head)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def dateLike(t: DataType): Boolean = t match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Filters implied on generated columns by `filters` on their base
+    * columns. `baseType` resolves a base column's data type (monotone
+    * derivations only fire for date/timestamp bases). */
+  def derive(spark: SparkSession, defs: Map[String, String],
+      baseType: String => Option[DataType],
+      filters: Seq[Filter]): Seq[Filter] = {
+    val parser = spark.sessionState.sqlParser
+    defs.toSeq.flatMap { case (g, sqlExpr) =>
+      val parsed = scala.util.Try(parser.parseExpression(sqlExpr)).toOption
+      parsed.toSeq.flatMap { e =>
+        soleRef(e) match {
+          case Some(base) if deterministic(e) =>
+            val monotone = monotoneShape(e) && baseType(base).exists(dateLike)
+            def f(v: Any): Option[Any] = evalAt(spark, e, v)
+            filters.flatMap {
+              case EqualTo(`base`, v) if v != null => f(v).map(EqualTo(g, _))
+              case In(`base`, vs) =>
+                // null arms can never match (3VL), so deriving over the
+                // non-null arms is sound; any unevaluable arm → no proof
+                val mapped = vs.toSeq.filter(_ != null).map(f)
+                if (mapped.nonEmpty && mapped.forall(_.isDefined))
+                  Seq(In(g, mapped.flatten.toArray))
+                else Nil
+              case GreaterThan(`base`, v) if monotone && v != null =>
+                f(v).map(GreaterThanOrEqual(g, _))
+              case GreaterThanOrEqual(`base`, v) if monotone && v != null =>
+                f(v).map(GreaterThanOrEqual(g, _))
+              case LessThan(`base`, v) if monotone && v != null =>
+                f(v).map(LessThanOrEqual(g, _))
+              case LessThanOrEqual(`base`, v) if monotone && v != null =>
+                f(v).map(LessThanOrEqual(g, _))
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      }
+    }.distinct
+  }
+
+  /** f(v): substitute the base attribute with the literal and evaluate
+    * through a one-row local select (no job — LocalTableScan), so
+    * function resolution and session time zone match the scan's. */
+  private def evalAt(spark: SparkSession, e: Expression, v: Any): Option[Any] =
+    scala.util.Try {
+      val lit = Literal(v)
+      val sub = e.transformUp { case _: UnresolvedAttribute => lit }
+      val row = spark.range(1)
+        .select(org.apache.spark.sql.graft.ColumnBridge.column(sub)).collect()(0)
+      if (row.isNullAt(0)) None else Some(row.get(0))
+    }.toOption.flatten
+}

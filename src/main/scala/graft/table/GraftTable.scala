@@ -880,11 +880,29 @@ final class GraftTable private (
   private def collectFileStats(file: String): Map[String, (String, String, String)] =
     GraftTable.footerStats(dataPath(file).toString, spark.sessionState.newHadoopConf())
 
+  /** `filters` plus every filter implied on a generated column by a
+    * pushed filter on its base column ([[GeneratedPruning]]): a query
+    * constraining `ts` also constrains `d GENERATED AS (to_date(ts))`,
+    * and the implied predicate is what partition pruning and stats/
+    * bloom skipping can act on when the table is laid out by `d`. */
+  def augmentedFilters(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    if (filters.isEmpty) return filters
+    val defs = generatedOf(version)
+    if (defs.isEmpty) return filters
+    lazy val schema = scala.util.Try(readVersion(version).schema).toOption
+    val baseType = (c: String) =>
+      schema.flatMap(_.fields.find(_.name == c).map(_.dataType))
+    (filters ++ GeneratedPruning.derive(spark, defs, baseType, filters)).distinct
+  }
+
   /** The subset of `version`'s files that MAY contain rows matching all
     * `filters` (conservative: a file is kept unless its stats prove no
     * row can match). */
   def dataSkippedFiles(version: Long,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
+    val filters = augmentedFilters(version, rawFilters)
     val rawStats = statsOf(version)
     // pushed filters carry LOGICAL names; footer stats are keyed by the
     // PHYSICAL column name — re-key through the version's column map
@@ -898,9 +916,20 @@ final class GraftTable private (
         rawStats.view.mapValues(_.flatMap { case (ph, b) =>
           logicalOf.get(ph).map(_ -> b) }).toMap
       }
+    // hive-path partition values join the proof set as point intervals:
+    // a partition predicate (pushed directly, or derived above from a
+    // generated-column definition) prunes the FILE LIST here, not just
+    // directories inside the parquet scan — so scan estimates and
+    // distributed planning see the pruned list too
+    val prefs = {
+      val pcols = layoutPartitionColumns(version).toSet
+      if (pcols.isEmpty) Set.empty[String]
+      else filters.iterator.flatMap(_.references).filter(pcols).toSet
+    }
     val ranged = manifestFiles(version).filter { f =>
-      stats.get(f).forall(cols =>
-        filters.forall(GraftTable.statsMayMatch(cols, _)))
+      val cols = stats.getOrElse(f, Map.empty) ++
+        GraftTable.partitionValueStats(f, prefs)
+      filters.forall(GraftTable.statsMayMatch(cols, _))
     }
     // bloom proofs: only equality/IN conjuncts on indexed columns, only
     // over the min/max survivors, and only when the table declares an
@@ -935,6 +964,38 @@ final class GraftTable private (
     if (demanded.isEmpty) return candidates
     candidates.filter(f => BloomIndex.mayContain(
       BloomIndex.filtersOf(fs, logDir, rootKey, f), demanded))
+  }
+
+  /** Total live data bytes at `version`. Sizes come from the commit log
+    * (recorded per add action); a status RPC happens only for legacy
+    * files committed before sizes were logged, never per live file. */
+  def sizeInBytes(version: Long = currentVersion): Long = {
+    val snap = snapshotAt(version)
+    snap.files.iterator.map(f =>
+      snap.sizes.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
+  }
+
+  /** (bytes, rows) estimate of the scan that survives data skipping for
+    * `filters` at `version` — what the relation layers report to
+    * Catalyst so join strategy (auto-broadcast, CBO) sees the PRUNED
+    * scan, not the whole table: a selective point lookup over a huge
+    * table still qualifies for the build side of a broadcast join.
+    * Rows subtract each file's deletion-vector cardinality and are
+    * `None` when any surviving file lacks a footer row count (estimate
+    * must never under-claim). */
+  def scanStats(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Option[Long]) = {
+    val snap = snapshotAt(version)
+    val kept = dataSkippedFiles(version, filters)
+    val bytes = kept.iterator.map(f =>
+      snap.sizes.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
+    val perFile = kept.map(f =>
+      snap.stats.get(f).flatMap(_.get("")).collect { case ("rows", lo, _) =>
+        math.max(0L, lo.toLong -
+          snap.dv.getOrElse(f, Nil).iterator.map(_._2).sum)
+      })
+    val rows = if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+    (bytes, rows)
   }
 
   /** Backfill bloom sidecars for every live file of the current version
@@ -1079,6 +1140,14 @@ final class GraftTable private (
         val m = cm.entries.toMap
         filters.map(GraftTable.renameFilterAttrs(_, m)).toList
       }
+    // partition columns referenced by the filters (partition columns
+    // are never renamed, so no column-map round trip): each task
+    // synthesizes the point-interval stats from its files' hive paths
+    val partRefs = {
+      val pcols = layoutPartitionColumns(version).toSet
+      if (pcols.isEmpty) Set.empty[String]
+      else physFilters.iterator.flatMap(_.references).filter(pcols).toSet
+    }
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(outcomes.toMap)
     val collected =
@@ -1108,8 +1177,10 @@ final class GraftTable private (
                         ((s.getString(1), s.getString(2), s.getString(3)))).toMap)
                     }
                 }
-              val keep = stats.forall(cols =>
-                physFilters.forall(GraftTable.statsMayMatch(cols, _)))
+              val cols = stats.getOrElse(
+                Map.empty[String, (String, String, String)]) ++
+                GraftTable.partitionValueStats(f, partRefs)
+              val keep = physFilters.forall(GraftTable.statsMayMatch(cols, _))
               // touched non-survivors still report their presence so the
               // driver can tell tail-ADDED files from checkpoint re-adds
               if (keep || touched.isDefined)
@@ -1122,9 +1193,12 @@ final class GraftTable private (
     val seenInCkpt = collected.collect { case (_, f, _, true, _) => f }.toSet
     val keptCkpt = collected.filter(_._5).sortBy(_._1)
     val keptTail = outcomes.iterator.collect {
-      case (f, o) if o.live && !seenInCkpt(f) &&
-          o.statsOv.flatten.forall(cols =>
-            physFilters.forall(GraftTable.statsMayMatch(cols, _))) =>
+      case (f, o) if o.live && !seenInCkpt(f) && {
+          val cols = o.statsOv.flatten.getOrElse(
+            Map.empty[String, (String, String, String)]) ++
+            GraftTable.partitionValueStats(f, partRefs)
+          physFilters.forall(GraftTable.statsMayMatch(cols, _))
+        } =>
         (f, o.dvOv.flatten)
     }.toSeq
     val files = keptCkpt.map(_._2) ++ keptTail.map(_._1)
@@ -1149,7 +1223,11 @@ final class GraftTable private (
     * carries exactly the full version's schema even when the pruned
     * subset lacks evolved columns (or is empty). */
   def readVersionPruned(version: Long,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    // generated-column derivation up front so BOTH planning paths
+    // (distributed checkpoint scan and driver stats walk) see the
+    // implied predicates
+    val filters = augmentedFilters(version, rawFilters)
     schemaOf(version).filter(_.nonEmpty) match {
       case Some(phys) =>
         planPrunedDistributed(version, filters) match {
@@ -3369,14 +3447,28 @@ object GraftTable {
 
   /** Try-wrapped: a non-numeric stat (legacy "Infinity" sidecar, NaN
     * filter value) yields None → no proof → the file is kept. */
-  private def statCmp(tag: String, stat: String, v: Any): Option[Int] =
+  private def statCmp(tag: String, stat: String, v: Any): Option[Int] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def num(n: Long): Option[Int] = scala.util.Try(
+      new java.math.BigDecimal(stat)
+        .compareTo(java.math.BigDecimal.valueOf(n))).toOption
     (tag, v) match {
       case ("string", s: String) => Some(utf8Compare(stat, s))
       case (("long" | "double"), n: Number) =>
         scala.util.Try(new java.math.BigDecimal(stat)
           .compareTo(new java.math.BigDecimal(n.toString))).toOption
+      // date bounds are EPOCH DAYS, timestamp bounds EPOCH MICROS —
+      // the parquet physical encodings — so pushed java.sql/java.time
+      // values convert through the same DateTimeUtils the scan uses
+      case ("date", d: java.sql.Date) => num(d.toLocalDate.toEpochDay)
+      case ("date", d: java.time.LocalDate) => num(d.toEpochDay)
+      case ("tsus", t: java.sql.Timestamp) => num(DateTimeUtils.fromJavaTimestamp(t))
+      case ("tsus", t: java.time.Instant) => num(DateTimeUtils.instantToMicros(t))
+      case ("tsntz", t: java.time.LocalDateTime) =>
+        num(DateTimeUtils.localDateTimeToMicros(t))
       case _ => None
     }
+  }
 
   /** True when the interval proofs over `cols` (column → (type-tag,
     * min, max)) cannot exclude the file for filter `f`. A PURE function
@@ -3410,6 +3502,42 @@ object GraftTable {
       case _ => true // IsNull / Not / string ops: no interval proof → keep
     }
   }
+
+  /** Hive-path partition values of `file` for columns in `refs`,
+    * synthesized as point intervals (lo = hi = the value) in
+    * [[statsMayMatch]]'s encoding — partition predicates then prune the
+    * FILE LIST through the same proof engine as footer stats, instead
+    * of relying solely on directory pruning inside the parquet scan.
+    * PURE (shipped into the distributed planning closure). */
+  def partitionValueStats(file: String,
+      refs: Set[String]): Map[String, (String, String, String)] =
+    if (refs.isEmpty) Map.empty
+    else file.split('/').dropRight(1).iterator.filter(_.contains('='))
+      .flatMap { seg =>
+        val i = seg.indexOf('=')
+        val c = seg.take(i)
+        if (!refs(c)) None
+        else {
+          val raw = java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(c -> encodePartitionStat(raw))
+        }
+      }.toMap
+
+  /** Most specific [[statCmp]] encoding a raw partition string admits.
+    * A mis-guess is SOUND by construction: statCmp only compares when
+    * the pushed value's runtime type matches the tag, and the pushed
+    * value's type is the column's true type — any mismatch returns
+    * None ⇒ keep the file. */
+  private def encodePartitionStat(raw: String): (String, String, String) =
+    if (scala.util.Try(new java.math.BigDecimal(raw)).isSuccess)
+      ("long", raw, raw)
+    else scala.util.Try(java.time.LocalDate.parse(raw)).toOption match {
+      case Some(d) =>
+        val days = d.toEpochDay.toString
+        ("date", days, days)
+      case None => ("string", raw, raw)
+    }
 
   /** Rewrite the attribute names of the filter shapes [[statsMayMatch]]
     * understands (logical → physical); shapes it ignores pass through
@@ -3550,37 +3678,58 @@ object GraftTable {
             val name = pathParts(0)
             val st = cc.getStatistics
             val prim = cc.getPrimitiveType
-            // tag + a transform from the raw footer stat to the bound we
-            // store; logical types whose physical stats don't compare
-            // against pushed-filter values get NO tag (conservative: the
-            // column is never pruned on)
-            val tagOpt: Option[(String, String => String)] =
+            // tag + transforms from the raw footer stat to the lo/hi
+            // bounds we store (separate lo/hi so unit down-conversions
+            // can round OUTWARD); logical types whose physical stats
+            // don't compare against pushed-filter values get NO tag
+            // (conservative: the column is never pruned on)
+            val id = identity[String] _
+            val tagOpt: Option[(String, String => String, String => String)] =
               prim.getPrimitiveTypeName match {
                 case INT32 | INT64 => prim.getLogicalTypeAnnotation match {
-                  case null => Some(("long", identity))
-                  case _: IntLogicalTypeAnnotation => Some(("long", identity))
+                  case null => Some(("long", id, id))
+                  case _: IntLogicalTypeAnnotation => Some(("long", id, id))
                   case d: DecimalLogicalTypeAnnotation =>
                     // precision<=18 decimals are stored as UNSCALED ints;
                     // rescale so bounds compare against the filter's
                     // scaled BigDecimal (raw bounds would prune wrongly)
                     val scale = d.getScale
-                    Some(("long", s => new java.math.BigDecimal(
-                      new java.math.BigInteger(s), scale).toPlainString))
-                  case _ => None // DATE/TIMESTAMP/TIME: values aren't Numbers
+                    val f = (s: String) => new java.math.BigDecimal(
+                      new java.math.BigInteger(s), scale).toPlainString
+                    Some(("long", f, f))
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .DateLogicalTypeAnnotation =>
+                    Some(("date", id, id)) // INT32 epoch days as stored
+                  case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation =>
+                    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+                    // normalized to EPOCH MICROS; NANOS excluded — the
+                    // nanosAsLong read path surfaces those columns as
+                    // plain longs, so pushed values aren't timestamps
+                    val tag = if (t.isAdjustedToUTC) "tsus" else "tsntz"
+                    t.getUnit match {
+                      case TimeUnit.MICROS => Some((tag, id, id))
+                      case TimeUnit.MILLIS =>
+                        val f = (s: String) =>
+                          math.multiplyExact(s.toLong, 1000L).toString
+                        Some((tag, f, f))
+                      case _ => None
+                    }
+                  case _ => None // TIME/other: values aren't Numbers
                 }
-                case FLOAT | DOUBLE => Some(("double", identity))
+                case FLOAT | DOUBLE => Some(("double", id, id))
                 case BINARY if prim.getLogicalTypeAnnotation != null &&
                   prim.getLogicalTypeAnnotation.toString == "STRING" =>
-                  Some(("string", identity))
+                  Some(("string", id, id))
                 case _ => None
               }
             (tagOpt, Option(st)) match {
-              case (Some((tag, toBound)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
+              case (Some((tag, toLo, toHi)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
                 val (lo, hi) = tag match {
                   case "string" =>
                     (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                      s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-                  case _ => (toBound(s.genericGetMin.toString), toBound(s.genericGetMax.toString))
+                  case _ => (toLo(s.genericGetMin.toString), toHi(s.genericGetMax.toString))
                 }
                 // ±Infinity/NaN bounds carry no interval information and
                 // would crash the BigDecimal compare — poison the column

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+import graft.table.GraftTable
+
+/** Manifest-backed statistics drive join strategy.
+  *
+  * Without them, `BaseRelation.sizeInBytes` defaults to
+  * `spark.sql.defaultSizeInBytes` (≈Long.Max) and a kilobyte-sized graft
+  * dimension table NEVER auto-broadcasts — every join against a graft
+  * table shuffles both sides. The contract under test:
+  *
+  *  - DSv1 (`format("graft")`): relation size = manifest byte sum of
+  *    the pinned version → a small table auto-broadcasts with no hint;
+  *  - DSv2 (catalog): the SCAN reports post-pruning stats, so a
+  *    selective filter over a table too big to broadcast still puts the
+  *    filtered scan on the build side;
+  *  - `scanStats` itself: bytes shrink with data skipping, rows come
+  *    from footer counts minus deletion-vector cardinality.
+  *
+  * AQE is disabled inside the join tests: adaptive runtime re-planning
+  * can convert to broadcast from OBSERVED sizes, which would mask a
+  * broken static estimate — the point here is the STATIC plan.
+  */
+class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def staticBhjCount(df: org.apache.spark.sql.DataFrame): Int =
+    collect(df.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.size
+
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("DSv1: small graft table auto-broadcasts without a hint") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("stats_v1").toString
+    val t = GraftTable(spark, path)
+    t.write((1 to 100).map(i => (i.toLong, s"name_$i")).toDF("id", "name"))
+    assert(t.sizeInBytes() > 0)
+    assert(t.sizeInBytes() < (1 << 20), "100 rows must be well under the 10MB default")
+
+    withoutAqe {
+      val dim = spark.read.format("graft").load(path)
+      val fact = spark.range(0, 10000).select(
+        (col("id") % 100 + 1).as("id"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "id")
+      assert(staticBhjCount(joined) == 1,
+        "manifest sizeInBytes must qualify the dim side for auto-broadcast")
+      assert(joined.count() == 10000)
+    }
+  }
+
+  test("DSv2: filter-pruned scan stats unlock broadcast on a big table") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("stats_v2").toString
+    // 10 range-partitioned files: a probe on one id prunes to ~1 file
+    // via min/max skipping, so post-pruning bytes << total bytes.
+    // Payload is random-ish hex so parquet can't compress it away.
+    val t = GraftTable(spark, path)
+    t.write((1 to 100000).map(i =>
+        (i.toLong, f"${i * 2654435761L}%016x${i * 0x9E3779B97F4A7C15L}%016x" +
+          f"${i * 0xC2B2AE3D27D4EB4FL}%016x${i * 0x165667B19E3779F9L}%016x"))
+      .toDF("id", "payload").repartitionByRange(10, col("id")),
+      SaveMode.Overwrite)
+    val total = t.sizeInBytes()
+    val (prunedBytes, prunedRows) =
+      t.scanStats(t.currentVersion, Seq(EqualTo("id", 5L)))
+    assert(prunedBytes < total / 4,
+      s"point probe must prune most bytes: $prunedBytes of $total")
+    assert(prunedRows.exists(r => r >= 2000 && r <= 40000),
+      s"rows must reflect the surviving file(s), got $prunedRows")
+
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try withoutAqe {
+      // threshold between the pruned estimate and the table's total:
+      // only POST-PRUNING stats can qualify the graft side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((prunedBytes + total) / 2).toString)
+      val dim = spark.sql(s"SELECT * FROM graft.`$path` WHERE id = 5")
+      val fact = spark.range(0, 50000).select(
+        (col("id") % 10 + 1).as("id"), col("id").as("v"))
+      val joined = fact.join(dim, "id")
+      assert(staticBhjCount(joined) >= 1,
+        "post-pruning scan stats must put the filtered graft scan on the build side")
+      assert(joined.count() == 5000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("scanStats rows subtract deletion-vector cardinality") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("stats_dv").toString
+    val t = GraftTable(spark, path)
+    t.write((1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "bucket"))
+    val (_, before) = t.scanStats(t.currentVersion, Nil)
+    assert(before.contains(1000L))
+    t.delete(col("id") <= 250, mergeOnRead = true)
+    val (_, after) = t.scanStats(t.currentVersion, Nil)
+    assert(after.contains(750L),
+      s"row estimate must see through the DV: got $after")
+    assert(t.read().count() == 750)
+  }
+}
