@@ -124,9 +124,10 @@ object Bench {
       spark: SparkSession,
       sfDir: String,
       sf01Times: Map[String, Double]): String = {
-    val enabled = !sys.env.contains("SPARK_GRAFT_SKIP_SF1") &&
-      sfDir.stripSuffix("/").endsWith("sf0.1")
-    if (!enabled) return "{\"skipped\":\"not an sf0.1 bench dir\"}"
+    if (sys.env.contains("SPARK_GRAFT_SKIP_SF1"))
+      return "{\"skipped\":\"SPARK_GRAFT_SKIP_SF1 set\"}"
+    if (!sfDir.stripSuffix("/").endsWith("sf0.1"))
+      return "{\"skipped\":\"not an sf0.1 bench dir\"}"
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/target/graft_sf1")
     val t0 = System.nanoTime()
