@@ -49,6 +49,20 @@ final class GraftDataSource extends RelationProvider
         .getOrElse(t.currentVersion)
       return GraftChangesRelation(sqlContext, path, from, to)
     }
+    // withRowIds (row tracking): serve the snapshot with the stable
+    // `_row_id` column attached (file base + row position)
+    if (parameters.get("withRowIds").exists(_.toBoolean)) {
+      val ctx = sqlContext
+      val t = GraftTable(ctx.sparkSession, path)
+      val v = parameters.get("versionAsOf").map(_.toLong)
+        .getOrElse(t.currentVersion)
+      val frame = t.readWithRowIds(v)
+      return new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = frame.schema
+        override def buildScan(): RDD[Row] = frame.rdd
+      }
+    }
     // timestampAsOf (ISO-8601 instant or epoch millis) resolves to the
     // latest version committed at or before it — Delta's TIMESTAMP AS OF
     val byTime = parameters.get("timestampAsOf").map { ts =>
@@ -86,13 +100,28 @@ final class GraftDataSource extends RelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "specify either startingVersion or startingTimestamp, not both")
+    // startingTimestamp (Delta parity): commits at/after the timestamp
+    // flow as changes — resolved to the exclusive predecessor version.
+    // A timestamp at/before the first retained commit (or an empty
+    // table) streams the initial snapshot, like no option at all.
+    val startVer = parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").flatMap { ts =>
+        val ms = scala.util.Try(ts.toLong).getOrElse(
+          java.time.Instant.parse(ts).toEpochMilli)
+        GraftTable(sqlContext.sparkSession, pathOf(parameters))
+          .versionBeforeTime(ms)
+      })
     new GraftStreamSource(
       sqlContext.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       pathOf(parameters),
-      parameters.get("startingVersion").map(_.toLong),
+      startVer,
       changeFeed = isCdf(parameters),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+  }
 
   // ---- streaming write: writeStream.format("graft").start(path) --------
 

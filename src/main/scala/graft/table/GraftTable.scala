@@ -404,7 +404,7 @@ final class GraftTable private (
     // dvChanges): a SET/UNSET delta recomputes over the predecessor that
     // actually won the claim, so a concurrent property commit's keys
     // survive instead of being reverted by a stale pre-claim snapshot
-    val props = newProperties.map(f => f(v - 1)).getOrElse(propertiesOf(v - 1))
+    val props0 = newProperties.map(f => f(v - 1)).getOrElse(propertiesOf(v - 1))
     val cmap = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
     // physical schema carried forward when this commit doesn't change it
     // (legacy versions without a sidecar carry nothing — reads stay
@@ -434,9 +434,14 @@ final class GraftTable private (
           .collect().toMap
         finally bc.destroy()
       }
-    val stats = adds.flatMap { f =>
+    val preStats = adds.flatMap { f =>
       carriedStats.get(f).orElse(collected.get(f)).map(f -> _)
     }.toMap
+    // row tracking: per-added-file base row ids above the hwm property,
+    // advanced in THIS commit (claim-protected — concurrent appends
+    // can't overlap ranges); carried bases (RESTORE/CLONE) preserved
+    val (props, stats) = RowTracking.assign(props0, preStats, adds,
+      carriedStats.contains)
     // bloom index for freshly ADDED files (Delta bloom-index parity):
     // one distributed pass inside the commit, like the stats job.
     // Adoption paths (clone/convert pass collectStats = false) skip —
@@ -1341,9 +1346,10 @@ final class GraftTable private (
   /** ALTER TABLE SET TBLPROPERTIES (k=v, …) as one commit. */
   def setProperties(props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
-    val reserved = props.keys.filter(_.startsWith("graft.identity."))
+    val reserved = props.keys.filter(k =>
+      k.startsWith("graft.identity.") || k == RowTracking.HwmProp)
     require(reserved.isEmpty,
-      s"identity metadata is system-managed: ${reserved.mkString(", ")}")
+      s"system-managed metadata: ${reserved.mkString(", ")}")
     commitRewrite("SET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
       newProperties = Some(base => propertiesOf(base) ++ props))
@@ -1352,12 +1358,13 @@ final class GraftTable private (
   /** ALTER TABLE UNSET TBLPROPERTIES (k, …) as one commit. */
   def unsetProperties(keys: Seq[String]): Long = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
-    // same reserved-prefix guard as setProperties: dropping an identity
-    // high-water mark would restart allocation at `start` and mint
-    // duplicate identity values
-    val reserved = keys.filter(_.startsWith("graft.identity."))
+    // same reserved guard as setProperties: dropping an identity or
+    // row-tracking high-water mark would restart allocation and mint
+    // duplicate values
+    val reserved = keys.filter(k =>
+      k.startsWith("graft.identity.") || k == RowTracking.HwmProp)
     require(reserved.isEmpty,
-      s"identity metadata is system-managed: ${reserved.mkString(", ")}")
+      s"system-managed metadata: ${reserved.mkString(", ")}")
     commitRewrite("UNSET TBLPROPERTIES", Nil, Nil,
       Map("properties" -> keys.sorted.mkString(",")),
       newProperties = Some(base => propertiesOf(base) -- keys))
@@ -2097,6 +2104,17 @@ final class GraftTable private (
     candidates.max
   }
 
+  /** Latest retained version committed strictly BEFORE `epochMs`; None
+    * when every retained commit is at/after it (or the table is empty).
+    * The streaming `startingTimestamp` resolver: commits at/after the
+    * timestamp flow as changes past this exclusive start. */
+  def versionBeforeTime(epochMs: Long): Option[Long] = {
+    val cur = currentVersion
+    if (cur < 0) None
+    else (0L to cur).flatMap(v =>
+      commitTimestamp(v).filter(_ < epochMs).map(_ => v)).lastOption
+  }
+
   /** Time travel: scan the file set of an older committed version. Files
     * of past versions remain on disk until VACUUM reclaims them, so any
     * un-vacuumed version stays readable (vacuumed versions fail at scan
@@ -2137,6 +2155,41 @@ final class GraftTable private (
       }
     }
     alignToRecorded(toLogical(readFilesDv(files, dvOf(version)), cm), version)
+  }
+
+  /** Snapshot read surfacing each row's stable `_row_id`
+    * ([[RowTracking]]): file base + `_metadata.row_index`, attached via
+    * a broadcast file→base join (rows ∝ file count, never data size).
+    * Deletion vectors apply first, so surviving rows keep the ids they
+    * were born with. Rows in files committed without a base (adoption
+    * paths without stats, or rows predating the property) read a null
+    * `_row_id`. */
+  def readWithRowIds(version: Long = currentVersion): DataFrame = {
+    require(RowTracking.enabled(propertiesOf(version)),
+      s"row tracking is not enabled on the graft table at $path — set " +
+      s"TBLPROPERTIES('${RowTracking.Prop}'='true') and write data first")
+    val files = manifestFiles(version)
+    val ref = readVersion(version)
+    if (files.isEmpty)
+      return ref.withColumn("_row_id", lit(null).cast("bigint"))
+    val cm = colMapOf(version)
+    val baseRows = RowTracking.bases(statsOf(version)).toSeq
+      .map { case (f, b) => (dataPath(f).toUri.getPath, b) }
+    import spark.implicits._
+    val baseDf = baseRows.toDF("__path", "__base")
+    val meta = toLogical(readFilesMeta(files, dvOf(version)), cm)
+    val withId = meta.join(broadcast(baseDf), Seq("__path"), "left")
+      .withColumn("_row_id",
+        when(col("__base").isNotNull, col("__base") + col("__pos"))
+          .cast("bigint"))
+      .drop("__path", "__pos", "__base")
+    val have = withId.columns.toSet
+    val filled = ref.schema.fields.foldLeft(withId) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled.select(ref.schema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq :+
+      col("_row_id"): _*)
   }
 
   /** ALTER TABLE ADD COLUMN: a recorded column no live file carries yet

@@ -28,6 +28,7 @@ class ContractSpec extends AnyFunSuite {
     ("SqlInterface", graft.queries.SqlInterface.queries, graft.queries.SqlInterface.oracles),
     ("Sessionize", graft.queries.Sessionize.queries, graft.queries.Sessionize.oracles),
     ("IoAndScalars", graft.queries.IoAndScalars.queries, graft.queries.IoAndScalars.oracles),
+    ("Indexing", graft.queries.Indexing.queries, graft.queries.Indexing.oracles),
     ("MergeOps", graft.queries.MergeOps.queries, graft.queries.MergeOps.oracles),
     ("Bucketing", graft.table.Bucketing.queries, graft.table.Bucketing.oracles),
     ("Streaming", graft.streaming.Streaming.queries, graft.streaming.Streaming.oracles),

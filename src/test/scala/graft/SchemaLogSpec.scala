@@ -115,4 +115,23 @@ class SchemaLogSpec extends SparkSpec {
     t.cleanupLog(keepVersions = 1)
     assert(t.read().columns.toSeq == Seq("k", "s"))
   }
+
+  test("CREATE TABLE AS SELECT materializes through the catalog") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val path = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+    spark.sql(
+      s"CREATE TABLE graft.`$path` AS SELECT id, id % 3 AS g FROM range(30)")
+    val t = graft.table.GraftTable(spark, path)
+    assert(t.currentVersion >= 0)
+    assert(t.read().count() == 30)
+    assert(spark.sql(s"SELECT sum(g) FROM graft.`$path`")
+      .collect()(0).getLong(0) == 30)
+    // partitioned CTAS lays out hive directories
+    val p2 = java.nio.file.Files.createTempDirectory("graft_ctas_p").toString
+    spark.sql(s"CREATE TABLE graft.`$p2` PARTITIONED BY (g) AS " +
+      "SELECT id, id % 3 AS g FROM range(30)")
+    val t2 = graft.table.GraftTable(spark, p2)
+    assert(t2.read().count() == 30)
+    assert(t2.manifestFiles().forall(_.contains("g=")))
+  }
 }

@@ -257,6 +257,53 @@ class StreamingTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp streams only commits at/after the timestamp") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_start_ts").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write((0 until 10).map(i => (i.toLong, "old")).toDF("id", "tag"))
+    Thread.sleep(30) // commit timestamps have millisecond resolution
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.write((10 until 15).map(i => (i.toLong, "new")).toDF("id", "tag"),
+      org.apache.spark.sql.SaveMode.Append)
+
+    val name = s"graft_start_ts_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", cut.toString)
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (10L until 15L),
+        s"only the post-timestamp commit must flow, got ${got.toSeq}")
+    } finally q.stop()
+
+    // a timestamp predating every commit degrades to the full snapshot
+    val name2 = s"graft_start_ts0_${System.nanoTime()}"
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp", "0")
+      .load(path)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 15)
+    } finally q2.stop()
+
+    // both options together is a contract error
+    val err = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", cut.toString)
+        .load(path)
+        .writeStream.format("memory")
+        .queryName(s"x_${System.nanoTime()}").outputMode("append").start()
+        .processAllAvailable()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("readChangeFeed stream: deletes flow as tombstones, updates as CDC image pairs") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
