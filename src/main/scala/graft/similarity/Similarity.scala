@@ -105,6 +105,17 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
   }
 
+  /** The refined centroid set is tiny (≈√n rows) but costs two corpus
+    * passes to compute — and every `broadcast(centroids)` join would
+    * otherwise re-run those passes (Spark broadcasts recompute their
+    * child plan per use). Materialize ONCE driver-side; values are
+    * bit-identical, so the oracles are untouched. */
+  private def materializedCentroids(emb: DataFrame, cells: Int): DataFrame = {
+    val df = refinedCentroids(emb, cells)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
   /** Approximate top-k via LSH buckets (+ hamming-1 multiprobe). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
@@ -149,7 +160,7 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val cells = scaledCells(emb.count())
-    val centroids = refinedCentroids(emb, cells)
+    val centroids = materializedCentroids(emb, cells)
     def cellScores(side: DataFrame): DataFrame =
       side.join(broadcast(centroids), expr("true"))
         .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
@@ -319,12 +330,15 @@ object Similarity {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val centroids = refinedCentroids(emb, scaledCells(emb.count()))
+    val centroids = materializedCentroids(emb, scaledCells(emb.count()))
+    // assignment feeds BOTH sides of the per-cell self-join and the
+    // final anti-join: checkpoint so it computes once, not three times
     val assigned = emb.join(broadcast(centroids), expr("true"))
       .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
       .join(emb, "vec_id")
+      .localCheckpoint()
     val lhs = assigned.select(col("cell"), col("vec_id").as("ia"),
       col("v").as("va"), col("n").as("na"))
     val rhs = assigned.select(col("cell").as("cellb"), col("vec_id").as("ib"),
