@@ -2229,10 +2229,18 @@ final class GraftTable private (
     * partitions share a task and still emit one file each (partitionBy
     * splits the write). One shuffle total.
     */
-  def optimize(clusterBy: Seq[String],
+  def optimize(clusterBy0: Seq[String],
       targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes,
       where: Option[String] = None): Long = {
     require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    // clustering keys as table metadata (liquid-clustering-lite): an
+    // OPTIMIZE without explicit ZORDER columns clusters by the
+    // `graft.clusterBy` property, so layout policy lives with the table
+    // instead of in every maintenance invocation
+    val clusterBy =
+      if (clusterBy0.nonEmpty) clusterBy0
+      else properties.get(GraftTable.ClusterByProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     // partition-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE part = v`):
     // the predicate may reference PARTITION columns only, so the scope
     // resolves by directory pruning and untouched partitions' files are
@@ -3380,6 +3388,10 @@ object GraftTable {
   /** OPTIMIZE bin-packing target — the reference compacts toward ~1 GB
     * files (DESIGN.md:20-24; Delta's optimize default). */
   val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
+
+  /** Comma-separated default clustering columns for OPTIMIZE
+    * (liquid-clustering-lite: layout policy as table metadata). */
+  val ClusterByProp = "graft.clusterBy"
 
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */

@@ -82,6 +82,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*$$""".r
   private val DropDefaultRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+DROP\\s+DEFAULT\\s*;?\\s*$$""".r
+  private val ClusterByRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*$$""".r
+  private val ClusterByNoneRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+CLUSTER\\s+BY\\s+NONE\\s*;?\\s*$$""".r
   private val CloneRe =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val ConvertRe =
@@ -112,6 +116,10 @@ object GraftSqlParser {
       Some(GraftSetDefaultCommand(tbl, name, expr.trim))
     case DropDefaultRe(tbl, name) =>
       Some(GraftDropDefaultCommand(tbl, name))
+    case ClusterByNoneRe(tbl) => Some(GraftClusterByCommand(tbl, Nil))
+    case ClusterByRe(tbl, cols) =>
+      Some(GraftClusterByCommand(tbl, cols.split(',').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
     case CloneRe(tgt, src, v) =>
       Some(GraftCloneCommand(tgt, src, Option(v).map(_.toLong)))
     case ConvertRe(tbl, parts) =>
@@ -178,6 +186,27 @@ case class GraftAddIdentityCommand(table: String, name: String,
     start: Long, step: Long) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     GraftSqlParser.resolve(session, table).addIdentityColumn(name, start, step)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t CLUSTER BY (a, b…)` / `CLUSTER BY NONE` (Delta liquid
+  * syntax, lite semantics): records the clustering keys as the
+  * `graft.clusterBy` property — a later `OPTIMIZE t` with no ZORDER
+  * clause clusters by them, so layout policy travels with the table. */
+case class GraftClusterByCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(session, table)
+    if (cols.isEmpty) {
+      if (t.properties.contains(GraftTable.ClusterByProp))
+        t.unsetProperties(Seq(GraftTable.ClusterByProp))
+    } else {
+      val missing = cols.filterNot(t.read().columns.contains)
+      require(missing.isEmpty,
+        s"CLUSTER BY columns not in table schema: ${missing.mkString(", ")}")
+      t.setProperties(Map(GraftTable.ClusterByProp -> cols.mkString(",")))
+    }
     Nil
   }
 }

@@ -275,4 +275,34 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.dvOf(t.currentVersion).forall(_._2.isEmpty))
     assert(t.read().count() == total - nvda)
   }
+
+  test("ALTER TABLE CLUSTER BY: OPTIMIZE defaults to the recorded keys") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("sql_cluster").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write((1 to 4000).map(i => ((i * 2654435761L) % 4096, i.toLong))
+      .toDF("k", "v").repartition(6))
+    spark.sql(s"ALTER TABLE graft.`$path` CLUSTER BY (k)")
+    assert(t.properties(graft.table.GraftTable.ClusterByProp) == "k")
+    // OPTIMIZE with no ZORDER clause clusters by the property: output
+    // files cover DISJOINT k ranges, which interleaved input can't
+    spark.sql(s"OPTIMIZE graft.`$path`")
+    val stats = t.statsOf(t.currentVersion)
+    val bounds = t.manifestFiles().flatMap(f =>
+      stats.get(f).flatMap(_.get("k")).map { case (_, lo, hi) => (lo.toLong, hi.toLong) })
+    assert(bounds.nonEmpty)
+    val sorted = bounds.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"files must cover disjoint k ranges: $sorted")
+      case _ => ()
+    }
+    // CLUSTER BY NONE drops the policy; unknown columns are rejected
+    spark.sql(s"ALTER TABLE graft.`$path` CLUSTER BY NONE")
+    assert(!t.properties.contains(graft.table.GraftTable.ClusterByProp))
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` CLUSTER BY (ghost)")
+    }
+    assert(err.getMessage.contains("ghost"))
+  }
 }
