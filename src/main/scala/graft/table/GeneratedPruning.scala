@@ -107,8 +107,10 @@ object GeneratedPruning {
               case EqualTo(`base`, v) if v != null => f(v).map(EqualTo(g, _))
               case In(`base`, vs) =>
                 // null arms can never match (3VL), so deriving over the
-                // non-null arms is sound; any unevaluable arm → no proof
-                val mapped = vs.toSeq.filter(_ != null).map(f)
+                // non-null arms is sound; any unevaluable arm → no proof.
+                // All arms evaluate in ONE local select (an IN(1000)
+                // probe must not pay 1000 analysis round-trips).
+                val mapped = evalMany(spark, e, vs.toSeq.filter(_ != null))
                 if (mapped.nonEmpty && mapped.forall(_.isDefined))
                   Seq(In(g, mapped.flatten.toArray))
                 else Nil
@@ -132,11 +134,20 @@ object GeneratedPruning {
     * through a one-row local select (no job — LocalTableScan), so
     * function resolution and session time zone match the scan's. */
   private def evalAt(spark: SparkSession, e: Expression, v: Any): Option[Any] =
-    scala.util.Try {
-      val lit = Literal(v)
-      val sub = e.transformUp { case _: UnresolvedAttribute => lit }
-      val row = spark.range(1)
-        .select(org.apache.spark.sql.graft.ColumnBridge.column(sub)).collect()(0)
-      if (row.isNullAt(0)) None else Some(row.get(0))
-    }.toOption.flatten
+    evalMany(spark, e, Seq(v)).head
+
+  /** f over many values in ONE analysis + local execution: each value's
+    * substituted expression becomes a column of a single one-row select. */
+  private def evalMany(spark: SparkSession, e: Expression,
+      vs: Seq[Any]): Seq[Option[Any]] =
+    if (vs.isEmpty) Nil
+    else scala.util.Try {
+      val cols = vs.map { v =>
+        val lit = Literal(v)
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          e.transformUp { case _: UnresolvedAttribute => lit })
+      }
+      val row = spark.range(1).select(cols: _*).collect()(0)
+      vs.indices.map(i => if (row.isNullAt(i)) None else Some(row.get(i)))
+    }.getOrElse(vs.map(_ => None))
 }
