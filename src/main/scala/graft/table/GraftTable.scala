@@ -346,7 +346,8 @@ final class GraftTable private (
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
       addSizes: Map[String, Long] = Map.empty,
-      newProperties: Option[Long => Map[String, String]] = None): Long = {
+      newProperties: Option[Long => Map[String, String]] = None,
+      statsAnnotation: Option[(String, (String, String, String))] = None): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -354,7 +355,7 @@ final class GraftTable private (
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, adds, metrics, newConstraints,
       removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
-      newSchema, addSizes, newProperties)
+      newSchema, addSizes, newProperties, statsAnnotation)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -383,7 +384,8 @@ final class GraftTable private (
       newColMap: Option[Long => ColMap],
       newSchema: Option[Long => StructType],
       addSizes: Map[String, Long],
-      newProperties: Option[Long => Map[String, String]] = None): Long = {
+      newProperties: Option[Long => Map[String, String]] = None,
+      statsAnnotation: Option[(String, (String, String, String))] = None): Long = {
     val removed = removes(v - 1)
     // every add records its byte size (Delta's AddFile.size): writers
     // that staged the files know it for free; adoption paths
@@ -434,9 +436,18 @@ final class GraftTable private (
           .collect().toMap
         finally bc.destroy()
       }
-    val preStats = adds.flatMap { f =>
+    val preStats0 = adds.flatMap { f =>
       carriedStats.get(f).orElse(collected.get(f)).map(f -> _)
     }.toMap
+    // operation-level stats annotation (e.g. OPTIMIZE's cluster-key
+    // provenance) lands on every FRESH add's sidecar entry
+    val preStats = statsAnnotation match {
+      case Some((k, triple)) =>
+        adds.filterNot(carriedStats.contains).foldLeft(preStats0) { (m, f) =>
+          m.updated(f, m.getOrElse(f, Map.empty).updated(k, triple))
+        }
+      case None => preStats0
+    }
     // row tracking: per-added-file base row ids above the hwm property,
     // advanced in THIS commit (claim-protected — concurrent appends
     // can't overlap ranges); carried bases (RESTORE/CLONE) preserved
@@ -531,12 +542,13 @@ final class GraftTable private (
       newColMap: Option[Long => ColMap] = None,
       newSchema: Option[Long => StructType] = None,
       newProperties: Option[Long => Map[String, String]] = None,
-      preCommitCheck: Long => Unit = _ => ()): Long =
+      preCommitCheck: Long => Unit = _ => (),
+      statsAnnotation: Option[(String, (String, String, String))] = None): Long =
     retryOnConflict()(commit(operation, added.map(_._1), metrics,
       addSizes = added.toMap,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
-      newProperties = newProperties,
+      newProperties = newProperties, statsAnnotation = statsAnnotation,
       removes = { base =>
         preCommitCheck(base)
         val nowLive = manifestFiles(base)
@@ -2267,12 +2279,35 @@ final class GraftTable private (
         "zOrderBy" -> clusterBy.mkString(","),
         "where" -> where.getOrElse("")))
     val dvRead = dvOf(currentVersion)
-    val df = readLive(scopeFiles, dvRead) // logical view; clusterBy names are logical
-    val scopeSet = scopeFiles.toSet
+    val sizesNow = snapshotAt(currentVersion).sizes
+    // INCREMENTAL optimize: a scoped file already produced by an
+    // OPTIMIZE with the SAME cluster keys (provenance in its stats
+    // sidecar), carrying no deletion vector, and at least half the
+    // target size is skipped — repeated OPTIMIZE converges instead of
+    // re-churning a 100 TB table, and a post-append OPTIMIZE rewrites
+    // only what the append added (liquid-clustering-style per-batch
+    // clustering: min/max stay tight per file; cross-batch ranges may
+    // overlap, which data skipping tolerates by design).
+    val keysTag = clusterBy.mkString(",")
+    val statsNow = statsOf(currentVersion)
+    val (alreadyDone, todoFiles) = scopeFiles.partition { f =>
+      statsNow.get(f).flatMap(_.get(GraftTable.ClusteredKey))
+        .exists { case (_, k, _) => k == keysTag } &&
+      dvRead.getOrElse(f, Nil).isEmpty &&
+      sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2
+    }
+    if (todoFiles.isEmpty)
+      return commitRewrite("OPTIMIZE", Nil, Nil, Map(
+        "numFilesAdded" -> "0", "numFilesRemoved" -> "0",
+        "numFilesSkipped" -> alreadyDone.size.toString,
+        "targetFileSizeBytes" -> targetFileSizeBytes.toString,
+        "zOrderBy" -> keysTag,
+        "where" -> where.getOrElse("")))
+    val scopeFiles2 = todoFiles
+    val df = readLive(scopeFiles2, dvRead) // logical view; clusterBy names are logical
     // bin count from LOGGED sizes (status-RPC fallback for legacy files
     // only): sizing a million-file compaction costs zero filesystem calls
-    val sizesNow = snapshotAt(currentVersion).sizes
-    val scopeBytes = scopeFiles.map(f =>
+    val scopeBytes = scopeFiles2.map(f =>
       sizesNow.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
     val bins = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
@@ -2287,12 +2322,15 @@ final class GraftTable private (
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
     val added = appendDataFiles(toPhysicalStrict(compacted))
-    commitRewrite("OPTIMIZE", scopeFiles, added, Map(
+    commitRewrite("OPTIMIZE", scopeFiles2, added, Map(
       "numFilesAdded" -> added.size.toString,
-      "numFilesRemoved" -> scopeFiles.size.toString,
+      "numFilesRemoved" -> scopeFiles2.size.toString,
+      "numFilesSkipped" -> alreadyDone.size.toString,
       "targetFileSizeBytes" -> targetFileSizeBytes.toString,
-      "zOrderBy" -> clusterBy.mkString(","),
-      "where" -> where.getOrElse("")), readDv = dvRead)
+      "zOrderBy" -> keysTag,
+      "where" -> where.getOrElse("")), readDv = dvRead,
+      statsAnnotation = Some(GraftTable.ClusteredKey ->
+        (("keys", keysTag, keysTag))))
   }
 
   // ---- M2: VACUUM ------------------------------------------------------
@@ -3392,6 +3430,10 @@ object GraftTable {
   /** Comma-separated default clustering columns for OPTIMIZE
     * (liquid-clustering-lite: layout policy as table metadata). */
   val ClusterByProp = "graft.clusterBy"
+
+  /** Reserved stats pseudo-column recording which cluster keys produced
+    * a file (OPTIMIZE provenance — drives the incremental skip). */
+  val ClusteredKey = "__clustered"
 
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */

@@ -64,4 +64,39 @@ class ZOrderSpec extends SparkSpec {
     }
     assert(keys.sameElements(keys.sorted), "rows not in morton order")
   }
+
+  test("incremental OPTIMIZE: same-key re-runs skip, appends re-cluster only the delta") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("zorder_incr").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write((1 to 20000).map(i => (i.toLong, (i * 7919) % 1000)).toDF("id", "k")
+      .repartition(4))
+    // small target so optimized output clears the size floor
+    t.optimize(Seq("k"), targetFileSizeBytes = 64 * 1024)
+    val afterFirst = t.manifestFiles().toSet
+    val v1 = t.currentVersion
+
+    // same keys, nothing new: pure no-op commit, manifest untouched
+    t.optimize(Seq("k"), targetFileSizeBytes = 64 * 1024)
+    assert(t.manifestFiles().toSet == afterFirst,
+      "same-key re-OPTIMIZE must not rewrite already-clustered files")
+    assert(t.currentVersion == v1 + 1)
+
+    // an append leaves the optimized files alone and clusters the delta
+    t.write((2001 to 2300).map(i => (i.toLong, (i * 7919) % 1000)).toDF("id", "k"),
+      org.apache.spark.sql.SaveMode.Append)
+    val appended = t.manifestFiles().toSet -- afterFirst
+    t.optimize(Seq("k"), targetFileSizeBytes = 64 * 1024)
+    val now = t.manifestFiles().toSet
+    assert((afterFirst & now) == afterFirst,
+      "previously optimized files survive a delta OPTIMIZE")
+    assert((now & appended).isEmpty, "the appended small files were re-clustered")
+    assert(t.read().count() == 20300)
+
+    // DIFFERENT keys invalidate the provenance: full rewrite
+    t.optimize(Seq("id"), targetFileSizeBytes = 64 * 1024)
+    assert((t.manifestFiles().toSet & afterFirst).isEmpty,
+      "changing cluster keys must rewrite everything")
+    assert(t.read().count() == 20300)
+  }
 }
