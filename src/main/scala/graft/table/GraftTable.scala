@@ -908,7 +908,11 @@ final class GraftTable private (
     if (filters.isEmpty) return filters
     val defs = generatedOf(version)
     if (defs.isEmpty) return filters
-    lazy val schema = scala.util.Try(readVersion(version).schema).toOption
+    // the schema sidecar answers base-column types without constructing
+    // a scan frame; legacy versions fall back to the frame's schema
+    lazy val schema = schemaOf(version).filter(_.nonEmpty)
+      .map(phys => logicalSchema(phys, colMapOf(version)))
+      .orElse(scala.util.Try(readVersion(version).schema).toOption)
     val baseType = (c: String) =>
       schema.flatMap(_.fields.find(_.name == c).map(_.dataType))
     (filters ++ GeneratedPruning.derive(spark, defs, baseType, filters)).distinct
