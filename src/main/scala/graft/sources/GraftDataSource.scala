@@ -156,7 +156,23 @@ final class GraftDataSource extends RelationProvider
       case SaveMode.ErrorIfExists if table.currentVersion >= 0 =>
         throw new IllegalStateException(s"graft table already exists at $path")
       case SaveMode.Ignore if table.currentVersion >= 0 => ()
+      case SaveMode.Append if parameters.contains("txnAppId") ||
+          parameters.contains("txnVersion") =>
+        // idempotent batch append (Delta's txnAppId/txnVersion writer
+        // options): a replayed (appId, version) pair no-ops instead of
+        // duplicating — the manual-retry form of the streaming sink's
+        // exactly-once contract
+        val appId = parameters.getOrElse("txnAppId",
+          throw new IllegalArgumentException(
+            "txnVersion requires txnAppId (and vice versa)"))
+        val txnV = parameters.getOrElse("txnVersion",
+          throw new IllegalArgumentException(
+            "txnAppId requires txnVersion (and vice versa)")).toLong
+        table.idempotentAppend(data, appId, txnV)
       case m =>
+        require(!parameters.contains("txnAppId") &&
+            !parameters.contains("txnVersion"),
+          "txnAppId/txnVersion idempotent writes support Append mode only")
         val effMode =
           if (m == SaveMode.Append) SaveMode.Append else SaveMode.Overwrite
         val replaceWhere = parameters.get("replaceWhere").map(_.trim)

@@ -2247,7 +2247,8 @@ final class GraftTable private (
     */
   def optimize(clusterBy0: Seq[String],
       targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes,
-      where: Option[String] = None): Long = {
+      where: Option[String] = None,
+      full: Boolean = false): Long = {
     require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
     // clustering keys as table metadata (liquid-clustering-lite): an
     // OPTIMIZE without explicit ZORDER columns clusters by the
@@ -2292,14 +2293,27 @@ final class GraftTable private (
     // only what the append added (liquid-clustering-style per-batch
     // clustering: min/max stay tight per file; cross-batch ranges may
     // overlap, which data skipping tolerates by design).
+    // `full` (Delta's OPTIMIZE ... FULL): bypass the provenance skip and
+    // re-cluster everything in scope — the escape hatch when per-batch
+    // clustering has accumulated too much cross-batch range overlap
     val keysTag = clusterBy.mkString(",")
     val statsNow = statsOf(currentVersion)
-    val (alreadyDone, todoFiles) = scopeFiles.partition { f =>
+    def provenanceMatched(f: String): Boolean =
       statsNow.get(f).flatMap(_.get(GraftTable.ClusteredKey))
         .exists { case (_, k, _) => k == keysTag } &&
-      dvRead.getOrElse(f, Nil).isEmpty &&
-      sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2
-    }
+      dvRead.getOrElse(f, Nil).isEmpty
+    val (alreadyDone0, todo0) =
+      if (full) (Nil, scopeFiles)
+      else scopeFiles.partition(f => provenanceMatched(f) &&
+        sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2)
+    // churn guard: rewriting a LONE provenance-matched file (an
+    // undersized tail from the previous same-key OPTIMIZE) reproduces
+    // the same file — skip it too, so repeated OPTIMIZE converges;
+    // two or more small matched files still combine (real compaction)
+    val (alreadyDone, todoFiles) =
+      if (!full && todo0.size == 1 && provenanceMatched(todo0.head))
+        (alreadyDone0 ++ todo0, Nil)
+      else (alreadyDone0, todo0)
     if (todoFiles.isEmpty)
       return commitRewrite("OPTIMIZE", Nil, Nil, Map(
         "numFilesAdded" -> "0", "numFilesRemoved" -> "0",

@@ -59,7 +59,7 @@ object GraftSqlParser {
   private val Tbl = """((?:\w+\s*\.\s*)?`[^`]+`|[\w.]+)"""
 
   private val OptimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val RestoreRe =
@@ -92,10 +92,11 @@ object GraftSqlParser {
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
-    case OptimizeRe(tbl, where, zorder) =>
+    case OptimizeRe(tbl, full, where, zorder) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      Some(GraftOptimizeCommand(tbl, Option(where).map(_.trim), cols))
+      Some(GraftOptimizeCommand(tbl, Option(where).map(_.trim), cols,
+        full = full != null))
     case VacuumRe(tbl, hours, dry) =>
       Some(GraftVacuumCommand(tbl,
         Option(hours).map(_.toDouble), dry != null))
@@ -269,12 +270,12 @@ case class GraftConvertCommand(table: String,
 }
 
 case class GraftOptimizeCommand(table: String, where: Option[String],
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String], full: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(session, table)
-      .optimize(zorderBy, where = where)))
+      .optimize(zorderBy, where = where, full = full)))
 }
 
 case class GraftVacuumCommand(table: String, retainHours: Option[Double],

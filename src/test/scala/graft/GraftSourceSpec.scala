@@ -380,4 +380,31 @@ class GraftSourceSpec extends SparkSpec {
       assert(n == bars.count())
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("txnAppId/txnVersion writer options: replayed batch appends no-op") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_txn_opt").toString
+    val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    def append(v: Long): Unit =
+      df.write.format("graft").mode("append")
+        .option("txnAppId", "batch-job").option("txnVersion", v.toString)
+        .save(path)
+    append(1); append(1) // replay: second write must no-op
+    val t = graft.table.GraftTable(spark, path)
+    assert(t.read().count() == 50, "replayed (appId, version) must not duplicate")
+    append(2)
+    assert(t.read().count() == 100)
+    // one option without the other is a contract error
+    val err = intercept[Exception] {
+      df.write.format("graft").mode("append")
+        .option("txnAppId", "x").save(path)
+    }
+    assert(err.getMessage.contains("txnVersion"))
+    // non-append modes reject the options
+    val err2 = intercept[Exception] {
+      df.write.format("graft").mode("overwrite")
+        .option("txnAppId", "x").option("txnVersion", "9").save(path)
+    }
+    assert(err2.getMessage.contains("Append"))
+  }
 }

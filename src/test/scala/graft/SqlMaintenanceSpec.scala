@@ -297,6 +297,12 @@ class SqlMaintenanceSpec extends SparkSpec {
         assert(hi1 <= lo2, s"files must cover disjoint k ranges: $sorted")
       case _ => ()
     }
+    // same-key re-OPTIMIZE skips (incremental); FULL forces the rewrite
+    val before = t.manifestFiles().toSet
+    spark.sql(s"OPTIMIZE graft.`$path`")
+    assert(t.manifestFiles().toSet == before,
+      "incremental OPTIMIZE must skip already-clustered files")
+    spark.sql(s"OPTIMIZE graft.`$path` FULL")
     // CLUSTER BY NONE drops the policy; unknown columns are rejected
     spark.sql(s"ALTER TABLE graft.`$path` CLUSTER BY NONE")
     assert(!t.properties.contains(graft.table.GraftTable.ClusterByProp))

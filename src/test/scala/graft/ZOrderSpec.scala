@@ -98,5 +98,12 @@ class ZOrderSpec extends SparkSpec {
     assert((t.manifestFiles().toSet & afterFirst).isEmpty,
       "changing cluster keys must rewrite everything")
     assert(t.read().count() == 20300)
+
+    // OPTIMIZE ... FULL bypasses the skip: same keys, forced rewrite
+    val beforeFull = t.manifestFiles().toSet
+    t.optimize(Seq("id"), targetFileSizeBytes = 64 * 1024, full = true)
+    assert((t.manifestFiles().toSet & beforeFull).isEmpty,
+      "FULL must re-cluster even provenance-matched files")
+    assert(t.read().count() == 20300)
   }
 }
