@@ -58,8 +58,46 @@ object Indexing {
       .orderBy("o_orderkey")
   }
 
+  /** Time-range scan through timestamp footer-stats file pruning: seed a
+    * graft table from lineitem range-partitioned by l_shipdate (files
+    * cover disjoint time slices, like any time-ordered ingest), then
+    * aggregate a six-month window through the pruned scan. The engine
+    * guard asserts the window kept a fraction of the files — at 100 TB
+    * this is the difference between scanning seven years and scanning
+    * the months asked for. The oracle replays the window over the raw
+    * parquet. */
+  def prunedTimeScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val base = Files.createTempDirectory("graft_time_scan").toString
+    val t = GraftTable(spark, base)
+    val src = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"))
+    t.write(src.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate"))
+
+    val lo = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 7, 1, 0, 0)
+    val v = t.currentVersion
+    val kept = t.dataSkippedFiles(v,
+      Seq(GreaterThanOrEqual("l_shipdate", lo), LessThan("l_shipdate", hi)))
+    require(kept.size <= 4,
+      s"timestamp stats must prune a six-month window to a few of 8 " +
+      s"time-sliced files, kept ${kept.size}")
+
+    spark.read.format("graft").load(base)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+      .groupBy(month(col("l_shipdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "indexed_lookup" -> indexedLookup _)
+    "indexed_lookup" -> indexedLookup _,
+    "pruned_time_scan" -> prunedTimeScan _)
 
   val oracles: Map[String, String] = Map(
     "indexed_lookup" -> {
@@ -73,5 +111,14 @@ object Indexing {
          |       ROUND(o.o_totalprice, 2) AS price
          |FROM orders o JOIN k USING (o_orderkey)
          |ORDER BY o_orderkey""".stripMargin
-    })
+    },
+    "pruned_time_scan" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS m,
+        |       COUNT(*) AS n,
+        |       ROUND(SUM(l_quantity), 2) AS qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
