@@ -127,6 +127,40 @@ object Dedup {
     t
   }
 
+  /** Stable sketch-corpus table location for the documents under `dir`,
+    * keyed by the corpus FILES' identity (name, length, mtime): an
+    * unchanged corpus reuses (and appends to) its existing sketch
+    * table across runs; a regenerated corpus keys to a fresh one, so
+    * stale sketches can never poison the pairs. */
+  def sketchCorpusPath(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sketch_corpus_$key").toString
+  }
+
+  /** Create-or-append the sketch corpus at `path`: only docs the table
+    * has never seen are sketched and APPENDED — the standing corpus is
+    * neither re-read for sketching nor rewritten. The anti-join probes
+    * the (small) sketch table, not the corpus text. */
+  def updateSketchCorpus(spark: SparkSession, corpusDocs: DataFrame,
+      path: String): graft.table.GraftTable = {
+    val t = graft.table.GraftTable(spark, path)
+    if (t.currentVersion < 0) return persistSketchCorpus(spark, corpusDocs, path)
+    val known = t.read().select("doc_id").distinct()
+    val fresh = corpusDocs.join(known, Seq("doc_id"), "left_anti")
+    if (!fresh.isEmpty)
+      t.write(bandedSketch(fresh).repartition(8),
+        org.apache.spark.sql.SaveMode.Append)
+    t
+  }
+
   /** LSH-verified near-dup pairs of `batchDocs` against a persisted
     * banded-sketch corpus plus batch-internal pairs — the corpus side
     * is `corpusBanded` (read from the sketch table; nothing here
@@ -171,25 +205,15 @@ object Dedup {
   }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_sketch_corpus")
-    try {
-      val docs = documents(spark, dir)
-      // one-time corpus pass: persist (doc_id, sketch, band, sig)
-      val t = persistSketchCorpus(spark,
-        docs.filter(col("doc_id") % 5 =!= 0), path.toString)
-      // incremental pass: batch sketches computed in-scan; corpus side
-      // read back from the sketch table
-      val out = incrementalPairs(spark, dir, t.read(),
+    val docs = documents(spark, dir)
+    // standing corpus pass: create-or-append (doc_id, sketch, band,
+    // sig) at a stable path — a rerun appends nothing and re-sketches
+    // nothing; the result stays a lazy frame over the persisted table
+    val t = updateSketchCorpus(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), sketchCorpusPath(dir))
+    incrementalPairs(spark, dir, t.read(),
         docs.filter(col("doc_id") % 5 === 0))
-      // materialize before the sketch table's temp dir is deleted
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
-        .orderBy("a", "b")
-    } finally {
-      scala.util.Try(
-        org.apache.commons.io.FileUtils.deleteDirectory(path.toFile))
-    }
+      .orderBy("a", "b")
   }
 
   /** Exact char-5-gram Jaccard, computed only for LSH candidates. */

@@ -51,9 +51,13 @@ object BloomIndex {
   val FppProp = "graft.bloom.fpp"
   /** Per-file per-column bit budget cap (default 2^25 bits = 4 MB). */
   val MaxBitsProp = "graft.bloom.maxBits"
+  /** Driver-memory budget per build round: collected filters per
+    * aggregation job stay under this many bytes (default 256 MB). */
+  val BatchBytesProp = "graft.bloom.buildBatchBytes"
 
   val DefaultFpp = 0.01
   val DefaultMaxBits: Long = 1L << 25
+  val DefaultBatchBytes: Long = 256L << 20
 
   private[table] def indexDir(logDir: Path) = new Path(logDir, "index")
 
@@ -123,11 +127,26 @@ object BloomIndex {
     content.linesIterator.find(_.startsWith("#file\t"))
       .map(l => java.net.URLDecoder.decode(l.stripPrefix("#file\t"), "UTF-8"))
 
+  /** Split a backfill into rounds whose collected filters fit the
+    * driver budget: each file contributes ~`perFileBytes` to one job's
+    * collect(), so a 100k-file backfill at MB-sized filters runs as
+    * many bounded jobs instead of one driver-OOM collect. Pure. */
+  private[graft] def buildBatches(todo: Seq[String], perFileBytes: Long,
+      budgetBytes: Long): Seq[Seq[String]] = {
+    val perBatch = math.max(1L,
+      budgetBytes / math.max(1L, perFileBytes)).min(Int.MaxValue).toInt
+    todo.grouped(perBatch).toSeq
+  }
+
   /** Build missing sidecars for `files` (manifest keys) over PHYSICAL
     * columns `physCols`; `absOf` resolves a key to its absolute path.
-    * Returns the number of sidecars written. One distributed job
-    * aggregates every (file, column) filter; partial aggregation keeps
-    * the shuffle at bloom-size × tasks, not data-size. */
+    * Returns the number of sidecars written. Each round is one
+    * distributed aggregation over a driver-budgeted slice of the files
+    * (partial aggregation keeps the shuffle at bloom-size × tasks, not
+    * data-size; the slice keeps the collect at [[BatchBytesProp]], not
+    * files × filter-size — a whole-table backfill must not OOM the
+    * driver). Sidecars land per round, so an interrupted backfill
+    * resumes where it stopped (existing sidecars are skipped). */
   private[table] def build(spark: SparkSession, fs: FileSystem, logDir: Path,
       files: Seq[String], absOf: String => Path, physCols: Seq[String],
       rowsHint: Map[String, Long], props: Map[String, String]): Int = {
@@ -144,38 +163,44 @@ object BloomIndex {
     })
     val numBits = math.max(64L,
       math.min(maxBits, BloomFilter.optimalNumOfBits(items, fpp)))
-    val df = spark.read.parquet(todo.map(f => absOf(f).toString): _*)
-    // only atomic columns present in these files are indexable; a file
-    // written before ADD COLUMN simply has no filter for the new column
-    // (reads align the column in as NULL, which `=` never matches)
-    val schema = df.schema
-    val indexable = physCols.filter(c => schema.fields.exists { f =>
-      import org.apache.spark.sql.types._
-      f.name == c && (f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType | _: BinaryType |
-             NullType | _: VariantType => false
-        case _ => true
-      })
-    })
-    if (indexable.isEmpty) return 0
-    val aggs = indexable.map(c => bloomAggColumn(col(c), items, numBits).as(c))
-    val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val byPath = todo.map(f => absOf(f).toUri.getPath -> f).toMap
+    val budget = props.get(BatchBytesProp).map(_.toLong)
+      .getOrElse(DefaultBatchBytes)
+    val perFileBytes = physCols.size.toLong * (numBits / 8 + 64)
     var written = 0
-    rows.foreach { r =>
-      byPath.get(new Path(r.getString(0)).toUri.getPath).foreach { fileKey =>
-        val blooms = indexable.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
-        }
-        if (blooms.nonEmpty) {
-          val target = indexPath(logDir, fileKey)
-          val tmp = new Path(target.getParent, s".${target.getName}.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(render(fileKey, blooms).getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          if (fs.rename(tmp, target)) written += 1
-          else fs.delete(tmp, false) // a concurrent builder won: same bits
+    buildBatches(todo, perFileBytes, budget).foreach { batch =>
+      val df = spark.read.parquet(batch.map(f => absOf(f).toString): _*)
+      // only atomic columns present in these files are indexable; a file
+      // written before ADD COLUMN simply has no filter for the new column
+      // (reads align the column in as NULL, which `=` never matches)
+      val schema = df.schema
+      val indexable = physCols.filter(c => schema.fields.exists { f =>
+        import org.apache.spark.sql.types._
+        f.name == c && (f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType | _: BinaryType |
+               NullType | _: VariantType => false
+          case _ => true
+        })
+      })
+      if (indexable.nonEmpty) {
+        val aggs = indexable.map(c => bloomAggColumn(col(c), items, numBits).as(c))
+        val rows = df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        val byPath = batch.map(f => absOf(f).toUri.getPath -> f).toMap
+        rows.foreach { r =>
+          byPath.get(new Path(r.getString(0)).toUri.getPath).foreach { fileKey =>
+            val blooms = indexable.zipWithIndex.flatMap { case (c, i) =>
+              Option(r.get(i + 1)).map(b => c -> b.asInstanceOf[Array[Byte]])
+            }
+            if (blooms.nonEmpty) {
+              val target = indexPath(logDir, fileKey)
+              val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+              val out = fs.create(tmp, true)
+              try out.write(render(fileKey, blooms).getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+              if (fs.rename(tmp, target)) written += 1
+              else fs.delete(tmp, false) // a concurrent builder won: same bits
+            }
+          }
         }
       }
     }

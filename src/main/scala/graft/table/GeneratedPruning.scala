@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   * Derived filters are IMPLIED by the originals, so adding them to a
   * scan changes no result — they exist to hand partition pruning and
   * stats/bloom skipping predicates they can act on. f(v) is evaluated
-  * driver-side through the session's own expression engine (literal
-  * substitution + a one-row local select), so time-zone semantics match
-  * the scan exactly.
+  * driver-side through a session expression engine (literal
+  * substitution + a one-row local select). Time-zone-sensitive
+  * definitions evaluate under the zone RECORDED when the rule was
+  * declared (the zone the stored values were computed under, enforced
+  * on every write) — never the reader's zone, which may differ and
+  * would make the implication unsound.
   */
 object GeneratedPruning {
 
@@ -52,6 +55,11 @@ object GeneratedPruning {
         NonDeterministic(n) && !(n == "unix_timestamp" && f.arguments.nonEmpty)
       case _ => false
     }
+
+  /** The single base column a raw definition references, if exactly one. */
+  def baseRef(spark: SparkSession, sqlExpr: String): Option[String] =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(sqlExpr))
+      .toOption.flatMap(soleRef)
 
   /** Single base attribute referenced by the definition, if exactly one. */
   private def soleRef(e: Expression): Option[String] = {
@@ -89,20 +97,69 @@ object GeneratedPruning {
     case _ => false
   }
 
+  /** Function names whose result depends on the session time zone over
+    * SOME input type (string→time parses, instant formatting, zone
+    * shifts). Membership is checked against the raw definition, so a
+    * zone-dependent call anywhere makes the whole definition sensitive. */
+  private val TzDependentFns = Set(
+    "to_timestamp", "unix_timestamp", "to_unix_timestamp", "from_unixtime",
+    "date_format", "hour", "minute", "second", "convert_timezone",
+    "to_utc_timestamp", "from_utc_timestamp", "unix_date", "unix_micros",
+    "unix_millis", "unix_seconds", "weekday", "dayofweek", "to_char")
+
+  /** Whether the definition's VALUE can depend on the session time
+    * zone. A TimestampType base is an instant: any definition that
+    * leaves timestamp space (to_date, year, date_trunc, casts…)
+    * interprets the instant in the session zone, so everything except
+    * the identity copy counts. Over other bases, zone-dependent
+    * functions or casts to TimestampType count. Unknown base type or
+    * unparseable definition ⇒ sensitive (conservative). */
+  def tzSensitive(spark: SparkSession, sqlExpr: String,
+      baseType: Option[DataType]): Boolean =
+    scala.util.Try(spark.sessionState.sqlParser.parseExpression(sqlExpr))
+      .toOption match {
+      case None => true
+      case Some(e) =>
+        val usesTzOp = e.exists {
+          case f: UnresolvedFunction => TzDependentFns(fnName(f))
+          case c: Cast => c.dataType == TimestampType
+          case _ => false
+        }
+        val instantBase = baseType.forall(_ == TimestampType)
+        usesTzOp || (instantBase && !e.isInstanceOf[UnresolvedAttribute])
+    }
+
   /** Filters implied on generated columns by `filters` on their base
     * columns. `baseType` resolves a base column's data type (monotone
-    * derivations only fire for date/timestamp bases). */
+    * derivations only fire for date/timestamp bases). `recordedTz`
+    * resolves the zone a generated column's stored values were computed
+    * under: a TZ-sensitive definition derives ONLY when that zone is
+    * known — evaluated under THAT zone, not the reader's — because the
+    * stored values are f-under-writer-zone and a reader-zone f(v) would
+    * prune files that hold matching rows (silent missing rows). */
   def derive(spark: SparkSession, defs: Map[String, String],
       baseType: String => Option[DataType],
-      filters: Seq[Filter]): Seq[Filter] = {
+      filters: Seq[Filter],
+      recordedTz: String => Option[String] = _ => None): Seq[Filter] = {
     val parser = spark.sessionState.sqlParser
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     defs.toSeq.flatMap { case (g, sqlExpr) =>
       val parsed = scala.util.Try(parser.parseExpression(sqlExpr)).toOption
       parsed.toSeq.flatMap { e =>
         soleRef(e) match {
           case Some(base) if deterministic(e) =>
+            val evalSession: Option[SparkSession] =
+              if (!tzSensitive(spark, sqlExpr, baseType(base))) Some(spark)
+              else recordedTz(g) match {
+                case Some(z) if z == sessionTz => Some(spark)
+                case Some(z) => Some(sessionPinnedTo(spark, z))
+                case None => None // unknown writer zone: no sound proof
+              }
+            if (evalSession.isEmpty) Nil
+            else {
+            val eval = evalSession.get
             val monotone = monotoneShape(e) && baseType(base).exists(dateLike)
-            def f(v: Any): Option[Any] = evalAt(spark, e, v)
+            def f(v: Any): Option[Any] = evalAt(eval, e, v)
             filters.flatMap {
               case EqualTo(`base`, v) if v != null => f(v).map(EqualTo(g, _))
               case In(`base`, vs) =>
@@ -110,7 +167,7 @@ object GeneratedPruning {
                 // non-null arms is sound; any unevaluable arm → no proof.
                 // All arms evaluate in ONE local select (an IN(1000)
                 // probe must not pay 1000 analysis round-trips).
-                val mapped = evalMany(spark, e, vs.toSeq.filter(_ != null))
+                val mapped = evalMany(eval, e, vs.toSeq.filter(_ != null))
                 if (mapped.nonEmpty && mapped.forall(_.isDefined))
                   Seq(In(g, mapped.flatten.toArray))
                 else Nil
@@ -124,11 +181,25 @@ object GeneratedPruning {
                 f(v).map(LessThanOrEqual(g, _))
               case _ => Nil
             }
+            }
           case _ => Nil
         }
       }
     }.distinct
   }
+
+  /** A session sharing `spark`'s context but pinned to time zone `z` —
+    * the evaluation environment for definitions whose stored values
+    * were computed under a different (recorded) zone. Cached per zone:
+    * SessionState construction is not free and derive() runs per scan. */
+  private val pinned =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+  private def sessionPinnedTo(spark: SparkSession, z: String): SparkSession =
+    pinned.computeIfAbsent(z, { zone =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.session.timeZone", zone)
+      s
+    })
 
   /** f(v): substitute the base attribute with the literal and evaluate
     * through a one-row local select (no job — LocalTableScan), so

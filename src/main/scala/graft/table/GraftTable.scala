@@ -915,7 +915,9 @@ final class GraftTable private (
       .orElse(scala.util.Try(readVersion(version).schema).toOption)
     val baseType = (c: String) =>
       schema.flatMap(_.fields.find(_.name == c).map(_.dataType))
-    (filters ++ GeneratedPruning.derive(spark, defs, baseType, filters)).distinct
+    val props = propertiesOf(version)
+    (filters ++ GeneratedPruning.derive(spark, defs, baseType, filters,
+      g => props.get(GraftTable.GeneratedTzKey + g))).distinct
   }
 
   /** The subset of `version`'s files that MAY contain rows matching all
@@ -1363,7 +1365,8 @@ final class GraftTable private (
   def setProperties(props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one property")
     val reserved = props.keys.filter(k =>
-      k.startsWith("graft.identity.") || k == RowTracking.HwmProp)
+      k.startsWith("graft.identity.") ||
+      k.startsWith(GraftTable.GeneratedTzKey) || k == RowTracking.HwmProp)
     require(reserved.isEmpty,
       s"system-managed metadata: ${reserved.mkString(", ")}")
     commitRewrite("SET TBLPROPERTIES", Nil, Nil,
@@ -1376,9 +1379,11 @@ final class GraftTable private (
     require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
     // same reserved guard as setProperties: dropping an identity or
     // row-tracking high-water mark would restart allocation and mint
-    // duplicate values
+    // duplicate values; dropping a generated-column zone record would
+    // un-pin the zone its stored values were computed under
     val reserved = keys.filter(k =>
-      k.startsWith("graft.identity.") || k == RowTracking.HwmProp)
+      k.startsWith("graft.identity.") ||
+      k.startsWith(GraftTable.GeneratedTzKey) || k == RowTracking.HwmProp)
     require(reserved.isEmpty,
       s"system-managed metadata: ${reserved.mkString(", ")}")
     commitRewrite("UNSET TBLPROPERTIES", Nil, Nil,
@@ -1523,15 +1528,46 @@ final class GraftTable private (
       require(bad == 0,
         s"cannot declare $name GENERATED AS ($sqlExpr): $bad existing rows disagree")
     }
+    // the declaring session's zone is part of the rule: stored values
+    // are f-under-THIS-zone, so later writes must match it and filter
+    // derivation must evaluate under it (reader zones may differ)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     commitRewrite("ADD GENERATED COLUMN", Nil, Nil,
       Map("name" -> name, "expr" -> sqlExpr),
-      newGenerated = Some(generatedColumns + (name -> sqlExpr)))
+      newGenerated = Some(generatedColumns + (name -> sqlExpr)),
+      newProperties = Some(base =>
+        propertiesOf(base) + (GraftTable.GeneratedTzKey + name -> tz)))
   }
 
   /** Drop the generation rule (the column stays, values keep). */
   def dropGeneratedColumn(name: String): Unit =
     commitRewrite("DROP GENERATED COLUMN", Nil, Nil, Map("name" -> name),
-      newGenerated = Some(generatedColumns - name))
+      newGenerated = Some(generatedColumns - name),
+      newProperties = Some(base =>
+        propertiesOf(base) - (GraftTable.GeneratedTzKey + name)))
+
+  /** Reject compute/validate of a TZ-sensitive generated definition
+    * under a session zone other than the one recorded at declaration:
+    * the same row would otherwise generate different stored values in
+    * different sessions, and [[GeneratedPruning]]'s implications over
+    * the column would silently drop matching rows. */
+  private def requireGeneratedTz(gen: Map[String, String],
+      baseType: String => Option[org.apache.spark.sql.types.DataType]): Unit = {
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+    val props = properties
+    gen.foreach { case (name, e) =>
+      props.get(GraftTable.GeneratedTzKey + name).foreach { declared =>
+        if (declared != sessionTz && GeneratedPruning.tzSensitive(spark, e,
+            GeneratedPruning.baseRef(spark, e).flatMap(baseType)))
+          throw new IllegalArgumentException(
+            s"generated column $name ($e) was declared under session time " +
+            s"zone $declared but this session uses $sessionTz; its value " +
+            "depends on the zone, so writing now would store values " +
+            "inconsistent with the existing data. Set " +
+            s"spark.sql.session.timeZone=$declared for this write.")
+      }
+    }
+  }
 
   // ---- column DEFAULT values (Delta/ANSI parity) -----------------------
   //
@@ -1646,6 +1682,8 @@ final class GraftTable private (
   private def applyGenerated(df: DataFrame): DataFrame = {
     val gen = generatedColumns
     if (gen.isEmpty) return df
+    requireGeneratedTz(gen,
+      c => df.schema.fields.find(_.name == c).map(_.dataType))
     val present = df.columns.toSet
     gen.foreach { case (name, e) =>
       if (present(name)) {
@@ -1899,7 +1937,7 @@ final class GraftTable private (
         dir.split('/').filter(_.contains('=')).map { kv =>
           val i = kv.indexOf('=')
           val c = kv.take(i)
-          val value = java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+          val value = GraftTable.unescapePathValue(kv.drop(i + 1))
           if (value == "__HIVE_DEFAULT_PARTITION__") s"$c IS NULL"
           else s"$c = '${value.replace("'", "''")}'"
         }.mkString("(", " AND ", ")")
@@ -1921,7 +1959,7 @@ final class GraftTable private (
     val rows = live.map { f =>
       val kvs = f.split('/').filter(_.contains('=')).map { s =>
         val i = s.indexOf('=')
-        s.take(i) -> java.net.URLDecoder.decode(s.drop(i + 1), "UTF-8")
+        s.take(i) -> GraftTable.unescapePathValue(s.drop(i + 1))
       }.toMap
       org.apache.spark.sql.Row.fromSeq(f +: partitionColumns.map(c =>
         kvs.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
@@ -2684,6 +2722,7 @@ final class GraftTable private (
     // assignments cast to the column's existing type — schema enforcement
     // holds under UPDATE exactly as under append (Delta's store-assignment)
     val types = read().schema.fields.map(f => f.name -> f.dataType).toMap
+    requireGeneratedTz(generatedColumns, types.get)
     // the match flag is PINNED before any assignment: an assignment that
     // mutates a column the predicate references must not change which
     // rows the remaining assignments (or recomputes) apply to
@@ -2780,6 +2819,10 @@ final class GraftTable private (
       schemaEvolution: Boolean = false): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
+    if (currentVersion >= 0)
+      requireGeneratedTz(generatedColumns,
+        c => scala.util.Try(read().schema).toOption
+          .flatMap(_.fields.find(_.name == c).map(_.dataType)))
     def holds(cond: Option[Column]): Column =
       cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
     if (currentVersion < 0) {
@@ -3556,6 +3599,12 @@ object GraftTable {
     * the recorded schema stays interoperable with engines that read it. */
   val DefaultKey: String = "CURRENT_DEFAULT"
 
+  /** Reserved property prefix: `graft.generated.tz.<column>` records the
+    * session time zone a generated column was declared under — the zone
+    * its stored values are computed in (enforced on write) and the zone
+    * [[GeneratedPruning]] evaluates derived predicates under. */
+  val GeneratedTzKey: String = "graft.generated.tz."
+
   /** Per-file outcome of folding an action tail over a symbolic
     * checkpoint base — mirrors the incremental Snapshot fold exactly,
     * but as overrides keyed by file instead of a materialized list.
@@ -3628,6 +3677,32 @@ object GraftTable {
     }
   }
 
+  /** Decode one hive partition-path value with the same semantics as
+    * Spark's ExternalCatalogUtils.unescapePathName: ONLY %XX percent
+    * escapes are decoded. URLDecoder is wrong here twice over — it
+    * turns '+' into a space (escapePathName never encodes '+', so a
+    * value like "UTC+2" round-trips through Spark's writer as a
+    * literal '+') and it throws on a stray '%' in an adopted
+    * non-Spark layout. A malformed escape is kept literally: the only
+    * writer that produces it meant it literally, and for pruning a
+    * kept-literal value can never be less correct than failing the
+    * scan. PURE (shipped into the distributed planning closure). */
+  def unescapePathValue(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Hive-path partition values of `file` for columns in `refs`,
     * synthesized as point intervals (lo = hi = the value) in
     * [[statsMayMatch]]'s encoding — partition predicates then prune the
@@ -3643,7 +3718,7 @@ object GraftTable {
         val c = seg.take(i)
         if (!refs(c)) None
         else {
-          val raw = java.net.URLDecoder.decode(seg.drop(i + 1), "UTF-8")
+          val raw = unescapePathValue(seg.drop(i + 1))
           if (raw == "__HIVE_DEFAULT_PARTITION__") None
           else Some(c -> encodePartitionStat(raw))
         }

@@ -78,6 +78,31 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.buildBloomIndex() == 0, "idempotent: existing sidecars kept")
   }
 
+  test("backfill batches bound the driver collect (many-file scale shape)") {
+    // pure math: a 100k-file backfill at MB-sized filters never collects
+    // in one job — rounds of budget/perFile files, order preserved
+    val files = (1 to 100000).map(i => s"f$i")
+    val b = BloomIndex.buildBatches(files, 1L << 20, BloomIndex.DefaultBatchBytes)
+    assert(b.size == math.ceil(100000.0 / 256).toInt, s"${b.size} batches")
+    assert(b.forall(_.size <= 256) && b.flatten == files)
+    // a degenerate budget still makes progress one file at a time
+    assert(BloomIndex.buildBatches(Seq("a", "b"), 1L << 30, 1L)
+      .map(_.size) == Seq(1, 1))
+
+    // integration: a tiny budget forces a multi-round backfill; every
+    // sidecar still lands and probing stays sound
+    val (t, path) = fresh("bloom_batched")
+    t.write(interleaved(1600, 16))
+    t.setProperties(Map(BloomIndex.ColumnsProp -> "name",
+      BloomIndex.BatchBytesProp -> "600"))
+    assert(t.buildBloomIndex() == 16)
+    assert(sidecarCount(path) == 16)
+    val kept = t.dataSkippedFiles(t.currentVersion,
+      Seq(EqualTo("name", "name_00017")))
+    assert(kept.nonEmpty && kept.size <= 3, s"kept ${kept.size} of 16")
+    assert(t.read().filter(col("name") === "name_00017").count() == 1)
+  }
+
   test("point probe prunes interleaved files min/max cannot, soundly") {
     val (t, _) = indexed("bloom_prune", 4000, 8)
     val v = t.currentVersion

@@ -33,6 +33,30 @@ class DedupSpec extends SparkSpec {
       s"only-full=${(full -- inc).take(5)}")
   }
 
+  test("sketch corpus is appended, never rebuilt, on a second batch") {
+    val path = java.nio.file.Files.createTempDirectory("dd_inc_grow").toString
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val first = docs.filter(col("doc_id") % 5 === 1)
+    val t = Dedup.updateSketchCorpus(spark, first, path)
+    assert(t.currentVersion == 0L)
+    val rows0 = t.read().count()
+    // second corpus batch: only the NEW docs are sketched and appended
+    val t2 = Dedup.updateSketchCorpus(spark,
+      docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2), path)
+    assert(t2.currentVersion == 1L, "second batch must be ONE append commit")
+    val ops = t2.history().select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "APPEND") == 1, s"ops were $ops")
+    assert(t2.read().count() > rows0)
+    assert(t2.read().select("doc_id").distinct().count() ==
+      docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2).count())
+    // an already-covered corpus is a no-op: no commit, no re-sketch
+    Dedup.updateSketchCorpus(spark, first, path)
+    assert(t2.currentVersion == 1L)
+    // the operator's standing corpus keys to the testdata's identity
+    val stable = Dedup.sketchCorpusPath(sf)
+    assert(stable == Dedup.sketchCorpusPath(sf), "path must be deterministic")
+  }
+
   test("incremental dedup reads the corpus from the sketch table, not the text") {
     val path = java.nio.file.Files.createTempDirectory("dd_inc_tamper").toString
     val docs = graft.tables.Tables.documents(spark, sf)

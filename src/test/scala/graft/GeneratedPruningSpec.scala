@@ -140,9 +140,10 @@ class GeneratedPruningSpec extends SparkSpec {
     val dateBase = (_: String) => Some(DateType): Option[org.apache.spark.sql.types.DataType]
     val strBase = (_: String) => Some(org.apache.spark.sql.types.StringType): Option[org.apache.spark.sql.types.DataType]
     // to_date over a TIMESTAMP base derives a relaxed range bound
+    // (TZ-sensitive, so the writer zone must be on record)
     val d1 = GeneratedPruning.derive(spark, Map("d" -> "to_date(ev_ts)"),
       (_: String) => Some(TimestampType),
-      Seq(GreaterThan("ev_ts", ts("2024-03-05 13:00:00"))))
+      Seq(GreaterThan("ev_ts", ts("2024-03-05 13:00:00"))), _ => Some("UTC"))
     assert(d1 == Seq(GreaterThanOrEqual("d", Date.valueOf("2024-03-05"))), s"got $d1")
     // the same shape over a STRING base must not derive ranges
     // (string→date parsing is not monotone in string order)...
@@ -167,5 +168,64 @@ class GeneratedPruningSpec extends SparkSpec {
       (_: String) => Some(org.apache.spark.sql.types.LongType),
       Seq(EqualTo("id", 1L)))
     assert(d5.isEmpty, s"got $d5")
+  }
+
+  test("tz-sensitive derivation pins to the recorded writer zone") {
+    import spark.implicits._
+    def instant(s: String) =
+      new Timestamp(java.time.Instant.parse(s).toEpochMilli)
+    // unknown writer zone → no proof: the stored values were computed
+    // under SOME session zone and the reader's may disagree
+    val none = GeneratedPruning.derive(spark, Map("d" -> "to_date(ev_ts)"),
+      (_: String) => Some(TimestampType),
+      Seq(EqualTo("ev_ts", instant("2024-03-05T13:00:00Z"))))
+    assert(none.isEmpty, s"got $none")
+    // recorded zone ≠ session zone: f(v) evaluates under the RECORDED
+    // zone (03:00Z is still 2024-03-04 in New York)
+    val ny = GeneratedPruning.derive(spark, Map("d" -> "to_date(ev_ts)"),
+      (_: String) => Some(TimestampType),
+      Seq(GreaterThanOrEqual("ev_ts", instant("2024-03-05T03:00:00Z"))),
+      _ => Some("America/New_York"))
+    assert(ny == Seq(GreaterThanOrEqual("d", Date.valueOf("2024-03-04"))),
+      s"got $ny")
+    // zone-independent definitions still derive with no record at all
+    val plain = GeneratedPruning.derive(spark, Map("g" -> "pmod(id, 4)"),
+      (_: String) => Some(org.apache.spark.sql.types.LongType),
+      Seq(EqualTo("id", 7L)))
+    assert(plain == Seq(EqualTo("g", 3L)), s"got $plain")
+
+    // end-to-end: table declared under UTC; a New-York-session reader
+    // must lose no rows (an LTE bound evaluated in the reader's zone
+    // would prune the d=2024-03-04 partition and silently drop 20 rows)
+    val path = Files.createTempDirectory("gen_tz").toString
+    val t = GraftTable(spark, path, Seq("d"))
+    val df = (0 until 6).flatMap { day =>
+      (0 until 20).map(i => (day * 20 + i, instant(f"2024-03-${day + 1}%02d" +
+        "T01:30:00Z")))
+    }.toDF("id", "ev_ts").withColumn("d", to_date(col("ev_ts")))
+    t.write(df)
+    t.addGeneratedColumn("d", "to_date(ev_ts)")
+    assert(t.properties(GraftTable.GeneratedTzKey + "d") == "UTC")
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val cut = instant("2024-03-04T01:45:00Z")
+    val got = s2.read.format("graft").load(path)
+      .filter(col("ev_ts") <= lit(cut)).count()
+    assert(got == 80, s"NY-session read lost rows: $got of 80")
+
+    // ...and a New-York-session WRITE is rejected: it would store
+    // d-values disagreeing with the UTC-computed existing data
+    val t2 = GraftTable(s2, path, Seq("d"))
+    val in2 = { import s2.implicits._
+      Seq((999, instant("2024-03-07T01:30:00Z"))).toDF("id", "ev_ts") }
+    val e = intercept[IllegalArgumentException] {
+      t2.write(in2, SaveMode.Append)
+    }
+    assert(e.getMessage.contains("time zone"), e.getMessage)
+    // the reserved zone record resists UNSET
+    intercept[IllegalArgumentException] {
+      t.unsetProperties(Seq(GraftTable.GeneratedTzKey + "d"))
+    }
   }
 }

@@ -90,6 +90,31 @@ class GraftSourceSpec extends SparkSpec {
       == Seq("AAPL"))
   }
 
+  test("partition values with '+' or stray '%' decode soundly (no silent pruning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = Files.createTempDirectory("gsrc_plus").toString
+    val t = GraftTable(spark, path, Seq("tz"))
+    t.write(Seq(("UTC+2", 1L), ("UTC+2", 2L), ("UTC-5", 3L)).toDF("tz", "v"))
+    // '+' in a string partition value must stay a literal plus — a
+    // URLDecoder-style decode turns it into a space, the point interval
+    // goes wrong, and the file is silently skipped (missing rows)
+    assert(spark.read.format("graft").load(path)
+      .filter(col("tz") === "UTC+2").count() == 2)
+    val kept = t.dataSkippedFiles(t.currentVersion, Seq(EqualTo("tz", "UTC+2")))
+    assert(kept.nonEmpty && kept.forall(_.contains("tz=UTC+2")), kept.toString)
+    // decode semantics pinned: percent escapes only, '+' literal,
+    // malformed escapes (adopted non-Spark layouts) kept literally
+    assert(GraftTable.unescapePathValue("UTC+2") == "UTC+2")
+    assert(GraftTable.unescapePathValue("a%20b") == "a b")
+    assert(GraftTable.unescapePathValue("50%") == "50%")
+    assert(GraftTable.unescapePathValue("a%2Gb") == "a%2Gb")
+    // ...and a malformed segment degrades to a plain string interval
+    // ("no proof → keep file"), never a thrown planning task
+    assert(GraftTable.partitionValueStats("t/p=50%/f.parquet", Set("p"))
+      .apply("p") == ("string", "50%", "50%"))
+  }
+
   test("DSv2 catalog: VERSION AS OF SQL, identical rows, pruning reaches the scan") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val path = Files.createTempDirectory("gsrc_v2").toString

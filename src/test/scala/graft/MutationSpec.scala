@@ -138,6 +138,46 @@ class MutationSpec extends SparkSpec {
     assert(ops.count(_ == "DELETE") == 2, "both deletes must commit")
   }
 
+  test("SET TBLPROPERTIES racing an identity append: both property sets land") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_prop_race").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write(Seq((0L, "seed")).toDF("k", "s"))
+    t.addIdentityColumn("rid", start = 1L, step = 1L)
+
+    // one thread commits user properties, the other identity appends
+    // (which advance the graft.identity.rid high-water mark property in
+    // their own commits). The newProperties closure recomputes over the
+    // predecessor that WON the claim, so neither side may revert the
+    // other's keys, whatever the interleaving.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val setter = new Thread(() => {
+      val mine = graft.table.GraftTable(spark, path, Nil)
+      (0 until 3).foreach(i => mine.setProperties(Map(s"user.k$i" -> s"v$i")))
+    })
+    val appender = new Thread(() => {
+      val mine = graft.table.GraftTable(spark, path, Nil)
+      (0 until 3).foreach { i =>
+        mine.write(Seq((100L + i, s"a$i")).toDF("k", "s"),
+          org.apache.spark.sql.SaveMode.Append)
+      }
+    })
+    Seq(setter, appender).foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+    Seq(setter, appender).foreach(_.start())
+    Seq(setter, appender).foreach(_.join())
+    assert(errs.isEmpty, s"racing commits must land: ${Option(errs.peek())}")
+
+    val props = t.properties
+    assert((0 until 3).forall(i => props.get(s"user.k$i").contains(s"v$i")),
+      s"user properties lost in the race: $props")
+    // the identity mark survived every SET and covers all assigned ids
+    val ids = t.read().filter(col("rid").isNotNull).select("rid")
+      .as[Long].collect()
+    assert(ids.length == 3 && ids.distinct.length == 3, ids.toSeq.toString)
+    val (_, _, hwm) = t.identityColumns("rid")
+    assert(hwm >= ids.max, s"high-water mark $hwm below max id ${ids.max}")
+  }
+
   test("overlapping concurrent rewrites: one clear abort or clean serialization, never lost updates") {
     import spark.implicits._
     val path = Files.createTempDirectory("gt_conc_overlap").toString
