@@ -203,7 +203,36 @@ object Media {
         |         range(CAST(1 AS BIGINT), CAST(length(text) + 1 AS BIGINT), CAST(4 AS BIGINT)),
         |         j -> ord(substr(text, CAST(j AS INTEGER), 1)))) % 1000000007 AS BIGINT)
         |         AS resized_checksum
-        |FROM documents ORDER BY doc_id""".stripMargin)
-    // media_nearest_pair: depends on the stub's histogram features →
-    // rows-only; MediaSpec pins the kernel and plumbing.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Brute-force replay: the LSH-bucketed candidates + exact rescore
+    // are spec-pinned equal to all-pairs cosine (MediaSpec), so the
+    // oracle computes all pairs directly. Features replicate the stub's
+    // FLOAT32 arithmetic (histogram/total in REAL) before the DOUBLE
+    // cosine, so both engines round the same quantized values.
+    "media_nearest_pair" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_transform(range(1, length(text) + 1),
+        |           i -> ord(substr(text, CAST(i AS INTEGER), 1)) // 16) AS buckets
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 16), k ->
+        |           CAST(CAST(len(list_filter(buckets, x -> x = k)) AS REAL) /
+        |                CAST(GREATEST(n, 1) AS REAL) AS REAL)) AS v
+        |  FROM b),
+        |nv AS (
+        |  SELECT doc_id, v,
+        |         sqrt(list_sum(list_transform(v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM h),
+        |p AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         round(list_sum(list_transform(range(0, 16), k ->
+        |             CAST(x.v[CAST(k + 1 AS INTEGER)] AS DOUBLE) *
+        |             CAST(y.v[CAST(k + 1 AS INTEGER)] AS DOUBLE)))
+        |           / (x.nrm * y.nrm), 6) AS cos
+        |  FROM nv x JOIN nv y ON x.doc_id < y.doc_id)
+        |SELECT a, b, cos FROM p WHERE cos >= 0.999
+        |ORDER BY a, b LIMIT 100""".stripMargin)
 }

@@ -181,7 +181,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
     new GraftScanBuilder(snapshot,
       filters => table.readVersionPruned(pinnedVersion, filters),
       filters => table.scanStats(pinnedVersion, filters),
-      filters => table.augmentedFilters(pinnedVersion, filters))
+      filters => table.augmentedFilters(pinnedVersion, filters),
+      filters => table.columnNdv(pinnedVersion, filters))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -265,7 +266,9 @@ final case class GraftV2Table(spark: SparkSession, path: String,
 final class GraftScanBuilder(snapshot: DataFrame,
     prunedReader: Seq[Filter] => DataFrame,
     scanStats: Seq[Filter] => (Long, Option[Long]),
-    augment: Seq[Filter] => Seq[Filter] = identity _) extends ScanBuilder
+    augment: Seq[Filter] => Seq[Filter] = identity _,
+    columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = snapshot.schema
@@ -281,7 +284,8 @@ final class GraftScanBuilder(snapshot: DataFrame,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftV1ScanShim(prunedReader, required, pushed, scanStats, augment)
+    new GraftV1ScanShim(prunedReader, required, pushed, scanStats, augment,
+      columnNdv)
 }
 
 /** DSv2 scan executing through the V1 relation machinery ([[V1Scan]],
@@ -292,7 +296,8 @@ final class GraftScanBuilder(snapshot: DataFrame,
 final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
     required: StructType, filters: Array[Filter],
     scanStats: Seq[Filter] => (Long, Option[Long]),
-    augment: Seq[Filter] => Seq[Filter] = identity _)
+    augment: Seq[Filter] => Seq[Filter] = identity _,
+    columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -302,15 +307,35 @@ final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
     * for the pushed filters (deletion-vector cardinality subtracted
     * from rows): join strategy sees the pruned scan, so a selective
     * point lookup over a huge table still auto-broadcasts. Delta's
-    * PrepareDeltaScan plays the same stats into Catalyst. */
+    * PrepareDeltaScan plays the same stats into Catalyst. ANALYZE'd
+    * columns additionally report distinct counts (union of the
+    * surviving files' HLL sketches) — `transformV2Stats` turns them
+    * into per-attribute ColumnStat, which is what CBO join estimation
+    * and join reordering consume. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val (bytes, rows) = scanStats(filters.toIndexedSeq)
+    val ndv = columnNdv(filters.toIndexedSeq)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty)(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        ndv.foreach { case (c, n) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+            })
+        }
+        m
+      }
     }
   }
 
@@ -335,4 +360,88 @@ final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = scanFrame.rdd
     }.asInstanceOf[T]
+}
+
+/** Post-pushdown, V2ScanRelationPushDown wraps every V1Scan in
+  * `V1ScanWrapper` — which does NOT implement
+  * SupportsReportStatistics, so the scan relation's `computeStats`
+  * falls back to `spark.sql.defaultSizeInBytes` (8 EiB) and every
+  * statistic the shim reports (post-pruning bytes and rows, ANALYZE
+  * distinct counts) vanishes from join planning. This subclass puts
+  * them back by unwrapping to the shim. A `copy()` degrades to the
+  * base class: a rule copying the node loses stats precision, never
+  * correctness. */
+final class GraftStatsScanRelation(
+    relation0: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+    scan0: Scan,
+    output0: scala.collection.immutable.Seq[
+      org.apache.spark.sql.catalyst.expressions.AttributeReference],
+    kgp0: Option[scala.collection.immutable.Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression]],
+    ordering0: Option[scala.collection.immutable.Seq[
+      org.apache.spark.sql.catalyst.expressions.SortOrder]])
+    extends org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation(
+      relation0, scan0, output0, kgp0, ordering0) {
+
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    scan match {
+      case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+        w.v1Scan match {
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              .transformV2Stats(s.estimateStatistics(), None,
+                conf.defaultSizeInBytes, output)
+          case _ => super.computeStats()
+        }
+      case _ => super.computeStats()
+    }
+
+  // TreeNode.transform keeps the ORIGINAL node whenever the rewritten
+  // one is ==-equal (fastEquals), and the inherited case-class equality
+  // compares fields only — so without these overrides the stats rule's
+  // replacement would be silently discarded. Symmetric: a stats node
+  // never equals a plain one, in either direction.
+  override def canEqual(other: Any): Boolean =
+    other.isInstanceOf[GraftStatsScanRelation]
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftStatsScanRelation => super.equals(o)
+    case _ => false
+  }
+}
+
+/** Optimizer rule for the "User Provided Optimizers" batch (the only
+  * extension point AFTER early scan pushdown — which creates the V1
+  * wrapper — and before physical planning's JoinSelection): swap graft
+  * scan relations whose stats were swallowed by the wrapper for
+  * [[GraftStatsScanRelation]], so the join-strategy decision sees the
+  * manifest's pruned-size/row/NDV estimates. CBO's join REORDER batch
+  * runs earlier and is not reached — build-side choice is. */
+final class GraftScanStatsRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transform {
+      case r: DataSourceV2ScanRelation if !r.isInstanceOf[GraftStatsScanRelation] =>
+        r.scan match {
+          case w: V1ScanWrapper if w.v1Scan.isInstanceOf[GraftV1ScanShim] =>
+            new GraftStatsScanRelation(r.relation, r.scan, r.output,
+              r.keyGroupedPartitioning, r.ordering)
+          case _ => r
+        }
+    }
+}
+
+object GraftScanStatsRule {
+  /** Idempotently append the rule to `session.experimental
+    * .extraOptimizations` (read fresh by the optimizer on every run,
+    * so registration any time before the first optimization sticks). */
+  def register(session: SparkSession): Unit = session.synchronized {
+    val cur = session.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[GraftScanStatsRule]))
+      session.experimental.extraOptimizations = cur :+ new GraftScanStatsRule
+  }
 }

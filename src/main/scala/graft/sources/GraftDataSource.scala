@@ -120,7 +120,8 @@ final class GraftDataSource extends RelationProvider
       pathOf(parameters),
       startVer,
       changeFeed = isCdf(parameters),
-      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
   }
 
   // ---- streaming write: writeStream.format("graft").start(path) --------
@@ -218,16 +219,48 @@ final class GraftStreamSource(
     session: org.apache.spark.sql.classic.SparkSession,
     path: String, startingVersion: Option[Long],
     changeFeed: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
+  require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be > 0")
+  require(!(changeFeed && maxFilesPerTrigger.isDefined),
+    "maxFilesPerTrigger is not supported with readChangeFeed (change " +
+    "rows of a rewrite commit have no per-file decomposition); use " +
+    "maxVersionsPerTrigger")
+
   private def table = GraftTable(session, path)
-  // admission control for catch-up (Delta's maxFilesPerTrigger analog):
-  // a stream starting far behind advances at most N versions per
-  // micro-batch instead of planning one giant batch
-  @volatile private var lastOffered: Option[Long] = None
+  // Admission control for catch-up: `maxVersionsPerTrigger` caps how
+  // many versions one micro-batch spans; `maxFilesPerTrigger` (Delta
+  // parity) additionally splits a single oversized APPEND-ONLY commit
+  // across triggers at file granularity. Offsets are therefore
+  // (version, fileIndex): index -1 = "delivered through version v"
+  // (encoded as a plain long, the pre-file-granularity json, so old
+  // checkpoints parse); index i >= 0 = "plus the first i+1 added files
+  // of version v". Exactly-once holds because a version's add list is
+  // immutable and ordered — any boundary index names one definite row
+  // set.
+  @volatile private var lastOffered: Option[(Long, Int)] = None
+
+  private def encode(o: (Long, Int)): V1Offset = o match {
+    case (v, -1) => LongOffset(v)
+    case (v, i) => new V1Offset {
+      override def json(): String = s"""{"version":$v,"index":$i}"""
+    }
+  }
+
+  private val OffJson = """\{"version":(\d+),"index":(\d+)\}""".r
+  private def decode(o: V1Offset): (Long, Int) = o.json() match {
+    case OffJson(v, i) => (v.toLong, i.toInt)
+    case plain => (plain.toLong, -1)
+  }
+
+  /** Strict "delivered-through" order: a partial index precedes the
+    * complete (-1) marker of the same version. */
+  private def beforeKey(o: (Long, Int)): (Long, Long) =
+    (o._1, if (o._2 == -1) Long.MaxValue else o._2.toLong)
   // schema pinned at FIRST USE (lazy: source creation on a
   // not-yet-written table must not crash — the planner may build the
   // source before the first commit lands); later evolution is rejected
@@ -247,46 +280,101 @@ final class GraftStreamSource(
   override def schema: StructType = pinned
 
   override def getOffset: Option[V1Offset] = {
-    val v = table.currentVersion
-    if (v < 0) return None
-    val capped = (maxVersionsPerTrigger, lastOffered) match {
-      case (Some(n), Some(prev)) => math.min(v, prev + n)
-      case (Some(n), None) =>
-        startingVersion.map(sv => math.min(v, sv + n)).getOrElse(v)
-      case _ => v
-    }
-    lastOffered = Some(capped)
-    Some(LongOffset(capped))
+    val target = table.currentVersion
+    if (target < 0) return None
+    val next: (Long, Int) =
+      if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+        (target, -1)
+      else lastOffered.orElse(startingVersion.map(sv => (sv, -1))) match {
+        case None => (target, -1) // initial snapshot: one batch
+        case Some((w, i)) if i >= 0 =>
+          // finish (or extend) the partially-delivered version first
+          val n = table.appendOnlyAdds(w).map(_.size).getOrElse(0)
+          maxFilesPerTrigger match {
+            case Some(m) if i + m < n - 1 => (w, (i + m).toInt)
+            case _ => (w, -1)
+          }
+        case Some((w, _)) if w >= target => (w, -1) // caught up
+        case Some((w, _)) =>
+          // admit whole versions up to both caps; a SINGLE oversized
+          // append-only commit at the front splits at file granularity
+          val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+          var v = w
+          var files = 0L
+          var out: (Long, Int) = (w, -1)
+          var done = false
+          while (!done && v < target && (v - w) < vCap) {
+            val nv = v + 1
+            val adds = table.appendOnlyAdds(nv)
+            val n = adds.map(_.size.toLong).getOrElse(0L)
+            maxFilesPerTrigger match {
+              case Some(m) if files == 0 && adds.isDefined && n > m =>
+                out = (nv, (m - 1).toInt); done = true
+              case Some(m) if files > 0 && files + n > m =>
+                done = true // next version would overflow: stop before it
+              case _ =>
+                files += n; v = nv; out = (nv, -1)
+            }
+          }
+          out
+      }
+    lastOffered = Some(next)
+    Some(encode(next))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val to = end.json().toLong
-    val fromExclusive = start.map(_.json().toLong).orElse(startingVersion)
+    val (to, toIdx) = decode(end)
+    val from: Option[(Long, Int)] =
+      start.map(decode).orElse(startingVersion.map(sv => (sv, -1)))
     // a restart whose checkpointed offset predates log retention must
     // fail with a clear contract error, not a raw FileNotFoundException
-    // from the dropped manifest
-    fromExclusive.filter(f => f < to && !table.hasVersion(f)).foreach { f =>
+    // from the dropped manifest. A partial boundary needs its OWN
+    // version retained too (the tail files come from its action record).
+    from.filter { case (fv, fi) =>
+      (fv < to || fi >= 0) && !table.hasVersion(fv)
+    }.foreach { case (fv, _) =>
       throw new IllegalStateException(
-        s"stream start/restart version v$f of the graft table at $path " +
+        s"stream start/restart version v$fv of the graft table at $path " +
         "has been removed by log retention (cleanupLog); restart from a " +
         "fresh checkpoint, or from a retained startingVersion >= " +
         s"the earliest retained commit")
     }
-    val batch = fromExclusive match {
+    def insertsOnly(ch: DataFrame): DataFrame =
+      // new and updated row versions flow (Delta's ignoreChanges
+      // contract): plain inserts plus the postimages of UPDATE/MERGE
+      // commits that recorded CDC images
+      if (changeFeed) ch
+      else ch.filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type")
+    val batch = from match {
       case None =>
         val snap = table.readVersion(to) // initial snapshot
         if (changeFeed) snap.withColumn("_change_type", lit("insert")) else snap
-      case Some(f) if f >= to =>
+      case Some(f) if beforeKey(f)._1 > to ||
+          (beforeKey(f) == beforeKey((to, toIdx))) ||
+          (f._1 == to && f._2 == -1) =>
         val empty = table.readVersion(to).limit(0)
         if (changeFeed) empty.withColumn("_change_type", lit("insert")) else empty
-      case Some(f) if changeFeed => table.changes(f, to)
-      case Some(f) =>
-        // new and updated row versions flow (Delta's ignoreChanges
-        // contract): plain inserts plus the postimages of UPDATE/MERGE
-        // commits that recorded CDC images
-        table.changes(f, to)
-          .filter(col("_change_type").isin("insert", "update_postimage"))
-          .drop("_change_type")
+      case Some((fv, fi)) =>
+        // three disjoint row sets, any of which may be empty: the TAIL
+        // of a partially-delivered version fv, the COMPLETE versions
+        // between, and the HEAD of a partially-delivered version to
+        val pieces = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        if (fi >= 0) {
+          val adds = table.appendOnlyAdds(fv).getOrElse(Seq.empty)
+          val until = if (fv == to && toIdx >= 0) toIdx else adds.size - 1
+          val tail = adds.slice(fi + 1, until + 1)
+          if (tail.nonEmpty) pieces += table.readAddedFiles(fv, tail)
+        }
+        val completeTo = if (toIdx >= 0) to - 1 else to
+        if (fv < to && completeTo > fv)
+          pieces += insertsOnly(table.changes(fv, completeTo))
+        if (toIdx >= 0 && fv != to) {
+          val head = table.appendOnlyAdds(to).getOrElse(Seq.empty).take(toIdx + 1)
+          if (head.nonEmpty) pieces += table.readAddedFiles(to, head)
+        }
+        if (pieces.isEmpty) table.readVersion(to).limit(0)
+        else pieces.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     val aligned = batch.select(
       pinned.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)

@@ -347,7 +347,9 @@ final class GraftTable private (
       newSchema: Option[Long => StructType] = None,
       addSizes: Map[String, Long] = Map.empty,
       newProperties: Option[Long => Map[String, String]] = None,
-      statsAnnotation: Option[(String, (String, String, String))] = None): Long = {
+      statsAnnotation: Option[(String, (String, String, String))] = None,
+      extraStats: Long => Map[String, Map[String, (String, String, String)]] =
+        _ => Map.empty): Long = {
     val v = currentVersion + 1
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
@@ -355,7 +357,7 @@ final class GraftTable private (
     // (and sweep partial sidecars) or the version slot wedges forever
     try commitClaimed(v, operation, adds, metrics, newConstraints,
       removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
-      newSchema, addSizes, newProperties, statsAnnotation)
+      newSchema, addSizes, newProperties, statsAnnotation, extraStats)
     catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
@@ -385,7 +387,9 @@ final class GraftTable private (
       newSchema: Option[Long => StructType],
       addSizes: Map[String, Long],
       newProperties: Option[Long => Map[String, String]] = None,
-      statsAnnotation: Option[(String, (String, String, String))] = None): Long = {
+      statsAnnotation: Option[(String, (String, String, String))] = None,
+      extraStats: Long => Map[String, Map[String, (String, String, String)]] =
+        _ => Map.empty): Long = {
     val removed = removes(v - 1)
     // every add records its byte size (Delta's AddFile.size): writers
     // that staged the files know it for free; adoption paths
@@ -451,8 +455,23 @@ final class GraftTable private (
     // row tracking: per-added-file base row ids above the hwm property,
     // advanced in THIS commit (claim-protected — concurrent appends
     // can't overlap ranges); carried bases (RESTORE/CLONE) preserved
-    val (props, stats) = RowTracking.assign(props0, preStats, adds,
+    val (props, stats0) = RowTracking.assign(props0, preStats, adds,
       carriedStats.contains)
+    // post-hoc stat annotations for EXISTING files (ANALYZE's per-file
+    // NDV sketches): a sidecar entry REPLACES the file's whole stat map
+    // on replay, so each annotated entry is base-map ++ additions,
+    // computed against the predecessor that actually won the claim
+    val stats = {
+      val extra = extraStats(v - 1)
+      if (extra.isEmpty) stats0
+      else {
+        val baseStats = snapshotAt(v - 1).stats
+        extra.foldLeft(stats0) { case (m, (f, add)) =>
+          m.updated(f,
+            baseStats.getOrElse(f, Map.empty) ++ m.getOrElse(f, Map.empty) ++ add)
+        }
+      }
+    }
     // bloom index for freshly ADDED files (Delta bloom-index parity):
     // one distributed pass inside the commit, like the stats job.
     // Adoption paths (clone/convert pass collectStats = false) skip —
@@ -543,12 +562,15 @@ final class GraftTable private (
       newSchema: Option[Long => StructType] = None,
       newProperties: Option[Long => Map[String, String]] = None,
       preCommitCheck: Long => Unit = _ => (),
-      statsAnnotation: Option[(String, (String, String, String))] = None): Long =
+      statsAnnotation: Option[(String, (String, String, String))] = None,
+      extraStats: Long => Map[String, Map[String, (String, String, String)]] =
+        _ => Map.empty): Long =
     retryOnConflict()(commit(operation, added.map(_._1), metrics,
       addSizes = added.toMap,
       newConstraints = newConstraints, newGenerated = newGenerated,
       newColMap = newColMap, newSchema = newSchema,
       newProperties = newProperties, statsAnnotation = statsAnnotation,
+      extraStats = extraStats,
       removes = { base =>
         preCommitCheck(base)
         val nowLive = manifestFiles(base)
@@ -1031,6 +1053,67 @@ final class GraftTable private (
     require(logical.nonEmpty,
       s"set TBLPROPERTIES('${BloomIndex.ColumnsProp}'='col,…') before building")
     buildBloomsFor(manifestFiles(), props, colMap, statsOf(currentVersion))
+  }
+
+  /** ANALYZE: record per-file approx-distinct (HLL) sketches for
+    * `cols` (logical names; default every analyzable column) in ONE
+    * metadata commit. Sketches ride the stats sidecar keyed per file
+    * ([[NdvStats]]), so OPTIMIZE invalidates only rewritten files'
+    * entries and [[columnNdv]] unions exactly the surviving files.
+    * The sketch job runs in driver-budgeted batches like the bloom
+    * backfill. Returns the committed version. */
+  def analyzeColumns(cols: Seq[String] = Nil): Long = {
+    require(currentVersion >= 0, "nothing to analyze: empty table")
+    val files = manifestFiles()
+    require(files.nonEmpty, "nothing to analyze: no live files")
+    val schema = read().schema
+    val cm = colMap
+    val physOf: Map[String, String] =
+      if (cm.isIdentity) schema.fieldNames.map(c => c -> c).toMap
+      else cm.entries.toMap
+    val chosen: Seq[org.apache.spark.sql.types.StructField] =
+      if (cols.isEmpty) schema.fields.toSeq
+      else {
+        val missing = cols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+        cols.map(c => schema.fields.find(_.name == c).get)
+      }
+    val physCols = chosen.flatMap { f =>
+      NdvStats.sketchable(f.dataType)
+        .flatMap(norm => physOf.get(f.name).map(p => (p, norm)))
+    }
+    require(physCols.nonEmpty,
+      s"no analyzable columns among ${chosen.map(_.name).mkString(", ")}")
+    val entries = NdvStats.sketchFiles(spark, files, dataPath, physCols)
+    commitRewrite("ANALYZE", Nil, Nil, Map(
+      "analyzedColumns" -> chosen.map(_.name).sorted.mkString(","),
+      "numFiles" -> entries.size.toString),
+      // files rewritten by a concurrent commit drop their (now stale)
+      // entries: only still-live files carry the annotation forward
+      extraStats = base => {
+        val live = manifestFiles(base).toSet
+        entries.view.filterKeys(live).toMap
+      })
+  }
+
+  /** Pruning-aware approx distinct counts (logical column → NDV) at
+    * `version`: the union of the surviving files' ANALYZE sketches.
+    * Columns not sketched in EVERY surviving file are omitted — a
+    * partial union under-claims NDV, which over-claims join
+    * selectivity, the direction that mis-plans. */
+  def columnNdv(version: Long = currentVersion,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Map[String, Long] = {
+    if (version < 0) return Map.empty
+    val snap = snapshotAt(version)
+    if (snap.files.isEmpty) return Map.empty
+    val kept =
+      if (filters.isEmpty) snap.files else dataSkippedFiles(version, filters)
+    val cm = colMapOf(version)
+    val logicalOf: String => Option[String] =
+      if (cm.isIdentity) Some(_)
+      else cm.entries.map(_.swap).toMap.get _
+    NdvStats.cachedUnion(rootKey, version, kept, snap.stats, logicalOf)
   }
 
   /** Index `files` over the declared bloom columns; no-op when the
@@ -3119,6 +3202,27 @@ final class GraftTable private (
     * identical manifest entries carry over, so each per-version diff
     * reads just the files that commit added or removed (or its CDC
     * sidecar, which is update-churn-sized), never the whole table. */
+  /** Added file keys of commit `v` in commit order, when the commit is
+    * append-only (adds files, removes none, touches no deletion
+    * vector) — the only commit shape a streaming source may subdivide
+    * at FILE granularity ([[graft.sources.GraftStreamSource]]'s
+    * maxFilesPerTrigger): its change rows are exactly the added files'
+    * contents, so any file subset is a sound partial delivery. None
+    * for rewrite / metadata / legacy commits. */
+  def appendOnlyAdds(v: Long): Option[Seq[String]] = {
+    if (v < 0 || !hasVersion(v) || !fs.exists(actionsPath(v))) return None
+    val a = readActionRecord(v)
+    if (a.removes.isEmpty && a.dvChanges.isEmpty && a.adds.nonEmpty)
+      Some(a.adds.map(_._1))
+    else None
+  }
+
+  /** The rows of `files` (keys from [[appendOnlyAdds]] of commit `v`)
+    * exactly as [[changes]] delivers an append-only commit: raw file
+    * contents under v's column map and deletion vectors. */
+  def readAddedFiles(v: Long, files: Seq[String]): DataFrame =
+    toLogical(readFilesDv(files, dvOf(v)), colMapOf(v))
+
   def changes(from: Long, to: Long): DataFrame = {
     require(from >= 0 && to <= currentVersion && from <= to,
       s"invalid change range v$from..v$to (current: v$currentVersion)")

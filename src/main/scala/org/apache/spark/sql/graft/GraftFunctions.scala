@@ -60,7 +60,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name, usage, ""),
         builder))
     }
-    e.injectPostHocResolutionRule(session => new GraftDmlRule(session))
+    e.injectPostHocResolutionRule { session =>
+      // restore scan statistics swallowed by the V1Scan wrapper so join
+      // strategy sees pruned bytes, rows, and ANALYZE column NDV. The
+      // rule must run AFTER "Early Filter and Projection Push-Down"
+      // (which creates the wrapper) and before physical planning's
+      // JoinSelection — of the extension points only the "User Provided
+      // Optimizers" batch (experimental.extraOptimizations) is there;
+      // injectOptimizerRule lands pre-pushdown and injectPreCBORule even
+      // earlier. Registered once per session, piggybacking this
+      // build-time hook.
+      graft.sources.GraftScanStatsRule.register(session)
+      new GraftDmlRule(session)
+    }
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     // CDF table-valued function: SELECT * FROM table_changes(path, v1[, v2])
     e.injectTableFunction((

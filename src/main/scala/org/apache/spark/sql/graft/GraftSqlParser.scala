@@ -21,6 +21,7 @@ import graft.table.GraftTable
   *   RESTORE [TABLE] <tbl> [TO] VERSION AS OF <n>
   *   DESCRIBE HISTORY <tbl>
   *   REORG TABLE <tbl> APPLY (PURGE)
+  *   ANALYZE TABLE <tbl> COMPUTE STATISTICS FOR ALL COLUMNS | COLUMNS c, …
   *
   * and hands everything else to the session parser unchanged. `<tbl>`
   * is `graft.`+backticked path (the graft catalog form), a bare
@@ -90,6 +91,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val ConvertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+  private val AnalyzeRe =
+    s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+$Tbl\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+(?:(ALL\\s+COLUMNS)|COLUMNS\\s+([\\w\\s,]+?))\\s*;?\\s*$$""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
     case OptimizeRe(tbl, full, where, zorder) =>
@@ -117,6 +120,10 @@ object GraftSqlParser {
       Some(GraftSetDefaultCommand(tbl, name, expr.trim))
     case DropDefaultRe(tbl, name) =>
       Some(GraftDropDefaultCommand(tbl, name))
+    case AnalyzeRe(tbl, all, cols) =>
+      Some(GraftAnalyzeCommand(tbl,
+        if (all != null) Nil
+        else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case ClusterByNoneRe(tbl) => Some(GraftClusterByCommand(tbl, Nil))
     case ClusterByRe(tbl, cols) =>
       Some(GraftClusterByCommand(tbl, cols.split(',').toSeq
@@ -294,6 +301,18 @@ case class GraftVacuumCommand(table: String, retainHours: Option[Double],
       retentionCheckEnabled = checkEnabled, dryRun = dryRun)
     Seq(Row(v, n))
   }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS [c, …]` —
+  * records per-file HLL distinct sketches in the stats sidecar
+  * ([[graft.table.NdvStats]]); scans then report column NDV to join
+  * planning. Empty cols = every analyzable column (Delta's ALL). */
+case class GraftAnalyzeCommand(table: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(session, table).analyzeColumns(cols)))
 }
 
 case class GraftRestoreCommand(table: String, version: Long)

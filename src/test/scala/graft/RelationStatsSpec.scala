@@ -96,6 +96,63 @@ class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("ANALYZE column NDV flips a 3-table join to broadcast builds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stats_ndv").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // two dims, one file each (a point filter can NOT file-prune, so
+    // bytes stay big), unique join keys: only a distinct-count estimate
+    // can prove `k = const` selects ~1 row
+    def writeDim(name: String): GraftTable = {
+      val t = GraftTable(spark, s"$dir/$name")
+      t.write(spark.range(20000).select(col("id").as(s"k_$name"),
+        concat(lit("payload_payload_payload_"), col("id")).as(s"s_$name"))
+        .repartition(1))
+      t
+    }
+    val ta = writeDim("a")
+    val tb = writeDim("b")
+    val tf = GraftTable(spark, s"$dir/f")
+    tf.write(spark.range(20000).select((col("id") % 20000).as("k_a"),
+      (col("id") % 17000).as("k_b"), (col("id") * 2).as("v")).repartition(1))
+    assert(ta.sizeInBytes() > 100 * 1024, "dim must be too big for the threshold")
+
+    def threeWay() = {
+      val fact = spark.sql(s"SELECT * FROM graft.`$dir/f`")
+      val a = spark.sql(s"SELECT * FROM graft.`$dir/a`").filter(col("k_a") === 1234L)
+      val b = spark.sql(s"SELECT * FROM graft.`$dir/b`").filter(col("k_b") === 77L)
+      fact.join(a, "k_a").join(b, "k_b")
+    }
+
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try withoutAqe {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (20 * 1024).toString)
+      assert(staticBhjCount(threeWay()) == 0,
+        "without NDV stats no side may qualify for broadcast (bytes too big)")
+
+      ta.analyzeColumns(Seq("k_a"))
+      // the other dim goes through the SQL surface (Delta parity)
+      assert(spark.sql(s"ANALYZE TABLE graft.`$dir/b` COMPUTE STATISTICS " +
+        "FOR ALL COLUMNS").collect()(0).getLong(0) == tb.currentVersion)
+      val ndv = ta.columnNdv()
+      assert(ndv.get("k_a").exists(n => n > 19000 && n < 21000),
+        s"HLL estimate must be ~20000, got $ndv")
+      // both filtered dims now estimate ~1 row through distinctCount →
+      // both joins pick the dim as a broadcast build side
+      assert(staticBhjCount(threeWay()) == 2,
+        "NDV stats must qualify both filtered dims for broadcast:\n" +
+          threeWay().queryExecution.executedPlan.toString.take(1500))
+      // correctness unchanged: exactly the rows matching both filters
+      assert(threeWay().count() ==
+        (0 until 20000).count(i => i % 20000 == 1234 && i % 17000 == 77))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("scanStats rows subtract deletion-vector cardinality") {
     import spark.implicits._
     val path = Files.createTempDirectory("stats_dv").toString

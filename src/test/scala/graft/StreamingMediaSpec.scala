@@ -257,6 +257,52 @@ class StreamingTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger splits one oversized append commit across triggers") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_file_split").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
+    // ONE backfill commit of 8 files — the shape maxVersionsPerTrigger
+    // cannot throttle (version granularity floods a single trigger)
+    t.write((0 until 80).map(i => (i.toLong, i % 8)).toDF("id", "p")
+      .repartition(8), org.apache.spark.sql.SaveMode.Append)        // v1
+    assert(t.appendOnlyAdds(1L).exists(_.size == 8))
+    t.write(Seq((100L, 0)).toDF("id", "p"),
+      org.apache.spark.sql.SaveMode.Append)                         // v2
+
+    val name = s"graft_files_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "3")
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // every insert after v0 arrives EXACTLY once: 80 backfill + 1
+      val got = spark.table(name).select("id").as[Long].collect().sorted
+      assert(got.length == 81 && got.distinct.length == 81,
+        s"got ${got.length} rows (${got.distinct.length} distinct)")
+      assert(got.toSeq == ((0L until 80L) :+ 100L))
+      // ...spread across >= 3 bounded micro-batches (3+3+2 files of v1,
+      // then v2), never one 8-file flood
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 3,
+        s"expected >= 3 bounded batches, got ${nonEmpty.map(_.numInputRows).toSeq}")
+      // file row counts are uneven under repartition(8); the invariant
+      // is that no batch carried anywhere near all 8 files' 80 rows
+      assert(nonEmpty.forall(_.numInputRows <= 50),
+        s"a batch flooded: ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+
+    // CDF mode has no per-file decomposition for rewrites: rejected
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        path, None, changeFeed = true, maxFilesPerTrigger = Some(2L))
+    }
+    assert(e.getMessage.contains("maxFilesPerTrigger"), e.getMessage)
+  }
+
   test("startingTimestamp streams only commits at/after the timestamp") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_start_ts").toString
