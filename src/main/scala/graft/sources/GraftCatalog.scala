@@ -177,12 +177,17 @@ final case class GraftV2Table(spark: SparkSession, path: String,
       Map("provider" -> "graft", "location" -> path,
         "version" -> pinnedVersion.toString)).asJava
 
+  // the shim augments a scan's pushed filters exactly ONCE and feeds
+  // the pruned reader / stats / NDV hooks the augmented sequence, so
+  // those bind to the pre-augmented GraftTable variants — re-augmenting
+  // per layer would re-parse every generated definition and pay a
+  // driver-side local select 2-3x per query for identical results
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(snapshot,
-      filters => table.readVersionPruned(pinnedVersion, filters),
-      filters => table.scanStats(pinnedVersion, filters),
+      filters => table.readVersionPrunedAug(pinnedVersion, filters),
+      filters => table.scanStatsAug(pinnedVersion, filters),
       filters => table.augmentedFilters(pinnedVersion, filters),
-      filters => table.columnNdv(pinnedVersion, filters))
+      filters => table.columnNdvAug(pinnedVersion, filters))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -301,6 +306,11 @@ final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  /** Pushed filters plus generated-column-derived implications,
+    * computed ONCE per scan — estimateStatistics, columnStats and the
+    * executed frame all read this sequence. */
+  private lazy val augmentedOnce: Seq[Filter] = augment(filters.toIndexedSeq)
+
   override def readSchema(): StructType = required
 
   /** Manifest-derived size/rows of the files SURVIVING data skipping
@@ -314,8 +324,8 @@ final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
     * and join reordering consume. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytes, rows) = scanStats(filters.toIndexedSeq)
-    val ndv = columnNdv(filters.toIndexedSeq)
+    val (bytes, rows) = scanStats(augmentedOnce)
+    val ndv = columnNdv(augmentedOnce)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -346,7 +356,7 @@ final class GraftV1ScanShim(prunedReader: Seq[Filter] => DataFrame,
   def scanFrame: DataFrame = {
     // generated-column-derived filters are applied as columns alongside
     // the pushed ones so hive directory pruning sees them in-scan
-    val all = augment(filters.toIndexedSeq)
+    val all = augmentedOnce
     val filtered = all.flatMap(GraftFilters.translate)
       .foldLeft(prunedReader(all))((d, c) => d.filter(c))
     if (required.isEmpty) filtered.select(lit(1).as("__one"))

@@ -449,7 +449,7 @@ final case class GraftRelation(sqlContext: SQLContext, path: String,
     // derived from its base prunes hive directories inside the scan.
     val t = GraftTable(sqlContext.sparkSession, path)
     val all = t.augmentedFilters(pinnedVersion, filters.toIndexedSeq)
-    val base = t.readVersionPruned(pinnedVersion, all)
+    val base = t.readVersionPrunedAug(pinnedVersion, all)
     val filtered = all.flatMap(GraftFilters.translate)
       .foldLeft(base)((d, c) => d.filter(c))
     val pruned =

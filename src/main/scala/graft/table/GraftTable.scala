@@ -529,9 +529,19 @@ final class GraftTable private (
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, vv) => s""""${jsonEscape(k)}":"${jsonEscape(vv)}"""" }
       .mkString("{", ",", "}")
+    // in-commit timestamp, clamped to strictly after the predecessor's:
+    // versionAtTime/versionBeforeTime binary-walk the log under a
+    // monotonicity contract, which wall clocks alone don't guarantee
+    // (NTP step-backs, multi-writer skew). Delta's inCommitTimestamp
+    // feature makes the same max(prev+1, now) promise.
+    val commitTs = {
+      val now = System.currentTimeMillis()
+      val prev = if (v > 0) commitTimestamp(v - 1) else None
+      java.time.Instant.ofEpochMilli(prev.fold(now)(p => math.max(p + 1, now)))
+    }
     // .json rename is the commit point; actions without .json are garbage
     writeAtomic(jsonPath,
-      s"""{"version":$v,"timestamp":"${java.time.Instant.now()}","operation":"${jsonEscape(operation)}","operationMetrics":$metricsJson}""")
+      s"""{"version":$v,"timestamp":"$commitTs","operation":"${jsonEscape(operation)}","operationMetrics":$metricsJson}""")
     // a landed commit invalidates any STALE cache entries at >= v (a
     // table recreated at the same path after external deletion); the
     // fresh snapshot re-caches on first read
@@ -946,8 +956,17 @@ final class GraftTable private (
     * `filters` (conservative: a file is kept unless its stats prove no
     * row can match). */
   def dataSkippedFiles(version: Long,
-      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
-    val filters = augmentedFilters(version, rawFilters)
+      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
+    dataSkippedFilesAug(version, augmentedFilters(version, rawFilters))
+
+  /** [[dataSkippedFiles]] over ALREADY-AUGMENTED filters: internal
+    * entry for callers that ran [[augmentedFilters]] once up front (the
+    * DSv2 scan shim augments a scan's pushed filters exactly once and
+    * feeds pruning, stats and NDV from the same sequence — augmentation
+    * re-parses every generated definition and pays a driver-side local
+    * select, so repeating it per layer doubles planning latency). */
+  private[graft] def dataSkippedFilesAug(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     val rawStats = statsOf(version)
     // pushed filters carry LOGICAL names; footer stats are keyed by the
     // PHYSICAL column name — re-key through the version's column map
@@ -1029,9 +1048,15 @@ final class GraftTable private (
     * `None` when any surviving file lacks a footer row count (estimate
     * must never under-claim). */
   def scanStats(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Option[Long]) =
+    scanStatsAug(version, augmentedFilters(version, filters))
+
+  /** [[scanStats]] over already-augmented filters (see
+    * [[dataSkippedFilesAug]]). */
+  private[graft] def scanStatsAug(version: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Option[Long]) = {
     val snap = snapshotAt(version)
-    val kept = dataSkippedFiles(version, filters)
+    val kept = dataSkippedFilesAug(version, filters)
     val bytes = kept.iterator.map(f =>
       snap.sizes.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
     val perFile = kept.map(f =>
@@ -1103,12 +1128,20 @@ final class GraftTable private (
     * selectivity, the direction that mis-plans. */
   def columnNdv(version: Long = currentVersion,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Map[String, Long] =
+    columnNdvAug(version,
+      if (filters.isEmpty) Nil else augmentedFilters(version, filters))
+
+  /** [[columnNdv]] over already-augmented filters (see
+    * [[dataSkippedFilesAug]]). */
+  private[graft] def columnNdvAug(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
       : Map[String, Long] = {
     if (version < 0) return Map.empty
     val snap = snapshotAt(version)
     if (snap.files.isEmpty) return Map.empty
     val kept =
-      if (filters.isEmpty) snap.files else dataSkippedFiles(version, filters)
+      if (filters.isEmpty) snap.files else dataSkippedFilesAug(version, filters)
     val cm = colMapOf(version)
     val logicalOf: String => Option[String] =
       if (cm.isIdentity) Some(_)
@@ -1329,11 +1362,16 @@ final class GraftTable private (
     * carries exactly the full version's schema even when the pruned
     * subset lacks evolved columns (or is empty). */
   def readVersionPruned(version: Long,
-      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+      rawFilters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame =
     // generated-column derivation up front so BOTH planning paths
     // (distributed checkpoint scan and driver stats walk) see the
     // implied predicates
-    val filters = augmentedFilters(version, rawFilters)
+    readVersionPrunedAug(version, augmentedFilters(version, rawFilters))
+
+  /** [[readVersionPruned]] over already-augmented filters (see
+    * [[dataSkippedFilesAug]]). */
+  private[graft] def readVersionPrunedAug(version: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     schemaOf(version).filter(_.nonEmpty) match {
       case Some(phys) =>
         planPrunedDistributed(version, filters) match {
@@ -1355,7 +1393,7 @@ final class GraftTable private (
       case None => () // no schema sidecar: the driver path derives it
     }
     val full = readVersion(version)
-    val kept = dataSkippedFiles(version, filters)
+    val kept = dataSkippedFilesAug(version, filters)
     if (kept.size == manifestFiles(version).size) return full
     if (kept.isEmpty)
       return spark.createDataFrame(
@@ -2227,18 +2265,23 @@ final class GraftTable private (
   def versionAtTime(epochMs: Long): Long = {
     val cur = currentVersion
     require(cur >= 0, s"graft table at $path has no commits")
-    // binary-search-free scan of retained records only: the log is
-    // bounded by cleanupLog, and timestamps are commit-monotonic
-    val candidates = (0L to cur).flatMap { v =>
-      commitTimestamp(v).filter(_ <= epochMs).map(_ => v)
+    // walk BACKWARD from the current version and stop at the first
+    // retained commit at/before the bound: timestamps are
+    // commit-monotonic (Delta's contract), so the first hit is the
+    // answer and a long history costs only the versions AFTER the
+    // target instead of a full 0..currentVersion log read
+    var v = cur
+    while (v >= 0) {
+      if (commitTimestamp(v).exists(_ <= epochMs)) return v
+      v -= 1
     }
-    require(candidates.nonEmpty, {
+    throw new IllegalArgumentException({
       val earliest = (0L to cur).find(hasVersion).flatMap(commitTimestamp)
         .map(java.time.Instant.ofEpochMilli(_).toString).getOrElse("?")
-      s"timestamp ${java.time.Instant.ofEpochMilli(epochMs)} predates the " +
+      s"requirement failed: timestamp " +
+      s"${java.time.Instant.ofEpochMilli(epochMs)} predates the " +
       s"earliest retained commit ($earliest) of the graft table at $path"
     })
-    candidates.max
   }
 
   /** Latest retained version committed strictly BEFORE `epochMs`; None
@@ -2246,10 +2289,17 @@ final class GraftTable private (
     * The streaming `startingTimestamp` resolver: commits at/after the
     * timestamp flow as changes past this exclusive start. */
   def versionBeforeTime(epochMs: Long): Option[Long] = {
-    val cur = currentVersion
-    if (cur < 0) None
-    else (0L to cur).flatMap(v =>
-      commitTimestamp(v).filter(_ < epochMs).map(_ => v)).lastOption
+    // walk BACKWARD from the current version and stop at the first
+    // retained commit whose timestamp is earlier than the bound: Delta
+    // assumes monotonic commit timestamps, so the first hit is the
+    // answer and a long history costs only the versions AFTER the
+    // target, not all of 0..currentVersion per stream start
+    var v = currentVersion
+    while (v >= 0) {
+      if (commitTimestamp(v).exists(_ < epochMs)) return Some(v)
+      v -= 1
+    }
+    None
   }
 
   /** Time travel: scan the file set of an older committed version. Files
@@ -4027,7 +4077,12 @@ object GraftTable {
                   Some(("string", id, id))
                 case _ => None
               }
-            (tagOpt, Option(st)) match {
+            // a failed bound conversion (overflowing MILLIS→micros
+            // multiplyExact, an unparseable decimal, a cast surprise)
+            // poisons ONLY this column — the same no-proof outcome as
+            // tagOpt=None — never the whole file's stats map (which
+            // also carries the "" row count other layers depend on)
+            try (tagOpt, Option(st)) match {
               case (Some((tag, toLo, toHi)), Some(s)) if s.hasNonNullValue && !dropped(name) =>
                 val (lo, hi) = tag match {
                   case "string" =>
@@ -4052,6 +4107,8 @@ object GraftTable {
               case (Some(_), _) if !dropped(name) =>
                 dropped += name; perCol.remove(name)
               case _ => ()
+            } catch { case _: Exception =>
+              dropped += name; perCol.remove(name)
             }
           }
         }

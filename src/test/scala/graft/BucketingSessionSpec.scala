@@ -111,6 +111,25 @@ class TimeTravelSpec extends SparkSpec {
     intercept[Exception] { t.readVersion(0).count() }  // files gone
   }
 
+  test("in-commit timestamps are strictly monotonic across rapid commits") {
+    // versionAtTime/versionBeforeTime walk the log backward under a
+    // monotonicity contract; the commit path must uphold it even when
+    // commits land within one wall-clock millisecond (or the clock
+    // steps back), via Delta's max(prev+1, now) in-commit clamp
+    import spark.implicits._
+    val path = Files.createTempDirectory("gt_ict").toString
+    val t = graft.table.GraftTable(spark, path, Nil)
+    t.write((1 to 10).toDF("v"))                              // v0
+    (1 to 4).foreach(i => t.setProperties(Map(s"k$i" -> "v"))) // fast metadata commits
+    val ts = (0L to t.currentVersion).map(v => t.commitTimestamp(v).get)
+    assert(ts == ts.sorted && ts.distinct.size == ts.size,
+      s"non-monotonic commit timestamps: $ts")
+    // the exclusive-start resolver agrees with the inclusive one
+    assert(t.versionBeforeTime(ts.last) == Some(t.currentVersion - 1))
+    assert(t.versionBeforeTime(ts.head) == None)
+    assert(t.versionAtTime(ts.last) == t.currentVersion)
+  }
+
   test("TIMESTAMP AS OF resolves to the latest version at or before it") {
     import spark.implicits._
     val path = Files.createTempDirectory("gt_tsaof").toString

@@ -320,6 +320,36 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path).filter(col("id") === 10L).count() == 1)
   }
 
+  test("one poisoned column drops only its own footer stats, not the file's") {
+    // ADVICE r8 low: a single extreme TIMESTAMP(MILLIS) bound overflows
+    // the millis→micros multiplyExact; that must void ONLY that column's
+    // tag (same outcome as tagOpt=None), never the whole file's stats
+    // map — which also carries the "" row count other layers depend on
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = Files.createTempDirectory("gsrc_poison").toString
+    val file = s"$dir/poison.parquet"
+    val schema = MessageTypeParser.parseMessageType(
+      """message doc {
+        |  required int64 ts (TIMESTAMP(MILLIS,true));
+        |  required int32 id;
+        |}""".stripMargin)
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("parquet.example.schema", schema.toString)
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
+    val gf = new SimpleGroupFactory(schema)
+    // Long.MaxValue millis cannot be represented as micros in a long
+    w.write(gf.newGroup().append("ts", Long.MaxValue).append("id", 1))
+    w.write(gf.newGroup().append("ts", 1000L).append("id", 2))
+    w.close()
+    val stats = graft.table.GraftTable.footerStats(file, conf)
+    assert(!stats.contains("ts"), s"overflowing ts column must carry no tag: $stats")
+    assert(stats("id") == (("long", "1", "2")), s"id bounds survive: $stats")
+    assert(stats("") == (("rows", "2", "2")), s"row count survives: $stats")
+  }
+
   test("decimal columns never mis-prune: filtered read == unfiltered + filter") {
     // ADVICE r4 high: precision<=18 decimals are stored as UNSCALED ints
     // in parquet footers; comparing those raw against the filter's scaled
