@@ -39,7 +39,12 @@ object Bench {
     * quadratic — the heaviest similarity shape). */
   val HeadlineR7Added: Seq[String] = Seq("semantic_dedup")
 
-  val Headline: Seq[String] = HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added
+  /** r9 addition: exact substring (token-window) dedup — a full
+    * explode-shuffle-window pass over every document's token windows. */
+  val HeadlineR9Added: Seq[String] = Seq("dedup_substring")
+
+  val Headline: Seq[String] =
+    HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added
 
   /** Scale section (r8; widened to the FULL headline set in r9): run
     * every bench query at a ×10 scale-up of the bench dir to expose

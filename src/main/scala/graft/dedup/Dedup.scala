@@ -360,7 +360,55 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Exact substring (token-window) dedup — the "Deduplicating Training
+    * Data Makes Language Models Better" (Lee et al. 2022) operator: a
+    * k-token window occurring more than once ANYWHERE in the corpus is
+    * duplicated text; per document, report how many of its windows are
+    * duplicated and the duplicated fraction (the removal policy — drop
+    * spans, drop docs over a threshold — is a consumer decision; the
+    * counting is the engine's job).
+    *
+    * Scale shape: windows never materialize as strings across a
+    * shuffle — each window becomes a 64-bit fingerprint in-scan
+    * (xxhash64 over the joined tokens, same move as [[dedupExact]]; at
+    * ~2^32+ distinct windows switch to a 128-bit fingerprint). The
+    * global window census is a `count over (partition by w)` window:
+    * ONE shuffle of the fingerprint table, computed on a SINGLE scan
+    * of the corpus — the census-as-groupBy-then-join alternative
+    * plans the window subtree twice (column pruning gives census and
+    * probe different projections, so ReuseExchange can't collapse
+    * them) and re-reads every document. WindowExec sorts within hash
+    * partitions and spills — no per-key buffer to OOM on a hot
+    * window. Everything is linear in corpus size.
+    */
+  val SubstringWindow = 10
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = SubstringWindow
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(regexp_replace(col("text"), "\\s+", " ")), " ").as("t"))
+      .filter(size(col("t")) >= k)
+    val perDoc = toks.select(col("doc_id"),
+      (size(col("t")) - k + 1).cast("long").as("n_windows"))
+    val wins = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(t) - $k),
+           |  i -> xxhash64(array_join(slice(t, i + 1, $k), ' ')))"""
+          .stripMargin)).as("w"))
+    val census = wins.withColumn("c", count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("w")))
+    val dupPerDoc = census.filter(col("c") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_windows"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> dedupSubstring _,
     "dedup_clusters" -> dedupClusters _,
     "cluster_minsh" -> clusterMinsh _,
     "dedup_exact"   -> dedupExact _,
@@ -370,6 +418,32 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    // the oracle groups RAW window strings where the query groups their
+    // xxhash64 images — identical counts absent a 64-bit collision
+    // between two distinct windows of this corpus (same argument as
+    // dedup_exact's fingerprint groupBy)
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, t, len(t) - 10 + 1 AS n_windows
+        |  FROM toks WHERE len(t) >= 10),
+        |wins AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(len(t) - 10 + 1),
+        |           i -> array_to_string(t[CAST(i + 1 AS INTEGER):CAST(i + 10 AS INTEGER)], ' '))) AS w
+        |  FROM docs),
+        |c AS (SELECT w, count(*) AS c FROM wins GROUP BY w),
+        |d AS (SELECT doc_id, count(*) AS n_dup
+        |      FROM wins JOIN c USING (w) WHERE c.c >= 2 GROUP BY doc_id)
+        |SELECT docs.doc_id,
+        |       CAST(docs.n_windows AS BIGINT) AS n_windows,
+        |       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |       round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / docs.n_windows, 4) AS dup_frac
+        |FROM docs LEFT JOIN d USING (doc_id)
+        |ORDER BY docs.doc_id""".stripMargin,
     // exact n-gram Jaccard IS deterministic — the only approximation in
     // ngram_jaccard is the LSH candidate set, and at the 0.6 output
     // threshold the 32x6 S-curve's miss probability is < 1e-13 for any

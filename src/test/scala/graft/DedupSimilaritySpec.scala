@@ -218,6 +218,34 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("dedup_substring: window census explodes the corpus ONCE; planted dup found") {
+    // the census is a count-over-window on the fingerprint table — the
+    // final plan must contain exactly ONE explode of the token windows
+    // (a groupBy+join census would plan the window subtree twice:
+    // column pruning defeats ReuseExchange across its two projections)
+    val df = Dedup.dedupSubstring(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val nGenerate = "Generate explode".r.findAllIn(finalPlan).size
+    assert(nGenerate == 1,
+      s"expected one window explode in final plan, got $nGenerate:\n$finalPlan")
+    // a planted 10-token window shared by two docs is counted in both,
+    // and the unique-text doc reports zero duplicated windows
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    Seq((1L, s"$shared alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, s"unrelated prefix words one two three four five six $shared"),
+        (3L, "entirely fresh text with ten unique tokens nothing shared here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/dd_substr_fixture/documents.parquet")
+    val got = Dedup.dedupSubstring(spark, "/tmp/dd_substr_fixture")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._2 >= 1 && got(2L)._2 >= 1,
+      s"both planted docs must report duplicated windows: $got")
+    assert(got(3L)._2 == 0, s"unique doc must report zero: $got")
+  }
+
   test("dedup_simhash pairs overlap heavily with minhash near-dups") {
     val sim = Dedup.dedupSimhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
     val mh = Dedup.dedupMinhash(spark, sf).select("a", "b").as[(Long, Long)].collect().toSet
