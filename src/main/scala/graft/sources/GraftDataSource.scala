@@ -221,9 +221,12 @@ final class GraftStreamSource(
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => V2Offset, ReadLimit}
 
   require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be > 0")
   require(!(changeFeed && maxFilesPerTrigger.isDefined),
@@ -252,10 +255,11 @@ final class GraftStreamSource(
   }
 
   private val OffJson = """\{"version":(\d+),"index":(\d+)\}""".r
-  private def decode(o: V1Offset): (Long, Int) = o.json() match {
+  private def decodeJson(json: String): (Long, Int) = json match {
     case OffJson(v, i) => (v.toLong, i.toInt)
     case plain => (plain.toLong, -1)
   }
+  private def decode(o: V1Offset): (Long, Int) = decodeJson(o.json())
 
   /** Strict "delivered-through" order: a partial index precedes the
     * complete (-1) marker of the same version. */
@@ -279,47 +283,86 @@ final class GraftStreamSource(
 
   override def schema: StructType = pinned
 
+  /** One admission step: the furthest offset this trigger may deliver,
+    * given the last delivered/offered boundary `from` and the newest
+    * available version `target`. Shared by the legacy getOffset path
+    * and the admission-control latestOffset path. */
+  private def admit(from: Option[(Long, Int)], target: Long): (Long, Int) =
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      (target, -1)
+    else from match {
+      case None => (target, -1) // initial snapshot: one batch
+      case Some((w, i)) if i >= 0 =>
+        // finish (or extend) the partially-delivered version first
+        val n = table.appendOnlyAdds(w).map(_.size).getOrElse(0)
+        maxFilesPerTrigger match {
+          case Some(m) if i + m < n - 1 => (w, (i + m).toInt)
+          case _ => (w, -1)
+        }
+      case Some((w, _)) if w >= target => (w, -1) // caught up
+      case Some((w, _)) =>
+        // admit whole versions up to both caps; a SINGLE oversized
+        // append-only commit at the front splits at file granularity
+        val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
+        var v = w
+        var files = 0L
+        var out: (Long, Int) = (w, -1)
+        var done = false
+        while (!done && v < target && (v - w) < vCap) {
+          val nv = v + 1
+          val adds = table.appendOnlyAdds(nv)
+          val n = adds.map(_.size.toLong).getOrElse(0L)
+          maxFilesPerTrigger match {
+            case Some(m) if files == 0 && adds.isDefined && n > m =>
+              out = (nv, (m - 1).toInt); done = true
+            case Some(m) if files > 0 && files + n > m =>
+              done = true // next version would overflow: stop before it
+            case _ =>
+              files += n; v = nv; out = (nv, -1)
+          }
+        }
+        out
+    }
+
   override def getOffset: Option[V1Offset] = {
     val target = table.currentVersion
     if (target < 0) return None
-    val next: (Long, Int) =
-      if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
-        (target, -1)
-      else lastOffered.orElse(startingVersion.map(sv => (sv, -1))) match {
-        case None => (target, -1) // initial snapshot: one batch
-        case Some((w, i)) if i >= 0 =>
-          // finish (or extend) the partially-delivered version first
-          val n = table.appendOnlyAdds(w).map(_.size).getOrElse(0)
-          maxFilesPerTrigger match {
-            case Some(m) if i + m < n - 1 => (w, (i + m).toInt)
-            case _ => (w, -1)
-          }
-        case Some((w, _)) if w >= target => (w, -1) // caught up
-        case Some((w, _)) =>
-          // admit whole versions up to both caps; a SINGLE oversized
-          // append-only commit at the front splits at file granularity
-          val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
-          var v = w
-          var files = 0L
-          var out: (Long, Int) = (w, -1)
-          var done = false
-          while (!done && v < target && (v - w) < vCap) {
-            val nv = v + 1
-            val adds = table.appendOnlyAdds(nv)
-            val n = adds.map(_.size.toLong).getOrElse(0L)
-            maxFilesPerTrigger match {
-              case Some(m) if files == 0 && adds.isDefined && n > m =>
-                out = (nv, (m - 1).toInt); done = true
-              case Some(m) if files > 0 && files + n > m =>
-                done = true // next version would overflow: stop before it
-              case _ =>
-                files += n; v = nv; out = (nv, -1)
-            }
-          }
-          out
-      }
+    val next = admit(
+      lastOffered.orElse(startingVersion.map(sv => (sv, -1))), target)
     lastOffered = Some(next)
     Some(encode(next))
+  }
+
+  // ---- Trigger.AvailableNow (Delta parity) ----------------------------
+  // Native SupportsTriggerAvailableNow: the run-to-caught-up-then-stop
+  // trigger honors maxVersionsPerTrigger/maxFilesPerTrigger instead of
+  // Spark's unsupported-source fallback (ONE unbounded batch). The
+  // end-of-stream target is pinned at query start; commits landing
+  // during the run wait for the next run.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control offset negotiation. Once this source implements
+    * [[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]],
+    * the micro-batch planner calls THIS (with the previous end offset)
+    * for every trigger kind — getOffset stays only as the legacy
+    * surface. The caps live in the source's options, so the planner's
+    * `limit` (always allAvailable here) is not consulted. */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val target = availableNowTarget match {
+      case Some(t) => math.min(t, table.currentVersion)
+      case None => table.currentVersion
+    }
+    if (target < 0) return null
+    val from = Option(start).map(o => decodeJson(o.json()))
+      .orElse(startingVersion.map(sv => (sv, -1)))
+    val next = admit(from, target)
+    lastOffered = Some(next)
+    encode(next)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -303,6 +303,110 @@ class StreamingTableSpec extends SparkSpec {
     assert(e.getMessage.contains("maxFilesPerTrigger"), e.getMessage)
   }
 
+  test("Trigger.AvailableNow: bounded catch-up batches, then self-termination") {
+    // the nightly-catch-up flow: process everything available under the
+    // admission caps, then stop — no orchestrator-managed stop() needed.
+    // The source implements SupportsTriggerAvailableNow natively, so the
+    // planner drives latestOffset to a start-pinned target instead of
+    // falling back to one unbounded batch.
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_avail_now").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
+    t.write((0 until 60).map(i => (i.toLong, i % 6)).toDF("id", "p")
+      .repartition(6), org.apache.spark.sql.SaveMode.Append)        // v1: 6 files
+    t.write(Seq((100L, 0)).toDF("id", "p"),
+      org.apache.spark.sql.SaveMode.Append)                         // v2
+    val name = s"graft_avail_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "available-now query must self-terminate")
+      val got = spark.table(name).select("id").as[Long].collect().sorted
+      assert(got.toSeq == ((0L until 60L) :+ 100L),
+        s"exactly-once catch-up: got ${got.length} rows")
+      // caps respected: the 6-file backfill never flooded one batch
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 3,
+        s"expected bounded batches, got ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at a partial-version file boundary") {
+    // run 1 stops after ONE admitted chunk of a 5-file commit; run 2
+    // reuses the checkpoint and must deliver exactly the remainder —
+    // the (version, fileIndex) offset round-trips through the offset
+    // log into the admission-control path
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
+    t.write((0 until 50).map(i => (i.toLong, i % 5)).toDF("id", "p")
+      .repartition(5), org.apache.spark.sql.SaveMode.Append)        // v1: 5 files
+    // memory sinks can't recover a checkpoint — a file sink pins the
+    // cross-restart exactly-once contract end to end
+    def stream(tr: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .load(path)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(tr).start()
+    val q1 = stream(org.apache.spark.sql.streaming.Trigger.Once())
+    try q1.awaitTermination(120000) finally q1.stop()
+    val afterOnce = spark.read.parquet(out).count()
+    assert(afterOnce < 50, s"Trigger.Once must respect the file cap, got $afterOnce")
+    val q2 = stream(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      assert(q2.awaitTermination(120000))
+      val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(got.toSeq == (0L until 50L),
+        s"resume must deliver the remainder exactly once: ${got.length} rows")
+    } finally q2.stop()
+  }
+
+  test("CDF stream under Trigger.AvailableNow: bounded versions, tombstones flow") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdf_avail").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write((0 until 6).map(i => (i.toLong, "a")).toDF("id", "tag"))  // v0
+    t.write(Seq((10L, "b")).toDF("id", "tag"),
+      org.apache.spark.sql.SaveMode.Append)                          // v1
+    t.delete(col("id") === 3L)                                       // v2
+    t.write(Seq((11L, "b")).toDF("id", "tag"),
+      org.apache.spark.sql.SaveMode.Append)                          // v3
+    val name = s"graft_cdf_avail_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "CDF available-now must self-terminate")
+      val rows = spark.table(name).select("id", "_change_type")
+        .as[(Long, String)].collect().toSet
+      assert(rows.contains((3L, "delete")), s"tombstone must flow: $rows")
+      assert(rows.contains((10L, "insert")) && rows.contains((11L, "insert")))
+      // version-granular admission: at least the snapshot batch plus
+      // one per subsequent version
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 3,
+        s"expected per-version batches, got ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("startingTimestamp streams only commits at/after the timestamp") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_start_ts").toString
