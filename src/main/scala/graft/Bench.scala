@@ -39,9 +39,11 @@ object Bench {
     * quadratic — the heaviest similarity shape). */
   val HeadlineR7Added: Seq[String] = Seq("semantic_dedup")
 
-  /** r9 addition: exact substring (token-window) dedup — a full
-    * explode-shuffle-window pass over every document's token windows. */
-  val HeadlineR9Added: Seq[String] = Seq("dedup_substring")
+  /** r9 additions: exact substring (token-window) dedup — a full
+    * explode-shuffle-window pass over every document's token windows —
+    * and the two-pass corpus-LM typicality score (census + broadcast
+    * rescore). */
+  val HeadlineR9Added: Seq[String] = Seq("dedup_substring", "lm_typicality")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added

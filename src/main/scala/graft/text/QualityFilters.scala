@@ -161,13 +161,71 @@ object QualityFilters {
       .orderBy("source", "rk")
   }
 
+  // ---- corpus-LM typicality (CCNet-style perplexity proxy) -------------
+
+  /** A trigram with corpus count at/below this is "rare". */
+  val RareThreshold = 2
+
+  /** Two-pass corpus-LM scoring — the shape of CCNet's LM-perplexity
+    * quality filter with the corpus itself as the model: pass 1 builds
+    * a character-trigram census (the "LM"), pass 2 scores every doc
+    * against it. Reported per doc: the average corpus frequency of its
+    * trigrams (high = typical text, the low-perplexity analogue) and
+    * the fraction of rare trigrams (high = noise/garble, what CCNet's
+    * tail bucket catches).
+    *
+    * All INTEGER arithmetic until one exact long/long → double division
+    * per output column — a log-space score would hinge on the engines'
+    * last-ulp ln() agreement, which is not a contract either makes.
+    *
+    * Scale shape: the census key domain is the trigram vocabulary
+    * (bounded by charset³, not by corpus size), so pass 1's shuffle
+    * moves map-side-combined partials of a tiny table and the model
+    * BROADCASTS — pass 2 is then a broadcast join + one map-side-
+    * combined groupBy(doc_id). No full shuffle of the exploded trigram
+    * stream anywhere (contrast [[graft.dedup.Dedup.dedupSubstring]],
+    * whose window-fingerprint domain grows with the corpus and forces
+    * the shuffle). */
+  def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val tg = documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 2, 1)),
+          |  i -> substring(text, i, 3))""".stripMargin)).as("tg"))
+      .filter(length(col("tg")) === 3)
+    val census = tg.groupBy("tg").agg(count(lit(1)).as("cnt"))
+    tg.join(broadcast(census), "tg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("cnt").as("sum_freq"),
+        sum(when(col("cnt") <= RareThreshold, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("sum_freq").cast("double") / col("n_trigrams")).as("avg_tg_freq"),
+        (col("n_rare").cast("double") / col("n_trigrams")).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_quality" -> gopherQuality _,
     "block_dedup" -> blockDedup _,
     "intra_dedup" -> intraDedup _,
+    "lm_typicality" -> lmTypicality _,
     "source_mixture" -> sourceMixture _)
 
   val oracles: Map[String, String] = Map(
+    "lm_typicality" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+         |                i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+         |  FROM documents),
+         |t AS (SELECT doc_id, tg FROM g WHERE length(tg) = 3),
+         |c AS (SELECT tg, COUNT(*) AS cnt FROM t GROUP BY tg)
+         |SELECT t.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |       CAST(SUM(c.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tg_freq,
+         |       CAST(SUM(CASE WHEN c.cnt <= $RareThreshold THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+         |FROM t JOIN c USING (tg)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word

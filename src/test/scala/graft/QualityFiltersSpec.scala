@@ -82,6 +82,37 @@ class QualityFiltersSpec extends SparkSpec {
       }
   }
 
+  test("lm_typicality: driver recount on sampled docs; census joins broadcast") {
+    // recompute the trigram census + per-doc scores driver-side and
+    // compare a sample exactly (integer stats; doubles are single exact
+    // long/long divisions)
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val census = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    def grams(t: String) = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    docs.foreach { case (_, t) => grams(t).foreach(g => census(g) += 1) }
+    val df = QualityFilters.lmTypicality(spark, sf)
+    val got = df.select("doc_id", "n_trigrams", "avg_tg_freq", "rare_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    docs.take(10).foreach { case (id, t) =>
+      val gs = grams(t)
+      if (gs.nonEmpty) {
+        val sumFreq = gs.map(census).sum
+        val nRare = gs.count(g => census(g) <= QualityFilters.RareThreshold)
+        val expect = (gs.length.toLong,
+          sumFreq.toDouble / gs.length, nRare.toDouble / gs.length)
+        assert(got(id) == expect, s"doc $id: got ${got(id)}, expect $expect")
+      }
+    }
+    // the model (trigram census) must broadcast — pass 2 is a broadcast
+    // join, never a full shuffle of the exploded trigram stream
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"census must broadcast-join:\n$plan")
+  }
+
   test("source_mixture: quotas respected, ~half the corpus kept, deterministic") {
     val df = QualityFilters.sourceMixture(spark, sf).cache()
     // per-source: exactly quota rows, ranks are 1..quota
