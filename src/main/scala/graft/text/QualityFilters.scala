@@ -187,11 +187,14 @@ object QualityFilters {
     * whose window-fingerprint domain grows with the corpus and forces
     * the shuffle). */
   def lmTypicality(spark: SparkSession, dir: String): DataFrame = {
+    // trigrams as packed ints ([[TrigramPack]], the trigram_topk
+    // kernel): no per-position string allocation, and the census/join
+    // key is 4 bytes. Bijective with the string trigrams the oracle
+    // groups for ASCII text (this corpus); non-ASCII folds modulo 256 —
+    // deterministic, same documented contract as trigram_topk.
     val tg = documents(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(length(text) - 2, 1)),
-          |  i -> substring(text, i, 3))""".stripMargin)).as("tg"))
-      .filter(length(col("tg")) === 3)
+      .select(col("doc_id"),
+        explode(TrigramPack.trigrams_packed(col("text"))).as("tg"))
     val census = tg.groupBy("tg").agg(count(lit(1)).as("cnt"))
     tg.join(broadcast(census), "tg")
       .groupBy("doc_id")
