@@ -121,7 +121,9 @@ final class GraftDataSource extends RelationProvider
       startVer,
       changeFeed = isCdf(parameters),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong))
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(GraftStreamSource.parseBytes))
   }
 
   // ---- streaming write: writeStream.format("graft").start(path) --------
@@ -215,12 +217,28 @@ final class GraftDataSource extends RelationProvider
   * (DELETE/UPDATE/MERGE) pay the changed-files row diff — never a full
   * table scan per batch.
   */
+object GraftStreamSource {
+  /** Byte-count option values, Spark/Delta style: a plain long or a
+    * k/m/g-suffixed string (binary units), e.g. "10g". */
+  def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case _ => (t, 1L)
+    }
+    math.multiplyExact(num.trim.toLong, mult)
+  }
+}
+
 final class GraftStreamSource(
     session: org.apache.spark.sql.classic.SparkSession,
     path: String, startingVersion: Option[Long],
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
@@ -229,10 +247,12 @@ final class GraftStreamSource(
     Offset => V2Offset, ReadLimit}
 
   require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be > 0")
-  require(!(changeFeed && maxFilesPerTrigger.isDefined),
-    "maxFilesPerTrigger is not supported with readChangeFeed (change " +
-    "rows of a rewrite commit have no per-file decomposition); use " +
-    "maxVersionsPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be > 0")
+  require(!(changeFeed &&
+      (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)),
+    "maxFilesPerTrigger/maxBytesPerTrigger are not supported with " +
+    "readChangeFeed (change rows of a rewrite commit have no per-file " +
+    "decomposition); use maxVersionsPerTrigger")
 
   private def table = GraftTable(session, path)
   // Admission control for catch-up: `maxVersionsPerTrigger` caps how
@@ -287,38 +307,64 @@ final class GraftStreamSource(
     * given the last delivered/offered boundary `from` and the newest
     * available version `target`. Shared by the legacy getOffset path
     * and the admission-control latestOffset path. */
+  private val fCap: Long = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+  private val bCap: Long = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+  private val fileGranular =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** Most files of `adds` one trigger may take: file AND byte caps
+    * respected, always at least one so the stream progresses (Delta's
+    * maxBytesPerTrigger is a soft cap the same way). */
+  private def admitCount(adds: Seq[(String, Long)]): Int = {
+    var c = 0
+    var b = 0L
+    while (c < adds.size && c < fCap && (c == 0 || b + adds(c)._2 <= bCap)) {
+      b += adds(c)._2; c += 1
+    }
+    math.max(c, 1)
+  }
+
   private def admit(from: Option[(Long, Int)], target: Long): (Long, Int) =
-    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+    if (maxVersionsPerTrigger.isEmpty && !fileGranular)
       (target, -1)
     else from match {
       case None => (target, -1) // initial snapshot: one batch
       case Some((w, i)) if i >= 0 =>
         // finish (or extend) the partially-delivered version first
-        val n = table.appendOnlyAdds(w).map(_.size).getOrElse(0)
-        maxFilesPerTrigger match {
-          case Some(m) if i + m < n - 1 => (w, (i + m).toInt)
-          case _ => (w, -1)
+        val adds = table.appendOnlyAddsWithSizes(w).getOrElse(Seq.empty)
+        val rest = adds.drop(i + 1)
+        if (rest.isEmpty) (w, -1)
+        else {
+          val c = admitCount(rest)
+          if (i + c < adds.size - 1) (w, i + c) else (w, -1)
         }
       case Some((w, _)) if w >= target => (w, -1) // caught up
       case Some((w, _)) =>
-        // admit whole versions up to both caps; a SINGLE oversized
+        // admit whole versions up to all three caps; a SINGLE oversized
         // append-only commit at the front splits at file granularity
         val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
         var v = w
         var files = 0L
+        var bytes = 0L
         var out: (Long, Int) = (w, -1)
         var done = false
         while (!done && v < target && (v - w) < vCap) {
           val nv = v + 1
-          val adds = table.appendOnlyAdds(nv)
+          val adds =
+            if (fileGranular) table.appendOnlyAddsWithSizes(nv) else None
           val n = adds.map(_.size.toLong).getOrElse(0L)
-          maxFilesPerTrigger match {
-            case Some(m) if files == 0 && adds.isDefined && n > m =>
-              out = (nv, (m - 1).toInt); done = true
-            case Some(m) if files > 0 && files + n > m =>
-              done = true // next version would overflow: stop before it
-            case _ =>
-              files += n; v = nv; out = (nv, -1)
+          val b = adds.map(_.iterator.map(_._2).sum).getOrElse(0L)
+          val overflow = adds.isDefined &&
+            (files + n > fCap || bytes + b > bCap)
+          if (overflow && files == 0 && bytes == 0) {
+            // a single file above bCap still ships whole (soft cap)
+            val c = admitCount(adds.get)
+            out = if (c >= adds.get.size) (nv, -1) else (nv, c - 1)
+            done = true
+          } else if (overflow) {
+            done = true // next version would overflow: stop before it
+          } else {
+            files += n; bytes += b; v = nv; out = (nv, -1)
           }
         }
         out

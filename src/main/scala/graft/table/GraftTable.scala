@@ -2532,14 +2532,37 @@ final class GraftTable private (
   def vacuum(retainHours: Double = 168.0,
       retentionCheckEnabled: Boolean = true,
       nowMs: Long = System.currentTimeMillis(),
-      dryRun: Boolean = false): (Long, Int) = {
+      dryRun: Boolean = false,
+      lite: Boolean = false): (Long, Int) = {
     if (retainHours < 168.0 && retentionCheckEnabled)
       throw new IllegalArgumentException(
         s"retention of $retainHours h is below the 168 h safety floor; " +
         "pass retentionCheckEnabled=false to override (demo mode)")
     val live = manifestFiles().toSet
     val cutoff = nowMs - (retainHours * 3600 * 1000).toLong
-    val onDisk = listDataFiles()
+    // LITE (Delta 3.3 parity): candidates come from the LOG's remove
+    // tombstones — every file a retained commit removed at/before the
+    // cutoff — instead of a full recursive directory listing. At 100 TB
+    // the listing is the dominant vacuum cost (millions of objects, an
+    // S3 LIST storm); the log walk is O(retained versions), each record
+    // already driver-sized. The trade: LITE cannot find files the log
+    // never knew (crashed-write leftovers, foreign files) — run a full
+    // vacuum occasionally for those, exactly Delta's guidance. mtimes
+    // are not consulted: the REMOVAL commit's timestamp is the
+    // retention clock, and existence is delegated to the idempotent
+    // delete (a file already gone counts as swept).
+    val onDisk: Seq[(String, Long, Long)] =
+      if (lite) {
+        (0L to currentVersion).iterator
+          .filter(v => hasVersion(v) && fs.exists(actionsPath(v)))
+          .flatMap { v =>
+            commitTimestamp(v) match {
+              case Some(ts) if ts <= cutoff =>
+                readActionRecord(v).removes.map(f => (f, 0L, ts))
+              case _ => Nil
+            }
+          }.toSeq.distinctBy(_._1)
+      } else listDataFiles()
     val deletable = onDisk
       .filter { case (f, _, mtime) => !live.contains(f) && mtime <= cutoff }
     // DRY RUN (Delta parity): report what would be reclaimed, delete
@@ -2574,7 +2597,7 @@ final class GraftTable private (
     // protects a concurrent commit's fresh sidecar whose data file
     // postdates our listing.
     val idxDir = BloomIndex.indexDir(logDir)
-    if (fs.exists(idxDir)) {
+    if (!lite && fs.exists(idxDir)) { // orphan sweep needs the full listing
       val gone = deletable.map(_._1).toSet
       val keepNames = (onDisk.map(_._1).filterNot(gone).toSet ++ live)
         .map(f => BloomIndex.indexPath(logDir, f).getName)
@@ -2586,7 +2609,8 @@ final class GraftTable private (
     }
     val v = commitRewrite("VACUUM", Nil, Nil, Map(
       "numFilesDeleted" -> deletable.size.toString,
-      "retainHours" -> retainHours.toString))
+      "retainHours" -> retainHours.toString,
+      "mode" -> (if (lite) "LITE" else "FULL")))
     (v, deletable.size)
   }
 
@@ -3264,6 +3288,21 @@ final class GraftTable private (
     val a = readActionRecord(v)
     if (a.removes.isEmpty && a.dvChanges.isEmpty && a.adds.nonEmpty)
       Some(a.adds.map(_._1))
+    else None
+  }
+
+  /** [[appendOnlyAdds]] plus each file's byte size — the unit
+    * `maxBytesPerTrigger` admission counts in. Sizes come from the
+    * commit's action record; a legacy record without one falls back to
+    * a driver fs probe (bounded by that commit's file count). */
+  def appendOnlyAddsWithSizes(v: Long): Option[Seq[(String, Long)]] = {
+    if (v < 0 || !hasVersion(v) || !fs.exists(actionsPath(v))) return None
+    val a = readActionRecord(v)
+    if (a.removes.isEmpty && a.dvChanges.isEmpty && a.adds.nonEmpty)
+      Some(a.adds.map { case (f, sz) =>
+        f -> sz.getOrElse(
+          scala.util.Try(fs.getFileStatus(dataPath(f)).getLen).getOrElse(0L))
+      })
     else None
   }
 

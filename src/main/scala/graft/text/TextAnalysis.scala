@@ -175,6 +175,36 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Distinctive-keyword extraction — tf-idf ORDERING without floats.
+    * Per doc, the top-3 terms ranked by (tf DESC, df ASC, word ASC)
+    * after a df-based stopword gate (`2·df ≤ n_docs`: a word appearing
+    * in more than half the corpus carries no topical signal — the
+    * integer-exact stand-in for an idf threshold, so Spark and DuckDB
+    * can never disagree on a float). The shape a topic-tagging /
+    * domain-labeling pass runs before mixture construction.
+    *
+    * Scale: tf is one shuffle on (doc_id, word) over exploded unique
+    * pairs; df rides a window on the word key (second shuffle, linear);
+    * n_docs is a one-row broadcast scalar. No joins against a
+    * materialized vocabulary, no driver-side census. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 <= col("n_docs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tf"), col("df"), col("word"))))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "tf", "df")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Regexp family over documents: match predicates, global replace as a
     * character counter — patterns kept RE2-compatible (Java ≡ DuckDB). */
   def regexpStats(spark: SparkSession, dir: String): DataFrame =
@@ -210,6 +240,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_functions" -> stringFunctions _,
     "corpus_select"   -> corpusSelect _,
+    "tfidf_keywords"  -> tfidfKeywords _,
     "explode_words"   -> explodeWords _,
     "regexp_stats"    -> regexpStats _,
     "text_stats"      -> textStats _,
@@ -226,6 +257,22 @@ object TextAnalysis {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(
+    "tfidf_keywords" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        |d AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
+        |r AS (SELECT d.doc_id, d.word, d.tf, d.df,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |               ORDER BY tf DESC, df ASC, word ASC) AS rk
+        |      FROM d, n WHERE df * 2 <= n_docs)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, tf, df
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "corpus_select" ->
       s"""WITH s AS (
          |  SELECT doc_id,

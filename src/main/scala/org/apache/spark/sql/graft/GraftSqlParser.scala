@@ -17,7 +17,7 @@ import graft.table.GraftTable
   * ParserInterface that recognizes
   *
   *   OPTIMIZE <tbl> [WHERE <pred>] [ZORDER BY (c, …)]
-  *   VACUUM <tbl> [RETAIN <n> HOURS] [DRY RUN]
+  *   VACUUM <tbl> [LITE] [RETAIN <n> HOURS] [DRY RUN]
   *   RESTORE [TABLE] <tbl> [TO] VERSION AS OF <n>
   *   DESCRIBE HISTORY <tbl>
   *   REORG TABLE <tbl> APPLY (PURGE)
@@ -62,7 +62,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val VacuumRe =
-    s"""(?is)^\\s*VACUUM\\s+$Tbl(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*VACUUM\\s+$Tbl(\\s+LITE)?(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val RestoreRe =
     s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Tbl\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val RestoreTsRe =
@@ -100,9 +100,9 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       Some(GraftOptimizeCommand(tbl, Option(where).map(_.trim), cols,
         full = full != null))
-    case VacuumRe(tbl, hours, dry) =>
+    case VacuumRe(tbl, lite, hours, dry) =>
       Some(GraftVacuumCommand(tbl,
-        Option(hours).map(_.toDouble), dry != null))
+        Option(hours).map(_.toDouble), dry != null, lite = lite != null))
     case RestoreRe(tbl, v) => Some(GraftRestoreCommand(tbl, v.toLong))
     case RestoreTsRe(tbl, ts) => Some(GraftRestoreTimestampCommand(tbl, ts))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
@@ -286,7 +286,7 @@ case class GraftOptimizeCommand(table: String, where: Option[String],
 }
 
 case class GraftVacuumCommand(table: String, retainHours: Option[Double],
-    dryRun: Boolean) extends LeafRunnableCommand {
+    dryRun: Boolean, lite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("files_deleted", IntegerType, nullable = false)())
@@ -298,7 +298,7 @@ case class GraftVacuumCommand(table: String, retainHours: Option[Double],
       .forall(_.toBoolean)
     val (v, n) = GraftSqlParser.resolve(session, table).vacuum(
       retainHours.getOrElse(168.0),
-      retentionCheckEnabled = checkEnabled, dryRun = dryRun)
+      retentionCheckEnabled = checkEnabled, dryRun = dryRun, lite = lite)
     Seq(Row(v, n))
   }
 }

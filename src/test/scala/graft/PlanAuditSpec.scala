@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
   // broadcast (band/centroid/probe/grid dimensions)
   private val bnljAllowed = Set("range_band_join", "funnel_steps",
     "cosine_dups", "knn_brute", "sql_scalar_subquery", "knn_ivf",
-    "gap_fill_hourly", "q22_global_sales", "knn_pq", "semantic_dedup")
+    "gap_fill_hourly", "q22_global_sales", "knn_pq", "semantic_dedup",
+    "tfidf_keywords") // n_docs is a one-row broadcast scalar
 
   // global aggregates: one output row, total order is vacuous
   private val singleRow = Set("count_rows", "date_bounds", "distinct_types")

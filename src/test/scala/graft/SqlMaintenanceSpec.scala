@@ -58,6 +58,44 @@ class SqlMaintenanceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
   }
 
+  test("VACUUM LITE sweeps log tombstones without listing; orphans wait for FULL") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlm_vaclite").toString
+    val t = GraftTable(spark, path, Nil)
+    t.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(2))                                        // v0: 2 files
+    t.write(Seq((100L, "new")).toDF("id", "s"),
+      org.apache.spark.sql.SaveMode.Overwrite)                // v1: removes v0's
+    // a file the log never saw (crashed writer leftover): LITE must not
+    // find it — that's precisely the cost of skipping the listing
+    val orphan = new java.io.File(path, "orphan-leftover.parquet")
+    Seq((999L, "orphan")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(orphan.toString + ".dir")
+    val part = new java.io.File(orphan.toString + ".dir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    spark.conf.set("spark.graft.retentionDurationCheck.enabled", "false")
+    try {
+      val dry = spark.sql(s"VACUUM graft.`$path` LITE RETAIN 0 HOURS DRY RUN")
+        .collect()(0)
+      assert(dry.getInt(1) == 2, s"LITE dry run must see v0's 2 tombstones, got $dry")
+      val real = spark.sql(s"VACUUM graft.`$path` LITE RETAIN 0 HOURS").collect()(0)
+      assert(real.getInt(1) == 2)
+      // tombstoned files gone, live data intact, untracked orphan kept
+      assert(t.read().as[(Long, String)].collect().toSeq == Seq((100L, "new")))
+      assert(orphan.exists, "LITE must not touch files outside the log")
+      // history record carries the mode
+      val hist = t.history().filter(col("operation") === "VACUUM")
+        .orderBy(desc("version")).select("operationMetrics.mode")
+        .as[String].collect()
+      assert(hist.headOption.contains("LITE"), hist.toSeq.toString)
+      // FULL vacuum still reclaims the orphan (the listing path)
+      val full = spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS").collect()(0)
+      assert(full.getInt(1) >= 1 && !orphan.exists,
+        s"full vacuum must sweep the orphan: $full")
+    } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
+  }
+
   test("RESTORE TABLE ... VERSION AS OF rolls back through SQL") {
     val (t, path) = freshTable("sqlm_rst")
     t.write(bars.repartition(2))

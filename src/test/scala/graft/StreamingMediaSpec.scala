@@ -303,6 +303,51 @@ class StreamingTableSpec extends SparkSpec {
     assert(e.getMessage.contains("maxFilesPerTrigger"), e.getMessage)
   }
 
+  test("maxBytesPerTrigger bounds trigger volume by file bytes, exactly once") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_byte_split").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((-1L, "seed")).toDF("id", "s"))                     // v0 seed
+    // one 6-file backfill commit; files are a few KB each
+    t.write((0 until 60).map(i => (i.toLong, "x" * 64)).toDF("id", "s")
+      .repartition(6), org.apache.spark.sql.SaveMode.Append)        // v1
+    val adds = t.appendOnlyAddsWithSizes(1L).get
+    assert(adds.size == 6 && adds.forall(_._2 > 0))
+    // cap at roughly two files' bytes: the commit must split across
+    // >= 3 triggers (2+2+2 files), never one 6-file flood
+    val cap = adds.map(_._2).sorted.take(2).sum
+
+    val name = s"graft_bytes_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxBytesPerTrigger", cap.toString)
+      .load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).select("id").as[Long].collect().sorted
+      assert(got.length == 60 && got.distinct.length == 60,
+        s"got ${got.length} rows (${got.distinct.length} distinct)")
+      assert(got.toSeq == (0L until 60L))
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length >= 3,
+        s"expected >= 3 byte-bounded batches, got ${nonEmpty.map(_.numInputRows).toSeq}")
+      assert(nonEmpty.forall(_.numInputRows <= 40),
+        s"a batch flooded: ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+
+    // suffixed byte strings parse binary units; CDF mode is rejected
+    assert(graft.sources.GraftStreamSource.parseBytes("10k") == 10L << 10)
+    assert(graft.sources.GraftStreamSource.parseBytes("2G") == 2L << 30)
+    assert(graft.sources.GraftStreamSource.parseBytes("123") == 123L)
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        path, None, changeFeed = true, maxBytesPerTrigger = Some(1L << 20))
+    }
+    assert(e.getMessage.contains("maxBytesPerTrigger"), e.getMessage)
+  }
+
   test("Trigger.AvailableNow: bounded catch-up batches, then self-termination") {
     // the nightly-catch-up flow: process everything available under the
     // admission caps, then stop — no orchestrator-managed stop() needed.

@@ -94,4 +94,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.values.forall(_ == 5))
     assert(counts.keySet == Set("en", "fr", "es", "de", "zh"))
   }
+
+  test("tfidf_keywords: df gate drops corpus-wide words, rank order is (tf desc, df asc, word)") {
+    // planted corpus: "common" appears in all 4 docs (gated out);
+    // doc 1 repeats the rare word "quasar" 3x → its top keyword
+    val fixture = java.nio.file.Files.createTempDirectory("tfidf_fx").toString
+    Seq(
+      (1L, "common quasar quasar quasar pulsar pulsar nova", "en", "s1", 0L),
+      (2L, "common nova nova pulsar", "en", "s1", 0L),
+      (3L, "common meteor", "en", "s2", 0L),
+      (4L, "common comet comet comet comet", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$fixture/documents.parquet")
+    val rows = TextAnalysis.tfidfKeywords(spark, fixture)
+      .as[(Long, Int, String, Long, Long)].collect()
+    // "common" has df=4, 2*4 > 4 docs → gated everywhere
+    assert(!rows.exists(_._3 == "common"), rows.mkString(", "))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3).toSeq == Seq("quasar", "pulsar", "nova"),
+      doc1.mkString(", ")) // tf 3,2,1; nova beats nothing else left
+    assert(doc1.map(_._4).toSeq == Seq(3L, 2L, 1L))
+    // per-doc at most 3 keywords, ranks dense from 1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3 && rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+
+    // contract holds on the real corpus too: every reported df obeys the
+    // gate and every rank agrees with a local re-sort of its doc's rows
+    val real = TextAnalysis.tfidfKeywords(spark, sf)
+      .as[(Long, Int, String, Long, Long)].collect()
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(real.nonEmpty && real.forall(r => r._5 * 2 <= nDocs))
+    real.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (-r._4, r._5, r._3))
+      assert(sorted.map(_._2).toSeq == (1 to rs.length),
+        s"rank order violated: ${rs.mkString(", ")}")
+    }
+  }
 }
