@@ -122,9 +122,12 @@ final class GraftCatalog extends TableCatalog {
         t.renameColumn(ren.fieldNames()(0), ren.newName())
       case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
         t.dropColumn(del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
+        t.alterColumnType(upd.fieldNames()(0), upd.newDataType())
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
-        "graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN and " +
+        "graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN, " +
+        "ALTER COLUMN TYPE (safe widenings) and " +
         s"SET/UNSET TBLPROPERTIES only, got $other")
     }
     GraftV2Table(spark, pathOf(ident), None)

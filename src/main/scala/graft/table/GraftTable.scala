@@ -913,6 +913,43 @@ final class GraftTable private (
       })
   }
 
+  /** ALTER TABLE ALTER COLUMN … TYPE — type widening
+    * ([[TypeWidening]]): metadata-only; no data file is touched at any
+    * table size. The recorded schema gets the wider type, the marker
+    * property gates the explicit-schema scan path, and the schema
+    * sidecar must exist from here on (it's what reconciles narrow old
+    * files with wide new ones). */
+  def alterColumnType(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val logical = read().schema
+    val f = logical.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column $name (have: ${logical.fieldNames.mkString(", ")})"))
+    require(TypeWidening.allowed(f.dataType, to),
+      s"unsupported type change ${f.dataType.simpleString} -> " +
+      s"${to.simpleString} for column $name: only safe widenings " +
+      "(byte -> short -> int -> long, float -> double) are metadata-only")
+    val phys = colMap.physicalOf.getOrElse(name, name)
+    commitRewrite("ALTER COLUMN TYPE", Nil, Nil,
+      Map("column" -> name, "from" -> f.dataType.simpleString,
+        "to" -> to.simpleString),
+      newSchema = Some { base =>
+        val cur = schemaOf(base).getOrElse(physicalSchemaAt(base))
+        val bf = cur.fields.find(_.name == phys).getOrElse(
+          throw new java.util.ConcurrentModificationException(
+            s"ALTER COLUMN TYPE $name aborted: the column vanished under " +
+            "a concurrent commit; re-run against the new snapshot"))
+        if (bf.dataType != to)
+          require(TypeWidening.allowed(bf.dataType, to),
+            s"ALTER COLUMN TYPE $name: concurrent commit changed the " +
+            s"column to ${bf.dataType.simpleString}; " +
+            s"${to.simpleString} is no longer a safe widening")
+        StructType(cur.fields.map(x =>
+          if (x.name == phys) x.copy(dataType = to) else x))
+      },
+      newProperties = Some(base =>
+        propertiesOf(base) + (TypeWidening.Prop -> "true")))
+  }
+
   /** `base`'s map, materialized from its logical schema when still the
     * implicit identity. */
   private def materializedAt(base: Long): ColMap = {
@@ -1381,7 +1418,7 @@ final class GraftTable private (
             if (kept.isEmpty)
               return spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-            val pruned = toLogical(readFilesDv(kept, dv), cm)
+            val pruned = toLogical(readFilesDv(kept, dv, widenHint(version)), cm)
             val have = pruned.columns.toSet
             val aligned = schema.fields.foldLeft(pruned) { (d, f) =>
               if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
@@ -1398,7 +1435,8 @@ final class GraftTable private (
     if (kept.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
-    val pruned = toLogical(readFilesDv(kept, dvOf(version)), colMapOf(version))
+    val pruned = toLogical(
+      readFilesDv(kept, dvOf(version), widenHint(version)), colMapOf(version))
     val have = pruned.columns.toSet
     val aligned = full.schema.fields.foldLeft(pruned) { (d, f) =>
       if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
@@ -1861,12 +1899,12 @@ final class GraftTable private (
       require(df0g.filter(col(c).isNotNull).isEmpty,
         s"column $c is GENERATED ALWAYS AS IDENTITY; values cannot be supplied")
     }
-    val (df0, idProps, idGuard) = assignIdentity(df0g)
+    val (df0i, idProps, idGuard) = assignIdentity(df0g)
     // schema enforcement applies to OVERWRITE too (Delta behavior: an
     // accidental overwrite with a different schema must not silently
     // replace the table schema); `overwriteSchema = true` is the
     // explicit escape hatch, mirroring Delta's overwriteSchema option
-    if (currentVersion >= 0 &&
+    val df0 = if (currentVersion >= 0 &&
         (manifestFiles().nonEmpty || schemaOf(currentVersion).exists(_.nonEmpty)) &&
         (mode == SaveMode.Append || !overwriteSchema)) {
       // schema-sidecar fast path: enforcement needs the SCHEMA, not a
@@ -1874,14 +1912,23 @@ final class GraftTable private (
       // read over the live file list
       val existing = schemaOf(currentVersion).filter(_.nonEmpty)
         .map(logicalSchema(_, colMap)).getOrElse(read().schema)
-      val incoming = df0.schema
+      val incoming = df0i.schema
       val eTypes = existing.fields.map(f => f.name -> f.dataType).toMap
       val iTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
       val changed = eTypes.keySet.intersect(iTypes.keySet)
         .filter(c => eTypes(c) != iTypes(c))
-      if (changed.nonEmpty)
+      // on a table that OPTED INTO widening, a narrower incoming column
+      // under a widened table column upcasts silently (Delta
+      // type-widening write behavior); un-widened tables keep strict
+      // enforcement — a type drift there is a bug to surface, not mend
+      val upcast =
+        if (propertiesOf(currentVersion).contains(TypeWidening.Prop))
+          changed.filter(c => TypeWidening.allowed(iTypes(c), eTypes(c)))
+        else Set.empty[String]
+      val hard = changed -- upcast
+      if (hard.nonEmpty)
         throw new IllegalArgumentException(
-          s"schema enforcement: column type changes rejected: ${changed.mkString(", ")}")
+          s"schema enforcement: column type changes rejected: ${hard.mkString(", ")}")
       val extra = iTypes.keySet -- eTypes.keySet
       val missing = eTypes.keySet -- iTypes.keySet
       if (!mergeSchema && (extra.nonEmpty || missing.nonEmpty))
@@ -1889,7 +1936,8 @@ final class GraftTable private (
           "schema enforcement: column set mismatch " +
           s"(extra: $extra, missing: $missing); pass mergeSchema=true to evolve" +
           (if (mode != SaveMode.Append) " or overwriteSchema=true to replace" else ""))
-    }
+      upcast.foldLeft(df0i)((d, c) => d.withColumn(c, col(c).cast(eTypes(c))))
+    } else df0i
     enforceConstraints(df0)
     // every incoming row must satisfy the replaceWhere predicate (Delta
     // rejects rows outside the replaced region) — checked BEFORE any
@@ -2341,7 +2389,8 @@ final class GraftTable private (
           s"graft table at $path has no committed version $version")
       }
     }
-    alignToRecorded(toLogical(readFilesDv(files, dvOf(version)), cm), version)
+    alignToRecorded(toLogical(
+      readFilesDv(files, dvOf(version), widenHint(version)), cm), version)
   }
 
   /** Snapshot read surfacing each row's stable `_row_id`
@@ -2364,7 +2413,8 @@ final class GraftTable private (
       .map { case (f, b) => (dataPath(f).toUri.getPath, b) }
     import spark.implicits._
     val baseDf = baseRows.toDF("__path", "__base")
-    val meta = toLogical(readFilesMeta(files, dvOf(version)), cm)
+    val meta = toLogical(
+      readFilesMeta(files, dvOf(version), widenHint(version)), cm)
     val withId = meta.join(broadcast(baseDf), Seq("__path"), "left")
       .withColumn("_row_id",
         when(col("__base").isNotNull, col("__base") + col("__pos"))
@@ -2651,13 +2701,23 @@ final class GraftTable private (
     if (i < 0) segs.dropRight(1).mkString("/") else segs.take(i).mkString("/")
   }
 
-  private def readFiles(files: Seq[String]): DataFrame = {
+  /** Explicit read schema when type widening is active at `v`
+    * ([[TypeWidening]]): the recorded PHYSICAL sidecar schema drives
+    * the scan, so a narrow old file (int32 under a now-long column)
+    * upcasts in the reader instead of failing schema merge. None for
+    * every un-widened table — their plans stay byte-identical. */
+  private def widenHint(v: Long): Option[StructType] =
+    if (v >= 0 && propertiesOf(v).contains(TypeWidening.Prop)) schemaOf(v)
+    else None
+
+  private def readFiles(files: Seq[String],
+      hint: Option[StructType] = None): DataFrame = {
     val (abs, rel) = files.partition(_.startsWith("/"))
-    def group(base: String, paths: Seq[String]): DataFrame =
-      spark.read
-        .option("basePath", base)
-        .option("mergeSchema", "true")
+    def group(base: String, paths: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", base)
+      hint.fold(r.option("mergeSchema", "true"))(r.schema)
         .parquet(paths: _*)
+    }
     val frames =
       (if (rel.nonEmpty) Seq(group(path, rel.map(f => s"$path/$f"))) else Nil) ++
       abs.groupBy(baseOf).toSeq.sortBy(_._1).map { case (b, fs) => group(b, fs) }
@@ -2673,16 +2733,17 @@ final class GraftTable private (
     * materialized per scan group BEFORE any union/join — `_metadata`
     * only resolves directly on a file scan. */
   private def readFilesMeta(files: Seq[String],
-      dv: Map[String, Seq[(Long, Long)]]): DataFrame = {
+      dv: Map[String, Seq[(Long, Long)]],
+      hint: Option[StructType] = None): DataFrame = {
     val (abs, rel) = files.partition(_.startsWith("/"))
-    def group(base: String, paths: Seq[String]): DataFrame =
-      spark.read
-        .option("basePath", base)
-        .option("mergeSchema", "true")
+    def group(base: String, paths: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", base)
+      hint.fold(r.option("mergeSchema", "true"))(r.schema)
         .parquet(paths: _*)
         .withColumn("__path", regexp_extract(
           col("_metadata.file_path"), GraftTable.UriPathRegex, 1))
         .withColumn("__pos", col("_metadata.row_index"))
+    }
     val frames =
       (if (rel.nonEmpty) Seq(group(path, rel.map(f => s"$path/$f"))) else Nil) ++
       abs.groupBy(baseOf).toSeq.sortBy(_._1).map { case (b, fs) => group(b, fs) }
@@ -2699,13 +2760,14 @@ final class GraftTable private (
   /** DV-applied scan: files WITHOUT a deletion vector keep the plain
     * parquet-scan plan; only vectored files pay the position anti-join. */
   private def readFilesDv(files: Seq[String],
-      dv: Map[String, Seq[(Long, Long)]]): DataFrame = {
+      dv: Map[String, Seq[(Long, Long)]],
+      hint: Option[StructType] = None): DataFrame = {
     val vectored = files.filter(f => dv.get(f).exists(_.nonEmpty))
-    if (vectored.isEmpty) return readFiles(files)
+    if (vectored.isEmpty) return readFiles(files, hint)
     val clean = files.filterNot(vectored.toSet)
-    val live = readFilesMeta(vectored, dv).drop("__path", "__pos")
+    val live = readFilesMeta(vectored, dv, hint).drop("__path", "__pos")
     if (clean.isEmpty) live
-    else readFiles(clean).unionByName(live, allowMissingColumns = true)
+    else readFiles(clean, hint).unionByName(live, allowMissingColumns = true)
   }
 
   /** Manifest files holding at least one LIVE row matching `cond`
@@ -2714,7 +2776,8 @@ final class GraftTable private (
   private def affectedFiles(cond: Column,
       dv: Map[String, Seq[(Long, Long)]]): Seq[String] =
     alignToRecorded(
-        toLogical(readFilesMeta(manifestFiles(), dv), colMap), currentVersion)
+        toLogical(readFilesMeta(manifestFiles(), dv, widenHint(currentVersion)),
+          colMap), currentVersion)
       .filter(cond)
       .select("__path").distinct()
       .collect().map(r => relPath(r.getString(0))).toSeq
@@ -2803,7 +2866,8 @@ final class GraftTable private (
       // is kilobytes where the raw position list would be gigabytes.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__path")).orderBy(col("__pos"))
-      val hit = toLogical(readFilesMeta(affected, dvRead), colMap).filter(matches)
+      val hit = toLogical(readFilesMeta(affected, dvRead,
+        widenHint(currentVersion)), colMap).filter(matches)
         .select(col("__path"), col("__pos"))
         .withColumn("__rk", col("__pos") - row_number().over(w))
         .groupBy(col("__path"), col("__rk"))
@@ -3080,7 +3144,8 @@ final class GraftTable private (
     // so they evaluate on the scan; a sync-merge whose source covers a
     // partition's keys rewrites only files with genuinely retired rows)
     val metaScan = extendEvolved(alignToRecorded(
-      toLogical(readFilesMeta(manifestFiles(), dvNow), colMap), currentVersion))
+      toLogical(readFilesMeta(manifestFiles(), dvNow,
+        widenHint(currentVersion)), colMap), currentVersion))
     val affected = (if (notMatchedBySource.isEmpty)
         metaScan.join(srcKeys, tKeys, "left_semi")
       else {
@@ -3310,7 +3375,7 @@ final class GraftTable private (
     * exactly as [[changes]] delivers an append-only commit: raw file
     * contents under v's column map and deletion vectors. */
   def readAddedFiles(v: Long, files: Seq[String]): DataFrame =
-    toLogical(readFilesDv(files, dvOf(v)), colMapOf(v))
+    toLogical(readFilesDv(files, dvOf(v), widenHint(v)), colMapOf(v))
 
   def changes(from: Long, to: Long): DataFrame = {
     require(from >= 0 && to <= currentVersion && from <= to,
@@ -3361,7 +3426,8 @@ final class GraftTable private (
     // a removed file's rows AT v-1 exclude its then-deleted positions;
     // an added file's rows AT v exclude its current vector
     def snap(files: Seq[String], dv: Map[String, Seq[(Long, Long)]]): Option[DataFrame] =
-      if (files.isEmpty) None else Some(toLogical(readFilesDv(files, dv), cmTo))
+      if (files.isEmpty) None
+      else Some(toLogical(readFilesDv(files, dv, widenHint(v)), cmTo))
     // files live at BOTH versions whose vector differs: positions in
     // `drop` but not `keep` surface as row-level changes (a merge-on-read
     // delete grows the vector → deletes; RESTORE across one shrinks it →
@@ -3382,7 +3448,8 @@ final class GraftTable private (
         // broadcasts kilobytes of runs, never an expanded position frame
         val runMap = diff.map { case (f, rs) =>
           dataPath(f).toUri.getPath -> rs }.toMap
-        val withMeta = toLogical(readFilesMeta(diff.map(_._1), Map.empty), cmTo)
+        val withMeta = toLogical(
+          readFilesMeta(diff.map(_._1), Map.empty, widenHint(v)), cmTo)
         Some(withMeta.filter(DeletionVectors.deletedColumn(spark, runMap,
             col("__path"), col("__pos")))
           .drop("__path", "__pos"))
