@@ -546,7 +546,14 @@ final class GraftTable private (
     // table recreated at the same path after external deletion); the
     // fresh snapshot re-caches on first read
     GraftTable.invalidateSnapshotsFrom(rootKey, v)
-    if (v > 0 && v % GraftTable.CheckpointInterval == 0) writeCheckpoint(v)
+    // checkpoint cadence: `graft.checkpointInterval` table property
+    // (Delta's delta.checkpointInterval), default CheckpointInterval —
+    // a high-commit-rate table shortens its action-tail replay, a
+    // metadata-churn table cuts checkpoint write amplification
+    val ckptEvery: Long = propertiesOf(v).get("graft.checkpointInterval")
+      .flatMap(x => scala.util.Try(x.toLong).toOption).filter(_ > 0)
+      .getOrElse(GraftTable.CheckpointInterval.toLong)
+    if (v > 0 && v % ckptEvery == 0) writeCheckpoint(v)
     v
   }
 
@@ -3642,6 +3649,28 @@ final class GraftTable private (
   final case class Detail(
       format: String, location: String, numFiles: Long,
       sizeInBytes: Long, partitionColumns: Seq[String], version: Long)
+
+  /** Per-partition manifest summary (SHOW PARTITIONS): hive path, file
+    * count, row count (−1 when any file lacks a recorded count — never
+    * pays a scan) and byte size — all straight from the log, one number
+    * per partition regardless of table size. */
+  def partitionsReport(version: Long = currentVersion)
+      : Seq[(String, Long, Long, Long)] = {
+    require(layoutPartitionColumns(version).nonEmpty,
+      s"SHOW PARTITIONS: the graft table at $path is not partitioned")
+    val snap = snapshotAt(version)
+    snap.files
+      .groupBy(f => f.split('/').dropRight(1)
+        .filter(_.contains('=')).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (p, fs) =>
+        val bytes = fs.map(f => snap.sizes.getOrElse(f, 0L)).sum
+        val rows = fs.map(f => snap.stats.get(f).flatMap(_.get(""))
+          .collect { case ("rows", lo, _) => lo.toLong })
+        (p, fs.size.toLong,
+          if (rows.forall(_.isDefined)) rows.flatten.sum else -1L, bytes)
+      }
+  }
 
   def detail(): Detail = {
     // byte sizes come from the commit log (recorded per add action) —

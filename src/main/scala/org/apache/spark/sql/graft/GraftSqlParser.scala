@@ -71,6 +71,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
   private val DetailRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""".r
+  private val ShowPartsRe =
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$Tbl\\s*;?\\s*$$""".r
   private val ReorgRe =
     s"""(?is)^\\s*REORG\\s+TABLE\\s+$Tbl\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*$$""".r
   private val IdentityRe =
@@ -107,6 +109,10 @@ object GraftSqlParser {
     case RestoreTsRe(tbl, ts) => Some(GraftRestoreTimestampCommand(tbl, ts))
     case HistoryRe(tbl) => Some(GraftHistoryCommand(tbl))
     case DetailRe(tbl) => Some(GraftDetailCommand(tbl))
+    // only explicit graft refs (graft.`path` / bare `path`): a plain
+    // session-table name keeps stock Spark's own SHOW PARTITIONS
+    case ShowPartsRe(tbl) if tbl.contains('`') =>
+      Some(GraftShowPartitionsCommand(tbl))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
     case IdentityRe(tbl, name, start, step) =>
       Some(GraftAddIdentityCommand(tbl, name,
@@ -338,6 +344,21 @@ case class GraftRestoreTimestampCommand(table: String, timestamp: String)
       else s"$timestamp 00:00:00")
     Seq(Row(t.restore(t.versionAtTime(ts.getTime))))
   }
+}
+
+/** `SHOW PARTITIONS graft.\`path\`` — the manifest answers (file
+  * groups, recorded row counts, logged byte sizes); no listing, no
+  * scan, so the report costs the same on a 100 TB table. */
+case class GraftShowPartitionsCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSqlParser.resolve(session, table).partitionsReport()
+      .map { case (p, nf, nr, b) => Row(p, nf, nr, b) }
 }
 
 case class GraftHistoryCommand(table: String) extends LeafRunnableCommand {

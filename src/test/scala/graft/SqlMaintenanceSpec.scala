@@ -58,6 +58,45 @@ class SqlMaintenanceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
   }
 
+  test("SHOW PARTITIONS reports files/rows/bytes from the manifest, no scan") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlm_showp").toString
+    val t = GraftTable(spark, path, Seq("p"))
+    t.write((0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "p"))
+    t.write(Seq((100L, 1)).toDF("id", "p"),
+      org.apache.spark.sql.SaveMode.Append)
+    val rows = spark.sql(s"SHOW PARTITIONS graft.`$path`").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("p=0", "p=1", "p=2"), rows.toSeq)
+    val byPart = rows.map(r => r._1 -> r).toMap
+    assert(byPart("p=1")._3 == 11 && byPart("p=0")._3 == 10 &&
+      byPart("p=2")._3 == 10, s"recorded row counts: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 >= 1 && r._4 > 0))
+    // unpartitioned table: clear contract error (stock Spark parity)
+    val flat = Files.createTempDirectory("sqlm_showp_flat").toString
+    GraftTable(spark, flat, Nil).write(Seq((1L, 2L)).toDF("a", "b"))
+    val e = intercept[Exception] {
+      spark.sql(s"SHOW PARTITIONS graft.`$flat`").collect() }
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+  }
+
+  test("graft.checkpointInterval property shortens the checkpoint cadence") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlm_ckpt").toString
+    val t = GraftTable(spark, path, Nil)
+    t.write(Seq((0L, "s")).toDF("k", "s"))                     // v0
+    t.setProperties(Map("graft.checkpointInterval" -> "2"))    // v1
+    (1 to 4).foreach(i => t.write(Seq((i.toLong, "a")).toDF("k", "s"),
+      org.apache.spark.sql.SaveMode.Append))                   // v2..v5
+    val log = new java.io.File(path, "_graft_log").listFiles()
+      .map(_.getName).filter(_.contains(".ckpt")).sorted.toSeq
+    assert(log.exists(_.startsWith(f"v${2L}%020d")) &&
+      log.exists(_.startsWith(f"v${4L}%020d")),
+      s"expected checkpoints at v2 and v4 under interval 2, got $log")
+    // replay from the checkpointed log still serves every row
+    assert(t.read().count() == 5)
+  }
+
   test("VACUUM LITE sweeps log tombstones without listing; orphans wait for FULL") {
     import spark.implicits._
     val path = Files.createTempDirectory("sqlm_vaclite").toString
