@@ -43,7 +43,8 @@ object Bench {
     * explode-shuffle-window pass over every document's token windows —
     * and the two-pass corpus-LM typicality score (census + broadcast
     * rescore). */
-  val HeadlineR9Added: Seq[String] = Seq("dedup_substring", "lm_typicality")
+  val HeadlineR9Added: Seq[String] = Seq("dedup_substring", "lm_typicality",
+    "tfidf_keywords", "source_overlap")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added

@@ -123,7 +123,9 @@ final class GraftDataSource extends RelationProvider
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
       maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong),
       maxBytesPerTrigger =
-        parameters.get("maxBytesPerTrigger").map(GraftStreamSource.parseBytes))
+        parameters.get("maxBytesPerTrigger").map(GraftStreamSource.parseBytes),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 
   // ---- streaming write: writeStream.format("graft").start(path) --------
@@ -238,7 +240,8 @@ final class GraftStreamSource(
     changeFeed: Boolean = false,
     maxVersionsPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
@@ -248,6 +251,9 @@ final class GraftStreamSource(
 
   require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be > 0")
   require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be > 0")
+  require(!(changeFeed && skipChangeCommits),
+    "skipChangeCommits applies to the normal stream only; the change " +
+    "feed exists to surface exactly those commits")
   require(!(changeFeed &&
       (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)),
     "maxFilesPerTrigger/maxBytesPerTrigger are not supported with " +
@@ -435,6 +441,18 @@ final class GraftStreamSource(
       if (changeFeed) ch
       else ch.filter(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type")
+    // Delta's skipChangeCommits: versions that rewrite or delete files
+    // contribute NOTHING (not even their re-inserted row versions) —
+    // only pure append commits flow. Cost: the append fast path per
+    // version, no row-level diff ever.
+    def appendsOnly(from: Long, to: Long): Option[DataFrame] = {
+      val parts = (from + 1 to to).flatMap { v =>
+        table.appendOnlyAdds(v).filter(_.nonEmpty)
+          .map(adds => table.readAddedFiles(v, adds))
+      }
+      if (parts.isEmpty) None
+      else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
     val batch = from match {
       case None =>
         val snap = table.readVersion(to) // initial snapshot
@@ -456,8 +474,10 @@ final class GraftStreamSource(
           if (tail.nonEmpty) pieces += table.readAddedFiles(fv, tail)
         }
         val completeTo = if (toIdx >= 0) to - 1 else to
-        if (fv < to && completeTo > fv)
-          pieces += insertsOnly(table.changes(fv, completeTo))
+        if (fv < to && completeTo > fv) {
+          if (skipChangeCommits) appendsOnly(fv, completeTo).foreach(pieces += _)
+          else pieces += insertsOnly(table.changes(fv, completeTo))
+        }
         if (toIdx >= 0 && fv != to) {
           val head = table.appendOnlyAdds(to).getOrElse(Seq.empty).take(toIdx + 1)
           if (head.nonEmpty) pieces += table.readAddedFiles(to, head)

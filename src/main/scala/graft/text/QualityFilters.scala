@@ -207,14 +207,87 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  // ---- cross-source duplicate overlap ---------------------------------
+
+  /** Between-source duplication matrix — the leakage diagnostic a
+    * multi-source corpus needs before mixing (which feeds copy from
+    * which): for every unordered source pair, how many distinct
+    * verbatim [[BlockWords]]-word spans appear in BOTH (block
+    * granularity, like [[blockDedup]] — whole-document exact overlap is
+    * rare; span borrowing is the common contamination). One shuffle on
+    * the block hash; the within-hash self-join is bounded by the SOURCE
+    * count per block (≤ tens after distinct), never by corpus size. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hs = documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(w) >= $BlockWords THEN
+           |  transform(sequence(1, size(w) div $BlockWords),
+           |    i -> concat_ws(' ', slice(w, (i - 1) * $BlockWords + 1, $BlockWords)))
+           |ELSE array() END""".stripMargin)).as("block"))
+      .select(col("source"), md5(col("block")).as("h"))
+      .distinct()
+      .repartition(col("h"))
+    hs.as("x").join(hs.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_blocks"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // ---- per-source length telemetry ------------------------------------
+
+  /** Order-of-magnitude token histogram per source (curation telemetry:
+    * does src3 skew short?): bucket = DECIMAL DIGITS of the word count
+    * (integer-exact in every engine — no float log). Pure map-side
+    * bucketing + one small aggregation. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("magnitude", length(col("n").cast("string")).cast("int"))
+      .groupBy("source", "magnitude")
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_words"),
+        max("n").as("max_words"), sum("n").as("sum_words"))
+      .orderBy("source", "magnitude")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gopher_quality" -> gopherQuality _,
     "block_dedup" -> blockDedup _,
     "intra_dedup" -> intraDedup _,
     "lm_typicality" -> lmTypicality _,
+    "source_overlap" -> sourceOverlap _,
+    "token_histogram" -> tokenHistogram _,
     "source_mixture" -> sourceMixture _)
 
   val oracles: Map[String, String] = Map(
+    // the oracle pairs sources sharing a RAW block string where the
+    // query pairs their md5 images — identical counts absent a
+    // collision (dedup_exact's argument)
+    "source_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |blocks AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_transform(range(1, GREATEST(len(w) // $BlockWords, 0) + 1),
+         |      i -> array_to_string(w[((i - 1) * $BlockWords + 1):(i * $BlockWords)], ' '))) AS b
+         |  FROM toks WHERE len(w) >= $BlockWords)
+         |SELECT x.source AS source_a, y.source AS source_b,
+         |       COUNT(*) AS shared_blocks
+         |FROM blocks x JOIN blocks y ON x.b = y.b AND x.source < y.source
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
+    "token_histogram" ->
+      """WITH n AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, CAST(length(CAST(n AS VARCHAR)) AS INTEGER) AS magnitude,
+        |       COUNT(*) AS n_docs, MIN(n) AS min_words, MAX(n) AS max_words,
+        |       CAST(SUM(n) AS BIGINT) AS sum_words
+        |FROM n GROUP BY 1, 2
+        |ORDER BY source, magnitude""".stripMargin,
     "lm_typicality" ->
       s"""WITH g AS (
          |  SELECT doc_id, unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),

@@ -348,6 +348,41 @@ class StreamingTableSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBytesPerTrigger"), e.getMessage)
   }
 
+  test("skipChangeCommits: rewrite commits contribute nothing; appends still flow") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_skipcc").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write(Seq((0L, "seed")).toDF("id", "s"))                       // v0
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      org.apache.spark.sql.SaveMode.Append)                          // v1
+    t.update(col("id") === 2L, Map("s" -> lit("B")))                 // v2 rewrite
+    t.write(Seq((3L, "c")).toDF("id", "s"),
+      org.apache.spark.sql.SaveMode.Append)                          // v3
+
+    def drain(skip: Boolean): Seq[Long] = {
+      val name = s"graft_skipcc_${skip}_${System.nanoTime()}"
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("skipChangeCommits", skip.toString)
+        .load(path)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).select("id").as[Long].collect().toSeq.sorted }
+      finally q.stop()
+    }
+    // ignoreChanges default: the v2 UPDATE's postimage re-delivers row 2
+    assert(drain(skip = false) == Seq(1L, 2L, 2L, 3L))
+    // skipChangeCommits: the rewrite commit contributes nothing — each
+    // append row exactly once, the update's postimage suppressed
+    assert(drain(skip = true) == Seq(1L, 2L, 3L))
+    // CDF mode rejects the option (the feed exists to surface rewrites)
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.GraftStreamSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        path, None, changeFeed = true, skipChangeCommits = true)
+    }
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+  }
+
   test("Trigger.AvailableNow: bounded catch-up batches, then self-termination") {
     // the nightly-catch-up flow: process everything available under the
     // admission caps, then stop — no orchestrator-managed stop() needed.
