@@ -262,35 +262,51 @@ final class GraftStreamSource(
 
   private def table = GraftTable(session, path)
   // Admission control for catch-up: `maxVersionsPerTrigger` caps how
-  // many versions one micro-batch spans; `maxFilesPerTrigger` (Delta
-  // parity) additionally splits a single oversized APPEND-ONLY commit
-  // across triggers at file granularity. Offsets are therefore
-  // (version, fileIndex): index -1 = "delivered through version v"
-  // (encoded as a plain long, the pre-file-granularity json, so old
-  // checkpoints parse); index i >= 0 = "plus the first i+1 added files
-  // of version v". Exactly-once holds because a version's add list is
-  // immutable and ordered — any boundary index names one definite row
-  // set.
-  @volatile private var lastOffered: Option[(Long, Int)] = None
+  // many versions one micro-batch spans; `maxFilesPerTrigger` /
+  // `maxBytesPerTrigger` (Delta parity) additionally split a single
+  // oversized APPEND-ONLY commit — and the INITIAL SNAPSHOT itself —
+  // across triggers at file granularity. A boundary is therefore
+  // (version, fileIndex, snapshot?): idx -1 = "delivered through
+  // version v" (encoded as a plain long, the pre-file-granularity
+  // json, so old checkpoints parse); idx i >= 0 = "plus the first i+1
+  // files of v" — the version's ADD list normally, or the SORTED
+  // MANIFEST of v when the boundary is a partially-delivered initial
+  // snapshot (flagged in the json). Exactly-once holds because both
+  // lists are immutable and deterministically ordered — any boundary
+  // names one definite row set.
+  private[sources] final case class Boundary(v: Long, idx: Int,
+      snap: Boolean = false) {
+    def complete: Boolean = idx == -1
+  }
+  @volatile private var lastOffered: Option[Boundary] = None
 
-  private def encode(o: (Long, Int)): V1Offset = o match {
-    case (v, -1) => LongOffset(v)
-    case (v, i) => new V1Offset {
+  private def encode(o: Boundary): V1Offset = o match {
+    case Boundary(v, -1, _) => LongOffset(v)
+    case Boundary(v, i, true) => new V1Offset {
+      override def json(): String =
+        s"""{"version":$v,"index":$i,"snapshot":true}"""
+    }
+    case Boundary(v, i, _) => new V1Offset {
       override def json(): String = s"""{"version":$v,"index":$i}"""
     }
   }
 
   private val OffJson = """\{"version":(\d+),"index":(\d+)\}""".r
-  private def decodeJson(json: String): (Long, Int) = json match {
-    case OffJson(v, i) => (v.toLong, i.toInt)
-    case plain => (plain.toLong, -1)
+  private val OffSnapJson =
+    """\{"version":(\d+),"index":(\d+),"snapshot":true\}""".r
+  private def decodeJson(json: String): Boundary = json match {
+    case OffSnapJson(v, i) => Boundary(v.toLong, i.toInt, snap = true)
+    case OffJson(v, i) => Boundary(v.toLong, i.toInt)
+    case plain => Boundary(plain.toLong, -1)
   }
-  private def decode(o: V1Offset): (Long, Int) = decodeJson(o.json())
+  private def decode(o: V1Offset): Boundary = decodeJson(o.json())
 
   /** Strict "delivered-through" order: a partial index precedes the
-    * complete (-1) marker of the same version. */
-  private def beforeKey(o: (Long, Int)): (Long, Long) =
-    (o._1, if (o._2 == -1) Long.MaxValue else o._2.toLong)
+    * complete (-1) marker of the same version (a version is either the
+    * pinned initial snapshot or a later diff within one stream, so the
+    * flag never flips inside a version). */
+  private def beforeKey(o: Boundary): (Long, Long) =
+    (o.v, if (o.complete) Long.MaxValue else o.idx.toLong)
   // schema pinned at FIRST USE (lazy: source creation on a
   // not-yet-written table must not crash — the planner may build the
   // source before the first commit lands); later evolution is rejected
@@ -330,29 +346,50 @@ final class GraftStreamSource(
     math.max(c, 1)
   }
 
-  private def admit(from: Option[(Long, Int)], target: Long): (Long, Int) =
+  /** Continue a partially-delivered file list (`all`, boundary index
+    * `i`): the next boundary under the caps, complete when the tail
+    * fits. */
+  private def continuePartial(v: Long, i: Int, all: Seq[(String, Long)],
+      snap: Boolean): Boundary = {
+    val rest = all.drop(i + 1)
+    if (rest.isEmpty) Boundary(v, -1)
+    else {
+      val c = admitCount(rest)
+      if (i + c < all.size - 1) Boundary(v, i + c, snap) else Boundary(v, -1)
+    }
+  }
+
+  private def admit(from: Option[Boundary], target: Long): Boundary =
     if (maxVersionsPerTrigger.isEmpty && !fileGranular)
-      (target, -1)
+      Boundary(target, -1)
     else from match {
-      case None => (target, -1) // initial snapshot: one batch
-      case Some((w, i)) if i >= 0 =>
+      case None if !fileGranular =>
+        Boundary(target, -1) // initial snapshot: one batch
+      case None =>
+        // the initial snapshot splits under the same file/byte caps a
+        // backfill commit does — a 100 TB table's first delivery is
+        // thousands of bounded triggers, not one unbounded batch
+        val files = table.manifestFilesWithSizes(target)
+        val c = admitCount(files)
+        if (files.isEmpty || c >= files.size) Boundary(target, -1)
+        else Boundary(target, c - 1, snap = true)
+      case Some(Boundary(w, i, true)) if i >= 0 =>
+        // finish the pinned initial snapshot before any diff flows
+        continuePartial(w, i, table.manifestFilesWithSizes(w), snap = true)
+      case Some(Boundary(w, i, _)) if i >= 0 =>
         // finish (or extend) the partially-delivered version first
-        val adds = table.appendOnlyAddsWithSizes(w).getOrElse(Seq.empty)
-        val rest = adds.drop(i + 1)
-        if (rest.isEmpty) (w, -1)
-        else {
-          val c = admitCount(rest)
-          if (i + c < adds.size - 1) (w, i + c) else (w, -1)
-        }
-      case Some((w, _)) if w >= target => (w, -1) // caught up
-      case Some((w, _)) =>
+        continuePartial(w, i,
+          table.appendOnlyAddsWithSizes(w).getOrElse(Seq.empty), snap = false)
+      case Some(Boundary(w, _, _)) if w >= target =>
+        Boundary(w, -1) // caught up
+      case Some(Boundary(w, _, _)) =>
         // admit whole versions up to all three caps; a SINGLE oversized
         // append-only commit at the front splits at file granularity
         val vCap = maxVersionsPerTrigger.getOrElse(Long.MaxValue)
         var v = w
         var files = 0L
         var bytes = 0L
-        var out: (Long, Int) = (w, -1)
+        var out: Boundary = Boundary(w, -1)
         var done = false
         while (!done && v < target && (v - w) < vCap) {
           val nv = v + 1
@@ -365,12 +402,13 @@ final class GraftStreamSource(
           if (overflow && files == 0 && bytes == 0) {
             // a single file above bCap still ships whole (soft cap)
             val c = admitCount(adds.get)
-            out = if (c >= adds.get.size) (nv, -1) else (nv, c - 1)
+            out = if (c >= adds.get.size) Boundary(nv, -1)
+              else Boundary(nv, c - 1)
             done = true
           } else if (overflow) {
             done = true // next version would overflow: stop before it
           } else {
-            files += n; bytes += b; v = nv; out = (nv, -1)
+            files += n; bytes += b; v = nv; out = Boundary(nv, -1)
           }
         }
         out
@@ -380,7 +418,7 @@ final class GraftStreamSource(
     val target = table.currentVersion
     if (target < 0) return None
     val next = admit(
-      lastOffered.orElse(startingVersion.map(sv => (sv, -1))), target)
+      lastOffered.orElse(startingVersion.map(sv => Boundary(sv, -1))), target)
     lastOffered = Some(next)
     Some(encode(next))
   }
@@ -411,25 +449,27 @@ final class GraftStreamSource(
     }
     if (target < 0) return null
     val from = Option(start).map(o => decodeJson(o.json()))
-      .orElse(startingVersion.map(sv => (sv, -1)))
+      .orElse(startingVersion.map(sv => Boundary(sv, -1)))
     val next = admit(from, target)
     lastOffered = Some(next)
     encode(next)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val (to, toIdx) = decode(end)
-    val from: Option[(Long, Int)] =
-      start.map(decode).orElse(startingVersion.map(sv => (sv, -1)))
+    val endB = decode(end)
+    val to = endB.v
+    val toIdx = endB.idx
+    val from: Option[Boundary] =
+      start.map(decode).orElse(startingVersion.map(sv => Boundary(sv, -1)))
     // a restart whose checkpointed offset predates log retention must
     // fail with a clear contract error, not a raw FileNotFoundException
     // from the dropped manifest. A partial boundary needs its OWN
     // version retained too (the tail files come from its action record).
-    from.filter { case (fv, fi) =>
-      (fv < to || fi >= 0) && !table.hasVersion(fv)
-    }.foreach { case (fv, _) =>
+    from.filter { b =>
+      (b.v < to || b.idx >= 0) && !table.hasVersion(b.v)
+    }.foreach { b =>
       throw new IllegalStateException(
-        s"stream start/restart version v$fv of the graft table at $path " +
+        s"stream start/restart version v${b.v} of the graft table at $path " +
         "has been removed by log retention (cleanupLog); restart from a " +
         "fresh checkpoint, or from a retained startingVersion >= " +
         s"the earliest retained commit")
@@ -453,16 +493,31 @@ final class GraftStreamSource(
       if (parts.isEmpty) None
       else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
+    def asInserts(df: DataFrame): DataFrame =
+      if (changeFeed) df.withColumn("_change_type", lit("insert")) else df
     val batch = from match {
+      case None if endB.snap && toIdx >= 0 =>
+        // HEAD of a split initial snapshot: the first toIdx+1 manifest
+        // files (deterministic order), v's vectors/map applied
+        val files = table.manifestFilesWithSizes(to).map(_._1)
+        asInserts(table.readAddedFiles(to, files.take(toIdx + 1)))
       case None =>
-        val snap = table.readVersion(to) // initial snapshot
-        if (changeFeed) snap.withColumn("_change_type", lit("insert")) else snap
+        val snap = table.readVersion(to) // initial snapshot, one batch
+        asInserts(snap)
+      case Some(f) if f.snap && f.idx >= 0 =>
+        // continue the pinned snapshot: slice (f.idx, end] of its
+        // manifest — admission never crosses to diffs mid-snapshot
+        val files = table.manifestFilesWithSizes(f.v).map(_._1)
+        val until = if (endB.snap && toIdx >= 0) toIdx else files.size - 1
+        val tail = files.slice(f.idx + 1, until + 1)
+        if (tail.isEmpty) asInserts(table.readVersion(to).limit(0))
+        else asInserts(table.readAddedFiles(f.v, tail))
       case Some(f) if beforeKey(f)._1 > to ||
-          (beforeKey(f) == beforeKey((to, toIdx))) ||
-          (f._1 == to && f._2 == -1) =>
+          (beforeKey(f) == beforeKey(endB)) ||
+          (f.v == to && f.complete) =>
         val empty = table.readVersion(to).limit(0)
-        if (changeFeed) empty.withColumn("_change_type", lit("insert")) else empty
-      case Some((fv, fi)) =>
+        asInserts(empty)
+      case Some(Boundary(fv, fi, _)) =>
         // three disjoint row sets, any of which may be empty: the TAIL
         // of a partially-delivered version fv, the COMPLETE versions
         // between, and the HEAD of a partially-delivered version to

@@ -2205,12 +2205,19 @@ final class GraftTable private (
   private val TxnRe =
     """"txnAppId":"((?:[^"\\]|\\.)*)","txnVersion":"(-?\d+)"""".r
 
-  private def txnOf(v: Long): Option[(String, Long)] = {
+  /** MANY-marker form ([[copyInto]]): one commit may carry a bounded
+    * batch of per-source-file markers under "txnMulti" (comma-joined
+    * URL-encoded appIds, all at version 1 — presence semantics). */
+  private val TxnMultiRe = """"txnMulti":"((?:[^"\\]|\\.)*)"""".r
+
+  private def txnOf(v: Long): Seq[(String, Long)] = {
     val p = new Path(logDir, f"v$v%020d.json")
-    if (!fs.exists(p)) return None
+    if (!fs.exists(p)) return Nil
     val in = fs.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    TxnRe.findFirstMatchIn(s).map(m => m.group(1) -> m.group(2).toLong)
+    TxnRe.findFirstMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toSeq ++
+      TxnMultiRe.findFirstMatchIn(s).toSeq.flatMap(_.group(1).split(',')
+        .filter(_.nonEmpty).map(a => jsonEscape(decU(a)) -> 1L))
   }
 
   /** Aggregated txn map (escaped appId → max version) through `v`:
@@ -2230,9 +2237,8 @@ final class GraftTable private (
         finally in.close()
     }
     ((ckpt.getOrElse(-1L) + 1) to v).foldLeft(base) { (m, i) =>
-      txnOf(i) match {
-        case Some((a, tv)) if tv > m.getOrElse(a, -1L) => m + (a -> tv)
-        case _ => m
+      txnOf(i).foldLeft(m) { case (mm, (a, tv)) =>
+        if (tv > mm.getOrElse(a, -1L)) mm + (a -> tv) else mm
       }
     }
   }
@@ -2270,6 +2276,57 @@ final class GraftTable private (
     if (txnVersion <= lastTxnVersion(appId)) None
     else Some(write(df, SaveMode.Append, extraMetrics = Map(
       "txnAppId" -> appId, "txnVersion" -> txnVersion.toString)))
+  }
+
+  /** COPY INTO (Delta parity): idempotent bulk file ingestion — each
+    * SOURCE file loads exactly once (identified by its path, Delta's
+    * contract; `force` reloads). Per-file markers ride the loading
+    * commit itself ("txnMulti" metric → the txn map, checkpoint-folded
+    * like streaming txns), so a crash between commits re-skips exactly
+    * the loaded files. Files load in bounded batches (one commit per
+    * [[GraftTable.CopyIntoBatchFiles]] files) — marker records stay
+    * driver-sized and a 100 k-file backfill is a sequence of ordinary
+    * append commits, resumable at any boundary.
+    *
+    * Returns (files loaded this call, last committed version). */
+  def copyInto(source: String, format: String = "parquet",
+      formatOptions: Map[String, String] = Map.empty,
+      force: Boolean = false,
+      mergeSchema: Boolean = false): (Int, Long) = {
+    require(currentVersion >= 0,
+      s"COPY INTO target at $path does not exist — CREATE TABLE first " +
+      "(Delta's contract: the target table must exist)")
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(source)
+    val sfs = src.getFileSystem(conf)
+    val listed: Seq[Path] =
+      if (source.exists("*?[{".contains(_)))
+        sfs.globStatus(src).toSeq.filter(_.isFile).map(_.getPath)
+      else if (sfs.getFileStatus(src).isFile) Seq(src)
+      else {
+        val it = sfs.listFiles(src, true)
+        val out = Seq.newBuilder[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) out += st.getPath
+        }
+        out.result()
+      }
+    def markerOf(p: Path): String = s"graft-copy-into:${p.toUri.getPath}"
+    val known = txnMapAt(currentVersion)
+    val fresh = (if (force) listed
+      else listed.filterNot(p => known.contains(jsonEscape(markerOf(p)))))
+      .sortBy(_.toUri.getPath)
+    var last = currentVersion
+    fresh.grouped(GraftTable.CopyIntoBatchFiles).foreach { chunk =>
+      val df = spark.read.format(format).options(formatOptions)
+        .load(chunk.map(_.toString): _*)
+      val multi = chunk.map(p => encU(markerOf(p))).mkString(",")
+      last = write(df, SaveMode.Append, mergeSchema = mergeSchema,
+        extraMetrics = Map("txnMulti" -> multi, "sourceOp" -> "COPY INTO"))
+    }
+    (fresh.size, last)
   }
 
   // ---- S6/S7: read -----------------------------------------------------
@@ -3363,6 +3420,18 @@ final class GraftTable private (
     else None
   }
 
+  /** Live files of `version`'s snapshot with their logged byte sizes,
+    * in a deterministic (sorted) order — the unit list an
+    * initial-snapshot streaming split admits over. Sizes come from the
+    * log (0 for legacy entries committed before sizes were recorded —
+    * the byte cap then treats them as free rather than paying a
+    * per-file status probe). */
+  def manifestFilesWithSizes(version: Long = currentVersion)
+      : Seq[(String, Long)] = {
+    val snap = snapshotAt(version)
+    snap.files.sorted.map(f => f -> snap.sizes.getOrElse(f, 0L))
+  }
+
   /** [[appendOnlyAdds]] plus each file's byte size — the unit
     * `maxBytesPerTrigger` admission counts in. Sizes come from the
     * commit's action record; a legacy record without one falls back to
@@ -3788,6 +3857,11 @@ object GraftTable {
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */
   val CheckpointInterval: Long = 10L
+
+  /** COPY INTO loads at most this many source files per commit: bounds
+    * the per-commit marker record and makes a giant backfill resumable
+    * at commit boundaries. */
+  val CopyIntoBatchFiles: Int = 1000
 
   /** Full table state at one version: live files (manifest order),
     * per-file column stats, per-file deletion-vector runs, per-file

@@ -71,6 +71,8 @@ object GraftSqlParser {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Tbl\\s*;?\\s*$$""".r
   private val DetailRe =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Tbl\\s*;?\\s*$$""".r
+  private val CopyIntoRe =
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$Tbl\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(\\w+)(?:\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?(?:\\s+COPY_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""".r
   private val ShowPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+$Tbl\\s*;?\\s*$$""".r
   private val ReorgRe =
@@ -113,6 +115,10 @@ object GraftSqlParser {
     // session-table name keeps stock Spark's own SHOW PARTITIONS
     case ShowPartsRe(tbl) if tbl.contains('`') =>
       Some(GraftShowPartitionsCommand(tbl))
+    case CopyIntoRe(tbl, src, fmt, fopts, copts) =>
+      Some(GraftCopyIntoCommand(tbl, src, fmt.toLowerCase,
+        GraftSqlParser.parseOptionList(fopts),
+        GraftSqlParser.parseOptionList(copts)))
     case ReorgRe(tbl) => Some(GraftReorgCommand(tbl))
     case IdentityRe(tbl, name, start, step) =>
       Some(GraftAddIdentityCommand(tbl, name,
@@ -146,6 +152,14 @@ object GraftSqlParser {
       Some(GraftConvertCommand(tbl, cols))
     case _ => None
   }
+
+  /** Parse a `'k' = 'v', 'k2' = 'v2'` option list (null/empty → empty). */
+  private[graft] def parseOptionList(raw: String): Map[String, String] =
+    Option(raw).map(_.trim).filter(_.nonEmpty).fold(Map.empty[String, String]) {
+      body =>
+        """'((?:[^'])*)'\s*=\s*'((?:[^'])*)'""".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toMap
+    }
 
   /** Resolve a parsed table reference to a GraftTable handle. Backticked
     * forms are paths (with or without the `graft.` catalog prefix);
@@ -343,6 +357,27 @@ case class GraftRestoreTimestampCommand(table: String, timestamp: String)
         timestamp.replace("T", " ")
       else s"$timestamp 00:00:00")
     Seq(Row(t.restore(t.versionAtTime(ts.getTime))))
+  }
+}
+
+/** `COPY INTO graft.\`path\` FROM '<dir-or-glob>' FILEFORMAT = PARQUET
+  * [FORMAT_OPTIONS('k'='v',…)] [COPY_OPTIONS('force'='true',
+  * 'mergeSchema'='true')]` — Delta's idempotent bulk loader: each
+  * source file loads exactly once across re-runs. */
+case class GraftCopyIntoCommand(table: String, source: String,
+    format: String, formatOptions: Map[String, String],
+    copyOptions: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_files_loaded", IntegerType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val unknown = copyOptions.keySet -- Set("force", "mergeSchema")
+    require(unknown.isEmpty, s"unknown COPY_OPTIONS: ${unknown.mkString(", ")}")
+    val (n, v) = GraftSqlParser.resolve(session, table).copyInto(
+      source, format, formatOptions,
+      force = copyOptions.get("force").exists(_.toBoolean),
+      mergeSchema = copyOptions.get("mergeSchema").exists(_.toBoolean))
+    Seq(Row(n, v))
   }
 }
 

@@ -348,6 +348,47 @@ class StreamingTableSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBytesPerTrigger"), e.getMessage)
   }
 
+  test("initial snapshot splits across triggers under the file cap, restart-safe") {
+    // a 100 TB table's FIRST delivery must not be one unbounded batch:
+    // with no startingVersion the snapshot itself admits under the
+    // file/byte caps, and a checkpointed mid-snapshot boundary resumes
+    // with exactly the remainder
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_snap_split").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_snap_out").toString
+    val t = graft.table.GraftTable(spark, path)
+    t.write((0 until 60).map(i => (i.toLong, i % 6)).toDF("id", "p")
+      .repartition(6))                                               // v0: 6 files
+    t.write(Seq((100L, 0)).toDF("id", "p"),
+      org.apache.spark.sql.SaveMode.Append)                          // v1
+
+    def stream(tr: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2")                           // no startingVersion
+        .load(path)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(tr).start()
+    // Trigger.Once: exactly one bounded chunk of the snapshot
+    val q1 = stream(org.apache.spark.sql.streaming.Trigger.Once())
+    try q1.awaitTermination(120000) finally q1.stop()
+    val afterOnce = spark.read.parquet(out).count()
+    assert(afterOnce > 0 && afterOnce < 60,
+      s"one trigger must deliver a bounded snapshot slice, got $afterOnce")
+    // resume: the rest of the snapshot + v1, exactly once
+    val q2 = stream(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      assert(q2.awaitTermination(120000))
+      val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+      assert(got.toSeq == ((0L until 60L) :+ 100L),
+        s"exactly-once snapshot split: ${got.length} rows")
+      val nonEmpty = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.forall(_.numInputRows <= 40),
+        s"a batch flooded: ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q2.stop()
+  }
+
   test("skipChangeCommits: rewrite commits contribute nothing; appends still flow") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_skipcc").toString
