@@ -1967,7 +1967,20 @@ final class GraftTable private (
       if (schemaReset) Some(_ => ColMap(Nil, Nil))
       else if (mapAdds.isEmpty) None
       else Some(colMapExtension("mergeSchema write", mapAdds))
-    val added = appendDataFiles(physDf)
+    // optimized writes (Delta optimizeWrite parity): shuffle the rows
+    // by the partition columns before writing, so each partition dir
+    // gets ONE task's worth of full files instead of one sliver per
+    // (task × partition) — at 1000 executors an un-shuffled write of a
+    // 3-partition frame plants 3000 small files per batch. Prevention
+    // at write time; `graft.autoCompact` remains the repair path.
+    val physOut =
+      if (partitionColumns.nonEmpty &&
+          propertiesOf(currentVersion).get("graft.optimizeWrite")
+            .exists(_.toBoolean))
+        physDf.repartition(partitionColumns
+          .map(c => col(colMap.physicalOf.getOrElse(c, c))): _*)
+      else physDf
+    val added = appendDataFiles(physOut)
     val metrics =
       Map("numFiles" -> added.size.toString, "numOutputRows" -> "-1") ++ extraMetrics
     // record the physical schema: append and PARTIAL overwrites UNION

@@ -58,6 +58,27 @@ class SqlMaintenanceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.retentionDurationCheck.enabled")
   }
 
+  test("graft.optimizeWrite shuffles by partition columns: full files, not slivers") {
+    import spark.implicits._
+    val mk = () => {
+      val path = Files.createTempDirectory("sqlm_ow").toString
+      GraftTable(spark, path, Seq("p"))
+    }
+    val df = (0 until 120).map(i => (i.toLong, i % 3)).toDF("id", "p")
+      .repartition(8) // 8 tasks x 3 partitions = up to 24 slivers
+    val plain = mk()
+    plain.write(df)
+    val slivers = plain.manifestFiles().size
+    assert(slivers > 3, s"un-shuffled write should sliver, got $slivers files")
+    val ow = mk()
+    ow.write(Seq((-1L, 0)).toDF("id", "p"))
+    ow.setProperties(Map("graft.optimizeWrite" -> "true"))
+    ow.write(df, org.apache.spark.sql.SaveMode.Append)
+    val files = ow.manifestFiles().size - 1 // minus the seed write's file
+    assert(files == 3, s"optimizeWrite must land one file per partition, got $files")
+    assert(ow.read().count() == 121)
+  }
+
   test("SHOW PARTITIONS reports files/rows/bytes from the manifest, no scan") {
     import spark.implicits._
     val path = Files.createTempDirectory("sqlm_showp").toString

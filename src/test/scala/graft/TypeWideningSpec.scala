@@ -88,6 +88,23 @@ class TypeWideningSpec extends SparkSpec {
     assert(ops.contains("ALTER COLUMN TYPE"))
   }
 
+  test("streaming from a widened table: narrow old files flow under the wide schema") {
+    val (t, path) = fresh("tw_stream")
+    t.write(Seq((1, "a"), (2, "b")).toDF("v", "s"))        // narrow int files
+    t.alterColumnType("v", LongType)
+    t.write(Seq((30000000000L, "c")).toDF("v", "s"),
+      org.apache.spark.sql.SaveMode.Append)                // wide file
+    val name = s"tw_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (30000000000L, "c")))
+      assert(spark.table(name).schema("v").dataType == LongType)
+    } finally q.stop()
+  }
+
   test("SQL: ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT through the DSv2 catalog") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val (t, path) = fresh("tw_sql")
