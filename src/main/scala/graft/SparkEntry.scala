@@ -33,6 +33,8 @@ object SparkEntry {
       graft.text.Chunking.queries ++
       graft.text.HeavyHitters.queries ++
       graft.text.Safety.queries ++
+      graft.text.Repetition.queries ++
+      graft.text.Classifier.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
       graft.queries.Relational.queries ++
@@ -64,6 +66,8 @@ object SparkEntry {
       graft.text.Chunking.oracles ++
       graft.text.HeavyHitters.oracles ++
       graft.text.Safety.oracles ++
+      graft.text.Repetition.oracles ++
+      graft.text.Classifier.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
       graft.queries.Relational.oracles ++
