@@ -3669,6 +3669,113 @@ final class GraftTable private (
     t
   }
 
+  /** DEEP CLONE (Delta parity): a new, fully independent table at
+    * `targetPath` with its OWN copy of every live data file — no
+    * references back into the source, so the source can be vacuumed,
+    * dropped or truncated without ever breaking the clone (the
+    * trade-off against [[shallowClone]]'s zero-copy manifest).
+    *
+    * The copy is a DISTRIBUTED job over the file list (one task per
+    * file batch, each task opening source and target through its own
+    * Hadoop FileSystem) — the driver never streams a byte, so cloning
+    * scales with executor count, not driver bandwidth. Stats, deletion
+    * vectors, constraints, generated columns, properties, column
+    * mapping and the recorded schema travel with the clone under the
+    * files' names in the target. */
+  def deepClone(targetPath: String, version: Long = -1L): GraftTable = {
+    val srcV = if (version < 0) currentVersion else version
+    require(srcV >= 0 && srcV <= currentVersion,
+      s"no committed version $srcV to clone")
+    val t = new GraftTable(spark, targetPath, partitionColumns)
+    require(t.currentVersion < 0,
+      s"$targetPath is already a graft table (v${t.currentVersion})")
+    val rootAbs = root.toUri.getPath
+    val tgtAbs = t.root.toUri.getPath
+    // target-relative name per source entry: relative entries keep their
+    // name (partition dirs preserved); absolute entries (a shallow-clone
+    // source, adopted files) are renamed uniquely under the target root
+    def tgtName(f: String): String =
+      if (!f.startsWith("/")) f
+      else {
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(8)
+        s"deep_${tag}_$base"
+      }
+    val files = manifestFiles(srcV)
+    val pairs = files.map { f =>
+      val src = if (f.startsWith("/")) f else s"$rootAbs/$f"
+      (src, tgtName(f))
+    }
+    val tasks = math.max(1, math.min(pairs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(pairs, tasks).foreach {
+      case (src, rel) => GraftTable.copyFile(src, s"$tgtAbs/$rel")
+    }
+    val renamed = files.map(f => f -> tgtName(f)).toMap
+    t.commit("CLONE", files.map(renamed), Map(
+      "sourcePath" -> path, "sourceVersion" -> srcV.toString,
+      "deep" -> "true"),
+      newConstraints = Some(constraintsOf(srcV)),
+      newGenerated = Some(generatedOf(srcV)),
+      newProperties = Some(_ => propertiesOf(srcV)),
+      newSchema = Some(_ => schemaOf(srcV).getOrElse(physicalSchemaAt(srcV))),
+      carriedStats = statsOf(srcV).map { case (f, c) => renamed(f) -> c },
+      collectStats = false,
+      addSizes = snapshotAt(srcV).sizes.flatMap { case (f, sz) =>
+        renamed.get(f).map(_ -> sz) },
+      dvChanges = Some(_ => dvOf(srcV).map { case (f, r) => renamed(f) -> r }),
+      newColMap = Some(_ => colMapOf(srcV)))
+    t
+  }
+
+  /** GENERATE symlink_format_manifest (Delta parity): write the
+    * `_symlink_format_manifest/` tree that external engines without a
+    * graft reader (Presto/Trino/Athena-style symlink input format)
+    * consume — one text `manifest` per partition directory (a single
+    * root manifest for unpartitioned tables) listing the absolute URIs
+    * of the snapshot's live data files.
+    *
+    * Refuses tables with deletion vectors or column mapping: a symlink
+    * consumer reads the raw parquet, so it would resurrect DV-deleted
+    * rows or see physical column names — the same restriction Delta's
+    * GENERATE imposes. Regeneration replaces the whole tree (stale
+    * partition manifests from before a partition became empty must not
+    * survive). Returns the number of manifest files written. */
+  def generateSymlinkManifest(): Int = {
+    val v = currentVersion
+    require(v >= 0, s"no committed graft table at $path")
+    require(dvOf(v).forall(_._2.isEmpty),
+      "GENERATE symlink_format_manifest: table has deletion vectors; " +
+      "REORG TABLE ... APPLY (PURGE) first — symlink consumers read raw " +
+      "parquet and would resurrect deleted rows")
+    val cm = colMapOf(v)
+    require(cm.entries.forall { case (l, p) => l == p } && cm.retired.isEmpty,
+      "GENERATE symlink_format_manifest: table uses column mapping; " +
+      "symlink consumers would see physical column names")
+    val rootAbs = root.toUri.getPath
+    val manifestRoot = new Path(root, "_symlink_format_manifest")
+    if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)
+    val byDir = manifestFiles(v).groupBy { f =>
+      if (f.startsWith("/")) "" // adopted absolute files → root manifest
+      else if (f.contains('/')) f.substring(0, f.lastIndexOf('/'))
+      else ""
+    }
+    byDir.foreach { case (dir, fsInDir) =>
+      val d = if (dir.isEmpty) manifestRoot else new Path(manifestRoot, dir)
+      fs.mkdirs(d)
+      val out = fs.create(new Path(d, "manifest"), true)
+      try {
+        val body = fsInDir.sorted.map { f =>
+          val abs = if (f.startsWith("/")) f else s"$rootAbs/$f"
+          s"file:$abs\n"
+        }.mkString
+        out.write(body.getBytes(StandardCharsets.UTF_8))
+      } finally out.close()
+    }
+    byDir.size
+  }
+
   /** Log retention (Delta's logRetentionDuration parity, counted in
     * versions): drop the commit record, manifest and sidecars of every
     * version more than `keepVersions` below the current one. Bounds the
@@ -3858,6 +3965,29 @@ object GraftTable {
   /** OPTIMIZE bin-packing target — the reference compacts toward ~1 GB
     * files (DESIGN.md:20-24; Delta's optimize default). */
   val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
+
+  /** Executor-side single-file copy for [[GraftTable.deepClone]]. PURE
+    * of driver state: the task builds its own Hadoop config (executors
+    * carry the cluster's core-site), so nothing unserializable rides
+    * the closure. Overwrites a partial file from a failed prior
+    * attempt — task retries are idempotent. */
+  private[table] def copyFile(src: String, dst: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val sp = new Path(src)
+    val dp = new Path(dst)
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    dfs.mkdirs(dp.getParent)
+    val in = sfs.open(sp)
+    try {
+      val out = dfs.create(dp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+  }
 
   /** Comma-separated default clustering columns for OPTIMIZE
     * (liquid-clustering-lite: layout policy as table metadata). */

@@ -92,7 +92,9 @@ object GraftSqlParser {
   private val ClusterByNoneRe =
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tbl\\s+CLUSTER\\s+BY\\s+NONE\\s*;?\\s*$$""".r
   private val CloneRe =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+SHALLOW\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val GenerateRe =
+    s"""(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*$$""".r
   private val ConvertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val AnalyzeRe =
@@ -140,8 +142,11 @@ object GraftSqlParser {
     case ClusterByRe(tbl, cols) =>
       Some(GraftClusterByCommand(tbl, cols.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
-    case CloneRe(tgt, src, v) =>
-      Some(GraftCloneCommand(tgt, src, Option(v).map(_.toLong)))
+    case CloneRe(tgt, mode, src, v) =>
+      Some(GraftCloneCommand(tgt, src, Option(v).map(_.toLong),
+        deep = mode.equalsIgnoreCase("DEEP")))
+    case GenerateRe(mode, tbl) =>
+      Some(GraftGenerateCommand(tbl, mode.toLowerCase(Locale.ROOT)))
     case ConvertRe(tbl, parts) =>
       // Delta's CONVERT TO DELTA lists `col type` pairs; hive directory
       // values are untyped strings here, so only the names matter
@@ -274,14 +279,30 @@ case class GraftDropDefaultCommand(table: String, name: String)
 }
 
 case class GraftCloneCommand(target: String, source: String,
-    version: Option[Long]) extends LeafRunnableCommand {
+    version: Option[Long], deep: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftSqlParser.resolve(session, source)
-    val clone = src.shallowClone(GraftSqlParser.pathOf(target),
-      version.getOrElse(-1L))
+    val tgt = GraftSqlParser.pathOf(target)
+    val clone =
+      if (deep) src.deepClone(tgt, version.getOrElse(-1L))
+      else src.shallowClone(tgt, version.getOrElse(-1L))
     Seq(Row(clone.currentVersion))
+  }
+}
+
+case class GraftGenerateCommand(table: String, mode: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifests", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(mode == "symlink_format_manifest",
+      s"GENERATE: unsupported mode '$mode' " +
+      "(supported: symlink_format_manifest)")
+    Seq(Row(GraftSqlParser.resolve(session, table)
+      .generateSymlinkManifest().toLong))
   }
 }
 

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** DEEP CLONE independence and GENERATE symlink_format_manifest. */
+class CloneManifestSpec extends SparkSpec {
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0))
+
+  test("deep clone copies files, carries metadata, survives source vacuum") {
+    val srcPath = Files.createTempDirectory("deep_src").toString
+    val t = GraftTable(spark, srcPath, Seq("ticker"))
+    t.write(bars)
+    t.addConstraint("pos_vol", "volume >= 0")
+    t.delete(col("ticker") === "MSFT") // a DV-free copy-on-write delete
+    val expect = t.read().orderBy("ticker", "timestamp_ms").collect()
+
+    val tgtPath = Files.createTempDirectory("deep_tgt").toString + "/c"
+    val c = t.deepClone(tgtPath)
+    // every clone manifest entry is clone-local (no path back to source)
+    assert(c.manifestFiles().forall(!_.startsWith("/")))
+    assert(c.read().orderBy("ticker", "timestamp_ms").collect().sameElements(expect))
+    assert(c.constraints.contains("pos_vol"))
+
+    // obliterate the source entirely: the deep clone must not notice
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcPath))
+    assert(c.read().orderBy("ticker", "timestamp_ms").collect().sameElements(expect))
+
+    // SQL form, cloning the clone at version 0
+    val tgt2 = Files.createTempDirectory("deep_tgt2").toString + "/d"
+    spark.sql(s"CREATE TABLE graft.`$tgt2` DEEP CLONE graft.`$tgtPath`")
+    assert(GraftTable(spark, tgt2, Seq("ticker")).read().count() ==
+      expect.length)
+  }
+
+  test("deep clone of a shallow clone localizes the absolute entries") {
+    val srcPath = Files.createTempDirectory("deep_sh_src").toString
+    val t = GraftTable(spark, srcPath, Seq("ticker"))
+    t.write(bars)
+    val sh = t.shallowClone(
+      Files.createTempDirectory("deep_sh_mid").toString + "/s")
+    assert(sh.manifestFiles().exists(_.startsWith("/"))) // references source
+    val deep = sh.deepClone(
+      Files.createTempDirectory("deep_sh_tgt").toString + "/d")
+    assert(deep.manifestFiles().forall(!_.startsWith("/")))
+    assert(deep.read().count() == t.read().count())
+  }
+
+  test("symlink manifest lists exactly the live files per partition dir") {
+    val p = Files.createTempDirectory("symlink").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    val n = t.generateSymlinkManifest()
+    assert(n > 1) // one manifest per ticker partition
+    val rootAbs = new java.io.File(p).getCanonicalPath
+    val listed = spark.read.textFile(s"$p/_symlink_format_manifest/*/manifest")
+      .collect().toSet
+    val live = t.manifestFiles().map(f => s"file:$rootAbs/$f").toSet
+    assert(listed == live)
+    // every URI resolves to a real parquet file
+    listed.foreach { u =>
+      assert(new java.io.File(u.stripPrefix("file:")).isFile, u)
+    }
+
+    // SQL form reports the manifest count; regeneration replaces stale dirs
+    val m = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$p`")
+      .collect().head.getLong(0)
+    assert(m == n.toLong)
+  }
+
+  test("symlink manifest refuses a table with live deletion vectors") {
+    val p = Files.createTempDirectory("symlink_dv").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+    val e = intercept[IllegalArgumentException](t.generateSymlinkManifest())
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+}
