@@ -3114,7 +3114,8 @@ final class GraftTable private (
       matched: Seq[MergeBuilder.Matched],
       notMatched: Seq[MergeBuilder.NotMatched],
       notMatchedBySource: Seq[MergeBuilder.NotMatchedBySource] = Nil,
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      extraMetrics: Map[String, String] = Map.empty): Long = {
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     if (currentVersion >= 0)
@@ -3386,7 +3387,7 @@ final class GraftTable private (
       cdcPost.map(phys(_) -> "update_postimage").toSeq :+
       (phys(insertsId) -> "insert"))
     val added = appendDataFiles(physOut)
-    commitRewrite("MERGE", affected, added, Map(
+    commitRewrite("MERGE", affected, added, extraMetrics ++ Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString,
       "numColumnsEvolved" -> evolveCols.size.toString,
@@ -3915,6 +3916,14 @@ final class MergeBuilder private[table] (
   private var notMatched = Vector.empty[NotMatched]
   private var notMatchedBySource = Vector.empty[NotMatchedBySource]
   private var schemaEvolution = false
+  private var metrics = Map.empty[String, String]
+
+  /** Extra commit-record metrics — notably `txnAppId`/`txnVersion`,
+    * which enroll the merge in the table's idempotent-transaction map
+    * exactly like [[GraftTable.idempotentAppend]] (a replayed merge of
+    * the same window can then be detected via `lastTxnVersion`). */
+  def withMetrics(m: Map[String, String]): this.type =
+    { metrics ++= m; this }
 
   /** Delta's `WITH SCHEMA EVOLUTION`: source columns absent from the
     * target are ADDed (metadata-only, NULL backfill) before the merge
@@ -3958,7 +3967,7 @@ final class MergeBuilder private[table] (
   /** Run the merge; returns the committed version. */
   def execute(): Long =
     t.executeMerge(source, keys, residual, matched, notMatched,
-      notMatchedBySource, schemaEvolution)
+      notMatchedBySource, schemaEvolution, metrics)
 }
 
 object GraftTable {

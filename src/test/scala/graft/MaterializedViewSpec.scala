@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.{GraftTable, MaterializedView => MV}
+import graft.transform.Enrich
+
+/** Incremental MV maintenance: every refresh must leave the view
+  * EXACTLY equal to a full recompute of the aggregate at the source's
+  * current version — across appends, copy-on-write deletes, DV deletes
+  * and updates — while reading only the change feed. */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0))
+
+  private def recompute(src: GraftTable) =
+    src.read().groupBy("ticker")
+      .agg(count(lit(1)).as("mv_cnt"), sum("volume").as("sum_volume"))
+
+  private def assertCurrent(mv: GraftTable, src: GraftTable): Unit = {
+    val got = mv.read().orderBy("ticker").collect()
+    val want = recompute(src).orderBy("ticker").collect()
+    assert(got.sameElements(want),
+      s"mv=${got.mkString(",")} vs full=${want.mkString(",")}")
+  }
+
+  test("refresh tracks appends, deletes, DV deletes and updates exactly") {
+    val srcPath = Files.createTempDirectory("mv_src").toString
+    val src = GraftTable(spark, srcPath, Seq("ticker"))
+    src.write(bars.filter(col("ticker") =!= "NVDA"))
+
+    val mvPath = Files.createTempDirectory("mv_view").toString + "/mv"
+    val mv = MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
+    assertCurrent(mv, src)
+
+    // append a new group + more rows of an existing group
+    src.write(bars.filter(col("ticker").isin("NVDA", "AAPL")),
+      org.apache.spark.sql.SaveMode.Append)
+    // copy-on-write delete removes a whole group
+    src.delete(col("ticker") === "MSFT")
+    // DV (merge-on-read) delete shrinks a group without rewriting files
+    src.delete(col("ticker") === "AMZN" && col("volume") % 2 === 0,
+      mergeOnRead = true)
+    val (from, to) = MV.refresh(spark, mvPath)
+    assert(to > from)
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+    // deleted group is GONE from the view, not zero-counted
+    assert(GraftTable(spark, mvPath, Seq.empty).read()
+      .filter(col("ticker") === "MSFT").count() == 0)
+
+    // update changes sums without changing counts (pre/post images)
+    src.update(col("ticker") === "AAPL",
+      Map("volume" -> (col("volume") + 7)))
+    MV.refresh(spark, mvPath)
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+
+    // already-current refresh is a no-op commit-wise
+    val vBefore = GraftTable(spark, mvPath, Seq.empty).currentVersion
+    val (f2, t2) = MV.refresh(spark, mvPath)
+    assert(f2 == t2)
+    assert(GraftTable(spark, mvPath, Seq.empty).currentVersion == vBefore)
+  }
+
+  test("torn refresh (merge landed, property commit lost) never double-applies") {
+    val srcPath = Files.createTempDirectory("mv_torn_src").toString
+    val src = GraftTable(spark, srcPath, Seq("ticker"))
+    src.write(bars)
+    val mvPath = Files.createTempDirectory("mv_torn").toString + "/mv"
+    val mv = MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
+
+    src.delete(col("ticker") === "TSLA")
+    MV.refresh(spark, mvPath)
+    // simulate the crash: rewind the PROPERTY to the pre-refresh value
+    // while the merge commit (and its txn marker) stays landed
+    val healthy = GraftTable(spark, mvPath, Seq.empty)
+    val applied = healthy.properties(MV.VersionProp).toLong
+    healthy.setProperties(Map(MV.VersionProp -> "0"))
+
+    val (f, t) = MV.refresh(spark, mvPath) // must NOT re-apply 0..applied
+    assert(f == applied && t == applied)
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+    // and the healed property is back in line
+    assert(GraftTable(spark, mvPath, Seq.empty)
+      .properties(MV.VersionProp).toLong == applied)
+  }
+
+  test("refresh cost scales with the change, not the table: append window reads no base files") {
+    val srcPath = Files.createTempDirectory("mv_cost_src").toString
+    val src = GraftTable(spark, srcPath, Seq("ticker"))
+    src.write(bars)
+    val mvPath = Files.createTempDirectory("mv_cost").toString + "/mv"
+    MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
+    val appended = bars.filter(col("ticker") === "AAPL").limit(10)
+    src.write(appended, org.apache.spark.sql.SaveMode.Append)
+    // the change feed for a pure append window is exactly the appended
+    // rows — the MV delta never rescans the base table
+    val ch = src.changes(src.currentVersion - 1, src.currentVersion)
+    assert(ch.count() == appended.count())
+    assert(ch.filter(col("_change_type") =!= "insert").count() == 0)
+    MV.refresh(spark, mvPath)
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+  }
+}
