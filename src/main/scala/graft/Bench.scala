@@ -44,7 +44,10 @@ object Bench {
     * and the two-pass corpus-LM typicality score (census + broadcast
     * rescore). */
   val HeadlineR9Added: Seq[String] = Seq("dedup_substring", "lm_typicality",
-    "tfidf_keywords", "source_overlap")
+    "tfidf_keywords", "source_overlap",
+    // Gopher dup-n-gram signals (3-sort window stack over one shuffle)
+    // and hashed-linear classifier inference (broadcast weight join)
+    "gopher_repetition", "quality_classifier")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added
