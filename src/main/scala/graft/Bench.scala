@@ -52,6 +52,18 @@ object Bench {
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added
 
+  /** Diagnosed explanations for sf1 flags whose super-linearity is a
+    * measured DATA property, not an algorithmic shape (each verified by
+    * stage-level profiling; see the named query's scaladoc). */
+  val FlagNotes: Map[String, String] = Map(
+    "dedup_minhash" -> ("LSH candidate pairs grow 12.0x at 10x data " +
+      "(294k to 3.52M, stage-profiled): digit/punctuation shingles are " +
+      "invariant under BenchScale's Caesar transform, so scaled copies " +
+      "gain genuine cross-copy near-dup candidates. Per-candidate cost " +
+      "is flat (verify join is linear in candidates; output pairs scale " +
+      "exactly 10x, 256 to 2561) and the sketch pipeline computes once " +
+      "(persisted). Linear in candidate count by construction."))
+
   /** Scale section (r8; widened to the FULL headline set in r9): run
     * every bench query at a ×10 scale-up of the bench dir to expose
     * super-linear shapes (CC round growth, LSH bucket skew, per-cell
@@ -198,9 +210,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
     val confirmed = results.map { case (k, _) => k -> sf1Time(k) }
+    // fix-or-explain notes for flags with a diagnosed, data-driven cause
+    // (the flag still prints — the note explains, it does not suppress)
+    val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
+      FlagNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
     s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
-      s""""flagged":${flagged.mkString("[", ",", "]")}}"""
+      s""""flagged":${flagged.mkString("[", ",", "]")},""" +
+      s""""flag_notes":${notes.mkString("{", ",", "}")}}"""
   }
 
   /** Table-layer micro-bench: the write → append → OPTIMIZE → DV DELETE

@@ -77,12 +77,32 @@ object Dedup {
     * (DedupSimilaritySpec asserts it) — the same shuffles a sort-merge
     * plan needs at scale anyway. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // the sketch table MATERIALIZES (1.5 KB/doc — NumPerm longs, ~1-2%
+    // of corpus bytes; disk-backed): it is consumed three times (band
+    // explosion + both sides of the verify join), and without explicit
+    // materialization Catalyst plans each consumer as its own text scan
+    // + kernel pipeline — measured 4 full scans, with the join-key
+    // null-filters re-running the kernel a second time per row inside
+    // the Filter. This is the in-query form of the PERSISTED sketch
+    // corpus the incremental flow ([[persistSketchCorpus]]) stores as a
+    // real table — at 100 TB you keep this artifact durably, you don't
+    // recompute it per join arm.
     val sk = minhashSketches(spark, dir).repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band signatures via the static kernel (single pass over the sketch)
     val banded = sk.select(col("doc_id"), posexplode(
       graft.functions.SigKernelColumns.band_signatures(
         col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
       .repartition(col("band"), col("sig"))
+    // join strategy is left to AQE ON PURPOSE: at bench scale the cached
+    // sketch table is a few MB and broadcasting it beats shuffling
+    // candidate×sketch rows 3-4x; at 100 TB the same table is 100+ GB,
+    // exceeds every broadcast threshold, and AQE's runtime sizes pick
+    // the shuffled join — the plan adapts to scale instead of pinning
+    // either extreme. (Forcing shuffle_hash here was measured 2x SLOWER
+    // at both sf0.1 and sf1: the verify join then shuffles a full
+    // 1.5 KB sketch per candidate-pair side — ~5 GB at sf1 — where the
+    // broadcast lookup ships the 37 MB table once per executor.)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -207,6 +207,49 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  // ---- DSIR-style domain-contrast scoring -----------------------------
+
+  /** The target "domain" whose distribution docs are scored against —
+    * a source value of the corpus itself (DSIR's target would be an
+    * external high-quality set; the engine mechanics are identical). */
+  val ContrastTarget = "src0"
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) shape:
+    * score every document by how its n-gram distribution contrasts a
+    * TARGET domain against the whole corpus — the selection signal for
+    * domain-weighted training mixtures. Per doc:
+    * `target_hits` = Σ target-census count of its trigrams (0 when the
+    * target never saw one), `corpus_hits` = Σ corpus-census count, and
+    * `contrast` = target_hits / corpus_hits — a monotone proxy for the
+    * DSIR importance weight (the global T_tot/C_tot normalizer is
+    * constant across docs, so the RANKING is identical to the
+    * normalized ratio while staying one exact long/long division; a
+    * log-space weight would hinge on cross-engine ln() ulp agreement).
+    *
+    * Scale shape: identical to [[lmTypicality]] — both censuses live
+    * on the BOUNDED trigram domain (charset³, not corpus size) so they
+    * broadcast, and the probe is one scan with two broadcast joins and
+    * a map-side-combined groupBy(doc_id). The target census is a
+    * filtered partial of the same exploded stream. */
+  def dsirContrast(spark: SparkSession, dir: String): DataFrame = {
+    val tg = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TrigramPack.trigrams_packed(col("text"))).as("tg"))
+    val corpus = tg.groupBy("tg").agg(count(lit(1)).as("ccnt"))
+    val target = tg.filter(col("source") === ContrastTarget)
+      .groupBy("tg").agg(count(lit(1)).as("tcnt"))
+    tg.join(broadcast(corpus), "tg")
+      .join(broadcast(target), Seq("tg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(coalesce(col("tcnt"), lit(0L))).as("target_hits"),
+        sum("ccnt").as("corpus_hits"))
+      .withColumn("contrast",
+        round(col("target_hits").cast("double") / col("corpus_hits"), 6))
+      .select("doc_id", "n_trigrams", "target_hits", "corpus_hits", "contrast")
+      .orderBy("doc_id")
+  }
+
   // ---- cross-source duplicate overlap ---------------------------------
 
   /** Between-source duplication matrix — the leakage diagnostic a
@@ -256,11 +299,32 @@ object QualityFilters {
     "block_dedup" -> blockDedup _,
     "intra_dedup" -> intraDedup _,
     "lm_typicality" -> lmTypicality _,
+    "dsir_contrast" -> dsirContrast _,
     "source_overlap" -> sourceOverlap _,
     "token_histogram" -> tokenHistogram _,
     "source_mixture" -> sourceMixture _)
 
   val oracles: Map[String, String] = Map(
+    // string trigrams where the query censuses their packed-int images
+    // (bijective for this ASCII corpus — lm_typicality's argument)
+    "dsir_contrast" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+        |                i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, tg FROM g WHERE length(tg) = 3),
+        |corpus AS (SELECT tg, COUNT(*) AS ccnt FROM t GROUP BY tg),
+        |target AS (SELECT tg, COUNT(*) AS tcnt FROM t
+        |           WHERE source = 'src0' GROUP BY tg)
+        |SELECT t.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |       CAST(SUM(coalesce(target.tcnt, 0)) AS BIGINT) AS target_hits,
+        |       CAST(SUM(corpus.ccnt) AS BIGINT) AS corpus_hits,
+        |       round(CAST(SUM(coalesce(target.tcnt, 0)) AS DOUBLE)
+        |             / CAST(SUM(corpus.ccnt) AS BIGINT), 6) AS contrast
+        |FROM t JOIN corpus USING (tg) LEFT JOIN target USING (tg)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // the oracle pairs sources sharing a RAW block string where the
     // query pairs their md5 images — identical counts absent a
     // collision (dedup_exact's argument)

@@ -113,6 +113,42 @@ class QualityFiltersSpec extends SparkSpec {
       s"census must broadcast-join:\n$plan")
   }
 
+  test("dsir_contrast: driver recount; target docs score high, censuses broadcast") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def grams(t: String) = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val corpus = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val target = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, s, t) =>
+      grams(t).foreach { g =>
+        corpus(g) += 1
+        if (s == QualityFilters.ContrastTarget) target(g) += 1
+      }
+    }
+    val df = QualityFilters.dsirContrast(spark, sf)
+    val got = df.select("doc_id", "n_trigrams", "target_hits", "corpus_hits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    docs.foreach { case (id, _, t) =>
+      val gs = grams(t)
+      if (gs.nonEmpty)
+        assert(got(id) == (gs.length.toLong, gs.map(target).sum,
+          gs.map(corpus).sum), s"doc $id")
+    }
+    // the signal separates: target-source docs average a higher contrast
+    // than the rest (they ARE the target distribution)
+    val bySrc = df.join(
+        graft.tables.Tables.documents(spark, sf).select("doc_id", "source"),
+        "doc_id")
+      .groupBy(col("source") === QualityFilters.ContrastTarget)
+      .agg(avg("contrast").as("c")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(bySrc(true) > bySrc(false),
+      s"target avg ${bySrc(true)} !> rest ${bySrc(false)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "censuses must broadcast")
+  }
+
   test("source_mixture: quotas respected, ~half the corpus kept, deterministic") {
     val df = QualityFilters.sourceMixture(spark, sf).cache()
     // per-source: exactly quota rows, ranks are 1..quota
