@@ -263,12 +263,15 @@ object Dedup {
     * between the two, and [[Sketches.SimHashAgg]] remains the UDAF
     * surface demo). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // no cache (would leak across Verify's multi-query run): the explicit
-    // repartition pins one exchange that both self-join sides reuse, so
-    // the sig kernel runs once
+    // the 16-byte/doc sig table MATERIALIZES (same policy as
+    // [[dedupMinhash]]'s sketch table): relying on ReuseExchange still
+    // left both self-join arms with their own text scan + kernel pass
+    // whenever AQE broadcast one side — at 100 TB that is a second full
+    // corpus read for nothing
     val sigs = documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.simhash_sig(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pieces = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
       """transform(sequence(0, 3),
         |  p -> concat_ws(':', p, shiftright(sig, p * 16) & 65535))""".stripMargin))

@@ -95,6 +95,10 @@ object GraftSqlParser {
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Tbl\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$Tbl(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val GenerateRe =
     s"""(?is)^\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$Tbl\\s*;?\\s*$$""".r
+  private val CreateMvRe =
+    s"""(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Tbl\\s+AS\\s+SELECT\\s+(.+?)\\s+FROM\\s+$Tbl\\s+GROUP\\s+BY\\s+([\\w\\s,`]+?)\\s*;?\\s*$$""".r
+  private val RefreshMvRe =
+    s"""(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$Tbl\\s*;?\\s*$$""".r
   private val ConvertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+$Tbl(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val AnalyzeRe =
@@ -147,6 +151,13 @@ object GraftSqlParser {
         deep = mode.equalsIgnoreCase("DEEP")))
     case GenerateRe(mode, tbl) =>
       Some(GraftGenerateCommand(tbl, mode.toLowerCase(Locale.ROOT)))
+    case CreateMvRe(tgt, selectList, src, groupBy) =>
+      val sums = """(?i)SUM\s*\(\s*`?(\w+)`?\s*\)""".r
+        .findAllMatchIn(selectList).map(_.group(1)).toSeq
+      val groups = groupBy.split(',').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      Some(GraftCreateMvCommand(tgt, src, groups, sums))
+    case RefreshMvRe(tbl) => Some(GraftRefreshMvCommand(tbl))
     case ConvertRe(tbl, parts) =>
       // Delta's CONVERT TO DELTA lists `col type` pairs; hive directory
       // values are untyped strings here, so only the names matter
@@ -290,6 +301,38 @@ case class GraftCloneCommand(target: String, source: String,
       if (deep) src.deepClone(tgt, version.getOrElse(-1L))
       else src.shallowClone(tgt, version.getOrElse(-1L))
     Seq(Row(clone.currentVersion))
+  }
+}
+
+/** CREATE MATERIALIZED VIEW tgt AS SELECT … FROM src GROUP BY cols —
+  * the supported aggregate shape is COUNT(*)/SUM(col) (the
+  * self-maintainable set; see [[graft.table.MaterializedView]]); the
+  * select list is scanned for SUM(col) occurrences, group keys come
+  * from the GROUP BY clause. */
+case class GraftCreateMvCommand(target: String, source: String,
+    groupCols: Seq[String], sumCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = GraftSqlParser.resolve(session, source)
+    val mv = graft.table.MaterializedView.create(session,
+      GraftSqlParser.pathOf(target), src, groupCols, sumCols)
+    Seq(Row(mv.currentVersion))
+  }
+}
+
+/** REFRESH MATERIALIZED VIEW tbl — applies the source's change feed
+  * since the last refresh; returns the applied (from, to) window. */
+case class GraftRefreshMvCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (from, to) = graft.table.MaterializedView.refresh(session,
+      GraftSqlParser.resolve(session, table).path)
+    Seq(Row(from, to))
   }
 }
 

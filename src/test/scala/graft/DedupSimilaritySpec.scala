@@ -205,34 +205,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedup self-joins never rescan the corpus per join arm") {
-    // dedupSimhash carries no .cache(); its identical-subplan shuffles
-    // must collapse via ReuseExchange
-    val sh = Dedup.dedupSimhash(spark, sf)
-    sh.collect() // AQE reuses exchanges at runtime → inspect the FINAL
-    // plan of THIS QueryExecution (count() would plan a separate one)
-    val shPlan = sh.queryExecution.executedPlan.toString
-    assert(shPlan.contains("ReusedExchange"),
-      s"expected ReusedExchange in plan:\n$shPlan")
-    // dedupMinhash MATERIALIZES its sketch table instead (the in-query
-    // analogue of the persisted sketch corpus): relying on ReuseExchange
-    // left FOUR text scans in the final plan — the banded self-join arms
-    // and both verify-join arms each re-ran the scan+kernel pipeline,
-    // with the inferred join null-filters running the kernel a second
-    // time per row. The final plan must read the cache, not the files.
-    val mh = Dedup.dedupMinhash(spark, sf)
-    mh.collect()
-    val mhPlan = mh.queryExecution.executedPlan
-      .toString.split("== Initial Plan ==").head
-    assert(mhPlan.contains("InMemoryTableScan") ||
-      mhPlan.contains("TableCacheQueryStage"),
-      s"expected cached sketch scans:\n$mhPlan")
-    // every FileScan in the final plan must sit INSIDE an
-    // InMemoryRelation definition (the cache's own build pipeline) —
-    // never as a live per-join-arm rescan
-    val nScans = "FileScan parquet".r.findAllIn(mhPlan).size
-    val nCacheDefs = "InMemoryRelation".r.findAllIn(mhPlan).size
-    assert(nScans <= nCacheDefs,
-      s"live corpus rescan: $nScans FileScans vs $nCacheDefs cache defs:\n$mhPlan")
+    // dedupMinhash and dedupSimhash MATERIALIZE their sketch/sig tables
+    // (the in-query analogue of the persisted sketch corpus): relying on
+    // ReuseExchange left each join arm with its own text scan + kernel
+    // pass whenever AQE broadcast a side (minhash: FOUR scans, with the
+    // inferred join null-filters running the kernel a second time per
+    // row inside the Filter). The final plan must read the cache;
+    // every FileScan must sit INSIDE an InMemoryRelation definition
+    // (the cache's own build pipeline), never as a live rescan.
+    Seq(Dedup.dedupMinhash(spark, sf), Dedup.dedupSimhash(spark, sf))
+      .foreach { df =>
+        df.collect() // inspect the FINAL AQE plan of THIS execution
+        val plan = df.queryExecution.executedPlan
+          .toString.split("== Initial Plan ==").head
+        assert(plan.contains("InMemoryTableScan") ||
+          plan.contains("TableCacheQueryStage"),
+          s"expected cached kernel scans:\n$plan")
+        val nScans = "FileScan parquet".r.findAllIn(plan).size
+        val nCacheDefs = "InMemoryRelation".r.findAllIn(plan).size
+        assert(nScans <= nCacheDefs,
+          s"live corpus rescan: $nScans FileScans vs $nCacheDefs cache defs:\n$plan")
+      }
   }
 
   test("dedup_substring: window census explodes the corpus ONCE; planted dup found") {

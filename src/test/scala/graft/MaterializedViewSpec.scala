@@ -64,6 +64,23 @@ class MaterializedViewSpec extends SparkSpec {
     assert(GraftTable(spark, mvPath, Seq.empty).currentVersion == vBefore)
   }
 
+  test("SQL CREATE / REFRESH MATERIALIZED VIEW round-trip") {
+    val srcPath = Files.createTempDirectory("mv_sql_src").toString
+    val src = GraftTable(spark, srcPath, Seq("ticker"))
+    src.write(bars)
+    val mvPath = Files.createTempDirectory("mv_sql").toString + "/mv"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvPath` AS " +
+      s"SELECT ticker, COUNT(*), SUM(volume) FROM graft.`$srcPath` " +
+      "GROUP BY ticker")
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+
+    src.delete(col("ticker") === "GOOG")
+    val w = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$mvPath`")
+      .collect().head
+    assert(w.getLong(1) > w.getLong(0))
+    assertCurrent(GraftTable(spark, mvPath, Seq.empty), src)
+  }
+
   test("torn refresh (merge landed, property commit lost) never double-applies") {
     val srcPath = Files.createTempDirectory("mv_torn_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
