@@ -351,14 +351,38 @@ final class GraftTable private (
       extraStats: Long => Map[String, Map[String, (String, String, String)]] =
         _ => Map.empty): Long = {
     val v = currentVersion + 1
+    // manifest-compatibility tables reject NEW deletion vectors BEFORE
+    // the commit lands (Delta parity: raw-parquet symlink consumers
+    // cannot see DV masks, so the write is refused rather than landing
+    // a commit whose regeneration can only fail on a stale manifest)
+    if (propertiesOf(v - 1).get(GraftTable.SymlinkManifestProp)
+        .contains("true") &&
+        dvChanges.exists(f => f(v - 1).values.exists(_.nonEmpty)))
+      throw new IllegalStateException(
+        "deletion vectors are not representable in a symlink manifest: " +
+        s"disable ${GraftTable.SymlinkManifestProp} or use copy-on-write " +
+        "DELETE/UPDATE (mergeOnRead=false)")
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
     // (and sweep partial sidecars) or the version slot wedges forever
-    try commitClaimed(v, operation, adds, metrics, newConstraints,
-      removes, carriedStats, collectStats, newGenerated, dvChanges, newColMap,
-      newSchema, addSizes, newProperties, statsAnnotation, extraStats)
-    catch {
+    try {
+      val committed = commitClaimed(v, operation, adds, metrics,
+        newConstraints, removes, carriedStats, collectStats, newGenerated,
+        dvChanges, newColMap, newSchema, addSizes, newProperties,
+        statsAnnotation, extraStats)
+      // auto-regenerated symlink manifest (Delta's
+      // delta.compatibility.symlinkFormatManifest.enabled parity):
+      // tables that opted in keep _symlink_format_manifest/ current
+      // after every landed commit, so external raw-parquet consumers
+      // never read a stale file list. Runs AFTER the commit point — a
+      // regeneration failure (e.g. a DV delete made the table
+      // unrepresentable) surfaces loudly but never unwinds the commit.
+      if (propertiesOf(committed)
+          .get(GraftTable.SymlinkManifestProp).contains("true"))
+        generateSymlinkManifest()
+      committed
+    } catch {
       case e: Throwable =>
         // sweep ONLY if the commit point (.json) was not reached — a
         // failure after it (none today) must never unwind a landed commit
@@ -4001,6 +4025,13 @@ object GraftTable {
   /** Comma-separated default clustering columns for OPTIMIZE
     * (liquid-clustering-lite: layout policy as table metadata). */
   val ClusterByProp = "graft.clusterBy"
+
+  /** "true" keeps `_symlink_format_manifest/` regenerated after every
+    * commit (delta.compatibility.symlinkFormatManifest.enabled parity).
+    * A commit that makes the table unrepresentable for raw-parquet
+    * consumers (deletion vectors, column mapping) fails the
+    * regeneration LOUDLY rather than leaving a stale manifest. */
+  val SymlinkManifestProp = "graft.symlinkFormatManifest.enabled"
 
   /** Reserved stats pseudo-column recording which cluster keys produced
     * a file (OPTIMIZE provenance — drives the incremental skip). */

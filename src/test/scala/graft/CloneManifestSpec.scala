@@ -74,6 +74,32 @@ class CloneManifestSpec extends SparkSpec {
     assert(m == n.toLong)
   }
 
+  test("auto-regenerated manifest stays current across commits") {
+    val p = Files.createTempDirectory("symlink_auto").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true"))
+    def listed() = spark.read
+      .textFile(s"$p/_symlink_format_manifest/*/manifest").collect().toSet
+    val rootAbs = new java.io.File(p).getCanonicalPath
+    def live() = t.manifestFiles().map(f => s"file:$rootAbs/$f").toSet
+    assert(listed() == live()) // the property-set commit regenerated
+
+    t.delete(col("ticker") === "TSLA") // copy-on-write rewrite
+    assert(listed() == live())
+    assert(!listed().exists(_.contains("ticker=TSLA")))
+
+    // a DV delete would leave raw-parquet consumers reading ghosts: it
+    // is refused BEFORE the commit lands — no DV state, no stale tree
+    val vBefore = t.currentVersion
+    val e = intercept[Exception](
+      t.delete(col("ticker") === "AAPL", mergeOnRead = true))
+    assert(e.getMessage.contains("deletion vectors"))
+    assert(t.currentVersion == vBefore)
+    assert(t.read().filter(col("ticker") === "AAPL").count() > 0)
+    assert(listed() == live())
+  }
+
   test("symlink manifest refuses a table with live deletion vectors") {
     val p = Files.createTempDirectory("symlink_dv").toString
     val t = GraftTable(spark, p, Seq("ticker"))
