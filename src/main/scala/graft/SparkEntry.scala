@@ -42,6 +42,7 @@ object SparkEntry {
       graft.queries.SqlInterface.queries ++
       graft.queries.Sessionize.queries ++
       graft.queries.IoAndScalars.queries ++
+      graft.queries.Profiling.queries ++
       graft.queries.Indexing.queries ++
       graft.table.Bucketing.queries ++
       graft.streaming.Streaming.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       graft.queries.SqlInterface.oracles ++
       graft.queries.Sessionize.oracles ++
       graft.queries.IoAndScalars.oracles ++
+      graft.queries.Profiling.oracles ++
       graft.queries.Indexing.oracles ++
       graft.table.Bucketing.oracles ++
       graft.streaming.Streaming.oracles ++
