@@ -219,6 +219,33 @@ object Streaming {
     table
   }
 
+  /** Streaming ingest that keeps a MATERIALIZED VIEW current: each
+    * micro-batch appends exactly-once into the source table and then
+    * refreshes the MV from the change feed — the full incremental
+    * pipeline (stream → table → CDF → signed-delta MERGE) in one
+    * composition. Per trigger the MV pays only that batch's rows;
+    * nothing ever rescans the table. Returns (source, mvPath). */
+  def streamIntoTableWithMv(spark: SparkSession, dir: String,
+      path: String, mvPath: String): (graft.table.GraftTable, String) = {
+    val table = graft.table.GraftTable(spark, path, Seq("event_type"))
+    // MV creation needs a committed v0: seed with an empty batch
+    table.write(eventsEmpty(spark, dir))
+    graft.table.MaterializedView.create(spark, mvPath, table,
+      Seq("event_type"), Seq("value"))
+    val q = eventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.idempotentAppend(batch, IngestAppId + "-mv", batchId)
+        graft.table.MaterializedView.refresh(spark, mvPath); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (table, mvPath)
+  }
+
+  private def eventsEmpty(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir).limit(0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_interval_join" -> streamingIntervalJoin _,
     "streaming_daily_counts"  -> streamingDailyCounts _,

@@ -104,6 +104,30 @@ class MaterializedViewSpec extends SparkSpec {
       .properties(MV.VersionProp).toLong == applied)
   }
 
+  test("streaming ingest keeps the MV current per micro-batch") {
+    val srcPath = Files.createTempDirectory("mv_stream_src").toString + "/t"
+    val mvPath = Files.createTempDirectory("mv_stream_mv").toString + "/mv"
+    val (table, _) = graft.streaming.Streaming.streamIntoTableWithMv(
+      spark, sf, srcPath, mvPath)
+    val got = GraftTable(spark, mvPath, Seq.empty).read()
+      .select("event_type", "mv_cnt", "sum_value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val want = table.read().groupBy("event_type")
+      .agg(count(lit(1)).as("c"), sum("value").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (c, s)) =>
+      assert(got(k)._1 == c, s"$k count")
+      // double sums accumulate per-batch (non-associative): tolerance
+      assert(math.abs(got(k)._2 - s) <= math.abs(s) * 1e-9 + 1e-9, s"$k sum")
+    }
+    // the MV applied at least one real incremental window
+    assert(GraftTable(spark, mvPath, Seq.empty)
+      .properties(MV.VersionProp).toLong >= 1)
+  }
+
   test("refresh cost scales with the change, not the table: append window reads no base files") {
     val srcPath = Files.createTempDirectory("mv_cost_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
