@@ -280,10 +280,21 @@ object Bench {
       timed("point_lookup")(
         spark.read.format("graft").load(path)
           .filter(col("l_orderkey") === 449L).count())
+      // incremental MV lifecycle: full materialization once, then a
+      // refresh that pays only an appended batch's change feed — the
+      // refresh should be a small fraction of the create
+      val mvPath = path + "_mv"
+      timed("mv_create")(graft.table.MaterializedView.create(
+        spark, mvPath, t, Seq("l_returnflag"), Seq("l_quantity")))
+      timed("mv_refresh") {
+        t.write(li.limit(5000), SaveMode.Append)
+        graft.table.MaterializedView.refresh(spark, mvPath)
+      }
       out.result()
     } finally {
-      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(path)))
+      Seq(path, path + "_mv").foreach(p =>
+        scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(p))))
       ()
     }
   }

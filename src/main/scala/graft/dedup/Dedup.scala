@@ -383,6 +383,34 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Quality-aware canonical selection — the retention POLICY on top of
+    * near-dup clustering (SlimPajama/RefinedWeb keep the "best" copy,
+    * not an arbitrary one): within every [[clusterMinsh]] component,
+    * keep the member with the highest composite quality score
+    * ([[graft.text.TextAnalysis.qualityCol]] — the same oracle-exact
+    * formula `quality_score` ships), ties broken toward the smallest
+    * doc_id. Docs outside any cluster have no duplicate to lose and are
+    * implicitly kept; the output lists CLUSTERED docs with their verdict
+    * so the drop set is explicit.
+    *
+    * Scale shape: the cluster labels come from the star-edge CC
+    * (bounded rounds, localCheckpoint'd); the quality join is
+    * doc_id-keyed (one shuffle) and the per-cluster argmax is a
+    * row_number window over the cluster key — spill-safe WindowExec,
+    * never a per-cluster buffer. */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterMinsh(spark, dir).select("cluster", "doc_id")
+    val quality = documents(spark, dir)
+      .select(col("doc_id"), graft.text.TextAnalysis.qualityCol.as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(desc("q"), col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("cluster"), col("doc_id"),
+        round(col("q"), 6).as("quality"), col("keep"))
+      .orderBy("cluster", "doc_id")
+  }
+
   /** Exact substring (token-window) dedup — the "Deduplicating Training
     * Data Makes Language Models Better" (Lee et al. 2022) operator: a
     * k-token window occurring more than once ANYWHERE in the corpus is
@@ -432,6 +460,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> dedupSubstring _,
+    "canonical_selection" -> canonicalSelection _,
     "dedup_clusters" -> dedupClusters _,
     "cluster_minsh" -> clusterMinsh _,
     "dedup_exact"   -> dedupExact _,
@@ -513,6 +542,49 @@ object Dedup {
         |FROM documents
         |GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
+    // cluster CTE ≡ cluster_minsh's oracle; quality CTE ≡ quality_score's
+    // (both already hash-exact on their own) — the composition replays
+    // the argmax with the identical doubles, so keep flags agree
+    "canonical_selection" ->
+      s"""WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+        |  GROUP BY doc_id),
+        |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |      FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id),
+        |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM adj
+        |  UNION
+        |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r),
+        |clusters AS (
+        |  SELECT min(r) AS cluster, id AS doc_id FROM reach GROUP BY id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+        |    CAST(${graft.text.TextAnalysis.hitsSql("en")} AS DOUBLE) AS stops,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_len
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |       (LEAST(n_words, 100.0) / 100.0) * 0.25
+        |       + LEAST(stops / n_words * 5.0, 1.0) * 0.35
+        |       + (1.0 - LEAST(punct / n_chars * 10.0, 1.0)) * 0.2
+        |       + (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |         AS q
+        |  FROM s)
+        |SELECT c.cluster, c.doc_id, round(q.q, 6) AS quality,
+        |       (ROW_NUMBER() OVER (PARTITION BY c.cluster
+        |          ORDER BY q.q DESC, c.doc_id) = 1) AS keep
+        |FROM clusters c JOIN q USING (doc_id)
+        |ORDER BY c.cluster, c.doc_id""".stripMargin,
     "cluster_minsh" ->
       """WITH RECURSIVE
         |sh AS (

@@ -3072,14 +3072,17 @@ final class GraftTable private (
     // CDC sidecar (Delta _change_data parity): every matched row's old
     // and new version, so the change feed surfaces
     // update_preimage/update_postimage instead of inferred delete+insert
-    val cdcId = writeCdc(Seq(
-      toPhysicalStrict(marked.filter(hit).drop("__upd")) -> "update_preimage",
-      toPhysicalStrict(regenerated.filter(hit).drop("__upd")) -> "update_postimage"))
+    val cdcId =
+      if (!cdcSidecarsEnabled) ""
+      else writeCdc(Seq(
+        toPhysicalStrict(marked.filter(hit).drop("__upd")) -> "update_preimage",
+        toPhysicalStrict(regenerated.filter(hit).drop("__upd")) -> "update_postimage"))
     val added = appendDataFiles(toPhysicalStrict(updated))
     commitRewrite("UPDATE", affected, added, Map(
       "numFilesRewritten" -> affected.size.toString,
-      "numFilesAdded" -> added.size.toString,
-      "cdc" -> cdcId), readDv = dvRead)
+      "numFilesAdded" -> added.size.toString) ++
+      (if (cdcId.isEmpty) Map.empty else Map("cdc" -> cdcId)),
+      readDv = dvRead)
   }
 
   /** MERGE (plain upsert): WHEN MATCHED THEN UPDATE ALL, WHEN NOT
@@ -3405,17 +3408,20 @@ final class GraftTable private (
       if (evolveCols.isEmpty) (toPhysicalStrict(out), Nil)
       else toPhysical(out, colMap)
     // CDC sidecar: deletes' old rows, updates' old+new rows, inserts
-    val cdcId = writeCdc(
-      cdcDeletes.map(phys(_) -> "delete").toSeq ++
-      cdcPre.map(phys(_) -> "update_preimage").toSeq ++
-      cdcPost.map(phys(_) -> "update_postimage").toSeq :+
-      (phys(insertsId) -> "insert"))
+    val cdcId =
+      if (!cdcSidecarsEnabled) ""
+      else writeCdc(
+        cdcDeletes.map(phys(_) -> "delete").toSeq ++
+        cdcPre.map(phys(_) -> "update_preimage").toSeq ++
+        cdcPost.map(phys(_) -> "update_postimage").toSeq :+
+        (phys(insertsId) -> "insert"))
     val added = appendDataFiles(physOut)
     commitRewrite("MERGE", affected, added, extraMetrics ++ Map(
       "numFilesRewritten" -> affected.size.toString,
       "numFilesAdded" -> added.size.toString,
-      "numColumnsEvolved" -> evolveCols.size.toString,
-      "cdc" -> cdcId), readDv = dvNow,
+      "numColumnsEvolved" -> evolveCols.size.toString) ++
+      (if (cdcId.isEmpty) Map.empty else Map("cdc" -> cdcId)),
+      readDv = dvNow,
       newProperties = idProps, preCommitCheck = idGuard,
       newColMap =
         if (mapAdds.isEmpty) None
@@ -3593,6 +3599,12 @@ final class GraftTable private (
     val d = cat(fileDeletes, dvDeletes).map(_.withColumn("_change_type", lit("delete")))
     cat(i, d)
   }
+
+  /** CDC sidecars are written unless the table opted out via
+    * [[GraftTable.ChangeDataFeedProp]] = "false". */
+  private def cdcSidecarsEnabled: Boolean =
+    !propertiesOf(currentVersion)
+      .get(GraftTable.ChangeDataFeedProp).contains("false")
 
   /** Write this commit's CDC rows (physical layout + `_change_type`) as
     * a sidecar under `_graft_log/cdc/<id>`; the id is recorded in the
@@ -4025,6 +4037,16 @@ object GraftTable {
   /** Comma-separated default clustering columns for OPTIMIZE
     * (liquid-clustering-lite: layout policy as table metadata). */
   val ClusterByProp = "graft.clusterBy"
+
+  /** "false" disables CDC SIDECAR writes on UPDATE/MERGE (Delta's
+    * delta.enableChangeDataFeed, inverted default: graft tables serve a
+    * full-fidelity feed out of the box). With sidecars off the change
+    * feed FALLS BACK to file-diff inference — still exact row sets, but
+    * an update window surfaces delete+insert rather than
+    * update_preimage/update_postimage, and every UPDATE/MERGE commit
+    * saves the sidecar's extra write jobs (what an MV table, whose only
+    * consumer is signed-delta math, opts into). */
+  val ChangeDataFeedProp = "graft.enableChangeDataFeed"
 
   /** "true" keeps `_symlink_format_manifest/` regenerated after every
     * commit (delta.compatibility.symlinkFormatManifest.enabled parity).

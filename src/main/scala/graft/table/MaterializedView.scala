@@ -69,7 +69,10 @@ object MaterializedView {
       SaveMode.Overwrite)
     mv.setProperties(Map(
       SrcProp -> src.path, GroupProp -> groupCols.mkString(","),
-      SumProp -> sumCols.mkString(","), VersionProp -> v.toString))
+      SumProp -> sumCols.mkString(","), VersionProp -> v.toString,
+      // the MV's own consumers do signed-delta math, never need
+      // update pre/post images: skip the refresh merges' CDC sidecars
+      GraftTable.ChangeDataFeedProp -> "false"))
     mv
   }
 
@@ -104,10 +107,17 @@ object MaterializedView {
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
     val deltaAggs = sum(col("__sign")).as("d_cnt") +:
       sumCols.map(c => sum(col("__sign") * col(c)).as(s"d_sum_$c"))
+    // the delta MATERIALIZES for the duration of the refresh: it is
+    // consumed three times (null-key guard, the merge's affected-file
+    // discovery, the merge apply) and each uncached pass would re-read
+    // the whole change-feed window; refresh is eager, so the cache is
+    // released before returning
     val delta = src.changes(from, to)
       .withColumn("__sign", sign)
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     require(delta.filter(groupCols.map(col(_).isNull).reduce(_ || _))
       .limit(1).count() == 0,
       "null group key entered the source: MV group columns must stay " +
@@ -136,5 +146,6 @@ object MaterializedView {
       .execute()
     mv.setProperties(Map(VersionProp -> to.toString))
     (from, to)
+    } finally { delta.unpersist(); () }
   }
 }

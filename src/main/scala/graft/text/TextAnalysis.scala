@@ -62,7 +62,7 @@ object TextAnalysis {
 
   /** Composite quality score over col("text") — shared by quality_score
     * and corpus_select. */
-  private def qualityCol: Column = {
+  private[graft] def qualityCol: Column = {
     val nWords = size(words(col("text"))).cast("double")
     val nChars = length(col("text")).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
@@ -253,7 +253,7 @@ object TextAnalysis {
   private val stopList: String => String =
     l => Stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def hitsSql(l: String): String =
+  private[graft] def hitsSql(l: String): String =
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(

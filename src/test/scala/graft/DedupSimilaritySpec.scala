@@ -228,6 +228,29 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("canonical_selection: one keeper per cluster, and it is the best") {
+    val rows = Dedup.canonicalSelection(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cl, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl keepers=${keepers.length}")
+      val best = keepers.head
+      // keeper dominates at the reported (rounded) granularity — the
+      // exact tie-break on unrounded doubles is pinned by the oracle
+      members.filterNot(_._4).foreach { m =>
+        assert(m._3 <= best._3,
+          s"cluster $cl: kept ${best._2}(q=${best._3}) vs ${m._2}(q=${m._3})")
+      }
+      // membership agrees with the clustering operator
+      assert(members.length >= 2 || members.map(_._2).distinct.length == 1)
+    }
+    // the selection covers exactly the clustered docs
+    val clustered = Dedup.clusterMinsh(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._2).toSet == clustered)
+  }
+
   test("dedup_substring: window census explodes the corpus ONCE; planted dup found") {
     // the census is a count-over-window on the fingerprint table — the
     // final plan must contain exactly ONE explode of the token windows

@@ -104,6 +104,26 @@ class MaterializedViewSpec extends SparkSpec {
       .properties(MV.VersionProp).toLong == applied)
   }
 
+  test("CDC opt-out: no sidecar written, feed falls back to inference") {
+    val p = Files.createTempDirectory("cdc_off").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.setProperties(Map(GraftTable.ChangeDataFeedProp -> "false"))
+    val v0 = t.currentVersion
+    t.update(col("ticker") === "AAPL", Map("volume" -> lit(77L)))
+    // no cdc sidecar landed for the update commit
+    assert(!new java.io.File(s"$p/_graft_log/cdc").exists() ||
+      new java.io.File(s"$p/_graft_log/cdc").list().isEmpty)
+    // the feed still carries the exact row sets, inferred from the file
+    // diff: delete+insert instead of update pre/post images
+    val types = t.changes(v0, t.currentVersion)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "delete"))
+    val ins = t.changes(v0, t.currentVersion)
+      .filter(col("_change_type") === "insert" && col("ticker") === "AAPL")
+    assert(ins.filter(col("volume") =!= 77L).count() == 0 && ins.count() > 0)
+  }
+
   test("streaming ingest keeps the MV current per micro-batch") {
     val srcPath = Files.createTempDirectory("mv_stream_src").toString + "/t"
     val mvPath = Files.createTempDirectory("mv_stream_mv").toString + "/mv"
