@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.table.GraftTable
 
@@ -190,7 +190,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
       filters => table.readVersionPrunedAug(pinnedVersion, filters),
       filters => table.scanStatsAug(pinnedVersion, filters),
       filters => table.augmentedFilters(pinnedVersion, filters),
-      filters => table.columnNdvAug(pinnedVersion, filters))
+      filters => table.columnNdvAug(pinnedVersion, filters),
+      column => table.foldedBounds(pinnedVersion, column))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -275,12 +276,15 @@ final class GraftScanBuilder(snapshot: DataFrame,
     prunedReader: Seq[Filter] => DataFrame,
     scanStats: Seq[Filter] => (Long, Option[Long]),
     augment: Seq[Filter] => Seq[Filter] = identity _,
-    columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty)
+    columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty,
+    foldedBounds: String => Option[(String, String, String)] = _ => None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snapshot.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftFilters.translate(_).isDefined)
@@ -291,9 +295,89 @@ final class GraftScanBuilder(snapshot: DataFrame,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftV1ScanShim(prunedReader, required, pushed, scanStats, augment,
-      columnNdv)
+  // ---- metadata-only global aggregates (Delta's "metadata-optimized
+  // query" shape): an unfiltered COUNT(*) / MIN / MAX over the table is
+  // answered from the manifest — row counts from the stats sidecar
+  // minus deletion-vector cardinality, bounds from the folded footer
+  // stats — so the query never opens a data file. Accepted only when
+  // the whole answer is provable (every file carries the needed stats,
+  // no DV can hide an extremum, no residual filter); otherwise the
+  // ordinary scan plan stands.
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFor(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val a = answerFor(agg)
+    a.foreach(x => aggAnswer = Some(x))
+    a.isDefined
+  }
+
+  private def namedCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def boundValue(c: String, lo: Boolean): Option[(DataType, Any)] = {
+    val dt = snapshot.schema.find(_.name == c).map(_.dataType).getOrElse(return None)
+    foldedBounds(c).flatMap { case (tag, mn, mx) =>
+      val raw = (if (lo) mn else mx).toLong
+      (tag, dt) match {
+        case ("long", LongType) => Some((dt, raw))
+        case ("long", IntegerType) => Some((dt, raw.toInt))
+        case ("long", ShortType) => Some((dt, raw.toShort))
+        case ("long", ByteType) => Some((dt, raw.toByte))
+        case ("date", DateType) =>
+          Some((dt, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw))))
+        case _ => None // type/tag mismatch: no proof
+      }
+    }
+  }
+
+  private def answerFor(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val parts: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          scanStats(Seq.empty)._2.map(n =>
+            (StructField("count(*)", LongType, nullable = false), n))
+        case m: Min => namedCol(m.column).flatMap(c =>
+          boundValue(c, lo = true).map { case (dt, v) =>
+            (StructField(s"min($c)", dt), v) })
+        case m: Max => namedCol(m.column).flatMap(c =>
+          boundValue(c, lo = false).map { case (dt, v) =>
+            (StructField(s"max($c)", dt), v) })
+        case _ => None
+      }
+    if (parts.isEmpty || parts.exists(_.isEmpty)) None
+    else Some((StructType(parts.flatten.map(_._1)), parts.flatten.map(_._2)))
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => new GraftMetadataAggScan(schema, values)
+    case None =>
+      new GraftV1ScanShim(prunedReader, required, pushed, scanStats, augment,
+        columnNdv)
+  }
+}
+
+/** One-row scan carrying a metadata-answered global aggregate — the
+  * plan for `SELECT COUNT(*)/MIN/MAX FROM t` never touches a data file. */
+final class GraftMetadataAggScan(schema: StructType, values: Seq[Any])
+    extends V1Scan {
+  override def readSchema(): StructType = schema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = GraftMetadataAggScan.this.schema
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(Row.fromSeq(values)), 1)
+    }.asInstanceOf[T]
 }
 
 /** DSv2 scan executing through the V1 relation machinery ([[V1Scan]],

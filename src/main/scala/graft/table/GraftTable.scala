@@ -1136,6 +1136,29 @@ final class GraftTable private (
     (bytes, rows)
   }
 
+  /** Fold per-file footer bounds of `column` over the WHOLE live set —
+    * the proof a metadata-only MIN/MAX answer needs. Sound only when:
+    * no deletion vectors anywhere (a masked row may hold the extremum),
+    * EVERY live file carries the column's stats (an absent entry may
+    * mean an all-null or pre-stats file — no proof), and the tag is an
+    * exactly-encoded total order ("long" integrals, "date" epoch days;
+    * doubles/strings stay scan-path). Returns (tag, min, max). */
+  private[graft] def foldedBounds(version: Long,
+      column: String): Option[(String, String, String)] = scala.util.Try {
+    if (dvOf(version).values.exists(_.nonEmpty)) return None
+    val snap = snapshotAt(version)
+    if (snap.files.isEmpty) return None
+    val phys = colMapOf(version).phys(column)
+    val per = snap.files.map(f => snap.stats.get(f).flatMap(_.get(phys)))
+    if (per.exists(_.isEmpty)) return None
+    val stats = per.flatten
+    val tags = stats.map(_._1).distinct
+    if (tags.length != 1 || (tags.head != "long" && tags.head != "date"))
+      return None
+    Some((tags.head, stats.map(_._2.toLong).min.toString,
+      stats.map(_._3.toLong).max.toString))
+  }.toOption.flatten
+
   /** Backfill bloom sidecars for every live file of the current version
     * missing one (the commit path indexes files as they are ADDED while
     * `graft.bloom.columns` is set; this covers files that predate the

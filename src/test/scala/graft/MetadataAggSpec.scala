@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ingest.BarSource
+import graft.table.GraftTable
+import graft.transform.Enrich
+
+/** Metadata-only aggregate pushdown: unfiltered COUNT(*)/MIN/MAX over a
+  * graft table answer from the manifest without opening a data file. */
+class MetadataAggSpec extends SparkSpec {
+
+  spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
+  private def bars = Enrich.withTimeColumns(
+    BarSource.harvest(spark, delayMs = 0))
+
+  private def planOf(sql: String): String = {
+    val df = spark.sql(sql)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("COUNT(*) and MIN/MAX answer from the manifest, no file scan") {
+    val p = Files.createTempDirectory("meta_agg").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    val want = t.read().agg(count(lit(1)), min("volume"), max("volume"))
+      .collect().head
+
+    val df = spark.sql(
+      s"SELECT COUNT(*), MIN(volume), MAX(volume) FROM graft.`$p`")
+    val got = df.collect().head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getLong(2) == want.getLong(2))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMetadataAggScan"),
+      s"expected the one-row metadata scan:\n$plan")
+    assert(!plan.contains("GraftV1ScanShim"),
+      s"metadata aggregate must not plan a data scan:\n$plan")
+
+    // stays correct across a copy-on-write delete (counts re-fold)
+    t.delete(col("ticker") === "MSFT")
+    val after = spark.sql(s"SELECT COUNT(*) FROM graft.`$p`").collect().head
+    assert(after.getLong(0) == t.read().count())
+  }
+
+  test("filters, DVs and uncovered types fall back to the scan plan") {
+    val p = Files.createTempDirectory("meta_agg_fb").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+
+    // a WHERE clause means no metadata answer — and the values must
+    // still be right through the ordinary plan
+    val filtered = spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$p` WHERE ticker = 'AAPL'")
+    assert(filtered.collect().head.getLong(0) ==
+      t.read().filter(col("ticker") === "AAPL").count())
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("Scan"), "filtered count keeps a real scan")
+
+    // double column: bounds are not exactly encoded → scan plan
+    val mmDouble = spark.sql(s"SELECT MIN(vwap) FROM graft.`$p`")
+    assert(mmDouble.collect().head.getDouble(0) ==
+      t.read().agg(min("vwap")).collect().head.getDouble(0))
+
+    // a DV delete poisons MIN/MAX proofs (a masked row could be the
+    // extremum) but COUNT stays metadata-answerable (cardinality is
+    // subtracted); both must stay CORRECT either way
+    t.delete(col("volume") % 3 === 0, mergeOnRead = true)
+    val cnt = spark.sql(s"SELECT COUNT(*) FROM graft.`$p`")
+    assert(cnt.collect().head.getLong(0) == t.read().count())
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"))
+    val mm = spark.sql(s"SELECT MIN(volume) FROM graft.`$p`")
+    assert(mm.collect().head.getLong(0) ==
+      t.read().agg(min("volume")).collect().head.getLong(0))
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("GraftV1ScanShim"), "DV table must scan for MIN")
+  }
+}
