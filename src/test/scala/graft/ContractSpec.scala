@@ -22,6 +22,9 @@ class ContractSpec extends AnyFunSuite {
     ("Cohorts", graft.queries.Cohorts.queries, graft.queries.Cohorts.oracles),
     ("HeavyHitters", graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracles),
     ("Safety", graft.text.Safety.queries, graft.text.Safety.oracles),
+    ("Repetition", graft.text.Repetition.queries, graft.text.Repetition.oracles),
+    ("Classifier", graft.text.Classifier.queries, graft.text.Classifier.oracles),
+    ("Profiling", graft.queries.Profiling.queries, graft.queries.Profiling.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
     ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),
     ("Relational", graft.queries.Relational.queries, graft.queries.Relational.oracles),
