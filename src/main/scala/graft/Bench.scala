@@ -47,7 +47,10 @@ object Bench {
     "tfidf_keywords", "source_overlap",
     // Gopher dup-n-gram signals (3-sort window stack over one shuffle)
     // and hashed-linear classifier inference (broadcast weight join)
-    "gopher_repetition", "quality_classifier")
+    "gopher_repetition", "quality_classifier",
+    // DSIR contrast (two broadcast censuses), cluster+quality argmax,
+    // and the one-scan Expand profile — each with an sf1 scale point
+    "dsir_contrast", "canonical_selection", "profile_orders")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added
