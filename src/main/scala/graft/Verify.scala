@@ -23,6 +23,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist intermediates (minhash/simhash sketch
+      // tables) deliberately leave them cached so their lazy result
+      // stays single-compute; the DRIVER owns cache lifetime — release
+      // between queries so block storage never accumulates across the
+      // 135-query run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -38,30 +38,54 @@ object Profiling {
     case _ => c.cast("string")
   }
 
-  /** Schema-driven profile of `df`: one output row per column. */
-  def profile(df: DataFrame): DataFrame = {
+  /** Schema-driven profile of `df`: one output row per column.
+    *
+    * Arbitrary schemas profile correctly: field names are addressed
+    * positionally (internal `c<i>`/`nn_<i>`/… aliases, the literal
+    * name only ever a string VALUE) so dots, spaces, quotes and
+    * backticks in column names never reach a parsed expression; and
+    * the null counter is `coalesce(..., 0)` so a zero-row input
+    * reports 0 nulls, not NULL (sum over no rows is NULL in SQL).
+    *
+    * `exact=false` swaps the exact `countDistinct` (which plans as
+    * Expand: every input row fans out #cols+1 times through the
+    * shuffle — linear but the dominant constant of the profile) for
+    * `approx_count_distinct` (HLL++, one sketch per column folded in
+    * the same single aggregate, no Expand). At 100 TB the approx mode
+    * is the one to run; the exact mode remains the oracle. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap { f =>
-      val c = col(f.name)
-      Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_${f.name}"),
-        countDistinct(c).as(s"nd_${f.name}")) ++
-        (if (minMaxable(f.dataType))
-          // min/max in the NATIVE type, cast after: string min of a
-          // numeric column is lexicographic ('999' > '1499') — wrong
-          Seq(asStr(min(c), f.dataType).as(s"mn_${f.name}"),
-            asStr(max(c), f.dataType).as(s"mx_${f.name}"))
-        else
-          Seq(lit(null).cast("string").as(s"mn_${f.name}"),
-            lit(null).cast("string").as(s"mx_${f.name}")))
+    // positional aliases: the ONLY place the user's column name appears
+    // is as a quoted literal value in the output
+    val in = df.select(fields.zipWithIndex.map {
+      case (f, i) => col(s"`${f.name.replace("`", "``")}`").as(s"c$i")
+    }: _*)
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"c$i")
+        Seq(
+          coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"nn_$i"),
+          (if (exact) countDistinct(c)
+           else approx_count_distinct(c)).as(s"nd_$i")) ++
+          (if (minMaxable(f.dataType))
+            // min/max in the NATIVE type, cast after: string min of a
+            // numeric column is lexicographic ('999' > '1499') — wrong
+            Seq(asStr(min(c), f.dataType).as(s"mn_$i"),
+              asStr(max(c), f.dataType).as(s"mx_$i"))
+          else
+            Seq(lit(null).cast("string").as(s"mn_$i"),
+              lit(null).cast("string").as(s"mx_$i")))
+      }
+    val one = in.agg(aggs.head, aggs.tail: _*)
+    val stacked = fields.indices.flatMap { i =>
+      Seq(lit(fields(i).name), col(s"nn_$i"), col(s"nd_$i"),
+        col(s"mn_$i"), col(s"mx_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = fields.map(f =>
-      s"'${f.name}', nn_${f.name}, nd_${f.name}, mn_${f.name}, mx_${f.name}")
-      .mkString(", ")
-    one.selectExpr("__n",
-      s"stack(${fields.size}, $stackArgs) AS " +
-        "(column_name, n_nulls, n_distinct, min_val, max_val)")
+    one.select(col("__n"),
+      stack(lit(fields.size) +: stacked: _*)
+        .as(Seq("column_name", "n_nulls", "n_distinct", "min_val",
+          "max_val")))
       .select(col("column_name"), col("__n").as("n_rows"),
         col("n_nulls"), col("n_distinct"), col("min_val"), col("max_val"))
       .orderBy("column_name")

@@ -351,17 +351,48 @@ final class GraftTable private (
       extraStats: Long => Map[String, Map[String, (String, String, String)]] =
         _ => Map.empty): Long = {
     val v = currentVersion + 1
-    // manifest-compatibility tables reject NEW deletion vectors BEFORE
-    // the commit lands (Delta parity: raw-parquet symlink consumers
-    // cannot see DV masks, so the write is refused rather than landing
-    // a commit whose regeneration can only fail on a stale manifest)
-    if (propertiesOf(v - 1).get(GraftTable.SymlinkManifestProp)
-        .contains("true") &&
-        dvChanges.exists(f => f(v - 1).values.exists(_.nonEmpty)))
-      throw new IllegalStateException(
-        "deletion vectors are not representable in a symlink manifest: " +
-        s"disable ${GraftTable.SymlinkManifestProp} or use copy-on-write " +
-        "DELETE/UPDATE (mergeOnRead=false)")
+    // manifest-compatibility tables validate the POST-commit state
+    // BEFORE the commit lands (Delta parity: raw-parquet symlink
+    // consumers cannot see DV masks or physical column names, so the
+    // write is refused rather than landing a commit whose auto
+    // regeneration can only throw — a lands-then-throws commit would
+    // make the caller observe failure for a write that actually
+    // happened, and every later commit on the table would repeat it).
+    // Covers all three ways a commit can reach an unrepresentable
+    // state: new DVs on a symlink table, ENABLING the property while
+    // DVs / column mapping already exist, and a column-mapping change
+    // (RENAME COLUMN) on a symlink table.
+    val postSymlink = newProperties.map(f => f(v - 1))
+      .getOrElse(propertiesOf(v - 1))
+      .get(GraftTable.SymlinkManifestProp).contains("true")
+    if (postSymlink) {
+      // mirror the snapshot fold exactly: base minus removes, then
+      // dvChanges (empty runs clear, non-empty replace, non-live drop)
+      val base = snapshotAt(v - 1)
+      val removedNow = removes(v - 1).toSet
+      val liveSet = base.files.filterNot(removedNow).toSet ++ adds
+      val dvc = dvChanges.map(f => f(v - 1)).getOrElse(Map.empty)
+      val postDv = dvc.foldLeft(base.dv -- removedNow) {
+        case (m, (f, runs)) =>
+          if (!liveSet(f)) m
+          else if (runs.isEmpty) m - f
+          else m + (f -> runs)
+      }
+      if (postDv.values.exists(_.nonEmpty))
+        throw new IllegalStateException(
+          "deletion vectors are not representable in a symlink " +
+          s"manifest: disable ${GraftTable.SymlinkManifestProp}, use " +
+          "copy-on-write DELETE/UPDATE (mergeOnRead=false), or REORG " +
+          "TABLE ... APPLY (PURGE) before enabling the property")
+      val postCm = newColMap.map(f => f(v - 1)).getOrElse(colMapOf(v - 1))
+      if (!(postCm.entries.forall { case (l, p) => l == p } &&
+            postCm.retired.isEmpty))
+        throw new IllegalStateException(
+          "column mapping is not representable in a symlink manifest " +
+          "(raw-parquet consumers would see physical column names): " +
+          s"disable ${GraftTable.SymlinkManifestProp} before renaming " +
+          "columns, or keep the table on identity mapping")
+    }
     fs.mkdirs(logDir)
     claimVersion(v) // fail fast, before any footer reads
     // from here to the .json rename, any failure must RELEASE the claim
@@ -3749,8 +3780,20 @@ final class GraftTable private (
     val t = new GraftTable(spark, targetPath, partitionColumns)
     require(t.currentVersion < 0,
       s"$targetPath is already a graft table (v${t.currentVersion})")
-    val rootAbs = root.toUri.getPath
-    val tgtAbs = t.root.toUri.getPath
+    // fully qualified URIs (scheme included) so the copy tasks resolve
+    // the same filesystems on any root (file:/hdfs:/s3a:), and the
+    // session's Hadoop conf (spark.hadoop.* credentials, endpoints)
+    // rides the closure as plain string pairs — a bare executor-side
+    // `new Configuration()` would silently drop object-store settings
+    val rootAbs = fs.makeQualified(root).toString
+    val tgtAbs = t.fs.makeQualified(t.root).toString
+    val hadoopKVs: Array[(String, String)] = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     // target-relative name per source entry: relative entries keep their
     // name (partition dirs preserved); absolute entries (a shallow-clone
     // source, adopted files) are renamed uniquely under the target root
@@ -3764,13 +3807,15 @@ final class GraftTable private (
       }
     val files = manifestFiles(srcV)
     val pairs = files.map { f =>
-      val src = if (f.startsWith("/")) f else s"$rootAbs/$f"
+      val src =
+        if (f.startsWith("/")) fs.makeQualified(new Path(f)).toString
+        else s"$rootAbs/$f"
       (src, tgtName(f))
     }
     val tasks = math.max(1, math.min(pairs.size,
       spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(pairs, tasks).foreach {
-      case (src, rel) => GraftTable.copyFile(src, s"$tgtAbs/$rel")
+      case (src, rel) => GraftTable.copyFile(src, s"$tgtAbs/$rel", hadoopKVs)
     }
     val renamed = files.map(f => f -> tgtName(f)).toMap
     t.commit("CLONE", files.map(renamed), Map(
@@ -3813,7 +3858,11 @@ final class GraftTable private (
     require(cm.entries.forall { case (l, p) => l == p } && cm.retired.isEmpty,
       "GENERATE symlink_format_manifest: table uses column mapping; " +
       "symlink consumers would see physical column names")
-    val rootAbs = root.toUri.getPath
+    // manifest entries are FULLY QUALIFIED URIs derived from the
+    // table's own FileSystem (fs.makeQualified), not a hardcoded
+    // scheme — the same manifest generation works on file:, hdfs: and
+    // s3a: roots (symlink consumers resolve whatever scheme they read)
+    val qualifiedRoot = fs.makeQualified(root).toString
     val manifestRoot = new Path(root, "_symlink_format_manifest")
     if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)
     val byDir = manifestFiles(v).groupBy { f =>
@@ -3827,8 +3876,10 @@ final class GraftTable private (
       val out = fs.create(new Path(d, "manifest"), true)
       try {
         val body = fsInDir.sorted.map { f =>
-          val abs = if (f.startsWith("/")) f else s"$rootAbs/$f"
-          s"file:$abs\n"
+          val abs =
+            if (f.startsWith("/")) fs.makeQualified(new Path(f)).toString
+            else s"$qualifiedRoot/$f"
+          s"$abs\n"
         }.mkString
         out.write(body.getBytes(StandardCharsets.UTF_8))
       } finally out.close()
@@ -4034,13 +4085,17 @@ object GraftTable {
     * files (DESIGN.md:20-24; Delta's optimize default). */
   val DefaultTargetFileSizeBytes: Long = 1024L * 1024 * 1024
 
-  /** Executor-side single-file copy for [[GraftTable.deepClone]]. PURE
-    * of driver state: the task builds its own Hadoop config (executors
-    * carry the cluster's core-site), so nothing unserializable rides
-    * the closure. Overwrites a partial file from a failed prior
+  /** Executor-side single-file copy for [[GraftTable.deepClone]]. The
+    * driver's session Hadoop conf travels as plain string pairs
+    * (nothing unserializable rides the closure) and is replayed over
+    * the executor's base config — spark.hadoop.* settings (object-store
+    * credentials, endpoints) apply on the task side exactly as they do
+    * on the driver. Overwrites a partial file from a failed prior
     * attempt — task retries are idempotent. */
-  private[table] def copyFile(src: String, dst: String): Unit = {
+  private[table] def copyFile(src: String, dst: String,
+      hadoopKVs: Array[(String, String)] = Array.empty): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopKVs.foreach { case (k, vl) => conf.set(k, vl) }
     val sp = new Path(src)
     val dp = new Path(dst)
     val sfs = sp.getFileSystem(conf)

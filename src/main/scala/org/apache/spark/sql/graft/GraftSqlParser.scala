@@ -152,11 +152,34 @@ object GraftSqlParser {
     case GenerateRe(mode, tbl) =>
       Some(GraftGenerateCommand(tbl, mode.toLowerCase(Locale.ROOT)))
     case CreateMvRe(tgt, selectList, src, groupBy) =>
-      val sums = """(?i)SUM\s*\(\s*`?(\w+)`?\s*\)""".r
-        .findAllMatchIn(selectList).map(_.group(1)).toSeq
       val groups = groupBy.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      Some(GraftCreateMvCommand(tgt, src, groups, sums))
+      // incremental MVs maintain COUNT(*) and SUM(col) ONLY — the
+      // self-maintainable aggregates under both inserts and deletes (a
+      // deleted row's MIN/MAX contribution cannot be subtracted without
+      // rescanning its group). The whole select list is validated up
+      // front: silently dropping an AVG/MIN/MAX (or an alias the view
+      // schema would not honor — columns are named mv_cnt / sum_<col>)
+      // would create a view whose schema differs from the SELECT.
+      val SumItem = """(?i)SUM\s*\(\s*`?(\w+)`?\s*\)""".r
+      val CountItem = """(?i)COUNT\s*\(\s*\*\s*\)""".r
+      val BareCol = """`?(\w+)`?""".r
+      val sums = Seq.newBuilder[String]
+      splitTopLevel(selectList).foreach {
+        case SumItem(c) => sums += c
+        case CountItem() => ()
+        case BareCol(c) if groups.contains(c) => ()
+        case bad => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: unsupported select item '$bad' — " +
+          "incremental materialized views support only the GROUP BY " +
+          "columns, COUNT(*) and SUM(<col>) (unaliased; view columns " +
+          "are named mv_cnt / sum_<col>). MIN/MAX/AVG and expression " +
+          "aggregates are not self-maintainable under deletes: a " +
+          "removed row's contribution cannot be subtracted from the " +
+          "view without rescanning its group. Compute AVG downstream " +
+          "as sum_<col> / mv_cnt.")
+      }
+      Some(GraftCreateMvCommand(tgt, src, groups, sums.result()))
     case RefreshMvRe(tbl) => Some(GraftRefreshMvCommand(tbl))
     case ConvertRe(tbl, parts) =>
       // Delta's CONVERT TO DELTA lists `col type` pairs; hive directory
@@ -167,6 +190,23 @@ object GraftSqlParser {
         .filter(_.nonEmpty)
       Some(GraftConvertCommand(tbl, cols))
     case _ => None
+  }
+
+  /** Split a select list on top-level commas (commas inside parens —
+    * e.g. a rejected `ROUND(x, 2)` — stay with their item). */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
   }
 
   /** Parse a `'k' = 'v', 'k2' = 'v2'` option list (null/empty → empty). */

@@ -108,4 +108,49 @@ class CloneManifestSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](t.generateSymlinkManifest())
     assert(e.getMessage.contains("deletion vectors"))
   }
+
+  test("enabling the symlink property on a DV table fails BEFORE commit") {
+    val p = Files.createTempDirectory("symlink_en_dv").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+    val vBefore = t.currentVersion
+    // the property-set commit would land and then throw from the auto
+    // manifest regeneration (caller sees failure for a landed commit);
+    // the post-state guard refuses it pre-claim instead
+    val e = intercept[IllegalStateException](
+      t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true")))
+    assert(e.getMessage.contains("deletion vectors"))
+    assert(t.currentVersion == vBefore) // nothing landed
+    assert(!t.properties.contains(GraftTable.SymlinkManifestProp))
+  }
+
+  test("enabling the symlink property on a column-mapped table fails") {
+    val p = Files.createTempDirectory("symlink_en_cm").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.renameColumn("volume", "vol") // logical != physical from here on
+    val vBefore = t.currentVersion
+    val e = intercept[IllegalStateException](
+      t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true")))
+    assert(e.getMessage.contains("column mapping"))
+    assert(t.currentVersion == vBefore)
+  }
+
+  test("RENAME COLUMN on a symlink-enabled table fails BEFORE commit") {
+    val p = Files.createTempDirectory("symlink_rename").toString
+    val t = GraftTable(spark, p, Seq("ticker"))
+    t.write(bars)
+    t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true"))
+    val vBefore = t.currentVersion
+    val e = intercept[IllegalStateException](t.renameColumn("volume", "vol"))
+    assert(e.getMessage.contains("column mapping"))
+    assert(t.currentVersion == vBefore)
+    assert(t.read().columns.contains("volume")) // rename did not land
+    // and the manifest tree is still the pre-attempt live set
+    val rootAbs = new java.io.File(p).getCanonicalPath
+    val listed = spark.read.textFile(s"$p/_symlink_format_manifest/*/manifest")
+      .collect().toSet
+    assert(listed == t.manifestFiles().map(f => s"file:$rootAbs/$f").toSet)
+  }
 }

@@ -409,4 +409,36 @@ class SqlMaintenanceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("ghost"))
   }
+
+  test("CREATE MATERIALIZED VIEW rejects non-self-maintainable aggregates") {
+    val (t, path) = freshTable("sqlm_mv_reject")
+    t.write(bars)
+    val mv = Files.createTempDirectory("sqlm_mv_tgt").toString + "/mv"
+    // MIN/MAX/AVG and expression aggregates cannot be maintained under
+    // deletes — the error must NAME the restriction, not be a parse
+    // failure or a silently narrower view schema
+    for (bad <- Seq("MIN(volume)", "MAX(volume)", "AVG(volume)",
+        "SUM(volume * 2)", "ROUND(SUM(volume), 2)")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+          s"SELECT ticker, COUNT(*), $bad FROM graft.`$path` " +
+          "GROUP BY ticker")
+      }
+      assert(e.getMessage.contains("self-maintainable"), s"$bad: ${e.getMessage}")
+      assert(e.getMessage.contains(bad.takeWhile(_ != '(')), bad)
+    }
+    // a non-grouped bare column is equally rejected (not an aggregate)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+        s"SELECT ticker, volume, COUNT(*) FROM graft.`$path` " +
+        "GROUP BY ticker")
+    }
+    assert(e2.getMessage.contains("volume"))
+    // and the valid form still works after the rejections
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT ticker, COUNT(*), SUM(volume) FROM graft.`$path` " +
+      "GROUP BY ticker")
+    assert(GraftTable(spark, mv, Seq.empty).read().columns.toSet ==
+      Set("ticker", "mv_cnt", "sum_volume"))
+  }
 }
