@@ -41,25 +41,16 @@ object Classifier {
       .withColumn("weight",
         (col("bucket") * lit(2654435761L)) % WeightMod - WeightBias)
 
-  /** md5-based feature hash: first 6 hex digits → 24-bit int, mod B.
-    * conv() here ≡ the oracle's explicit hex-digit Horner sum. */
-  private def bucketOf(c: org.apache.spark.sql.Column) =
-    (conv(substring(md5(c), 1, 6), 16, 10).cast("long") % Buckets)
-      .as("bucket")
-
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val toks = documents(spark, dir)
-      .select(col("doc_id"),
-        split(trim(regexp_replace(col("text"), "\\s+", " ")), " ").as("t"))
-      .filter(size(col("t")) > 0 && col("t").getItem(0) =!= "")
-    // unigrams ++ bigrams, exploded in one pass: t ++ zip_with(tail)
-    val feats = toks.select(col("doc_id"), explode(expr(
-      """concat(t, CASE WHEN size(t) >= 2
-        |  THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-        |                (a, b) -> concat(a, ' ', b))
-        |  ELSE array() END)""".stripMargin)).as("f"))
+    // fused tokenize→featurize→md5-bucket kernel ([[FeatureBuckets]]):
+    // one codegen'd pass over the document bytes replaces the
+    // split/zip_with/concat/explode-strings/md5-hex/conv pipeline —
+    // the explode below fans out compact longs, not feature strings.
+    // Bucket integers are IDENTICAL to the oracle's hex-digit Horner
+    // sum (first 6 md5 hex digits ≡ first 3 digest bytes).
+    val feats = documents(spark, dir).select(col("doc_id"), explode(
+      FeatureBuckets.feature_buckets(col("text"), Buckets)).as("bucket"))
     feats
-      .select(col("doc_id"), bucketOf(col("f")))
       .join(broadcast(weightTable(spark)), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum("weight").as("score_raw"))

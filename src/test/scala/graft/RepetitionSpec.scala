@@ -79,6 +79,35 @@ class RepetitionSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("feature-bucket kernel ≡ regex tokenize + md5-hex bucketing") {
+    // byte-level whitespace scanning must match Java \s+ splitting for
+    // every input shape: mixed whitespace runs, leading/trailing ws,
+    // single token, empty, whitespace-only, multi-byte UTF-8 content
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refBucket(f: String): Long = {
+      md.reset()
+      val hex = md.digest(f.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % Classifier.Buckets
+    }
+    def ref(text: String): Seq[Long] = {
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      feats.map(refBucket)
+    }
+    val cases = Seq("", " \t\n ", "one", "a b", "  a\t\tb\nc\r\nd  ",
+      "café naïve 中文 token", "xy\fz",
+      "a  b   c", "tab\tsep", (1 to 50).map(i => s"w$i").mkString(" "))
+    cases.foreach { text =>
+      val got = graft.text.FeatureBucketsKernel
+        .buckets(org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          Classifier.Buckets)
+        .toLongArray().toSeq
+      // kernel emits unigrams then bigrams; reference builds the same order
+      assert(got == ref(text), s"text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   test("classifier plan broadcast-joins the weight table") {
     val df = Classifier.qualityClassifier(spark, sf)
     df.collect()
