@@ -94,8 +94,17 @@ object Profiling {
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.orders(spark, dir))
 
+  /** The 100 TB profile: HLL distinct counts instead of the exact
+    * Expand fan-out. Rows-only in Verify by design (HLL estimates are
+    * implementation-defined; ProfilingSpec pins them within standard
+    * HLL tolerance of the exact counts, and every non-estimate column
+    * is bit-identical to the exact profile). */
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(spark, dir), exact = false)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_orders" -> profileOrders _)
+    "profile_orders" -> profileOrders _,
+    "profile_orders_approx" -> profileOrdersApprox _)
 
   val oracles: Map[String, String] = Map(
     // one subquery per column (the oracle may pay #cols scans — DuckDB

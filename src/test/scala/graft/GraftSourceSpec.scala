@@ -462,4 +462,60 @@ class GraftSourceSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("Append"))
   }
+
+  test("running stream survives concurrent OPTIMIZE + VACUUM: no dup, no loss") {
+    // the daily reality of a streamed 100 TB table: maintenance runs
+    // UNDER the live stream. The file-granular-admission stream must
+    // (a) skip the OPTIMIZE rewrite as non-data (appendOnlyAdds = None
+    // for a removes+adds commit → appendsOnly contributes nothing — a
+    // redelivery would duplicate every compacted row), and (b) never
+    // read a vacuumed file (its post-vacuum batches derive only from
+    // commits whose files are live)
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_maint_stream").toString
+    val t = graft.table.GraftTable(spark, path)
+    def batch(lo: Int, n: Int, parts: Int) =
+      (lo until lo + n).map(_.toLong).toDF("id").repartition(parts)
+    t.write(batch(0, 30, 3))                                         // v0
+    val name = s"graft_maint_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "2")
+      .option("skipChangeCommits", "true")
+      .load(path)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // snapshot delivered in bounded triggers
+      // appends land while the stream runs...
+      t.write(batch(100, 20, 4), org.apache.spark.sql.SaveMode.Append) // v1
+      t.write(batch(200, 10, 2), org.apache.spark.sql.SaveMode.Append) // v2
+      q.processAllAvailable()
+      // ...then maintenance: OPTIMIZE rewrites EVERY file so far
+      val preOpt = t.manifestFiles().toSet
+      t.optimize(Seq("id"))                                           // v3
+      assert(t.manifestFiles().toSet.intersect(preOpt).isEmpty,
+        "optimize must have rewritten the whole table for this test")
+      t.write(batch(300, 10, 2), org.apache.spark.sql.SaveMode.Append) // v4
+      q.processAllAvailable()
+      // VACUUM physically deletes the pre-optimize files the stream
+      // has already consumed — a caught-up stream must never touch them
+      val (_, deleted) = t.vacuum(retainHours = 0.0,
+        retentionCheckEnabled = false,
+        nowMs = System.currentTimeMillis() + 3600 * 1000)
+      assert(deleted >= preOpt.size,
+        s"vacuum must have deleted the rewritten originals ($deleted)")
+      t.write(batch(400, 10, 2), org.apache.spark.sql.SaveMode.Append) // v5
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val got = spark.table(name).select("id").as[Long].collect().sorted
+      val want = ((0L until 30L) ++ (100L until 120L) ++ (200L until 210L) ++
+        (300L until 310L) ++ (400L until 410L)).sorted
+      assert(got.toSeq == want,
+        s"exactly-once under maintenance: got ${got.length}, want ${want.length}")
+      // and admission stayed file-granular throughout (no flood batch)
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.nonEmpty && nonEmpty.forall(_.numInputRows <= 30),
+        s"batch sizes: ${nonEmpty.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
 }

@@ -29,6 +29,55 @@ class ProfilingSpec extends SparkSpec {
     assert(got("p_retailprice").isNullAt(4))
   }
 
+  test("approx profile: HLL distincts within tolerance, no Expand") {
+    val orders = graft.tables.Tables.orders(spark, sf)
+    val exact = Profiling.profile(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiling.profile(orders, exact = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (name, e) =>
+      val a = approx(name)
+      // every non-estimate column bit-identical to the exact profile
+      assert(a.getLong(1) == e.getLong(1), s"$name n_rows")
+      assert(a.getLong(2) == e.getLong(2), s"$name n_nulls")
+      assert(a.getString(4) == e.getString(4), s"$name min")
+      assert(a.getString(5) == e.getString(5), s"$name max")
+      // HLL++ default rsd = 0.05; allow 4 sigma plus small-count slack
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) <= math.max(4, 0.2 * ed),
+        s"$name n_distinct exact=$ed approx=$ad")
+    }
+    // the approx plan must NOT pay the exact mode's Expand fan-out —
+    // that is its whole point at 100 TB
+    val df = Profiling.profile(orders, exact = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), s"approx profile must skip Expand:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("zero-row input profiles as zeros, and exotic names survive") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val rows = Profiling.profile(empty).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L, "n_rows")
+      assert(r.getLong(2) == 0L, "n_nulls must be 0, not NULL, on no rows")
+      assert(r.getLong(3) == 0L, "n_distinct")
+    }
+    // dots, spaces, quotes and backticks in column names must not
+    // reach a parsed expression
+    val weird = Seq((1L, "x"), (2L, null)).toDF("a.b c", "it's `q`")
+    val got = Profiling.profile(weird).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a.b c", "it's `q`"))
+    assert(got("it's `q`").getLong(2) == 1L)
+    assert(got("a.b c").getLong(3) == 2L)
+  }
+
   test("profile is ONE scan (Expand, not a union of per-column passes)") {
     val df = Profiling.profileOrders(spark, sf)
     df.collect()
