@@ -52,8 +52,13 @@ object Bench {
     // and the one-scan Expand profile — each with an sf1 scale point
     "dsir_contrast", "canonical_selection", "profile_orders")
 
+  /** r10 addition: the approx (HLL) profile — the 100 TB profile path,
+    * benched alongside the exact mode to keep the constant visible. */
+  val HeadlineR10Added: Seq[String] = Seq("profile_orders_approx")
+
   val Headline: Seq[String] =
-    HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added
+    HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++
+      HeadlineR10Added
 
   /** Diagnosed explanations for sf1 flags whose super-linearity is a
     * measured DATA property, not an algorithmic shape (each verified by
@@ -65,7 +70,31 @@ object Bench {
       "gain genuine cross-copy near-dup candidates. Per-candidate cost " +
       "is flat (verify join is linear in candidates; output pairs scale " +
       "exactly 10x, 256 to 2561) and the sketch pipeline computes once " +
-      "(persisted). Linear in candidate count by construction."))
+      "(persisted). Linear in candidate count by construction. " +
+      "Second-decade evidence (sf1 -> sf10, stage-counted): candidates " +
+      "3.33M -> 32.2M = 9.7x and output pairs exactly 10x (2561 -> " +
+      "25601) — the WORK is linear (the sf10 generator permutes digits " +
+      "per copy, so the cloning artifact does not compound). Any " +
+      "residual super-10x TIME ratio is the one-time broadcast -> " +
+      "shuffle transition on the verify join once the sketch side " +
+      "outgrows broadcast; folded 16-bit lanes ship a quarter of those " +
+      "bytes (measured 228 s -> 74 s at sf10)."),
+    "knn_ivf" -> ("IVF index BUILD is n*sqrt(n) FLOPs by construction: " +
+      "exhaustive nearest-centroid assignment of n vectors over " +
+      "sqrt(n/2) cells (the FAISS IVFFlat build shape); the per-row " +
+      "assignment kernel keeps it a codegen'd map (no row explosion — " +
+      "26 s -> 12 s at sf10). The build amortizes over the index " +
+      "lifetime; the QUERY path is sub-linear (nprobe caps at 16, " +
+      "scanned fraction 16/sqrt(n)). At 100 TB assignment runs " +
+      "sample-trained and hierarchically, dropping the build exponent; " +
+      "the one-shot bench pays full build + probe every run."),
+    "knn_pq" -> ("One-time codebook-cap transition, not a scale shape: " +
+      "scaledPqCodes = min(256, sqrt(n/2)) crosses its one-byte cap " +
+      "between sf1 (100 entries) and sf10 (256) — per-vector encode " +
+      "cost grows 2.56x across this decade and is CONSTANT for every " +
+      "decade after (codes are 8 B/vector forever; ADC scoring is " +
+      "linear in n with a fixed 50-query set; the encode kernel keeps " +
+      "it a map, 58 s -> 4.4 s at sf10)."))
 
   /** Scale section (r8; widened to the FULL headline set in r9): run
     * every bench query at a ×10 scale-up of the bench dir to expose
@@ -129,8 +158,30 @@ object Bench {
     val maint = maintenanceBench(spark, sfDir)
     val maintJson = maint.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sf1Json = scaleBench(spark, sfDir, results.toMap)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"sf1":$sf1Json,"sf":"$sfDir"}""")
+    val (sf1Json, sf1Times, sf1Dir) = scaleBench(spark, sfDir, results.toMap)
+    // r10: the reference's daily loop IS maintenance — the table
+    // lifecycle gets its own 10× datapoint (ratios vs the sf0.1 run)
+    val maintSf1Json = sf1Dir match {
+      case Some(d) if !sys.env.contains("SPARK_GRAFT_SKIP_SF1") =>
+        val m1 = maintenanceBench(spark, d)
+        val m0 = maint.toMap
+        val entries = m1.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val ratios = m1.flatMap { case (k, v) =>
+          m0.get(k).filter(t => t > 0 && v >= 0)
+            .map(t => "\"" + k + "\":" + f"${v / t}%.2f")
+        }.mkString("{", ",", "}")
+        s"""{"ops":$entries,"ratio_vs_sf01":$ratios}"""
+      case _ => "{\"skipped\":true}"
+    }
+    // r10: second decade — ×10 of sf1 for the heaviest shapes, same
+    // ratio-vs-factor flag discipline
+    val sf10Json = sf1Dir match {
+      case Some(d) if !sys.env.contains("SPARK_GRAFT_SKIP_SF10") =>
+        scale10Bench(spark, d, sf1Times)
+      case _ => "{\"skipped\":\"no sf1 dir or SPARK_GRAFT_SKIP_SF10\"}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"maintenance_sf1":$maintSf1Json,"sf1":$sf1Json,"sf10":$sf10Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -145,11 +196,12 @@ object Bench {
   def scaleBench(
       spark: SparkSession,
       sfDir: String,
-      sf01Times: Map[String, Double]): String = {
+      sf01Times: Map[String, Double])
+      : (String, Map[String, Double], Option[String]) = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SF1"))
-      return "{\"skipped\":\"SPARK_GRAFT_SKIP_SF1 set\"}"
+      return ("{\"skipped\":\"SPARK_GRAFT_SKIP_SF1 set\"}", Map.empty, None)
     if (!sfDir.stripSuffix("/").endsWith("sf0.1"))
-      return "{\"skipped\":\"not an sf0.1 bench dir\"}"
+      return ("{\"skipped\":\"not an sf0.1 bench dir\"}", Map.empty, None)
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/root/repo/target/graft_sf1")
     val t0 = System.nanoTime()
@@ -157,7 +209,7 @@ object Bench {
       try BenchScale.ensure(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 generation failed: ${e.getMessage}")
-        return "{\"skipped\":\"generation failed\"}"
+        return ("{\"skipped\":\"generation failed\"}", Map.empty, None)
       }
     val genSec = (System.nanoTime() - t0) / 1e9
     val queries = SparkEntry.queries
@@ -217,7 +269,85 @@ object Bench {
     // (the flag still prints — the note explains, it does not suppress)
     val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
       FlagNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
-    s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
+    val json = s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
+      s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
+      s""""flagged":${flagged.mkString("[", ",", "]")},""" +
+      s""""flag_notes":${notes.mkString("{", ",", "}")}}"""
+    (json, confirmed.toMap, Some(dir))
+  }
+
+  /** Second-decade scale section (r10): the TOP-10 heaviest shapes at
+    * ×10 of sf1 (= ×100 of the bench dir). One decade of evidence
+    * extrapolates; two decades catch the shapes that only bend on the
+    * second (LSH bucket skew, CC round growth, per-cell quadratics
+    * whose cells stop fitting). Same flag discipline as sf1: ratio >
+    * factor flags, preliminary flags re-measured on both sides. */
+  val Scale10Subset: Seq[String] = Seq(
+    "dedup_minhash", "semantic_dedup", "knn_pq", "knn_ivf",
+    "cluster_minsh", "profile_orders", "q21_waiting_supplier",
+    "sessionize", "quality_classifier", "canonical_selection")
+
+  def scale10Bench(
+      spark: SparkSession,
+      sf1Dir: String,
+      sf1Times: Map[String, Double]): String = {
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      "/root/repo/target/graft_sf10")
+    val t0 = System.nanoTime()
+    val dir =
+      try BenchScale.ensure10x(spark, sf1Dir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10 generation failed: ${e.getMessage}")
+        return "{\"skipped\":\"generation failed\"}"
+      }
+    val genSec = (System.nanoTime() - t0) / 1e9
+    val queries = SparkEntry.queries
+    val results = Scale10Subset.filter(queries.contains).map { name =>
+      val q0 = System.nanoTime()
+      try {
+        queries(name)(spark, dir).count()
+        name -> (System.nanoTime() - q0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf10/$name failed: ${e.getMessage}")
+        name -> -1.0
+      }
+    }
+    def remeasure(name: String, dirFor: String): Option[Double] =
+      scala.util.Try {
+        val q0 = System.nanoTime()
+        queries(name)(spark, dirFor).count()
+        (System.nanoTime() - q0) / 1e9
+      }.toOption
+    val sf10Time = scala.collection.mutable.Map(results: _*)
+    val sf1Best = scala.collection.mutable.Map(sf1Times.toSeq: _*)
+    def ratioOf(k: String): Option[Double] =
+      sf1Best.get(k).filter(_ > 0).flatMap(t =>
+        sf10Time.get(k).filter(_ >= 0).map(_ / t))
+    val preliminary = results.collect {
+      case (k, v) if v >= 0.5 &&
+        ratioOf(k).exists(_ > BenchScale.Factor10) => k
+    }
+    preliminary.foreach { k =>
+      remeasure(k, dir).foreach(v => sf10Time(k) = math.min(sf10Time(k), v))
+      remeasure(k, sf1Dir).foreach(v =>
+        sf1Best(k) = math.min(sf1Best.getOrElse(k, v), v))
+    }
+    val ratios = results.flatMap { case (k, _) => ratioOf(k).map(k -> _) }
+    val flagged = ratios.collect {
+      case (k, r) if r > BenchScale.Factor10 &&
+        sf10Time.getOrElse(k, 0.0) >= 0.5 => "\"" + k + "\""
+    }
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    def n(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def js(kvs: Seq[(String, Double)]): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + n(v) }
+      .mkString("{", ",", "}")
+    val confirmed = results.map { case (k, _) => k -> sf10Time(k) }
+    val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
+      FlagNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
+    s"""{"factor":${BenchScale.Factor10},"vs":"sf1","gen_sec":${n(genSec)},""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
       s""""flag_notes":${notes.mkString("{", ",", "}")}}"""

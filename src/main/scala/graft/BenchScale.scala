@@ -63,6 +63,101 @@ object BenchScale {
             slice(col("embedding"), lit(1), lit(c)))))
   }
 
+  // ---- second decade: sf1 → "sf10" ------------------------------------
+  //
+  // ×10 ON TOP of the sf1 dir, with a transform family that COMPOSES
+  // safely with the first decade's (the naive reuse would break both
+  // invariants: re-shifting by c·1e9 collides keys across copy pairs
+  // (5+2 = 3+4), and a second Caesar layer collides text transforms
+  // (net shift c'+10c mod 26 repeats), manufacturing exact cross-copy
+  // duplicates that would inflate dedup candidates quadratically):
+  //
+  //  - keys shift by c·1e12 — disjoint from the first decade's ≤1e10
+  //    span, so all 100 effective copies stay key-disjoint;
+  //  - text maps through a per-copy SEEDED ALPHABET PERMUTATION
+  //    (identity for c=0): token lengths / whitespace / within-copy dup
+  //    structure exact-preserved, and the net per-effective-copy
+  //    transform perm_c ∘ caesar_c' is distinct for all 100 (c, c')
+  //    pairs (a random permutation is never a Caesar shift);
+  //  - embeddings flip signs of dimensions by the BITS of c (identity
+  //    for c=0): s_i² = 1 keeps every norm and within-copy dot product
+  //    bit-exact while decorrelating cross-copy cosines, and
+  //    (rotation c', flips c) nets distinct for all 100 pairs.
+
+  val Factor10 = 10
+  private val Shift10 = 1000000000000L // 1e12
+
+  //  - DIGITS permute too (the first decade leaves them fixed): with
+  //    100 effective copies, digit/punct shingles invariant under every
+  //    copy's transform would near-match across ALL copy pairs — LSH
+  //    candidates would grow ~quadratically in copy count, an artifact
+  //    of cloning no real 10×-larger corpus exhibits (its documents are
+  //    not 100 letter-mapped clones of each other). Within one
+  //    second-decade copy the 10 first-decade copies still share digit
+  //    shingles, so sf1's measured candidate structure replicates
+  //    exactly ×10 — the honest linear scale-up of the sf1 data point.
+  private val Digits = "0123456789"
+
+  private def alphabetPerm(c: Int): (String, String) = {
+    val rnd = new scala.util.Random(7777 + c)
+    val p = rnd.shuffle(Lower.toList).mkString
+    val d = rnd.shuffle(Digits.toList).mkString
+    (Lower + Upper + Digits, p + p.toUpperCase + d)
+  }
+
+  private def shifted10(df: DataFrame, c: Int, keys: String*): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(c * Shift10)))
+
+  private def copyOf10(spark: SparkSession, src: String, c: Int)
+      : Map[String, DataFrame] = {
+    import graft.tables.Tables.table
+    def caesar10(d: DataFrame): DataFrame =
+      if (c == 0) d
+      else {
+        val (from, to) = alphabetPerm(c)
+        d.withColumn("text", translate(col("text"), from, to))
+      }
+    def signFlip(d: DataFrame): DataFrame =
+      if (c == 0) d
+      else d.withColumn("embedding", expr(
+        s"transform(embedding, (x, i) -> " +
+          s"IF((($c >> (i % 4)) & 1) = 1, -x, x))"))
+    Map(
+      "customer" -> shifted10(table(spark, src, "customer"), c, "c_custkey"),
+      "supplier" -> shifted10(table(spark, src, "supplier"), c, "s_suppkey"),
+      "part"     -> shifted10(table(spark, src, "part"), c, "p_partkey"),
+      "orders"   -> shifted10(table(spark, src, "orders"), c,
+        "o_orderkey", "o_custkey"),
+      "lineitem" -> shifted10(table(spark, src, "lineitem"), c,
+        "l_orderkey", "l_partkey", "l_suppkey"),
+      "events"   -> shifted10(table(spark, src, "events"), c,
+        "event_id", "user_id"),
+      "documents" -> caesar10(
+        shifted10(table(spark, src, "documents"), c, "doc_id")),
+      "embeddings" -> signFlip(
+        shifted10(table(spark, src, "embeddings"), c, "vec_id")))
+  }
+
+  /** Generate the ×10-of-sf1 dir if absent (marker-gated); the source
+    * must be an [[ensure]]-generated sf1 dir. Returns the dir. */
+  def ensure10x(spark: SparkSession, sf1Dir: String, outDir: String): String = {
+    val marker = new java.io.File(outDir, "_GRAFT_SCALED_OK")
+    if (marker.exists()) return outDir
+    new java.io.File(outDir).mkdirs()
+    for (dim <- Seq("region", "nation"))
+      graft.tables.Tables.table(spark, sf1Dir, dim)
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    val copies = (0 until Factor10).map(c => copyOf10(spark, sf1Dir, c))
+    for (name <- copies.head.keys) {
+      val unioned = copies.map(_(name)).reduce(_.unionByName(_))
+      unioned.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+    }
+    java.nio.file.Files.writeString(marker.toPath,
+      s"src=$sf1Dir factor=$Factor10")
+    outDir
+  }
+
   /** Generate the scaled dir if absent (marker-gated); returns the dir. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String): String = {
     val marker = new java.io.File(outDir, "_GRAFT_SCALED_OK")

@@ -13,8 +13,9 @@ object TimeOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     names.foreach { n =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9

@@ -87,7 +87,15 @@ object Dedup {
     // corpus the incremental flow ([[persistSketchCorpus]]) stores as a
     // real table — at 100 TB you keep this artifact durably, you don't
     // recompute it per join arm.
-    val sk = minhashSketches(spark, dir).repartition(col("doc_id"))
+    // the est verify join ships FOLDED 16-bit lanes ([[ArrayKernels
+    // .fold16]]): agreement is one-sided-exact (equal lanes stay equal;
+    // collisions add ≤3e-5 est) and the candidate×sketch exchange — the
+    // dominant cost once the sketch side outgrows broadcast — moves a
+    // quarter of the bytes. Full lanes stay only for band signatures.
+    val sk = minhashSketches(spark, dir)
+      .withColumn("sk16",
+        graft.functions.ArrayKernelColumns.fold_sketch16(col("sketch")))
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band signatures via the static kernel (single pass over the sketch)
     val banded = sk.select(col("doc_id"), posexplode(
@@ -108,11 +116,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+    val skV = sk.select(col("doc_id"), col("sk16"))
     val est = candidates
-      .join(sk.withColumnRenamed("doc_id", "a").withColumnRenamed("sketch", "ska"), "a")
-      .join(sk.withColumnRenamed("doc_id", "b").withColumnRenamed("sketch", "skb"), "b")
+      .join(skV.withColumnRenamed("doc_id", "a").withColumnRenamed("sk16", "ska"), "a")
+      .join(skV.withColumnRenamed("doc_id", "b").withColumnRenamed("sk16", "skb"), "b")
       .withColumn("est_jaccard",
-        graft.functions.ArrayKernelColumns.sketch_agreement(col("ska"), col("skb"))
+        graft.functions.ArrayKernelColumns.sketch_agreement16(col("ska"), col("skb"))
           .cast("double") / lit(NumPerm.toDouble))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -188,25 +197,33 @@ object Dedup {
     * only candidate doc ids. */
   def incrementalPairs(spark: SparkSession, dir: String,
       corpusBanded: DataFrame, batchDocs: DataFrame): DataFrame = {
-    val corpus = corpusBanded.repartition(col("band"), col("sig"))
-    val batch = bandedSketch(batchDocs).repartition(col("band"), col("sig"))
+    // the band join carries only FOLDED 16-bit lanes (the est filter is
+    // one-sided-exact over them — see [[ArrayKernels.fold16]]); the
+    // full sketches never ride the candidate exchange
+    def folded(d: DataFrame): DataFrame = d
+      .withColumn("sk16",
+        graft.functions.ArrayKernelColumns.fold_sketch16(col("sketch")))
+      .drop("sketch")
+    val corpus = folded(corpusBanded).repartition(col("band"), col("sig"))
+    val batch = folded(bandedSketch(batchDocs))
+      .repartition(col("band"), col("sig"))
     // batch-vs-corpus (either orientation) + batch-internal pairs,
     // normalized to a < b; estimate from sketches, verify exactly
     val cands = batch.as("x").join(corpus.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-        when(col("x.doc_id") < col("y.doc_id"), col("x.sketch"))
-          .otherwise(col("y.sketch")).as("ska"),
-        when(col("x.doc_id") < col("y.doc_id"), col("y.sketch"))
-          .otherwise(col("x.sketch")).as("skb"))
+        when(col("x.doc_id") < col("y.doc_id"), col("x.sk16"))
+          .otherwise(col("y.sk16")).as("ska"),
+        when(col("x.doc_id") < col("y.doc_id"), col("y.sk16"))
+          .otherwise(col("x.sk16")).as("skb"))
       .unionByName(batch.as("x").join(batch.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sketch").as("ska"), col("y.sketch").as("skb")))
+          col("x.sk16").as("ska"), col("y.sk16").as("skb")))
       .filter(graft.functions.ArrayKernelColumns
-        .sketch_agreement(col("ska"), col("skb"))
+        .sketch_agreement16(col("ska"), col("skb"))
         .cast("double") / lit(NumPerm.toDouble) >= 0.5)
       .select("a", "b").distinct()
     // exact verification reads ONLY candidate docs' shingles

@@ -72,8 +72,16 @@ object Similarity {
   def scaledCells(n: Long): Int =
     math.max(4, math.ceil(math.sqrt(n / 2.0)).toInt)
 
-  /** Probes scale with the cell count (cells/4: 4 at 16 cells). */
-  def scaledProbe(cells: Int): Int = math.max(2, cells / 4)
+  /** Probes scale with the cell count (cells/4: 4 at 16 cells) but CAP
+    * at 16 — the constant-nprobe-at-scale policy real IVF serving uses
+    * (FAISS keeps nprobe a fixed query knob while cells grow √n).
+    * Uncapped, probing a fixed FRACTION of cells makes the candidate
+    * scan linear in n (nprobe/cells · n = n/4); capped, the scanned
+    * fraction shrinks as 16/√n and the probe side scales √n — measured
+    * at the second bench decade: the cap was the difference between a
+    * 12× and a ~6× time ratio at 10× data. The cap does not bite below
+    * 64 cells, so sf0.01/sf0.1 oracle results are unchanged. */
+  def scaledProbe(cells: Int): Int = math.min(16, math.max(2, cells / 4))
 
   /** PQ codebook size scaled like the cells, capped at one byte. */
   def scaledPqCodes(n: Long): Int = math.min(256, scaledCells(n))
@@ -86,14 +94,48 @@ object Similarity {
     * vec_id-ordered list) reproduces the centroid bit-for-bit; a plain
     * AVG would expose float summation order on both engines. Seeds
     * always land in their own cell (cos = 1), so no cell is empty. */
+  /** Driver-side flat matrix of a (label, vector, norm) centroid frame,
+    * ordered by label: O(√n) rows — KBs even at the second bench decade
+    * — the same bounded materialization [[materializedCentroids]]
+    * already makes. Returns (labels, flatVectors, norms, dim). */
+  private def localMatrix(df: DataFrame, labelCol: String, vecCol: String,
+      normCol: String): (Array[Long], Array[Double], Array[Double], Int) = {
+    val rows = df.orderBy(labelCol).select(labelCol, vecCol, normCol).collect()
+    val dim = rows.head.getSeq[Double](1).size
+    val flat = new Array[Double](rows.length * dim)
+    val norms = new Array[Double](rows.length)
+    val labels = new Array[Long](rows.length)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      labels(j) = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(j * dim + i) = v(i); i += 1 }
+      norms(j) = r.getDouble(2)
+    }
+    (labels, flat, norms, dim)
+  }
+
+  /** Per-row nearest-centroid assignment via the codegen'd kernel —
+    * n rows in, n rows out. The broadcast-join formulation this
+    * replaces materialized n·cells rows through an exchange (63M at the
+    * second bench decade) before reducing back to n: assignment FLOPs
+    * are n·cells·dim either way, but the ROW amplification was the
+    * measured cost (knn_ivf 26 s → ~7 s at ×100). Scores, op order and
+    * the higher-cell tie-break are bit-identical to the join + max_by
+    * form, so the DuckDB oracles (which replay the joined form) still
+    * hash-match. */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val (labels, flat, norms, dim) = localMatrix(cents, "cell", "cv", "cn")
+    emb.withColumn("cell", element_at(typedLit(labels),
+      graft.functions.CentroidKernelColumns.nearest_cell(
+        col("v"), col("n"), typedLit(flat), typedLit(norms), dim) + 1))
+  }
+
   private def refinedCentroids(emb: DataFrame, cells: Int): DataFrame = {
     val seeds = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))
-    val asg0 = emb.join(broadcast(seeds), expr("true"))
-      .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
-      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+    val asg0 = assignCells(emb, seeds)
+      .select(col("vec_id"), col("cell"), col("v"))
     asg0.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
         count(lit(1)).as("cnt"))
@@ -164,13 +206,10 @@ object Similarity {
     def cellScores(side: DataFrame): DataFrame =
       side.join(broadcast(centroids), expr("true"))
         .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-    // corpus: each vector assigned to its single nearest cell; the
-    // struct makes the argmax deterministic under score ties (higher
-    // cell wins) so the DuckDB oracle can rank identically
-    val assigned = cellScores(emb)
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
-      .join(emb, "vec_id")
+    // corpus: each vector assigned to its single nearest cell by the
+    // per-row kernel (same scores, same higher-cell tie-break as the
+    // joined max_by form the oracle replays — see [[assignCells]])
+    val assigned = assignCells(emb, centroids)
     // queries: nprobe nearest cells each
     val probes = cellScores(
         emb.filter(col("vec_id") < NumQueries)
@@ -221,17 +260,38 @@ object Similarity {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val pqCodes = scaledPqCodes(emb.count())
+    // codebook driver-side: ≤256 vectors (≤128 KB), flat [m][code][d]
+    // layout for the per-row encode kernel. The joined encode this
+    // replaces materialized n·PqM·codes rows (410M at ×100 of the
+    // bench dir — the measured cost); the kernel emits each vector's
+    // PqM codes in one codegen'd pass with identical distances and the
+    // identical lower-code tie-break, so the DuckDB oracle (which
+    // replays the joined form) still hash-matches.
+    val cbRows = emb.filter(col("vec_id") < pqCodes)
+      .orderBy("vec_id").select("vec_id", "v").collect()
+    val nCodes = cbRows.length
+    val codeLabels: Array[Long] = cbRows.map(_.getLong(0))
+    val flatCb = new Array[Double](PqM * nCodes * PqSubDim)
+    cbRows.zipWithIndex.foreach { case (r, code) =>
+      val v = r.getSeq[Double](1)
+      var m = 0
+      while (m < PqM) {
+        var d = 0
+        while (d < PqSubDim) {
+          flatCb((m * nCodes + code) * PqSubDim + d) = v(m * PqSubDim + d)
+          d += 1
+        }
+        m += 1
+      }
+    }
+    // subs now feeds only the codebook/ADC frames (≤256 + 50 vectors)
     val subs = emb
+      .filter(col("vec_id") < math.max(pqCodes.toLong, NumQueries.toLong))
       .select(col("vec_id"), col("v"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
       .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
       .drop("v")
     val cents = subs.filter(col("vec_id") < pqCodes)
       .select(col("vec_id").as("code"), col("m").as("cm"), col("sub").as("csub"))
-    // encode: nearest codebook entry per (vector, subspace)
-    val codes = subs.join(broadcast(cents), col("m") === col("cm"))
-      .withColumn("dist", l2(col("sub"), col("csub")))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
     // per-query ADC lookup tables
     val adc = subs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("m").as("qm"), col("sub").as("qsub"))
@@ -251,10 +311,11 @@ object Similarity {
     // codes × queries × PqM intermediate: the old broadcast-hash join
     // materialized PqM rows per (vector, query) and re-aggregated them
     // (2M rows at sf0.1) just to undo the layout the arrays keep.
-    val codeArr = codes
-      .groupBy("vec_id")
-      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("mc"))
-      .select(col("vec_id"), expr("transform(mc, x -> x.code)").as("codes"))
+    val codeArr = emb.select(col("vec_id"),
+        graft.functions.CentroidKernelColumns.pq_encode(
+          col("v"), typedLit(flatCb), PqM, PqSubDim, nCodes).as("pos"))
+      .select(col("vec_id"), transform(col("pos"),
+        x => element_at(typedLit(codeLabels), x + 1)).as("codes"))
     val lut = adc
       .groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("qm"), col("qcode"), col("qd")))).as("l"))
@@ -333,11 +394,10 @@ object Similarity {
     val centroids = materializedCentroids(emb, scaledCells(emb.count()))
     // assignment feeds BOTH sides of the per-cell self-join and the
     // final anti-join: checkpoint so it computes once, not three times
-    val assigned = emb.join(broadcast(centroids), expr("true"))
-      .withColumn("cscore", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell"), struct(col("cscore"), col("cell"))).as("cell"))
-      .join(emb, "vec_id")
+    // (per-row kernel assignment — same scores/tie-break as the joined
+    // form the oracle replays, none of its n·cells row explosion)
+    val assigned = assignCells(emb, centroids)
+      .select(col("vec_id"), col("cell"), col("v"), col("n"))
       .localCheckpoint()
     val lhs = assigned.select(col("cell"), col("vec_id").as("ia"),
       col("v").as("va"), col("n").as("na"))
@@ -471,7 +531,7 @@ object Similarity {
          |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell) AS prk
          |  FROM score WHERE vec_id < $NumQueries)
-         |  WHERE prk <= (SELECT GREATEST(2, c // 4) FROM cc)),
+         |  WHERE prk <= (SELECT LEAST(16, GREATEST(2, c // 4)) FROM cc)),
          |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
          |        ROUND(list_inner_product(cv2.v, qn.v) / (cv2.nrm * qn.nrm), 6) AS cos
          |      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id

@@ -341,6 +341,10 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.scaledCells(2000) == 32)
     assert(Similarity.scaledCells(2_000_000) == 1000)
     assert(Similarity.scaledProbe(16) == 4 && Similarity.scaledProbe(32) == 8)
+    // nprobe caps at 16 as cells keep growing (constant-nprobe serving:
+    // the scanned corpus fraction shrinks 16/sqrt(n), not a fixed 1/4)
+    assert(Similarity.scaledProbe(100) == 16)
+    assert(Similarity.scaledProbe(100000) == 16)
     // PQ codes follow the same curve but stay one byte
     assert(Similarity.scaledPqCodes(500) == 16)
     assert(Similarity.scaledPqCodes(2_000_000) == 256)
