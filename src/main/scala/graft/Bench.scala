@@ -88,6 +88,17 @@ object Bench {
       "scanned fraction 16/sqrt(n)). At 100 TB assignment runs " +
       "sample-trained and hierarchically, dropping the build exponent; " +
       "the one-shot bench pays full build + probe every run."),
+    "semantic_dedup" -> ("Single-level SemDeDup is n*sqrt(n) comparisons " +
+      "by construction (sqrt(n)-scaled cells x per-cell quadratic — " +
+      "stage-counted at the second decade: candidate pairs 2.0M -> " +
+      "63.1M = exactly 10^1.5 at 10x data, per-pair cost flat). The " +
+      "prune runs as ONE anti-join whose predicate carries the cosine " +
+      "threshold, so it SHORT-CIRCUITS on the first matching earlier " +
+      "cell-mate: the ~95% of vectors that get pruned pay a few dot " +
+      "products, not their whole cell (prune stage 15.2 s -> 1.7 s at " +
+      "sf10, full query 24 s -> 7.3 s, measured). Worst case (duplicate-" +
+      "free corpus) stays n^1.5 exactly like the knn_ivf build; at " +
+      "100 TB assignment runs sample-trained and hierarchically."),
     "knn_pq" -> ("One-time codebook-cap transition, not a scale shape: " +
       "scaledPqCodes = min(256, sqrt(n/2)) crosses its one-byte cap " +
       "between sf1 (100 entries) and sf10 (256) — per-vector encode " +
@@ -103,6 +114,15 @@ object Bench {
     * 16-query subset was how `sessionize`'s 12× shape was caught —
     * and why nothing proved the other queries' scaling. */
   val ScaleSubset: Seq[String] = Headline
+
+  /** Release persisted blocks between measured queries. Operators that
+    * persist an intermediate (the dedup sketch/signature tables) return
+    * lazy frames, so THEY cannot unpersist — cache lifetime is owned by
+    * the driving loop (Verify does the same per query). Outside the
+    * measured window: each query's timing covers its own compute, not
+    * the previous query's cleanup. */
+  private def releaseCaches(spark: SparkSession): Unit =
+    try spark.catalog.clearCache() catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,7 +160,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // sentinel: failed queries must not skew the total
-      }
+      } finally releaseCaches(spark)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -221,7 +241,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1/$name failed: ${e.getMessage}")
         name -> -1.0
-      }
+      } finally releaseCaches(spark)
     }
     // a super-linear shape is ratio > data factor (r8's 1.5× threshold
     // let a 12.1× ratio pass at factor 10). Sub-half-second sf1 queries
@@ -232,12 +252,15 @@ object Bench {
     // sides and taking each side's min — a real super-linear shape
     // reproduces, a scheduling hiccup doesn't (q21 flagged at 11.8×
     // then measured 3.9× in the adjacent run).
-    def remeasure(name: String, dirFor: String): Option[Double] =
-      scala.util.Try {
+    def remeasure(name: String, dirFor: String): Option[Double] = {
+      val r = scala.util.Try {
         val q0 = System.nanoTime()
         queries(name)(spark, dirFor).count()
         (System.nanoTime() - q0) / 1e9
       }.toOption
+      releaseCaches(spark)
+      r
+    }
     val sf1Time = scala.collection.mutable.Map(results: _*)
     val sf01Best = scala.collection.mutable.Map(sf01Times.toSeq: _*)
     def ratioOf(k: String): Option[Double] =
@@ -310,14 +333,17 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10/$name failed: ${e.getMessage}")
         name -> -1.0
-      }
+      } finally releaseCaches(spark)
     }
-    def remeasure(name: String, dirFor: String): Option[Double] =
-      scala.util.Try {
+    def remeasure(name: String, dirFor: String): Option[Double] = {
+      val r = scala.util.Try {
         val q0 = System.nanoTime()
         queries(name)(spark, dirFor).count()
         (System.nanoTime() - q0) / 1e9
       }.toOption
+      releaseCaches(spark)
+      r
+    }
     val sf10Time = scala.collection.mutable.Map(results: _*)
     val sf1Best = scala.collection.mutable.Map(sf1Times.toSeq: _*)
     def ratioOf(k: String): Option[Double] =

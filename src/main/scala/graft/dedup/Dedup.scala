@@ -69,13 +69,14 @@ object Dedup {
 
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5.
     *
-    * No cache (a session cache would leak executor memory across the
-    * driver's multi-query Verify run; at 100 TB sketches are
-    * checkpointed to a table instead). The sketch kernel still runs once
-    * per distinct subplan: explicit `repartition` on the self-joined
-    * sides pins identical exchanges that ReuseExchange collapses
-    * (DedupSimilaritySpec asserts it) — the same shuffles a sort-merge
-    * plan needs at scale anyway. */
+    * The sketch table is persisted (disk-backed) so the corpus is
+    * sketched ONCE for its three consumers — the returned frame is lazy,
+    * so the operator body cannot unpersist it; CACHE LIFETIME IS OWNED
+    * BY THE CALLING DRIVER (Verify and Bench call
+    * `spark.catalog.clearCache()` after materializing each query, so
+    * block storage never accumulates across a multi-query run; at
+    * 100 TB the sketch is checkpointed to a real table instead —
+    * [[persistSketchCorpus]]). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // the sketch table MATERIALIZES (1.5 KB/doc — NumPerm longs, ~1-2%
     // of corpus bytes; disk-backed): it is consumed three times (band
