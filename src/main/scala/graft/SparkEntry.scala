@@ -37,6 +37,7 @@ object SparkEntry {
       graft.text.Classifier.queries ++
       graft.dedup.Dedup.queries ++
       graft.similarity.Similarity.queries ++
+      graft.similarity.HybridSearch.queries ++
       graft.queries.Relational.queries ++
       graft.queries.MergeOps.queries ++
       graft.queries.SqlInterface.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       graft.text.Classifier.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.similarity.Similarity.oracles ++
+      graft.similarity.HybridSearch.oracles ++
       graft.queries.Relational.oracles ++
       graft.queries.MergeOps.oracles ++
       graft.queries.SqlInterface.oracles ++

@@ -1,0 +1,148 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Hybrid retrieval with reciprocal-rank fusion — the serving shape
+  * every modern retrieval stack (lexical index + vector index) runs,
+  * and the selection primitive RAG-style eval/decontamination pipelines
+  * need over a training corpus.
+  *
+  * Two independent rankers per query document:
+  *  - lexical: shared-distinct-word overlap with the query doc, ranked
+  *    through an inverted-index join — the corpus side is exploded
+  *    (doc_id, word) pairs, the query side is a BROADCAST term table
+  *    (queries are a fixed handful regardless of corpus size), so the
+  *    work is linear in corpus tokens with one (query, candidate)
+  *    aggregation; candidates that share no term never materialize.
+  *  - vector: exact cosine over the embedding column (the `knn_brute`
+  *    kernel: broadcast query vectors, codegen'd [[Similarity.dot]]);
+  *    at 100 TB the drop-in replacement is the `knn_ivf` candidate
+  *    path — the fusion below is agnostic to how each list was cut.
+  *
+  * Fusion is Cormack/Clarke/Buettcher reciprocal-rank fusion:
+  * `score(d) = Σ_lists 1/(k + rank_list(d))` with k = 60, summed over
+  * the lists where d appears in the top [[ListN]]; absence contributes
+  * 0 (the standard top-N-window RRF, which is what keeps each list —
+  * and therefore the fused candidate set — bounded at scale). Output
+  * columns are ranks only (integers): the rrf doubles ORDER the rows
+  * (bit-identical in both engines — one IEEE division per list and one
+  * add from identical integer ranks) but are never emitted, so the
+  * driver hash never compares floats.
+  */
+object HybridSearch {
+
+  /** Query documents: doc_id < HQ (doc_id ≡ vec_id in the testdata). */
+  val HQ = 10
+  /** Per-list window: top-N from each ranker enter the fusion. */
+  val ListN = 20
+  /** Fused results kept per query. */
+  val TopK = 10
+  /** RRF smoothing constant (the value the original paper fixed). */
+  val RrfK = 60
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val qv = emb.filter(col("vec_id") < HQ)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n").as("qn"))
+    val vecList = emb.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(Similarity.dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .withColumn("rank_vec", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank_vec") <= ListN)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank_vec").cast("int").as("rank_vec"))
+
+    // distinct (doc_id, word) pairs — tokenization identical to the
+    // tfidf/token_count family (whitespace split of lower(trim(text)))
+    val words = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .as("word"))
+      .filter(col("word") =!= "")
+    val queryTerms = words.filter(col("doc_id") < HQ)
+      .select(col("doc_id").as("query_id"), col("word"))
+    val kwList = words.join(broadcast(queryTerms), Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("kw_score"))
+      .withColumn("rank_kw", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("kw_score"), col("doc_id"))))
+      .filter(col("rank_kw") <= ListN)
+      .select(col("query_id"), col("doc_id"),
+        col("rank_kw").cast("int").as("rank_kw"))
+
+    def contrib(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rank.cast("double")), lit(0.0))
+    vecList.join(kwList, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", contrib(col("rank_vec")) + contrib(col("rank_kw")))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("rrf_rank") <= TopK)
+      .select(col("query_id"), col("rrf_rank").cast("int").as("rrf_rank"),
+        col("doc_id"), col("rank_vec"), col("rank_kw"))
+      .orderBy("query_id", "rrf_rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf" -> hybridRrf _)
+
+  val oracles: Map[String, String] = Map(
+    "hybrid_rrf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |vr AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ROUND(list_inner_product(c.v, q.v)
+         |             / (c.nrm * q.nrm), 6) DESC, c.vec_id) AS rank_vec
+         |  FROM nn c, nn q
+         |  WHERE q.vec_id < $HQ AND c.vec_id <> q.vec_id),
+         |v2 AS (SELECT query_id, doc_id, CAST(rank_vec AS INTEGER) AS rank_vec
+         |       FROM vr WHERE rank_vec <= $ListN),
+         |w AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id,
+         |           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word <> ''),
+         |kw AS (
+         |  SELECT qw.doc_id AS query_id, cw.doc_id AS doc_id,
+         |         COUNT(*) AS kw_score
+         |  FROM w qw JOIN w cw USING (word)
+         |  WHERE qw.doc_id < $HQ AND cw.doc_id <> qw.doc_id
+         |  GROUP BY 1, 2),
+         |kr AS (
+         |  SELECT query_id, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY kw_score DESC, doc_id) AS rank_kw
+         |  FROM kw),
+         |k2 AS (SELECT query_id, doc_id, CAST(rank_kw AS INTEGER) AS rank_kw
+         |       FROM kr WHERE rank_kw <= $ListN),
+         |f AS (
+         |  SELECT COALESCE(v2.query_id, k2.query_id) AS query_id,
+         |         COALESCE(v2.doc_id, k2.doc_id) AS doc_id,
+         |         v2.rank_vec, k2.rank_kw,
+         |         COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v2.rank_vec), 0)
+         |           + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + k2.rank_kw), 0)
+         |           AS rrf
+         |  FROM v2 FULL JOIN k2
+         |    ON v2.query_id = k2.query_id AND v2.doc_id = k2.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, rank_vec, rank_kw,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY rrf DESC, doc_id) AS rrf_rank
+         |  FROM f)
+         |SELECT query_id, CAST(rrf_rank AS INTEGER) AS rrf_rank, doc_id,
+         |       rank_vec, rank_kw
+         |FROM r WHERE rrf_rank <= $TopK
+         |ORDER BY query_id, rrf_rank""".stripMargin)
+}

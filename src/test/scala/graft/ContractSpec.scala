@@ -27,6 +27,7 @@ class ContractSpec extends AnyFunSuite {
     ("Profiling", graft.queries.Profiling.queries, graft.queries.Profiling.oracles),
     ("Dedup", graft.dedup.Dedup.queries, graft.dedup.Dedup.oracles),
     ("Similarity", graft.similarity.Similarity.queries, graft.similarity.Similarity.oracles),
+    ("HybridSearch", graft.similarity.HybridSearch.queries, graft.similarity.HybridSearch.oracles),
     ("Relational", graft.queries.Relational.queries, graft.queries.Relational.oracles),
     ("SqlInterface", graft.queries.SqlInterface.queries, graft.queries.SqlInterface.oracles),
     ("Sessionize", graft.queries.Sessionize.queries, graft.queries.Sessionize.oracles),
