@@ -52,9 +52,11 @@ object Bench {
     // and the one-scan Expand profile — each with an sf1 scale point
     "dsir_contrast", "canonical_selection", "profile_orders")
 
-  /** r10 addition: the approx (HLL) profile — the 100 TB profile path,
-    * benched alongside the exact mode to keep the constant visible. */
-  val HeadlineR10Added: Seq[String] = Seq("profile_orders_approx")
+  /** r10 additions: the approx (HLL) profile — the 100 TB profile path,
+    * benched alongside the exact mode to keep the constant visible —
+    * and hybrid lexical+vector retrieval with RRF fusion. */
+  val HeadlineR10Added: Seq[String] =
+    Seq("profile_orders_approx", "hybrid_rrf")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

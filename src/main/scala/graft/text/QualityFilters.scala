@@ -207,6 +207,50 @@ object QualityFilters {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style head/middle/tail split: per SOURCE, documents are
+    * ranked by their corpus-LM typicality ([[lmTypicality]]'s
+    * avg-trigram-frequency score — CCNet ranks by LM perplexity; same
+    * mechanics, deterministic stand-in score) and cut into thirds with
+    * NTILE(3) — bucket 1 = most typical ("head"), 3 = "tail". CCNet
+    * trains on head/middle and drops (or down-weights) tail; the
+    * bucket boundary is exactly what a mixture builder consumes.
+    *
+    * Determinism: the per-doc score is ONE division of two exact longs
+    * (bit-identical across engines), the NTILE ordering is
+    * (score DESC, doc_id), and the per-bucket aggregate frequency is
+    * again one exact-long division — no double is ever summed.
+    *
+    * Scale shape: [[lmTypicality]]'s (bounded census → broadcast →
+    * one map-side-combined groupBy(doc_id)) plus one window over
+    * (source, score) — the same shuffle family as `sessionize`,
+    * spill-safe, no per-source buffer. */
+  def typicalityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val tg = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TrigramPack.trigrams_packed(col("text"))).as("tg"))
+    val census = tg.groupBy("tg").agg(count(lit(1)).as("cnt"))
+    val perDoc = tg.join(broadcast(census), "tg")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tg"), sum("cnt").as("sum_freq"))
+      .withColumn("score",
+        col("sum_freq").cast("double") / col("n_tg").cast("double"))
+    perDoc
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("source").orderBy(desc("score"), col("doc_id"))))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tg").as("n_trigrams"),
+        sum("sum_freq").as("sum_freq"),
+        max("score").as("max_score"),
+        min("score").as("min_score"))
+      .withColumn("avg_tg_freq",
+        col("sum_freq").cast("double") / col("n_trigrams").cast("double"))
+      .select(col("source"), col("bucket").cast("int").as("bucket"),
+        col("n_docs"), col("n_trigrams"), col("sum_freq"),
+        col("avg_tg_freq"), col("max_score"), col("min_score"))
+      .orderBy("source", "bucket")
+  }
+
   // ---- DSIR-style domain-contrast scoring -----------------------------
 
   /** The target "domain" whose distribution docs are scored against —
@@ -299,6 +343,7 @@ object QualityFilters {
     "block_dedup" -> blockDedup _,
     "intra_dedup" -> intraDedup _,
     "lm_typicality" -> lmTypicality _,
+    "typicality_buckets" -> typicalityBuckets _,
     "dsir_contrast" -> dsirContrast _,
     "source_overlap" -> sourceOverlap _,
     "token_histogram" -> tokenHistogram _,
@@ -366,6 +411,34 @@ object QualityFilters {
          |         / CAST(COUNT(*) AS DOUBLE) AS rare_frac
          |FROM t JOIN c USING (tg)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "typicality_buckets" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
+         |                i -> substr(text, CAST(i AS INTEGER), 3))) AS tg
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, tg FROM g WHERE length(tg) = 3),
+         |c AS (SELECT tg, COUNT(*) AS cnt FROM t GROUP BY tg),
+         |d AS (
+         |  SELECT t.doc_id, t.source,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tg,
+         |         CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+         |         CAST(SUM(c.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |           AS score
+         |  FROM t JOIN c USING (tg)
+         |  GROUP BY t.doc_id, t.source),
+         |b AS (
+         |  SELECT *, NTILE(3) OVER (PARTITION BY source
+         |           ORDER BY score DESC, doc_id) AS bucket
+         |  FROM d)
+         |SELECT source, CAST(bucket AS INTEGER) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tg) AS BIGINT) AS n_trigrams,
+         |       CAST(SUM(sum_freq) AS BIGINT) AS sum_freq,
+         |       CAST(SUM(sum_freq) AS DOUBLE) / CAST(SUM(n_tg) AS DOUBLE)
+         |         AS avg_tg_freq,
+         |       MAX(score) AS max_score, MIN(score) AS min_score
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     "gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -149,6 +149,30 @@ class QualityFiltersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "censuses must broadcast")
   }
 
+  test("typicality_buckets: thirds per source, score-monotone, totals conserved") {
+    val df = QualityFilters.typicalityBuckets(spark, sf).cache()
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val docCounts = graft.tables.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, bs) =>
+      assert(bs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), src)
+      // NTILE thirds: sizes differ by at most 1, total = source doc count
+      val sizes = bs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(sizes.sum == docCounts(src), src)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes ${sizes.toSeq}")
+      // head ≥ middle ≥ tail on the score boundaries
+      val byB = bs.map(r => r.getInt(1) -> r).toMap
+      assert(byB(1).getDouble(7) >= byB(2).getDouble(6), src) // min(head) >= max(mid)
+      assert(byB(2).getDouble(7) >= byB(3).getDouble(6), src) // min(mid) >= max(tail)
+    }
+    // trigram totals conserved vs the per-doc typicality table
+    val totalTg = QualityFilters.lmTypicality(spark, sf)
+      .agg(sum("n_trigrams")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalTg)
+  }
+
   test("source_mixture: quotas respected, ~half the corpus kept, deterministic") {
     val df = QualityFilters.sourceMixture(spark, sf).cache()
     // per-source: exactly quota rows, ranks are 1..quota
