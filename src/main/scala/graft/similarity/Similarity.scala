@@ -374,6 +374,99 @@ object Similarity {
       .select("vec_id", "maxabs", "l2_norm", "max_err")
       .orderBy("vec_id")
 
+  /** Stable IVF-index location for the embeddings under `dir`, keyed
+    * by the embedding FILES' identity (name, length, mtime) — the same
+    * contract as [[graft.dedup.Dedup.sketchCorpusPath]]: an unchanged
+    * corpus reuses (and appends to) its standing index across runs; a
+    * regenerated corpus keys to a fresh one. */
+  def ivfIndexPath(dir: String): String = {
+    val root = new java.io.File(dir, "embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_index_$key").toString
+  }
+
+  /** Create-or-extend the standing IVF index at `path`: two graft
+    * tables, `cells` (centroid vectors — written ONCE at build, the
+    * fixed coarse quantizer) and `assign` (per-vector cell assignment
+    * + vector). A rerun appends only vectors the index has never seen,
+    * assigned against the STORED centroids — the production IVF
+    * contract (FAISS add-with-ids after train): centroids stay fixed
+    * as the corpus grows, so existing postings lists never rewrite. */
+  def updateIvfIndex(spark: SparkSession, corpus: DataFrame, path: String)
+      : (graft.table.GraftTable, graft.table.GraftTable) = {
+    val cellsT = graft.table.GraftTable(spark, path + "/cells")
+    val asgT = graft.table.GraftTable(spark, path + "/assign")
+    if (cellsT.currentVersion < 0) {
+      val cents = materializedCentroids(corpus, scaledCells(corpus.count()))
+      cellsT.write(cents)
+      asgT.write(assignCells(corpus, cents)
+        .select("vec_id", "cell", "v", "n").repartition(8))
+    } else {
+      val cents = driverCentroids(spark, cellsT)
+      val known = asgT.read().select("vec_id").distinct()
+      val fresh = corpus.join(known, Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty)
+        asgT.write(assignCells(fresh, cents)
+          .select("vec_id", "cell", "v", "n").repartition(8),
+          org.apache.spark.sql.SaveMode.Append)
+    }
+    (cellsT, asgT)
+  }
+
+  /** The stored quantizer is √n rows — materialize driver-side once
+    * (the [[materializedCentroids]] rationale: every broadcast would
+    * otherwise re-scan the table). */
+  private def driverCentroids(spark: SparkSession,
+      cellsT: graft.table.GraftTable): DataFrame = {
+    val df = cellsT.read().select("cell", "cv", "cn")
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  /** Batch ANN against the persisted index: corpus vectors (vec_id not
+    * divisible by 5) live in the standing index — nothing re-assigns
+    * or re-reads them beyond the probed cells — and the batch (ids
+    * divisible by 5, disjoint from the index) probes `nprobe` nearest
+    * stored centroids, scores exactly within those postings lists, and
+    * keeps top-[[K]]. The incremental counterpart of [[knnIvf]], and
+    * the serving loop a 100 TB corpus actually runs: index once,
+    * append new vectors against fixed centroids, probe per batch.
+    * Oracle = the full recompute restricted to the batch (the
+    * `dedup_incremental` contract), valid because reruns append
+    * nothing and centroids are a pure function of the corpus side. */
+  def knnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val (cellsT, asgT) = updateIvfIndex(spark, corpus, ivfIndexPath(dir))
+    val cents = driverCentroids(spark, cellsT)
+    val nprobe = scaledProbe(scaledCells(corpus.count()))
+    val probes = batch
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      .join(broadcast(cents), expr("true"))
+      .withColumn("cscore", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cscore"), col("cell"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    asgT.read().join(probes, Seq("cell"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   /** SemDeDup-style semantic dedup: cluster the corpus into Voronoi
     * cells around the refined centroids (same √n-scaled count and
     * one-iteration k-means as [[knnIvf]]), then prune, WITHIN each
@@ -427,6 +520,7 @@ object Similarity {
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
+    "knn_incremental" -> knnIncremental _,
     "knn_pq"      -> knnPq _,
     "cosine_dups" -> cosineDups _,
     "semantic_dedup" -> semanticDedup _,
@@ -440,13 +534,17 @@ object Similarity {
     * lateral-range over len(v)); the Spark side derives it from the
     * data and agrees. Ends with `score`: every vector scored against
     * every REFINED centroid. */
-  private val RefinedScoreCte: String =
-    """cc AS (
+  private val RefinedScoreCte: String = refinedScoreCte("TRUE")
+
+  /** Same CTE with the corpus restricted by `where` — the incremental
+    * index replays centroids/assignment over the INDEXED side only. */
+  private def refinedScoreCte(where: String): String =
+    s"""cc AS (
       |  SELECT GREATEST(4, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) AS c
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $where),
       |e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $where),
       |n AS (
       |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
       |score0 AS (
@@ -548,6 +646,36 @@ object Similarity {
          |      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
          |      JOIN n cv2 ON cv2.vec_id = a.vec_id
          |      JOIN n qn ON qn.vec_id = p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk FROM s)
+         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    // full recompute restricted to the batch — centroids/assignment
+    // replayed over the INDEXED (non-multiple-of-5) side only, exactly
+    // what the standing index holds after create-or-append
+    "knn_incremental" ->
+      s"""WITH ${refinedScoreCte("(vec_id % 5) <> 0")},
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE (vec_id % 5) = 0),
+         |qn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+         |qscore AS (
+         |  SELECT qn.vec_id, c.cell,
+         |         list_inner_product(qn.v, c.cv) / (qn.nrm * c.cn) AS cscore
+         |  FROM qn, centn c),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell) AS prk FROM qscore)
+         |  WHERE prk <= (SELECT LEAST(16, GREATEST(2, c // 4)) FROM cc)),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |        ROUND(list_inner_product(cv2.v, q2.v) / (cv2.nrm * q2.nrm), 6) AS cos
+         |      FROM asg a JOIN probe p ON a.cell = p.cell
+         |      JOIN n cv2 ON cv2.vec_id = a.vec_id
+         |      JOIN qn q2 ON q2.vec_id = p.query_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |          ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk FROM s)

@@ -89,6 +89,67 @@ class DedupSpec extends SparkSpec {
       "pairs survive, the corpus side was re-sketched from text")
   }
 
+  test("knn_incremental: standing index appended never rebuilt; probe reads it") {
+    import graft.similarity.Similarity
+    val path = java.nio.file.Files.createTempDirectory("ivf_inc_grow").toString
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(aggregate(zip_with(col("v"), col("v"), _ * _),
+        lit(0.0), _ + _)))
+    val first = emb.filter(col("vec_id") % 5 === 1)
+    val (cells0, asg0) = Similarity.updateIvfIndex(spark, first, path)
+    assert(cells0.currentVersion == 0L && asg0.currentVersion == 0L)
+    val centRows = cells0.read().count()
+    // second corpus batch: ONE append of only the unseen vectors, and
+    // the quantizer (cells table) is never rewritten
+    val grown = emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2)
+    val (cells1, asg1) = Similarity.updateIvfIndex(spark, grown, path)
+    assert(asg1.currentVersion == 1L, "second batch must be ONE append")
+    assert(cells1.currentVersion == 0L, "centroids must stay fixed")
+    assert(cells1.read().count() == centRows)
+    assert(asg1.read().select("vec_id").distinct().count() == grown.count())
+    // an already-covered corpus is a no-op
+    Similarity.updateIvfIndex(spark, first, path)
+    assert(asg1.currentVersion == 1L)
+  }
+
+  test("knn_incremental: batch-only queries over corpus-only postings, exact cos") {
+    import graft.similarity.Similarity
+    val df = Similarity.knnIncremental(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 == 0, "queries are the batch side")
+      assert(r.getLong(2) % 5 != 0, "neighbors come from the index only")
+    }
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length <= Similarity.K)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // reported cosines are the exact values (driver recompute)
+    val vecs = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.take(50).foreach { r =>
+      val (q, nb) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      var d = 0.0; var nq = 0.0; var nn = 0.0; var i = 0
+      while (i < q.length) { d += q(i) * nb(i); nq += q(i) * q(i); nn += nb(i) * nb(i); i += 1 }
+      val cos = BigDecimal(d / (math.sqrt(nq) * math.sqrt(nn)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cos - r.getDouble(3)) < 1e-9)
+    }
+    // the probe consumes the persisted index, not a recompute
+    val plan = Similarity.knnIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_index"),
+      "postings must scan the standing index table")
+  }
+
   test("minhash estimate tracks exact jaccard within 0.15 on candidates") {
     val est = Dedup.dedupMinhash(spark, sf)
       .select("a", "b", "est_jaccard").as[(Long, Long, Double)].collect()

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "cosine_dups", "knn_brute", "sql_scalar_subquery", "knn_ivf",
     "gap_fill_hourly", "q22_global_sales", "knn_pq", "semantic_dedup",
     "tfidf_keywords", // n_docs is a one-row broadcast scalar
-    "hybrid_rrf") // query vectors: fixed handful, broadcast, =!= self
+    "hybrid_rrf", // query vectors: fixed handful, broadcast, =!= self
+    "knn_incremental") // probe × broadcast(√n stored centroids)
 
   // global aggregates: one output row, total order is vacuous
   private val singleRow = Set("count_rows", "date_bounds", "distinct_types")
