@@ -54,9 +54,13 @@ object Bench {
 
   /** r10 additions: the approx (HLL) profile — the 100 TB profile path,
     * benched alongside the exact mode to keep the constant visible —
-    * and hybrid lexical+vector retrieval with RRF fusion. */
+    * hybrid lexical+vector retrieval with RRF fusion, and the CCNet
+    * head/middle/tail typicality split. (The incremental ops —
+    * dedup_incremental, knn_incremental — stay out of the bench by
+    * design: their standing tables make run N's cost depend on run
+    * N-1's state, which would corrupt the min-of-N ratio flags.) */
   val HeadlineR10Added: Seq[String] =
-    Seq("profile_orders_approx", "hybrid_rrf")
+    Seq("profile_orders_approx", "hybrid_rrf", "typicality_buckets")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

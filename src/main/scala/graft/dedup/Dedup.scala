@@ -401,6 +401,59 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Containment (asymmetric) near-dup pairs — the case symmetric
+    * Jaccard systematically misses: a short document embedded verbatim
+    * in a longer one (wire copy inside an article, quoted mail inside a
+    * thread) has high |A∩B|/|A| but tiny Jaccard, so MinHash-LSH never
+    * surfaces it. Candidates come from ANCHOR blocking: each doc's
+    * single min-md5 5-gram shingle (the [[clusterMinsh]] kernel) is
+    * looked up in every OTHER doc's shingle set — if A ⊆ B then A's min
+    * shingle is necessarily in B, so full containment has perfect
+    * recall by construction and partial containment degrades gracefully
+    * (P[anchor ∈ B] ≈ the containment itself). The candidate set is the
+    * anchored-pair DEFINITION of the operator (both engines replay it
+    * exactly — no recall asymmetry can leak into the hash gate).
+    *
+    * Scale shape: the shingle table is one (doc_id, sh) shuffle; the
+    * anchor probe joins ONE row per doc against it (posting-list
+    * bounded, never all-pairs); the intersection count re-joins only
+    * candidate pairs' shingles. `containment = shared / |A|` is one
+    * exact long/long division. */
+  val ContainmentTau = 0.8
+
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    // distinct md5 images of char-5-gram shingles per doc (md5, not
+    // xxhash64: the anchor MIN must order identically in DuckDB)
+    val sh = documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val anchors = documents(spark, dir)
+      .select(col("doc_id").as("a"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+    val cand = anchors.join(sh.select(col("doc_id").as("b"), col("sh")),
+        col("k") === col("sh") && col("a") =!= col("b"))
+      .select("a", "b")
+    val shared = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_a").cast("double"), 4))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("shared"),
+        col("containment"))
+      .orderBy("a", "b")
+  }
+
   /** Quality-aware canonical selection — the retention POLICY on top of
     * near-dup clustering (SlimPajama/RefinedWeb keep the "best" copy,
     * not an arbitrary one): within every [[clusterMinsh]] component,
@@ -478,6 +531,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> dedupSubstring _,
+    "containment_dedup" -> containmentDedup _,
     "canonical_selection" -> canonicalSelection _,
     "dedup_clusters" -> dedupClusters _,
     "cluster_minsh" -> clusterMinsh _,
@@ -488,6 +542,35 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    "containment_dedup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
+         |                i -> substr(text, CAST(i AS INTEGER), 5))) AS shingle
+         |  FROM documents),
+         |s AS (SELECT DISTINCT doc_id, md5(shingle) AS sh
+         |      FROM g WHERE length(shingle) = 5),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+         |anch AS (SELECT doc_id AS a, MIN(sh) AS k FROM s GROUP BY doc_id),
+         |cand AS (SELECT anch.a, s.doc_id AS b
+         |         FROM anch JOIN s ON anch.k = s.sh AND anch.a <> s.doc_id),
+         |shr AS (SELECT c.a, c.b, COUNT(*) AS shared
+         |        FROM cand c
+         |        JOIN s sa ON sa.doc_id = c.a
+         |        JOIN s sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |        GROUP BY c.a, c.b)
+         |SELECT shr.a, shr.b,
+         |       CAST(za.n_sh AS BIGINT) AS n_a,
+         |       CAST(zb.n_sh AS BIGINT) AS n_b,
+         |       CAST(shr.shared AS BIGINT) AS shared,
+         |       round(CAST(shr.shared AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 4)
+         |         AS containment
+         |FROM shr
+         |JOIN sz za ON za.doc_id = shr.a
+         |JOIN sz zb ON zb.doc_id = shr.b
+         |WHERE round(CAST(shr.shared AS DOUBLE) / CAST(za.n_sh AS DOUBLE), 4)
+         |      >= $ContainmentTau
+         |ORDER BY shr.a, shr.b""".stripMargin,
     // the oracle groups RAW window strings where the query groups their
     // xxhash64 images — identical counts absent a 64-bit collision
     // between two distinct windows of this corpus (same argument as

@@ -89,6 +89,41 @@ class DedupSpec extends SparkSpec {
       "pairs survive, the corpus side was re-sketched from text")
   }
 
+  test("containment_dedup: driver replay exact; full containment has perfect recall") {
+    val rows = Dedup.containmentDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingles: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      id -> (if (t.length < 5) Set.empty[String]
+             else t.sliding(5).filter(_.length == 5).map(md5hex).toSet)
+    }
+    // every emitted row replays exactly, and the anchor predicate holds
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (shingles(a), shingles(b))
+      val shared = (sa & sb).size
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == shared)
+      val cont = BigDecimal(shared.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == cont && cont >= Dedup.ContainmentTau)
+      assert(sb.contains(sa.min), "anchor (min md5 shingle) must be in b")
+    }
+    // A ⊆ B ⇒ A's min shingle ∈ B: full containment can never be missed
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = shingles.keys.toSeq.sorted
+    for (x <- ids; y <- ids if x != y) {
+      val (sx, sy) = (shingles(x), shingles(y))
+      if (sx.nonEmpty && sx.subsetOf(sy))
+        assert(got((x, y)), s"fully-contained pair ($x,$y) missing")
+    }
+  }
+
   test("knn_incremental: standing index appended never rebuilt; probe reads it") {
     import graft.similarity.Similarity
     val path = java.nio.file.Files.createTempDirectory("ivf_inc_grow").toString
