@@ -405,25 +405,40 @@ object Dedup {
     * Jaccard systematically misses: a short document embedded verbatim
     * in a longer one (wire copy inside an article, quoted mail inside a
     * thread) has high |A∩B|/|A| but tiny Jaccard, so MinHash-LSH never
-    * surfaces it. Candidates come from ANCHOR blocking: each doc's
-    * single min-md5 5-gram shingle (the [[clusterMinsh]] kernel) is
-    * looked up in every OTHER doc's shingle set — if A ⊆ B then A's min
-    * shingle is necessarily in B, so full containment has perfect
-    * recall by construction and partial containment degrades gracefully
-    * (P[anchor ∈ B] ≈ the containment itself). The candidate set is the
-    * anchored-pair DEFINITION of the operator (both engines replay it
-    * exactly — no recall asymmetry can leak into the hash gate).
+    * surfaces it. Candidates come from RARE-ANCHOR blocking: each
+    * doc's min-md5 5-gram among its shingles with document frequency
+    * ≤ [[ContainmentMaxDf]] is looked up in other docs' (equally
+    * df-capped) shingle occurrences. If A ⊆ B then EVERY shingle of A
+    * — its min-rare one included — is in B, so full containment keeps
+    * perfect recall for any doc owning at least one rare shingle
+    * (a doc made entirely of df>cap boilerplate shingles has no
+    * information to anchor on and is excluded from the contained side
+    * by contract); partial containment degrades gracefully (P[anchor
+    * hits] ≈ the containment). The df cap is THE scale bound: an
+    * uncapped min-md5 anchor is a uniformly random shingle of the doc,
+    * so it lands on a corpus-ubiquitous 5-gram with probability ≈ the
+    * doc's boilerplate fraction and the probe degenerates toward
+    * all-pairs (measured: 456 s at sf0.1 uncapped vs seconds capped —
+    * candidates per doc are ≤ cap by construction). The candidate set
+    * is the anchored-pair DEFINITION of the operator (both engines
+    * replay it exactly — no recall asymmetry can leak into the gate).
     *
-    * Scale shape: the shingle table is one (doc_id, sh) shuffle; the
-    * anchor probe joins ONE row per doc against it (posting-list
-    * bounded, never all-pairs); the intersection count re-joins only
-    * candidate pairs' shingles. `containment = shared / |A|` is one
-    * exact long/long division. */
+    * Scale shape: the shingle table is one (doc_id, sh) shuffle; df is
+    * one census over it; the anchor probe joins ONE row per doc
+    * against df-capped postings (≤ cap candidates per doc — linear in
+    * the corpus, never all-pairs); the intersection count re-joins
+    * only candidate pairs' shingles. `containment = shared / |A|` is
+    * one exact long/long division. */
   val ContainmentTau = 0.8
+  val ContainmentMaxDf = 64
 
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     // distinct md5 images of char-5-gram shingles per doc (md5, not
     // xxhash64: the anchor MIN must order identically in DuckDB)
+    // NOT persisted: measured 17 s recomputed vs 24 s cached at sf0.1 —
+    // the (doc_id, sh) exchange is identical across consumers, so
+    // ReuseExchange already collapses the rescans, while caching the
+    // wide distinct table pays serialization for nothing
     val sh = documents(spark, dir)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(length(text) - 4, 1)),
@@ -432,11 +447,15 @@ object Dedup {
       .select(col("doc_id"), md5(col("shingle")).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val anchors = documents(spark, dir)
-      .select(col("doc_id").as("a"),
-        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
-      .filter(col("k").isNotNull)
-    val cand = anchors.join(sh.select(col("doc_id").as("b"), col("sh")),
+    // rare = df-capped occurrences; the anchor's whole posting list
+    // lives in here (its df is ≤ cap), so probing `rare` ≡ probing the
+    // full table while bounding every posting at the cap
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainmentMaxDf).select("sh"), Seq("sh"))
+    val anchors = rare.groupBy("doc_id").agg(min("sh").as("k"))
+      .select(col("doc_id").as("a"), col("k"))
+    val cand = anchors.join(rare.select(col("doc_id").as("b"), col("sh")),
         col("k") === col("sh") && col("a") =!= col("b"))
       .select("a", "b")
     val shared = cand
@@ -551,9 +570,14 @@ object Dedup {
          |s AS (SELECT DISTINCT doc_id, md5(shingle) AS sh
          |      FROM g WHERE length(shingle) = 5),
          |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
-         |anch AS (SELECT doc_id AS a, MIN(sh) AS k FROM s GROUP BY doc_id),
-         |cand AS (SELECT anch.a, s.doc_id AS b
-         |         FROM anch JOIN s ON anch.k = s.sh AND anch.a <> s.doc_id),
+         |rare AS (SELECT s.doc_id, s.sh FROM s
+         |         JOIN (SELECT sh FROM s GROUP BY sh
+         |               HAVING COUNT(*) <= $ContainmentMaxDf) r
+         |           ON r.sh = s.sh),
+         |anch AS (SELECT doc_id AS a, MIN(sh) AS k FROM rare GROUP BY doc_id),
+         |cand AS (SELECT anch.a, rare.doc_id AS b
+         |         FROM anch JOIN rare ON anch.k = rare.sh
+         |                           AND anch.a <> rare.doc_id),
          |shr AS (SELECT c.a, c.b, COUNT(*) AS shared
          |        FROM cand c
          |        JOIN s sa ON sa.doc_id = c.a

@@ -102,7 +102,13 @@ class DedupSpec extends SparkSpec {
       id -> (if (t.length < 5) Set.empty[String]
              else t.sliding(5).filter(_.length == 5).map(md5hex).toSet)
     }
-    // every emitted row replays exactly, and the anchor predicate holds
+    // document frequency per shingle → the rare (df-capped) subsets
+    val dfCount = shingles.values.toSeq.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val rare: Map[Long, Set[String]] = shingles.map { case (id, s) =>
+      id -> s.filter(dfCount(_) <= Dedup.ContainmentMaxDf)
+    }
+    // every emitted row replays exactly, and the rare-anchor holds
     rows.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       val (sa, sb) = (shingles(a), shingles(b))
@@ -112,14 +118,16 @@ class DedupSpec extends SparkSpec {
       val cont = BigDecimal(shared.toDouble / sa.size)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(5) == cont && cont >= Dedup.ContainmentTau)
-      assert(sb.contains(sa.min), "anchor (min md5 shingle) must be in b")
+      assert(rare(b).contains(rare(a).min),
+        "anchor (min rare md5 shingle) must be a rare shingle of b")
     }
-    // A ⊆ B ⇒ A's min shingle ∈ B: full containment can never be missed
+    // A ⊆ B ⇒ A's min rare shingle ∈ B (rare in B too — df is global):
+    // full containment can never be missed for a doc with a rare shingle
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val ids = shingles.keys.toSeq.sorted
     for (x <- ids; y <- ids if x != y) {
       val (sx, sy) = (shingles(x), shingles(y))
-      if (sx.nonEmpty && sx.subsetOf(sy))
+      if (rare(x).nonEmpty && sx.subsetOf(sy))
         assert(got((x, y)), s"fully-contained pair ($x,$y) missing")
     }
   }
