@@ -60,7 +60,8 @@ object Bench {
     * design: their standing tables make run N's cost depend on run
     * N-1's state, which would corrupt the min-of-N ratio flags.) */
   val HeadlineR10Added: Seq[String] =
-    Seq("profile_orders_approx", "hybrid_rrf", "typicality_buckets")
+    Seq("profile_orders_approx", "hybrid_rrf", "typicality_buckets",
+      "containment_dedup")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++
@@ -105,6 +106,12 @@ object Bench {
       "sf10, full query 24 s -> 7.3 s, measured). Worst case (duplicate-" +
       "free corpus) stays n^1.5 exactly like the knn_ivf build; at " +
       "100 TB assignment runs sample-trained and hierarchically."),
+    "containment_dedup" -> ("Exactly linear by construction: work = " +
+      "corpus shingle volume (one packed-long distinct + df census + " +
+      "df-capped anchor probes, candidates <= 64/doc at ANY scale), so " +
+      "the ratio sits AT the data factor with no fixed-overhead " +
+      "cushion — a flag here is measurement noise around 10.0, not a " +
+      "super-linear shape (measured 4.7 s sf0.1 / 47 s sf1 warm)."),
     "knn_pq" -> ("One-time codebook-cap transition, not a scale shape: " +
       "scaledPqCodes = min(256, sqrt(n/2)) crosses its one-byte cap " +
       "between sf1 (100 entries) and sf10 (256) — per-vector encode " +

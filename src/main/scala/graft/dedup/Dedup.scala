@@ -406,7 +406,7 @@ object Dedup {
     * in a longer one (wire copy inside an article, quoted mail inside a
     * thread) has high |A∩B|/|A| but tiny Jaccard, so MinHash-LSH never
     * surfaces it. Candidates come from RARE-ANCHOR blocking: each
-    * doc's min-md5 5-gram among its shingles with document frequency
+    * doc's minimum 5-gram among its shingles with document frequency
     * ≤ [[ContainmentMaxDf]] is looked up in other docs' (equally
     * df-capped) shingle occurrences. If A ⊆ B then EVERY shingle of A
     * — its min-rare one included — is in B, so full containment keeps
@@ -415,7 +415,7 @@ object Dedup {
     * information to anchor on and is excluded from the contained side
     * by contract); partial containment degrades gracefully (P[anchor
     * hits] ≈ the containment). The df cap is THE scale bound: an
-    * uncapped min-md5 anchor is a uniformly random shingle of the doc,
+    * uncapped min anchor is a uniformly random shingle of the doc,
     * so it lands on a corpus-ubiquitous 5-gram with probability ≈ the
     * doc's boilerplate fraction and the probe degenerates toward
     * all-pairs (measured: 456 s at sf0.1 uncapped vs seconds capped —
@@ -435,18 +435,18 @@ object Dedup {
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     // distinct md5 images of char-5-gram shingles per doc (md5, not
     // xxhash64: the anchor MIN must order identically in DuckDB)
-    // NOT persisted: measured 17 s recomputed vs 24 s cached at sf0.1 —
-    // the (doc_id, sh) exchange is identical across consumers, so
-    // ReuseExchange already collapses the rescans, while caching the
-    // wide distinct table pays serialization for nothing
+    // Shingles as packed 40-bit longs ([[graft.text.ShinglePack]]) — the
+    // fixed width makes packed ordering ≡ byte-wise string ordering, so
+    // the MIN anchor picks the same shingle the DuckDB oracle picks
+    // over raw strings, with no per-shingle digest or string ever
+    // allocated (the md5 formulation paid ~50M digest+hex allocations
+    // at 10×: 119 s → this form). NOT persisted: the (doc_id, sh)
+    // exchange is identical across consumers, so ReuseExchange already
+    // collapses the rescans (measured faster than MEMORY_AND_DISK).
     val sh = documents(spark, dir)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(length(text) - 4, 1)),
-          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
-      .filter(length(col("shingle")) === 5)
-      .select(col("doc_id"), md5(col("shingle")).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.text.ShinglePack.shingles_packed(col("text"))).as("sh"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // rare = df-capped occurrences; the anchor's whole posting list
     // lives in here (its df is ≤ cap), so probing `rare` ≡ probing the
     // full table while bounding every posting at the cap
@@ -458,18 +458,22 @@ object Dedup {
     val cand = anchors.join(rare.select(col("doc_id").as("b"), col("sh")),
         col("k") === col("sh") && col("a") =!= col("b"))
       .select("a", "b")
-    val shared = cand
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+    // exact intersection via per-doc shingle SETS joined to the pairs
+    // (the [[ngramJaccard]] shape): one ~|doc| array per side per pair,
+    // intersected in-memory — the (pair × |A| rows) expansion through a
+    // (b, sh) exchange this replaces was the dominant cost at 10×
+    // (measured 178 s → the array form's in-partition intersect)
+    val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"))
       .withColumn("containment",
         round(col("shared").cast("double") / col("n_a").cast("double"), 4))
       .filter(col("containment") >= ContainmentTau)
-      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("shared"),
-        col("containment"))
       .orderBy("a", "b")
   }
 
@@ -561,13 +565,16 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    // raw 5-gram strings where the query uses packed 40-bit longs —
+    // bijective for ASCII text and ORDER-preserving (fixed width), so
+    // the MIN anchor and every count agree across engines
     "containment_dedup" ->
       s"""WITH g AS (
          |  SELECT doc_id,
          |         unnest(list_transform(range(1, GREATEST(length(text) - 4, 1) + 1),
          |                i -> substr(text, CAST(i AS INTEGER), 5))) AS shingle
          |  FROM documents),
-         |s AS (SELECT DISTINCT doc_id, md5(shingle) AS sh
+         |s AS (SELECT DISTINCT doc_id, shingle AS sh
          |      FROM g WHERE length(shingle) = 5),
          |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
          |rare AS (SELECT s.doc_id, s.sh FROM s

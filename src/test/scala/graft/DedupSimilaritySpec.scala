@@ -92,15 +92,14 @@ class DedupSpec extends SparkSpec {
   test("containment_dedup: driver replay exact; full containment has perfect recall") {
     val rows = Dedup.containmentDedup(spark, sf).collect()
     assert(rows.nonEmpty)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String =
-      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val docs = graft.tables.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // raw 5-gram strings: bijective with the engine's packed-long form
+    // for ASCII text, and String min ≡ packed min (fixed width)
     val shingles: Map[Long, Set[String]] = docs.map { case (id, t) =>
       id -> (if (t.length < 5) Set.empty[String]
-             else t.sliding(5).filter(_.length == 5).map(md5hex).toSet)
+             else t.sliding(5).filter(_.length == 5).toSet)
     }
     // document frequency per shingle → the rare (df-capped) subsets
     val dfCount = shingles.values.toSeq.flatten
