@@ -51,6 +51,46 @@ object CentroidKernels {
     bestJ
   }
 
+  /** Top-`k` centroid indices by (ROUNDED-to-6 cosine desc, index asc)
+    * — the [[nearestCell]] loop generalized to a k-selection, used by
+    * the kNN label-propagation classifier where the "centroids" are a
+    * small curated seed set. Scores are rounded BEFORE comparison with
+    * the exact `round(x, 6)` semantics (BigDecimal HALF_UP on the
+    * double's shortest decimal form) so the ranking matches the DuckDB
+    * oracle's `ROUND(cos, 6)` ordering bit-for-bit — the same
+    * tie-robustness contract every knn_* query pins. Ascending j with
+    * a strict `>` displacement keeps equal-score ties on the LOWER
+    * index, mirroring `ORDER BY cos DESC, seed_id`. */
+  def topKCells(v: ArrayData, n: Double, flat: ArrayData,
+      cns: ArrayData, dim: Int, k: Int): ArrayData = {
+    val cells = cns.numElements()
+    val kk = math.min(k, cells)
+    val bestS = new Array[Double](kk)
+    val bestJ = new Array[Int](kk)
+    var filled = 0
+    var j = 0
+    while (j < cells) {
+      val off = j * dim
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v.getDouble(i) * flat.getDouble(off + i); i += 1 }
+      val score = java.math.BigDecimal.valueOf(s / (n * cns.getDouble(j)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // insertion into the sorted top-k; later j never displaces an
+      // equal-score earlier j (strict >)
+      if (filled < kk || score > bestS(kk - 1)) {
+        var p = math.min(filled, kk - 1)
+        while (p > 0 && bestS(p - 1) < score) {
+          bestS(p) = bestS(p - 1); bestJ(p) = bestJ(p - 1); p -= 1
+        }
+        bestS(p) = score; bestJ(p) = j
+        if (filled < kk) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestJ, filled))
+  }
+
   /** All PqM codes of one vector in one pass: for each subspace m,
     * argmin over `codes` codebook entries of the l2 distance between
     * v[m·subDim..] and the entry; codebook flat layout
@@ -116,6 +156,30 @@ case class NearestCell(v: Expression, n: Expression, flat: Expression,
     copy(v = newFirst, n = newSecond, flat = newThird, cns = newFourth)
 }
 
+case class TopKCells(v: Expression, n: Expression, flat: Expression,
+    cns: Expression, dim: Int, k: Int) extends QuaternaryExpression {
+  override def first: Expression = v
+  override def second: Expression = n
+  override def third: Expression = flat
+  override def fourth: Expression = cns
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    CentroidKernels.topKCells(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Double], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData], dim, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.CentroidKernels.topKCells($a, $b, $c, $d, $dim, $k)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): TopKCells =
+    copy(v = newFirst, n = newSecond, flat = newThird, cns = newFourth)
+}
+
 case class PqEncode(left: Expression, right: Expression, pqM: Int,
     subDim: Int, codes: Int) extends BinaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -142,6 +206,12 @@ object CentroidKernelColumns {
     ColumnBridge.column(NearestCell(ColumnBridge.expression(v),
       ColumnBridge.expression(n), ColumnBridge.expression(flat),
       ColumnBridge.expression(cns), dim))
+
+  def top_k_cells(v: Column, n: Column, flat: Column, cns: Column,
+      dim: Int, k: Int): Column =
+    ColumnBridge.column(TopKCells(ColumnBridge.expression(v),
+      ColumnBridge.expression(n), ColumnBridge.expression(flat),
+      ColumnBridge.expression(cns), dim, k))
 
   def pq_encode(v: Column, flatCodebook: Column, pqM: Int, subDim: Int,
       codes: Int): Column =

@@ -429,6 +429,31 @@ object Similarity {
     spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
   }
 
+  /** Streaming maintenance of the standing IVF index: each micro-batch
+    * of (vec_id, embedding) rows flows through [[updateIvfIndex]] — the
+    * anti-join against the stored postings makes every batch IDEMPOTENT
+    * (a replay after a sink-committed/checkpoint-stale restart appends
+    * nothing), so the index is exactly-once WITHOUT a txn marker: the
+    * dedup key is the data itself. The quantizer must exist before the
+    * stream starts (built from `seedCorpus` if absent) because fixed
+    * centroids are what make append-only postings valid. The 100 TB
+    * shape: the index never rebuilds; a day's new vectors arrive as
+    * bounded batches and land as appends into the probed tables. */
+  def streamIntoIvfIndex(spark: SparkSession, seedCorpus: DataFrame,
+      stream: DataFrame, path: String): graft.table.GraftTable = {
+    def prepared(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    updateIvfIndex(spark, prepared(seedCorpus), path)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        updateIvfIndex(spark, prepared(batch), path); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.table.GraftTable(spark, path + "/assign")
+  }
+
   /** Batch ANN against the persisted index: corpus vectors (vec_id not
     * divisible by 5) live in the standing index — nothing re-assigns
     * or re-reads them beyond the probed cells — and the batch (ids
@@ -447,8 +472,17 @@ object Similarity {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
     val (cellsT, asgT) = updateIvfIndex(spark, corpus, ivfIndexPath(dir))
+    probeIndex(spark, cellsT, asgT, batch,
+      scaledProbe(scaledCells(corpus.count())))
+  }
+
+  /** Probe the standing index with a query batch: `nprobe` nearest
+    * STORED centroids per query, exact cosine within the probed
+    * postings lists, top-[[K]]. Shared serving tail of
+    * [[knnIncremental]] and [[knnStreamIndex]]. */
+  private def probeIndex(spark: SparkSession, cellsT: graft.table.GraftTable,
+      asgT: graft.table.GraftTable, batch: DataFrame, nprobe: Int): DataFrame = {
     val cents = driverCentroids(spark, cellsT)
-    val nprobe = scaledProbe(scaledCells(corpus.count()))
     val probes = batch
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
       .join(broadcast(cents), expr("true"))
@@ -465,6 +499,90 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("int").as("rk"),
         col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "rk")
+  }
+
+  /** End-to-end streaming-index serving: the quantizer trains on a SEED
+    * slice (vec_id % 5 ∈ {1,2}), the rest of the corpus (% 5 ∈ {3,4})
+    * ARRIVES AS A STREAM through [[streamIntoIvfIndex]] (file-granular
+    * micro-batches over the embeddings parquet itself), and the query
+    * batch (% 5 = 0) probes the resulting index. This is the day-2
+    * shape of a 100 TB vector store: train once on a sample, let new
+    * vectors flow in as appends against fixed centroids, serve from
+    * the postings tables. Deterministic (fixed seed slice, idempotent
+    * appends, exact in-cell scoring) → the DuckDB oracle replays
+    * seed-derived centroids + full-index assignment + probe. */
+  def knnStreamIndex(spark: SparkSession, dir: String): DataFrame = {
+    val embRaw = embeddings(spark, dir).select("vec_id", "embedding")
+    val path = ivfIndexPath(dir) + "_stream"
+    val seed = embRaw.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2)
+    // the file stream source lists a DIRECTORY: a partitioned
+    // embeddings.parquet streams directly; the single-file layout the
+    // small sf dirs use streams the sf dir under a leaf-name glob
+    val rootF = new java.io.File(s"$dir/embeddings.parquet")
+    val reader = spark.readStream.schema(embRaw.schema)
+      .option("maxFilesPerTrigger", 1)
+    val streamed = (if (rootF.isDirectory) reader.parquet(rootF.toString)
+      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") % 5 === 3 || col("vec_id") % 5 === 4)
+    val asgT = streamIntoIvfIndex(spark, seed, streamed, path)
+    val cellsT = graft.table.GraftTable(spark, path + "/cells")
+    val batch = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .filter(col("vec_id") % 5 === 0)
+    probeIndex(spark, cellsT, asgT, batch,
+      scaledProbe(scaledCells(seed.count())))
+  }
+
+  /** kNN label propagation: classify every UNLABELED document by a
+    * majority vote of its [[K]] nearest LABELED seed documents in
+    * embedding space — the semi-supervised serving shape of
+    * model-based quality labeling (label a small curated set, let the
+    * embedding neighborhood extend it to the whole corpus). Seed =
+    * every third vec_id, label = the document's `source`; ties break
+    * (votes desc, label asc), neighbor ranking by (rounded cosine
+    * desc, seed id asc) exactly as the other knn_* queries.
+    *
+    * Scale shape: the curated seed set is SMALL by definition, so it
+    * rides the plan as a driver-materialized flat matrix (the
+    * centroid/codebook pattern) and classification is ONE codegen'd
+    * map over the corpus — n rows in, n rows out, zero shuffles and
+    * zero row amplification; the window-over-crossjoin formulation
+    * this replaces pushes n·|seed| rows through an exchange. The vote
+    * itself is pure array algebra over the K in-row neighbor labels. */
+  val ClassifySeedMod = 3
+
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val seedRows = emb.filter(col("vec_id") % ClassifySeedMod === 0)
+      .join(documents(spark, dir).select(col("doc_id"), col("source")),
+        col("doc_id") === col("vec_id"))
+      .orderBy("vec_id").select("vec_id", "v", "n", "source").collect()
+    val dim = seedRows.head.getSeq[Double](1).size
+    val flat = new Array[Double](seedRows.length * dim)
+    val norms = new Array[Double](seedRows.length)
+    val labels = new Array[String](seedRows.length)
+    seedRows.zipWithIndex.foreach { case (r, j) =>
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(j * dim + i) = v(i); i += 1 }
+      norms(j) = r.getDouble(2)
+      labels(j) = r.getString(3)
+    }
+    emb.filter(col("vec_id") % ClassifySeedMod =!= 0)
+      .withColumn("nbrs", graft.functions.CentroidKernelColumns.top_k_cells(
+        col("v"), col("n"), typedLit(flat), typedLit(norms), dim, K))
+      .withColumn("lbls", transform(col("nbrs"),
+        j => element_at(typedLit(labels), j + 1)))
+      .withColumn("best", array_min(transform(array_distinct(col("lbls")),
+        l => struct((-size(filter(col("lbls"), x => x === l))).as("negc"),
+          l.as("label")))))
+      .select(col("vec_id"), col("best").getField("label").as("label"),
+        (-col("best").getField("negc")).cast("int").as("votes"))
+      .orderBy("vec_id")
   }
 
   /** SemDeDup-style semantic dedup: cluster the corpus into Voronoi
@@ -521,6 +639,8 @@ object Similarity {
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
     "knn_incremental" -> knnIncremental _,
+    "knn_stream_index" -> knnStreamIndex _,
+    "knn_classify" -> knnClassify _,
     "knn_pq"      -> knnPq _,
     "cosine_dups" -> cosineDups _,
     "semantic_dedup" -> semanticDedup _,
@@ -535,6 +655,49 @@ object Similarity {
     * data and agrees. Ends with `score`: every vector scored against
     * every REFINED centroid. */
   private val RefinedScoreCte: String = refinedScoreCte("TRUE")
+
+  /** CTE variant with SPLIT predicates: the quantizer (cc/centn) trains
+    * on the `centWhere` slice only, while `score` assigns the whole
+    * `scoreWhere` set against those fixed centroids — the
+    * train-on-a-sample / assign-everything contract of
+    * [[knnStreamIndex]]'s streaming index. */
+  private def splitScoreCte(centWhere: String, scoreWhere: String): String =
+    s"""cc AS (
+      |  SELECT GREATEST(4, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) AS c
+      |  FROM embeddings WHERE $centWhere),
+      |ec AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE $centWhere),
+      |nc AS (
+      |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM ec),
+      |score0 AS (
+      |  SELECT nc.vec_id, c.cell,
+      |         list_inner_product(nc.v, c.cv) / (nc.nrm * c.cn) AS cscore
+      |  FROM nc, (SELECT vec_id AS cell, v AS cv, nrm AS cn
+      |           FROM nc WHERE vec_id < (SELECT c FROM cc)) c),
+      |asg0 AS (SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cscore DESC, cell DESC) AS rn FROM score0) WHERE rn = 1),
+      |sums AS (
+      |  SELECT a.cell, r.i AS pos,
+      |         list_sum(list(nv.v[r.i] ORDER BY nv.vec_id)) AS s,
+      |         COUNT(*) AS cnt
+      |  FROM asg0 a JOIN nc nv USING (vec_id),
+      |       (SELECT unnest(range(1, 65)) AS i) r
+      |  GROUP BY a.cell, r.i),
+      |centn AS (
+      |  SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cn FROM (
+      |    SELECT cell, list(s / cnt ORDER BY pos) AS cv FROM sums
+      |    GROUP BY cell)),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE $scoreWhere),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+      |score AS (
+      |  SELECT n.vec_id, c.cell,
+      |         list_inner_product(n.v, c.cv) / (n.nrm * c.cn) AS cscore
+      |  FROM n, centn c)""".stripMargin
 
   /** Same CTE with the corpus restricted by `where` — the incremental
     * index replays centroids/assignment over the INDEXED side only. */
@@ -656,6 +819,65 @@ object Similarity {
     // what the standing index holds after create-or-append
     "knn_incremental" ->
       s"""WITH ${refinedScoreCte("(vec_id % 5) <> 0")},
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE (vec_id % 5) = 0),
+         |qn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+         |qscore AS (
+         |  SELECT qn.vec_id, c.cell,
+         |         list_inner_product(qn.v, c.cv) / (qn.nrm * c.cn) AS cscore
+         |  FROM qn, centn c),
+         |probe AS (SELECT query_id, cell FROM (
+         |  SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell) AS prk FROM qscore)
+         |  WHERE prk <= (SELECT LEAST(16, GREATEST(2, c // 4)) FROM cc)),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |        ROUND(list_inner_product(cv2.v, q2.v) / (cv2.nrm * q2.nrm), 6) AS cos
+         |      FROM asg a JOIN probe p ON a.cell = p.cell
+         |      JOIN n cv2 ON cv2.vec_id = a.vec_id
+         |      JOIN qn q2 ON q2.vec_id = p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rk FROM s)
+         |SELECT query_id, rk, neighbor_id, cos FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin,
+    // brute-force replay of the propagation: rank ALL seed members per
+    // unlabeled vector by the same rounded cosine, vote, tie-break
+    // (votes desc, label asc)
+    "knn_classify" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |seed AS (
+         |  SELECT n.vec_id, n.v, n.nrm, d.source
+         |  FROM n JOIN documents d ON d.doc_id = n.vec_id
+         |  WHERE (n.vec_id % $ClassifySeedMod) = 0),
+         |rest AS (SELECT * FROM n WHERE (vec_id % $ClassifySeedMod) <> 0),
+         |s AS (
+         |  SELECT r.vec_id, sd.vec_id AS sid, sd.source,
+         |         ROUND(list_inner_product(r.v, sd.v) / (r.nrm * sd.nrm), 6) AS cos
+         |  FROM rest r, seed sd),
+         |topk AS (SELECT vec_id, source FROM (
+         |  SELECT vec_id, source, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, sid) AS rk FROM s) WHERE rk <= $K),
+         |votes AS (SELECT vec_id, source AS label, COUNT(*) AS cnt
+         |          FROM topk GROUP BY vec_id, source)
+         |SELECT vec_id, label, CAST(cnt AS INTEGER) AS votes FROM (
+         |  SELECT vec_id, label, cnt, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cnt DESC, label) AS rn FROM votes) WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    // streaming-index replay: centroids from the SEED slice only,
+    // assignment over everything the index ends up holding (seed +
+    // streamed), probe count from the seed-derived cell count — the
+    // exact post-stream state, valid because streamed appends are
+    // idempotent and centroids never move after the seed build
+    "knn_stream_index" ->
+      s"""WITH ${splitScoreCte("(vec_id % 5) IN (1, 2)", "(vec_id % 5) <> 0")},
          |asg AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),

@@ -156,6 +156,41 @@ class DedupSpec extends SparkSpec {
     assert(asg1.currentVersion == 1L)
   }
 
+  test("streamIntoIvfIndex: streamed vectors land exactly once, quantizer fixed") {
+    import graft.similarity.Similarity
+    val path = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("ivf_stream_src").toString
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val seed = emb.filter(col("vec_id") % 5 === 1)
+    emb.filter(col("vec_id") % 5 === 2).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = emb.schema
+    def run(): graft.table.GraftTable =
+      Similarity.streamIntoIvfIndex(spark, seed,
+        spark.readStream.schema(schema).parquet(srcDir), path)
+    val asg = run()
+    val expected = seed.count() +
+      emb.filter(col("vec_id") % 5 === 2).count()
+    assert(asg.read().count() == expected)
+    val vAsg = asg.currentVersion
+    val cellsT = graft.table.GraftTable(spark, path + "/cells")
+    assert(cellsT.currentVersion == 0L, "quantizer is written exactly once")
+    // a full replay of the same stream (fresh checkpoint) appends nothing:
+    // the anti-join against stored postings is the idempotence mechanism
+    val asg2 = run()
+    assert(asg2.read().count() == expected)
+    assert(asg2.currentVersion == vAsg, "replayed batches must be no-ops")
+    assert(cellsT.currentVersion == 0L)
+    // new vectors arriving later land as ONE more append
+    emb.filter(col("vec_id") % 5 === 3).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val asg3 = run()
+    assert(asg3.read().count() ==
+      expected + emb.filter(col("vec_id") % 5 === 3).count())
+    assert(asg3.currentVersion == vAsg + 1)
+  }
+
   test("knn_incremental: batch-only queries over corpus-only postings, exact cos") {
     import graft.similarity.Similarity
     val df = Similarity.knnIncremental(spark, sf).cache()
@@ -507,6 +542,44 @@ class SimilaritySpec extends SparkSpec {
     assert(df.count() > 0, "expected some pairs at the data-appropriate threshold")
     assert(df.filter(col("cos") < Similarity.CosDupThreshold).count() == 0)
     assert(df.filter(col("a") >= col("b")).count() == 0)
+  }
+
+  test("knn_classify: map-only plan; driver replay of top-k + vote agrees") {
+    val df = Similarity.knnClassify(spark, sf).cache()
+    // the scale claim: classification is a codegen'd map — the seed
+    // rides as a literal matrix, so the plan holds NO join of any kind
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join"), phys.take(2000))
+    // independent driver replay with the same float semantics: forward
+    // sequential dots, round-to-6 HALF_UP before ranking, ties on
+    // (cos desc, seed id asc), vote ties on (count desc, label asc)
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val srcOf = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val mod = Similarity.ClassifySeedMod
+    val seedIds = emb.keys.filter(_ % mod == 0).toSeq.sorted
+    val expected = emb.keys.filter(_ % mod != 0).toSeq.sorted.map { id =>
+      val v = emb(id); val n = math.sqrt(dot(v, v))
+      val top = seedIds
+        .map(s => (r6(dot(v, emb(s)) / (n * math.sqrt(dot(emb(s), emb(s))))), s))
+        .sortBy { case (c, s) => (-c, s) }.take(Similarity.K)
+      val (lab, cnt) = top.groupBy(t => srcOf(t._2))
+        .map { case (l, g) => (l, g.size) }.toSeq
+        .minBy { case (l, c) => (-c, l) }
+      (id, lab, cnt)
+    }
+    val got = df.as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g want $e") }
   }
 }
 

@@ -24,7 +24,11 @@ class PlanAuditSpec extends SparkSpec {
     "streaming_daily_counts", "streaming_dedup_counts",
     "streaming_sliding_value", "streaming_sessions",
     "streaming_interval_join", "io_roundtrip", "dedup_clusters",
-    "cluster_minsh", "bucketed_join", "heavy_hitters")
+    "cluster_minsh", "bucketed_join", "heavy_hitters",
+    // runs a full Structured Streaming index build at DF-build time;
+    // its probe tail is the same [[probeIndex]] audited via
+    // knn_incremental, and DedupSpec pins the lifecycle
+    "knn_stream_index")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
