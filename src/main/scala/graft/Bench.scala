@@ -61,7 +61,12 @@ object Bench {
     * N-1's state, which would corrupt the min-of-N ratio flags.) */
   val HeadlineR10Added: Seq[String] =
     Seq("profile_orders_approx", "hybrid_rrf", "typicality_buckets",
-      "containment_dedup")
+      "containment_dedup",
+      // kNN label propagation: capped-seed kernel map, linear by
+      // construction. (knn_stream_index joins knn_incremental /
+      // dedup_incremental outside the bench: standing index tables
+      // make run N's cost depend on run N-1's state.)
+      "knn_classify")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

@@ -544,20 +544,25 @@ object Similarity {
     * (votes desc, label asc), neighbor ranking by (rounded cosine
     * desc, seed id asc) exactly as the other knn_* queries.
     *
-    * Scale shape: the curated seed set is SMALL by definition, so it
-    * rides the plan as a driver-materialized flat matrix (the
+    * Scale shape: the curated seed set is a FIXED LABELING BUDGET
+    * ([[ClassifySeedCap]] — human labels don't grow with the corpus),
+    * so it rides the plan as a driver-materialized flat matrix (the
     * centroid/codebook pattern) and classification is ONE codegen'd
-    * map over the corpus — n rows in, n rows out, zero shuffles and
-    * zero row amplification; the window-over-crossjoin formulation
-    * this replaces pushes n·|seed| rows through an exchange. The vote
-    * itself is pure array algebra over the K in-row neighbor labels. */
+    * map over the corpus — n rows in, n rows out, zero shuffles, zero
+    * row amplification, n·cap·dim flops = LINEAR in the corpus; an
+    * uncapped fractional seed would make this quadratic, and the
+    * window-over-crossjoin formulation it replaces pushes n·|seed|
+    * rows through an exchange besides. The vote itself is pure array
+    * algebra over the K in-row neighbor labels. */
   val ClassifySeedMod = 3
+  val ClassifySeedCap = 2000
 
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val seedRows = emb.filter(col("vec_id") % ClassifySeedMod === 0)
+    val seedRows = emb.filter(col("vec_id") % ClassifySeedMod === 0 &&
+        col("vec_id") < ClassifySeedCap)
       .join(documents(spark, dir).select(col("doc_id"), col("source")),
         col("doc_id") === col("vec_id"))
       .orderBy("vec_id").select("vec_id", "v", "n", "source").collect()
@@ -572,7 +577,8 @@ object Similarity {
       norms(j) = r.getDouble(2)
       labels(j) = r.getString(3)
     }
-    emb.filter(col("vec_id") % ClassifySeedMod =!= 0)
+    emb.filter(!(col("vec_id") % ClassifySeedMod === 0 &&
+        col("vec_id") < ClassifySeedCap))
       .withColumn("nbrs", graft.functions.CentroidKernelColumns.top_k_cells(
         col("v"), col("n"), typedLit(flat), typedLit(norms), dim, K))
       .withColumn("lbls", transform(col("nbrs"),
@@ -856,8 +862,11 @@ object Similarity {
          |seed AS (
          |  SELECT n.vec_id, n.v, n.nrm, d.source
          |  FROM n JOIN documents d ON d.doc_id = n.vec_id
-         |  WHERE (n.vec_id % $ClassifySeedMod) = 0),
-         |rest AS (SELECT * FROM n WHERE (vec_id % $ClassifySeedMod) <> 0),
+         |  WHERE (n.vec_id % $ClassifySeedMod) = 0
+         |    AND n.vec_id < $ClassifySeedCap),
+         |rest AS (SELECT * FROM n
+         |  WHERE NOT ((vec_id % $ClassifySeedMod) = 0
+         |    AND vec_id < $ClassifySeedCap)),
          |s AS (
          |  SELECT r.vec_id, sd.vec_id AS sid, sd.source,
          |         ROUND(list_inner_product(r.v, sd.v) / (r.nrm * sd.nrm), 6) AS cos

@@ -566,8 +566,10 @@ class SimilaritySpec extends SparkSpec {
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val mod = Similarity.ClassifySeedMod
-    val seedIds = emb.keys.filter(_ % mod == 0).toSeq.sorted
-    val expected = emb.keys.filter(_ % mod != 0).toSeq.sorted.map { id =>
+    val cap = Similarity.ClassifySeedCap
+    def isSeed(id: Long) = id % mod == 0 && id < cap
+    val seedIds = emb.keys.filter(isSeed).toSeq.sorted
+    val expected = emb.keys.filterNot(isSeed).toSeq.sorted.map { id =>
       val v = emb(id); val n = math.sqrt(dot(v, v))
       val top = seedIds
         .map(s => (r6(dot(v, emb(s)) / (n * math.sqrt(dot(emb(s), emb(s))))), s))
