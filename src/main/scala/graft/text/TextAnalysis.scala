@@ -237,9 +237,36 @@ object TextAnalysis {
       .select("doc_id", "quality")
       .orderBy("doc_id")
 
+  /** Filter-funnel report — how many documents (per source) survive
+    * each CUMULATIVE stage of the [[corpusSelect]] cascade: raw →
+    * exact-dedup → language gate → quality gate. The observability
+    * artifact every corpus build ships with its output (which stage
+    * ate the data, and from which source); losing it means debugging
+    * a 100 TB selection by re-running it. Same single window + one
+    * aggregate as corpus_select itself — the report costs one
+    * conditional-count pass on top of the selection it describes. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id") +: col("source") +: col("text") +: hitCols: _*)
+      .withColumn("norm_text", lower(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("quality", qualityCol)
+      .withColumn("predicted_lang", bestLang)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("norm_text").orderBy("doc_id")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("rn") === 1).as("after_dedup"),
+        count_if(col("rn") === 1 && col("predicted_lang") === "en")
+          .as("after_lang"),
+        count_if(col("rn") === 1 && col("predicted_lang") === "en" &&
+          col("quality") >= 0.5).as("after_quality"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_functions" -> stringFunctions _,
     "corpus_select"   -> corpusSelect _,
+    "filter_funnel"   -> filterFunnel _,
     "tfidf_keywords"  -> tfidfKeywords _,
     "explode_words"   -> explodeWords _,
     "regexp_stats"    -> regexpStats _,
@@ -304,6 +331,43 @@ object TextAnalysis {
          |SELECT doc_id, quality FROM q
          |WHERE rn = 1 AND quality >= 0.5 AND predicted_lang = 'en'
          |ORDER BY doc_id""".stripMargin,
+    // same s/q CTEs as corpus_select with source carried through; the
+    // funnel is the cumulative FILTER counts over the identical gates
+    "filter_funnel" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+         |    CAST(${hitsSql("en")} AS DOUBLE) AS stops,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_len,
+         |    ${Langs.map(l => s"${hitsSql(l)} AS hits_$l").mkString(",\n         |    ")}
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    (LEAST(n_words, 100.0) / 100.0) * 0.25
+         |    + LEAST(stops / n_words * 5.0, 1.0) * 0.35
+         |    + (1.0 - LEAST(punct / n_chars * 10.0, 1.0)) * 0.2
+         |    + (CASE WHEN avg_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         |      AS quality,
+         |    CASE
+         |      WHEN hits_en > 0 AND hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_zh THEN 'en'
+         |      WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+         |      WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+         |      WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_fr AND hits_de >= hits_es AND hits_de >= hits_zh THEN 'de'
+         |      WHEN hits_zh > 0 AND hits_zh >= hits_en AND hits_zh >= hits_fr AND hits_zh >= hits_es AND hits_zh >= hits_de THEN 'zh'
+         |      ELSE 'und' END AS predicted_lang,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+         |  FROM s)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (WHERE rn = 1) AS after_dedup,
+         |  COUNT(*) FILTER (WHERE rn = 1 AND predicted_lang = 'en')
+         |    AS after_lang,
+         |  COUNT(*) FILTER (WHERE rn = 1 AND predicted_lang = 'en'
+         |    AND quality >= 0.5) AS after_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "explode_words" ->
       """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
         |           FROM documents),

@@ -131,4 +131,19 @@ class TextAnalysisSpec extends SparkSpec {
         s"rank order violated: ${rs.mkString(", ")}")
     }
   }
+
+  test("filter_funnel: stages shrink monotonically and end at the corpus_select count") {
+    val funnel = TextAnalysis.filterFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { case (src, n, dedup, lang, qual) =>
+      assert(n >= dedup && dedup >= lang && lang >= qual,
+        s"$src: funnel not monotone ($n, $dedup, $lang, $qual)")
+    }
+    // totals reconcile with the selection the funnel describes
+    assert(funnel.map(_._2).sum ==
+      graft.tables.Tables.documents(spark, sf).count())
+    assert(funnel.map(_._5).sum == TextAnalysis.corpusSelect(spark, sf).count(),
+      "final funnel stage must equal the corpus_select survivor count")
+  }
 }
