@@ -552,7 +552,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance verified near-dup candidates — the verification tier
+    * between hashing (exact) and token-set overlap (Jaccard): character
+    * Levenshtein catches small in-place edits (typo fixes, token
+    * substitutions) that shift every downstream shingle. Blocking is
+    * the same min-md5 5-gram key as [[clusterMinsh]]; within a block,
+    * each member is compared to the block HUB (min doc_id) only — the
+    * star shape that keeps candidates O(n) even when one hot shingle
+    * key collects a huge bucket (the clique join is quadratic there).
+    * The DP cost per pair is bounded by [[EditPrefix]]² regardless of
+    * document length (the standard practical cap: a 100 TB corpus
+    * never runs full-text quadratic DP). Output = every candidate pair
+    * with its distance and the ≤20%-of-longer-prefix `near` verdict;
+    * all integers → DuckDB replays exactly (both engines implement
+    * character Levenshtein identically). */
+  val EditPrefix = 400
+
+  def editDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val minsh = documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("hub", min("doc_id").over(w))
+    val hubs = minsh.filter(col("doc_id") === col("hub"))
+      .select(col("k"), col("t").as("ht"))
+    minsh.filter(col("doc_id") =!= col("hub"))
+      .join(hubs, "k")
+      .withColumn("edit_dist", levenshtein(col("t"), col("ht")))
+      .withColumn("near",
+        col("edit_dist") * 5 <= greatest(length(col("t")), length(col("ht"))))
+      .select(col("hub").as("a"), col("doc_id").as("b"),
+        col("edit_dist"), col("near"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edit_dedup" -> editDedup _,
     "dedup_substring" -> dedupSubstring _,
     "containment_dedup" -> containmentDedup _,
     "canonical_selection" -> canonicalSelection _,
@@ -565,6 +601,30 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    // the sh CTE ≡ cluster_minsh's oracle blocking key; star candidates
+    // against each block's min-doc_id hub; levenshtein is integer-exact
+    // and identical across engines
+    "edit_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+         |        FROM documents)
+         |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+         |  GROUP BY doc_id),
+         |h AS (SELECT k, MIN(doc_id) AS hub FROM sh GROUP BY k),
+         |p AS (SELECT h.hub AS a, s.doc_id AS b
+         |      FROM sh s JOIN h ON s.k = h.k AND s.doc_id <> h.hub),
+         |d AS (SELECT p.a, p.b,
+         |        levenshtein(substring(ta.text, 1, $EditPrefix),
+         |                    substring(tb.text, 1, $EditPrefix)) AS edit_dist,
+         |        greatest(length(substring(ta.text, 1, $EditPrefix)),
+         |                 length(substring(tb.text, 1, $EditPrefix))) AS ml
+         |      FROM p JOIN documents ta ON ta.doc_id = p.a
+         |             JOIN documents tb ON tb.doc_id = p.b)
+         |SELECT a, b, CAST(edit_dist AS INTEGER) AS edit_dist,
+         |       edit_dist * 5 <= ml AS near
+         |FROM d ORDER BY a, b""".stripMargin,
     // raw 5-gram strings where the query uses packed 40-bit longs —
     // bijective for ASCII text and ORDER-preserving (fixed width), so
     // the MIN anchor and every count agree across engines

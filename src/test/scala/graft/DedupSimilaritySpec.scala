@@ -156,6 +156,53 @@ class DedupSpec extends SparkSpec {
     assert(asg1.currentVersion == 1L)
   }
 
+  test("edit_dedup: star candidates, exact distances, planted near-dup flagged") {
+    import graft.dedup.Dedup
+    val df = Dedup.editDedup(spark, sf).cache()
+    assert(df.count() > 0)
+    // hub is the block minimum: a < b on every pair
+    assert(df.filter(col("a") >= col("b")).count() == 0)
+    // driver replay: recompute Levenshtein for a sample of pairs
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(t.length + 1)(identity)
+      for (i <- 1 to s.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to t.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(t.length)
+    }
+    val texts = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    df.limit(20).as[(Long, Long, Int, Boolean)].collect().foreach {
+      case (a, b, dist, near) =>
+        val (ta, tb) = (texts(a).take(Dedup.EditPrefix), texts(b).take(Dedup.EditPrefix))
+        assert(lev(ta, tb) == dist, s"pair ($a,$b)")
+        assert(near == (dist * 5 <= math.max(ta.length, tb.length)))
+    }
+    // planted corpus: doc 11 is doc 10 with one substituted word → same
+    // min-shingle block (shared content dominates), small distance, near
+    val fx = java.nio.file.Files.createTempDirectory("edit_fx").toString
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cunning red vixen watches from the shaded hillside meadow quietly"
+    Seq((10L, base, "en", "s1", 0L),
+        (11L, base.replace("jumps", "leaps"), "en", "s1", 0L),
+        (12L, "completely unrelated text about spark query planning and " +
+          "shuffle partitions in distributed execution engines", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$fx/documents.parquet")
+    val planted = Dedup.editDedup(spark, fx)
+      .as[(Long, Long, Int, Boolean)].collect()
+    val want = lev(base, base.replace("jumps", "leaps"))
+    assert(planted.exists { case (a, b, d, near) =>
+      a == 10L && b == 11L && d == want && near },
+      s"planted pair missing: ${planted.mkString(", ")}")
+  }
+
   test("streamIntoIvfIndex: streamed vectors land exactly once, quantizer fixed") {
     import graft.similarity.Similarity
     val path = java.nio.file.Files.createTempDirectory("ivf_stream").toString
