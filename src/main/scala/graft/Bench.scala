@@ -66,7 +66,10 @@ object Bench {
       // construction. (knn_stream_index joins knn_incremental /
       // dedup_incremental outside the bench: standing index tables
       // make run N's cost depend on run N-1's state.)
-      "knn_classify")
+      "knn_classify",
+      // BM25 more-like-this (inverted-index join, broadcast query
+      // terms) and edit-distance verification over star candidates
+      "bm25_rank", "edit_dedup", "filter_funnel")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

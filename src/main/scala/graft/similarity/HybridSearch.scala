@@ -90,10 +90,108 @@ object HybridSearch {
       .orderBy("query_id", "rrf_rank")
   }
 
+  /** BM25 more-like-this ranking — the standard lexical relevance
+    * function (Robertson/Spärck Jones term saturation + document-length
+    * normalization), query-by-document over the same [[HQ]] query docs
+    * as [[hybridRrf]]: each query doc's distinct words are the query
+    * terms, every corpus doc sharing a term is scored
+    * `Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`.
+    *
+    * idf is the RATIONAL odds form `(N−df+0.5)/(df+0.5)` WITHOUT the
+    * log: ln is not IEEE-correctly-rounded and measurably differs in
+    * the last ulp between the JVM and DuckDB (verified on this
+    * corpus's df grid), which would poison the hash gate; the odds
+    * form keeps every operation (+,·,/) correctly rounded, so scores
+    * are bit-identical across engines with NO rounding anywhere. Log
+    * damping is monotone per term, so per-term ordering is unchanged
+    * (the tfidf_keywords float-free doctrine applied to BM25).
+    *
+    * Scale: the inverted-index join against a BROADCAST bounded query-
+    * term table is linear in corpus tokens; df/dl ride as windows over
+    * the tf frame (two keyed shuffles); the per-(query,doc) term sum
+    * is ORDER-PINNED (fold over word-sorted terms) so float summation
+    * order can never diverge. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val stats = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    val scalars = docs.select(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.select(count(lit(1)).as("total_words")))
+    val queryTerms = toks.filter(col("doc_id") < HQ)
+      .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val cand = stats.join(broadcast(queryTerms), Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("avgdl",
+        col("total_words").cast("double") / col("n_docs"))
+      // expression structure mirrored EXACTLY in the oracle SQL: same
+      // association, same integer→double widening points
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    cand.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("word"), col("s")))).as("ts"))
+      .withColumn("bm25",
+        expr("aggregate(ts, cast(0.0 as double), (acc, x) -> acc + x.s)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), col("doc_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("bm25"))
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hybrid_rrf" -> hybridRrf _)
+    "hybrid_rrf" -> hybridRrf _,
+    "bm25_rank" -> bm25Rank _)
 
   val oracles: Map[String, String] = Map(
+    // constants interpolated from the Scala doubles (shortest round-trip
+    // decimal → DuckDB parses back the identical bit pattern); the score
+    // expression mirrors the Column expression's association exactly
+    "bm25_rank" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id,
+         |           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |st AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df,
+         |              SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+         |sc AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |              (SELECT COUNT(*) FROM toks) AS total_words),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM toks
+         |       WHERE doc_id < $HQ),
+         |cand AS (
+         |  SELECT qt.query_id, st.doc_id, st.word,
+         |    ((sc.n_docs - st.df + 0.5::DOUBLE) / (st.df + 0.5::DOUBLE)) *
+         |      (st.tf * ${Bm25K1 + 1.0}::DOUBLE) /
+         |      (st.tf + $Bm25K1::DOUBLE * (${1.0 - Bm25B}::DOUBLE
+         |        + $Bm25B::DOUBLE * st.dl
+         |        / (CAST(sc.total_words AS DOUBLE) / sc.n_docs))) AS s
+         |  FROM st JOIN qt USING (word), sc
+         |  WHERE st.doc_id <> qt.query_id),
+         |pd AS (SELECT query_id, doc_id,
+         |         list_reduce(list(s ORDER BY word), (a, b) -> a + b) AS bm25
+         |       FROM cand GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, bm25,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rk
+         |      FROM pd)
+         |SELECT query_id, rk, doc_id, bm25 FROM r WHERE rk <= $TopK
+         |ORDER BY query_id, rk""".stripMargin,
     "hybrid_rrf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -72,6 +72,47 @@ class HybridSearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25_rank matches a full driver-side replay with identical double ops") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val tf: Map[(Long, String), Long] = toks.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val df: Map[String, Long] = tf.keys.toSeq.groupBy(_._2)
+      .map { case (w, g) => w -> g.size.toLong }
+    val dl: Map[Long, Long] = toks.map { case (id, ws) => id -> ws.size.toLong }
+    val nDocs = docs.length.toLong
+    val totalWords = dl.values.sum
+    val avgdl = totalWords.toDouble / nDocs
+    val k1p1 = HybridSearch.Bm25K1 + 1.0
+    def score(q: Long, d: Long): Double =
+      toks(q).distinct.sorted.foldLeft(0.0) { (acc, w) =>
+        tf.get((d, w)).fold(acc) { t =>
+          acc + ((nDocs - df(w) + 0.5) / (df(w) + 0.5)) * (t * k1p1) /
+            (t + HybridSearch.Bm25K1 * ((1.0 - HybridSearch.Bm25B) +
+              HybridSearch.Bm25B * dl(d) / avgdl))
+        }
+      }
+    val got = HybridSearch.bm25Rank(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, d, s) =>
+      assert(score(q, d) == s, s"bitwise mismatch for ($q,$d)")
+    }
+    // ranks agree with a full re-rank over ALL candidate docs
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val all = docs.map(_._1).filter(_ != q)
+        .map(d => (d, score(q, d))).filter(_._2 > 0.0)
+        .sortBy { case (d, s) => (-s, d) }.take(HybridSearch.TopK)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == all.map(_._1).toSeq,
+        s"rank order differs for query $q")
+    }
+  }
+
   test("plan: both query-side inputs broadcast, corpus never cartesian") {
     val plan =
       HybridSearch.hybridRrf(spark, sf).queryExecution.executedPlan.toString

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "gap_fill_hourly", "q22_global_sales", "knn_pq", "semantic_dedup",
     "tfidf_keywords", // n_docs is a one-row broadcast scalar
     "hybrid_rrf", // query vectors: fixed handful, broadcast, =!= self
-    "knn_incremental") // probe × broadcast(√n stored centroids)
+    "knn_incremental", // probe × broadcast(√n stored centroids)
+    "bm25_rank") // n_docs/total_words: one-row broadcast scalars
 
   // global aggregates: one output row, total order is vacuous
   private val singleRow = Set("count_rows", "date_bounds", "distinct_types")
