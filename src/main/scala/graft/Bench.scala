@@ -69,7 +69,7 @@ object Bench {
       "knn_classify",
       // BM25 more-like-this (inverted-index join, broadcast query
       // terms) and edit-distance verification over star candidates
-      "bm25_rank", "edit_dedup", "filter_funnel")
+      "bm25_rank", "edit_dedup", "filter_funnel", "phrase_search")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

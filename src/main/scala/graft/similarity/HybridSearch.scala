@@ -152,11 +152,71 @@ object HybridSearch {
       .orderBy("query_id", "rk")
   }
 
+  /** Positional phrase search — the positional-inverted-index operator
+    * a lexical engine needs beyond bag-of-words: exact adjacent-token
+    * phrase occurrences per document. The plan is the INDEX shape:
+    * tokens carry their position (posexplode), postings are filtered
+    * to the phrase vocabulary via BROADCAST joins BEFORE anything
+    * shuffles (only phrase-term postings cross the wire at 100 TB),
+    * and a phrase match is an equi-join on (doc, second word, pos+1) —
+    * position arithmetic as a join key, never a scan of the text. The
+    * oracle is the trivially-correct formulation (per-row adjacent
+    * bigram unnest) the index path must agree with. Positions are raw
+    * token-array indices in BOTH engines (empty tokens not filtered),
+    * so adjacency is defined identically. */
+  val Phrases: Seq[String] =
+    Seq("table hash", "part filter", "customer join", "merge group")
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "word")
+    val ph = Phrases.map { p =>
+      val Array(a, b) = p.split(" ", 2); (p, a, b)
+    }.toDF("phrase", "w1", "w2")
+    val left = toks.join(broadcast(ph), col("word") === col("w1"))
+      .select(col("phrase"), col("w2"), col("doc_id"), col("pos"))
+    val right = toks
+      .join(broadcast(ph.select(col("w2").as("rw")).distinct()),
+        col("word") === col("rw"))
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+        col("word").as("word2"))
+    left.join(right,
+        col("doc_id") === col("doc_id2") && col("word2") === col("w2") &&
+          col("pos2") === col("pos") + 1)
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("phrase", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf" -> hybridRrf _,
-    "bm25_rank" -> bm25Rank _)
+    "bm25_rank" -> bm25Rank _,
+    "phrase_search" -> phraseSearch _)
 
   val oracles: Map[String, String] = Map(
+    // the trivially-correct per-row adjacent-bigram formulation the
+    // positional-index join must agree with
+    "phrase_search" -> {
+      val vals = Phrases.map(p => s"('${p}')").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(a), 1)),
+         |           i -> a[CAST(i AS INTEGER)] || ' '
+         |                || a[CAST(i AS INTEGER) + 1])) AS bg
+         |  FROM t),
+         |ph AS (SELECT * FROM (VALUES $vals) AS v(phrase))
+         |SELECT ph.phrase, b.doc_id, COUNT(*) AS n_occurrences
+         |FROM b JOIN ph ON b.bg = ph.phrase
+         |GROUP BY ph.phrase, b.doc_id
+         |ORDER BY ph.phrase, b.doc_id""".stripMargin
+    },
     // constants interpolated from the Scala doubles (shortest round-trip
     // decimal → DuckDB parses back the identical bit pattern); the score
     // expression mirrors the Column expression's association exactly

@@ -113,6 +113,30 @@ class HybridSearchSpec extends SparkSpec {
     }
   }
 
+  test("phrase_search: positional-index join equals a driver scan count") {
+    import spark.implicits._
+    val got = HybridSearch.phraseSearch(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = (for {
+      (id, t) <- docs
+      a = t.trim.toLowerCase.split("\\s+", -1)
+      p <- HybridSearch.Phrases
+      Array(w1, w2) = p.split(" ", 2)
+      n = (0 until a.length - 1).count(i => a(i) == w1 && a(i + 1) == w2)
+      if n > 0
+    } yield (p, id, n.toLong)).toSet
+    assert(got.toSet == expected,
+      s"diff: ${(got.toSet diff expected).take(3)} / ${(expected diff got.toSet).take(3)}")
+    // positional match is an EQUI join on (doc, word, pos+1): no
+    // cartesian and no nested-loop beyond the broadcast term filters
+    val plan = HybridSearch.phraseSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("plan: both query-side inputs broadcast, corpus never cartesian") {
     val plan =
       HybridSearch.hybridRrf(spark, sf).queryExecution.executedPlan.toString
