@@ -242,6 +242,58 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Streaming near-dup ADMISSION — the day-2 ingestion gate a standing
+    * corpus runs on every new crawl: batch documents (doc_id % 5 = 0)
+    * arrive as Structured Streaming micro-batches, each is LSH-probed
+    * against the persisted sketch corpus ([[updateSketchCorpus]] —
+    * nothing re-sketches the corpus) and exact-verified, and every doc
+    * lands in a persisted admission log with its corpus near-dup count
+    * and an admitted (no near-dup) verdict. Admission compares against
+    * the ORIGINAL corpus only — never against other batch docs — so the
+    * verdict is independent of micro-batch boundaries and arrival
+    * order, which is what makes the result (and the DuckDB brute-force
+    * oracle) well-defined. Exactly-once by the [[streamIntoIvfIndex]]
+    * mechanism: the anti-join on logged doc_ids makes every batch
+    * idempotent, so checkpoint-stale replays append nothing. */
+  def streamDedupAdmit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val corpusT = updateSketchCorpus(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), sketchCorpusPath(dir))
+    val logT = graft.table.GraftTable(spark, sketchCorpusPath(dir) + "_admit")
+    val rootF = new java.io.File(s"$dir/documents.parquet")
+    val reader = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+    val stream = (if (rootF.isDirectory) reader.parquet(rootF.toString)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir))
+      .filter(col("doc_id") % 5 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val fresh =
+          if (logT.currentVersion < 0) b
+          else b.join(logT.read().select("doc_id"), Seq("doc_id"), "left_anti")
+        if (!fresh.isEmpty) {
+          val pairs = incrementalPairs(spark, dir, corpusT.read(), fresh)
+            // corpus-vs-batch only: batch-internal pairs are excluded so
+            // the verdict never depends on micro-batch composition
+            .filter(!(col("a") % 5 === 0 && col("b") % 5 === 0))
+          val near = pairs
+            .select(when(col("a") % 5 === 0, col("a")).otherwise(col("b"))
+              .as("doc_id"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+          val log = fresh.select("doc_id")
+            .join(near, Seq("doc_id"), "left")
+            .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+            .withColumn("admitted", col("n_near") === 0)
+          if (logT.currentVersion < 0) logT.write(log)
+          else logT.write(log, org.apache.spark.sql.SaveMode.Append)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    logT.read().orderBy("doc_id")
+  }
+
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     // standing corpus pass: create-or-append (doc_id, sketch, band,
@@ -598,6 +650,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash _,
     "ngram_jaccard" -> ngramJaccard _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_stream_admit" -> streamDedupAdmit _,
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
@@ -729,6 +782,30 @@ object Dedup {
         |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
         |SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+    // brute-force replay of the admission verdicts: exact Jaccard of
+    // every batch-vs-corpus pair (order-independent by design — the
+    // query never compares batch docs to each other)
+    "dedup_stream_admit" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(length(text) - 4, 1) + 1),
+        |           i -> substr(text, CAST(i AS INTEGER), 5))) AS shingles
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT CASE WHEN x.doc_id % 5 = 0 THEN x.doc_id
+        |              ELSE y.doc_id END AS doc_id,
+        |         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+        |         len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |  WHERE (x.doc_id % 5 = 0) <> (y.doc_id % 5 = 0)),
+        |near AS (SELECT doc_id, COUNT(*) AS n_near FROM pairs
+        |         WHERE jaccard >= 0.6 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+        |       COALESCE(n.n_near, 0) = 0 AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN near n USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

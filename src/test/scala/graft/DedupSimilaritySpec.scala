@@ -203,6 +203,35 @@ class DedupSpec extends SparkSpec {
       s"planted pair missing: ${planted.mkString(", ")}")
   }
 
+  test("dedup_stream_admit: exactly-once log, verdicts match a batch recount") {
+    import graft.dedup.Dedup
+    val df = Dedup.streamDedupAdmit(spark, sf).cache()
+    val batchIds = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .as[Long].collect().toSet
+    // every batch doc logged exactly once
+    assert(df.select("doc_id").as[Long].collect().toSet == batchIds)
+    assert(df.count() == batchIds.size)
+    // admitted ⟺ zero corpus near-dups
+    assert(df.filter(col("admitted") =!= (col("n_near") === 0)).count() == 0)
+    // verdicts agree with the BATCH formulation's corpus-vs-batch pairs
+    val pairNear = Dedup.dedupIncremental(spark, sf)
+      .filter(!(col("a") % 5 === 0 && col("b") % 5 === 0))
+      .select(when(col("a") % 5 === 0, col("a")).otherwise(col("b")).as("d"))
+      .as[Long].collect().groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    df.as[(Long, Long, Boolean)].collect().foreach { case (d, n, adm) =>
+      assert(n == pairNear.getOrElse(d, 0L), s"doc $d")
+      assert(adm == (n == 0L))
+    }
+    // a full stream replay appends nothing (anti-join idempotence)
+    val logT = graft.table.GraftTable(spark,
+      Dedup.sketchCorpusPath(sf) + "_admit")
+    val v = logT.currentVersion
+    val df2 = Dedup.streamDedupAdmit(spark, sf)
+    assert(df2.count() == batchIds.size)
+    assert(logT.currentVersion == v, "replayed stream must be a no-op")
+  }
+
   test("streamIntoIvfIndex: streamed vectors land exactly once, quantizer fixed") {
     import graft.similarity.Similarity
     val path = java.nio.file.Files.createTempDirectory("ivf_stream").toString

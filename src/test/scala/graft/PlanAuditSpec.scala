@@ -25,10 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     "streaming_sliding_value", "streaming_sessions",
     "streaming_interval_join", "io_roundtrip", "dedup_clusters",
     "cluster_minsh", "bucketed_join", "heavy_hitters",
-    // runs a full Structured Streaming index build at DF-build time;
-    // its probe tail is the same [[probeIndex]] audited via
-    // knn_incremental, and DedupSpec pins the lifecycle
-    "knn_stream_index")
+    // these two run a full Structured Streaming build at DF-build time;
+    // their batch tails are audited via knn_incremental /
+    // dedup_incremental, and DedupSpec pins both lifecycles
+    "knn_stream_index", "dedup_stream_admit")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
