@@ -69,7 +69,9 @@ object Bench {
       "knn_classify",
       // BM25 more-like-this (inverted-index join, broadcast query
       // terms) and edit-distance verification over star candidates
-      "bm25_rank", "edit_dedup", "filter_funnel", "phrase_search")
+      "bm25_rank", "edit_dedup", "filter_funnel", "phrase_search",
+      // iterative graph analytics (5 PageRank rounds, checkpointed)
+      "pagerank_dups")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

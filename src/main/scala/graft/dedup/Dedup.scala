@@ -415,42 +415,83 @@ object Dedup {
     * labeling from a rows-only claim into a row/schema/hash-verified one.
     * (One md5 permutation ⇒ two docs block together with probability equal
     * to their Jaccard similarity — the b=1 point of the LSH S-curve.) */
-  def clusterMinsh(spark: SparkSession, dir: String): DataFrame = {
-    // explode + groupBy(min) is the FAST shape here, measured against an
-    // in-row array_min(transform(.., i -> md5(..))) fold: higher-order
-    // lambdas evaluate interpreted (no whole-stage codegen), which made
-    // the per-shingle md5 ~3x slower end-to-end, while this explode
-    // pipeline keeps md5 codegen'd and partial aggregation reduces the
-    // shuffle to ~one row per doc per partition before it moves.
-    // min-md5 computed by a codegen'd single-pass kernel inside the
-    // scan: the explode → md5 → groupBy(min) formulation paid 1.5M
-    // exploded rows, a hex encode per SHINGLE and a hash aggregate
-    // (~3 s of the query at sf0.1); the kernel tracks the min digest
-    // and hex-encodes once per doc, no shuffle before the window.
-    // DedupSpec pins kernel ≡ explode-pipeline equality per doc.
+  /** Min-md5-shingle blocking graph as STAR edges: every doc has
+    * exactly ONE blocking key, so the blocking graph is a disjoint
+    * union of cliques and connecting each member to its group's min
+    * doc_id (the hub) preserves the components EXACTLY while emitting
+    * O(n) edges instead of O(n²) per bucket — at sf0.1 that is 5k
+    * edges vs the 1.3M the pairwise self-join produced (one hot
+    * shingle key is all it takes). The never-materialize-the-
+    * quadratic-bucket rule the LSH pack follows. min-md5 computed by a
+    * codegen'd single-pass kernel inside the scan (the explode → md5 →
+    * groupBy(min) formulation paid 1.5M exploded rows and a hex encode
+    * per SHINGLE; DedupSpec pins kernel ≡ explode-pipeline equality). */
+  private[graft] def minshStarEdges(spark: SparkSession, dir: String): DataFrame = {
     val minsh = documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)
-    // STAR edges, not clique edges: every doc has exactly ONE blocking
-    // key, so the blocking graph is a disjoint union of cliques and
-    // connecting each member to its group's min doc_id (the hub)
-    // preserves the components EXACTLY while emitting O(n) edges
-    // instead of O(n^2) per bucket — at sf0.1 that is 5k edges vs the
-    // 1.3M the pairwise self-join produced (one hot shingle key is all
-    // it takes), and it replaces the self-join's second scan of the
-    // md5-shingle pipeline with a single window over one shuffle. This
-    // is the same never-materialize-the-quadratic-bucket rule the LSH
-    // pack follows; the DuckDB oracle keeps its clique-edge recursive
-    // CTE and must agree on the labels.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
-    val edges = minsh
+    minsh
       .withColumn("hub", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("a"), col("doc_id").as("b"))
-    connectedComponents(edges)
+  }
+
+  def clusterMinsh(spark: SparkSession, dir: String): DataFrame = {
+    connectedComponents(minshStarEdges(spark, dir))
       .select(col("label").as("cluster"), col("id").as("doc_id"))
       .orderBy("cluster", "doc_id")
+  }
+
+  /** PageRank over the blocking graph — iterative graph analytics
+    * beyond [[connectedComponents]]: rank documents by their centrality
+    * in the near-dup graph (a high-rank doc is the template many
+    * near-copies orbit — the doc to keep, or to investigate). Standard
+    * damped PageRank, [[PrIters]] synchronous iterations over the
+    * [[minshStarEdges]] graph taken undirected; every vertex has
+    * degree ≥ 1 by construction, so there is no dangling-mass term.
+    *
+    * Determinism/oracle: each iteration's per-vertex sum is an
+    * ORDER-PINNED fold over (src-sorted) neighbor contributions, the
+    * damping constants are interpolated into the oracle SQL from the
+    * Scala doubles (shortest round-trip decimal) and cast to DOUBLE
+    * (DuckDB literals are DECIMAL otherwise), and every remaining op
+    * is correctly-rounded IEEE — so DuckDB, replaying the iterations
+    * as [[PrIters]] unrolled CTEs, reproduces the ranks BIT-FOR-BIT.
+    *
+    * Scale: the classic iterative-join shape — one equi-join + one
+    * keyed aggregation per iteration, localCheckpoint between
+    * iterations keeps the plan one join deep (the
+    * [[connectedComponents]] rule); edges are O(n) by the star
+    * construction, so each iteration is linear. */
+  val PrIters = 5
+  val PrDamping = 0.85
+  val PrTeleport = 1.0 - PrDamping
+
+  def pagerankDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = minshStarEdges(spark, dir)
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = adj.join(deg, "src").localCheckpoint()
+    val nV = deg.count() // vertex count: O(components)-bounded scalar
+    var pr = deg.select(col("src").as("v"))
+      .withColumn("pr", lit(1.0) / lit(nV))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      pr = withDeg.join(pr, col("src") === col("v"))
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .withColumn("s",
+          expr("aggregate(cs, cast(0.0 as double), (acc, x) -> acc + x.c)"))
+        .select(col("dst").as("v"),
+          (lit(PrTeleport) / lit(nV) + lit(PrDamping) * col("s")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("v").as("doc_id"), col("pr")).orderBy("doc_id")
   }
 
   /** Containment (asymmetric) near-dup pairs — the case symmetric
@@ -651,6 +692,7 @@ object Dedup {
     "ngram_jaccard" -> ngramJaccard _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_stream_admit" -> streamDedupAdmit _,
+    "pagerank_dups" -> pagerankDups _,
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
@@ -782,6 +824,40 @@ object Dedup {
         |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
         |SELECT a, b, round(jaccard, 4) AS jaccard
         |FROM pairs WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+    // iterations unrolled as chained CTEs; constants interpolated from
+    // the Scala doubles and cast to DOUBLE (DuckDB literals parse as
+    // DECIMAL); per-vertex sums are src-ordered list_reduce folds —
+    // bit-for-bit the Spark iteration
+    "pagerank_dups" -> {
+      val iters = (1 to PrIters).map { k =>
+        s"""pr$k AS (
+           |  SELECT a.dst AS v,
+           |    $PrTeleport::DOUBLE / (SELECT n FROM nv) + $PrDamping::DOUBLE *
+           |      list_reduce(list(p.pr / d.deg ORDER BY a.src),
+           |                  (x, y) -> x + y) AS pr
+           |  FROM adj a JOIN pr${k - 1} p ON p.v = a.src
+           |  JOIN deg d ON d.src = a.src
+           |  GROUP BY a.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+         |        FROM documents)
+         |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+         |  GROUP BY doc_id),
+         |h AS (SELECT k, MIN(doc_id) AS hub FROM sh GROUP BY k),
+         |e AS (SELECT h.hub AS a, s.doc_id AS b
+         |      FROM sh s JOIN h ON s.k = h.k AND s.doc_id <> h.hub),
+         |adj AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b AS src, a AS dst FROM e),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         |nv AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT src AS v, 1.0::DOUBLE / (SELECT n FROM nv) AS pr
+         |        FROM deg),
+         |$iters
+         |SELECT v AS doc_id, pr FROM pr$PrIters ORDER BY doc_id""".stripMargin
+    },
     // brute-force replay of the admission verdicts: exact Jaccard of
     // every batch-vs-corpus pair (order-independent by design — the
     // query never compares batch docs to each other)

@@ -203,6 +203,28 @@ class DedupSpec extends SparkSpec {
       s"planted pair missing: ${planted.mkString(", ")}")
   }
 
+  test("pagerank_dups: mass conserved, deterministic, hubs dominate their stars") {
+    import graft.dedup.Dedup
+    val pr = Dedup.pagerankDups(spark, sf).as[(Long, Double)].collect().toMap
+    assert(pr.nonEmpty)
+    // no dangling vertices → every iteration preserves total mass = 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass ${pr.values.sum}")
+    // a star's hub out-ranks its members (strictly, once the star has
+    // more than one member; a 2-vertex star is symmetric → exact tie)
+    val stars = Dedup.minshStarEdges(spark, sf)
+      .as[(Long, Long)].collect().groupBy(_._1)
+    stars.foreach { case (hub, members) =>
+      members.map(_._2).foreach { b =>
+        if (members.length > 1)
+          assert(pr(hub) > pr(b), s"hub $hub vs member $b")
+        else assert(pr(hub) == pr(b), s"2-star $hub/$b must tie exactly")
+      }
+    }
+    // run-to-run bit determinism (the order-pinned fold contract)
+    val pr2 = Dedup.pagerankDups(spark, sf).as[(Long, Double)].collect().toMap
+    assert(pr2 == pr)
+  }
+
   test("dedup_stream_admit: exactly-once log, verdicts match a batch recount") {
     import graft.dedup.Dedup
     val df = Dedup.streamDedupAdmit(spark, sf).cache()
