@@ -71,7 +71,7 @@ object Bench {
       // terms) and edit-distance verification over star candidates
       "bm25_rank", "edit_dedup", "filter_funnel", "phrase_search",
       // iterative graph analytics (5 PageRank rounds, checkpointed)
-      "pagerank_dups")
+      "pagerank_dups", "collocations")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

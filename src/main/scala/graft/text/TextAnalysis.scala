@@ -263,7 +263,59 @@ object TextAnalysis {
           col("quality") >= 0.5).as("after_quality"))
       .orderBy("source")
 
+  /** Collocation mining — the corpus-analysis pass tokenizer/vocab
+    * construction runs: adjacent word pairs that co-occur far more
+    * often than their unigram frequencies predict (candidate merges
+    * for a BPE-ish vocabulary, or multi-word expressions to protect
+    * from splitting). Association is PMI-SHAPED but log-free: `lift =
+    * co·N / (c1·c2)` (the ratio PMI takes the log of) — the log is
+    * monotone, so the RANKING is PMI's, while every op stays
+    * correctly-rounded IEEE (the bm25_rank doctrine) and the emitted
+    * doubles hash bit-identical. Bigrams are raw-adjacency (same
+    * position convention as phrase_search), min co-occurrence 5, top
+    * [[CollocTopK]] by (lift desc, w1, w2).
+    *
+    * Scale: bigram extraction is an in-row arrays_zip (no join, no
+    * position shuffle); two keyed aggs (bigram, unigram) + one
+    * broadcast of the unigram side restricted to surviving bigrams'
+    * words... the unigram table is vocabulary-sized, joined on the
+    * word keys of an already-min-count-filtered bigram set. */
+  val CollocTopK = 50
+  val CollocMinCo = 5
+
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val arr = documents(spark, dir)
+      .select(split(lower(trim(col("text"))), "\\s+").as("a"))
+    val toks = arr.select(explode(col("a")).as("word"))
+      .filter(col("word") =!= "")
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val nTok = toks.count() // corpus scalar, driver-side like bm25's
+    val bi = arr
+      .select(explode(expr(
+        "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))"))
+        .as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= CollocMinCo)
+    bi
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("lift",
+        col("n_co").cast("double") * lit(nTok) / (col("c1") * col("c2")))
+      // top-k FIRST (plans as TakeOrderedAndProject — per-partition
+      // heaps, no global sort of the full bigram set), then the dense
+      // rank runs over just the k survivors
+      .orderBy(desc("lift"), col("w1"), col("w2")).limit(CollocTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("lift"), col("w1"), col("w2"))))
+      .select(col("rk").cast("int").as("rk"), col("w1"), col("w2"),
+        col("n_co"), col("lift"))
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "collocations"    -> collocations _,
     "string_functions" -> stringFunctions _,
     "corpus_select"   -> corpusSelect _,
     "filter_funnel"   -> filterFunnel _,
@@ -331,6 +383,30 @@ object TextAnalysis {
          |SELECT doc_id, quality FROM q
          |WHERE rn = 1 AND quality >= 0.5 AND predicted_lang = 'en'
          |ORDER BY doc_id""".stripMargin,
+    "collocations" ->
+      s"""WITH arr AS (
+         |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents),
+         |toks AS (SELECT unnest(a) AS word FROM arr),
+         |uni AS (SELECT word, COUNT(*) AS c FROM toks
+         |        WHERE word <> '' GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n FROM toks WHERE word <> ''),
+         |b AS (SELECT unnest(list_transform(range(1, greatest(len(a), 1)),
+         |        i -> struct_pack(w1 := a[CAST(i AS INTEGER)],
+         |                         w2 := a[CAST(i AS INTEGER) + 1]))) AS s
+         |      FROM arr),
+         |bi AS (SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS n_co FROM b
+         |       WHERE s.w1 <> '' AND s.w2 <> '' GROUP BY 1, 2
+         |       HAVING COUNT(*) >= $CollocMinCo),
+         |j AS (SELECT bi.w1, bi.w2, bi.n_co,
+         |        (CAST(bi.n_co AS DOUBLE) * (SELECT n FROM nt))
+         |          / (u1.c * u2.c) AS lift
+         |      FROM bi JOIN uni u1 ON u1.word = bi.w1
+         |      JOIN uni u2 ON u2.word = bi.w2),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+         |        (ORDER BY lift DESC, w1, w2) AS INTEGER) AS rk FROM j)
+         |SELECT rk, w1, w2, n_co, lift FROM r WHERE rk <= $CollocTopK
+         |ORDER BY rk""".stripMargin,
     // same s/q CTEs as corpus_select with source carried through; the
     // funnel is the cumulative FILTER counts over the identical gates
     "filter_funnel" ->

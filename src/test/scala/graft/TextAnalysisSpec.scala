@@ -132,6 +132,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("collocations: lift matches a driver recount, ranking is (lift desc, w1, w2)") {
+    val got = TextAnalysis.collocations(spark, sf)
+      .as[(Int, String, String, Long, Double)].collect()
+    assert(got.length == TextAnalysis.CollocTopK)
+    val arrays = graft.tables.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.trim.toLowerCase.split("\\s+", -1))
+    val uni = arrays.flatten.filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val nTok = uni.values.sum
+    val bi = arrays.flatMap(a => a.indices.dropRight(1).map(i => (a(i), a(i + 1))))
+      .filter { case (x, y) => x.nonEmpty && y.nonEmpty }
+      .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    got.foreach { case (_, w1, w2, co, lift) =>
+      assert(co == bi((w1, w2)) && co >= TextAnalysis.CollocMinCo)
+      assert(lift == co.toDouble * nTok / (uni(w1) * uni(w2)),
+        s"lift mismatch for ($w1,$w2)")
+    }
+    // ranks agree with a local re-sort
+    val sorted = got.sortBy { case (_, w1, w2, _, l) => (-l, w1, w2) }
+    assert(sorted.map(_._1).toSeq == (1 to got.length))
+  }
+
   test("filter_funnel: stages shrink monotonically and end at the corpus_select count") {
     val funnel = TextAnalysis.filterFunnel(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()
