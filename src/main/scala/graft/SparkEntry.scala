@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.MultiJoins.queries ++
       graft.queries.TpchClassics.queries ++
+      graft.queries.TpchAdvanced.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Ranking.queries ++
       graft.queries.Stats.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.queries.Joins.oracles ++
       graft.queries.MultiJoins.oracles ++
       graft.queries.TpchClassics.oracles ++
+      graft.queries.TpchAdvanced.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Ranking.oracles ++
       graft.queries.Stats.oracles ++

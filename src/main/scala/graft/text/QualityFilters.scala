@@ -322,6 +322,65 @@ object QualityFilters {
       .orderBy("source_a", "source_b")
   }
 
+  /** Vocabulary Jaccard between every source pair — the coarse "are
+    * these two crawls the same corpus?" signal that decides whether two
+    * sources even need pairwise dedup. Works on DISTINCT (source, word):
+    * the join fans out per word by the number of sources carrying it
+    * (≤ source count, never corpus size), and set sizes ride in on a
+    * broadcast — the same bounded-self-join argument as
+    * [[sourceOverlap]], one vocabulary shuffle total. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .repartition(col("word"))
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("x").join(vocab.as("y"),
+        col("x.word") === col("y.word") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("na").as("vocab_a"), col("nb").as("vocab_b"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source vocabulary shape — tokens, types, hapax legomena and
+    * their ratios (the Heaps/Zipf telemetry that flags template-heavy or
+    * machine-generated sources: real text keeps hapax_frac high, boiler-
+    * plate collapses it). One (source, word) census; every ratio is a
+    * single IEEE divide of exact integers. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val wordCounts = documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val perSource = wordCounts.groupBy("source").agg(
+      sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val docs = documents(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    perSource.join(broadcast(docs), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"))
+      .orderBy("source")
+  }
+
   // ---- per-source length telemetry ------------------------------------
 
   /** Order-of-magnitude token histogram per source (curation telemetry:
@@ -346,6 +405,8 @@ object QualityFilters {
     "typicality_buckets" -> typicalityBuckets _,
     "dsir_contrast" -> dsirContrast _,
     "source_overlap" -> sourceOverlap _,
+    "source_similarity" -> sourceSimilarity _,
+    "vocab_growth" -> vocabGrowth _,
     "token_histogram" -> tokenHistogram _,
     "source_mixture" -> sourceMixture _)
 
@@ -387,6 +448,48 @@ object QualityFilters {
          |FROM blocks x JOIN blocks y ON x.b = y.b AND x.source < y.source
          |GROUP BY 1, 2
          |ORDER BY source_a, source_b""".stripMargin,
+    "source_similarity" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source,
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> ''),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY 1),
+        |inter AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |         COUNT(*) AS n_shared
+        |  FROM vocab x JOIN vocab y
+        |    ON x.word = y.word AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |       a.n AS vocab_a, b.n AS vocab_b,
+        |       CAST(n_shared AS DOUBLE)
+        |         / CAST(a.n + b.n - n_shared AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes a ON a.source = source_a
+        |JOIN sizes b ON b.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    "vocab_growth" ->
+      """WITH wc AS (
+        |  SELECT source, word, COUNT(*) AS cnt FROM (
+        |    SELECT source,
+        |           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY 1, 2),
+        |per_source AS (
+        |  SELECT source,
+        |         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |         COUNT(*) AS n_types,
+        |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM wc GROUP BY 1),
+        |docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_types, n_hapax,
+        |       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |         AS type_token_ratio,
+        |       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac
+        |FROM per_source JOIN docs USING (source)
+        |ORDER BY source""".stripMargin,
     "token_histogram" ->
       """WITH n AS (
         |  SELECT source,

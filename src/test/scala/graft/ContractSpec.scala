@@ -10,6 +10,7 @@ class ContractSpec extends AnyFunSuite {
     ("Joins", graft.queries.Joins.queries, graft.queries.Joins.oracles),
     ("MultiJoins", graft.queries.MultiJoins.queries, graft.queries.MultiJoins.oracles),
     ("TpchClassics", graft.queries.TpchClassics.queries, graft.queries.TpchClassics.oracles),
+    ("TpchAdvanced", graft.queries.TpchAdvanced.queries, graft.queries.TpchAdvanced.oracles),
     ("Windows", graft.queries.Windows.queries, graft.queries.Windows.oracles),
     ("Ranking", graft.queries.Ranking.queries, graft.queries.Ranking.oracles),
     ("Stats", graft.queries.Stats.queries, graft.queries.Stats.oracles),

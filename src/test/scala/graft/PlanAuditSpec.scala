@@ -38,10 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_keywords", // n_docs is a one-row broadcast scalar
     "hybrid_rrf", // query vectors: fixed handful, broadcast, =!= self
     "knn_incremental", // probe × broadcast(√n stored centroids)
-    "bm25_rank") // n_docs/total_words: one-row broadcast scalars
+    "bm25_rank", // n_docs/total_words: one-row broadcast scalars
+    "q11_important_parts") // share threshold: one-row broadcast scalar
 
   // global aggregates: one output row, total order is vacuous
-  private val singleRow = Set("count_rows", "date_bounds", "distinct_types")
+  private val singleRow = Set("count_rows", "date_bounds", "distinct_types",
+    "q17_small_quantity", "q19_disjunctive")
 
   private def audited = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(buildTimeExecutors)
