@@ -71,7 +71,12 @@ object Bench {
       // terms) and edit-distance verification over star candidates
       "bm25_rank", "edit_dedup", "filter_funnel", "phrase_search",
       // iterative graph analytics (5 PageRank rounds, checkpointed)
-      "pagerank_dups", "collocations")
+      "pagerank_dups", "collocations",
+      // late-r10 TPC-H classics — the three heaviest of the nine new
+      // shapes (5-table profit join, outer-join distribution, argmin
+      // window) — plus the two vocabulary-census corpus-health ops
+      "q9_product_profit", "q13_order_distribution",
+      "q2_min_cost_supplier", "source_similarity", "vocab_growth")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++
