@@ -76,7 +76,10 @@ object Bench {
       // shapes (5-table profit join, outer-join distribution, argmin
       // window) — plus the two vocabulary-census corpus-health ops
       "q9_product_profit", "q13_order_distribution",
-      "q2_min_cost_supplier", "source_similarity", "vocab_growth")
+      "q2_min_cost_supplier", "source_similarity", "vocab_growth",
+      // corpus topic distribution over the IVF quantizer (per-row
+      // assignment kernel + one sqrt(n)-cell aggregate)
+      "topic_profile")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

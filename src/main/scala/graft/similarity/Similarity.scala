@@ -640,7 +640,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Corpus topic distribution — the mixture-construction view of the
+    * embedding space: every vector assigned to its nearest refined
+    * centroid (the [[knnIvf]] quantizer), reported per cell as size,
+    * corpus share, and cohesion (mean/min cosine to the centroid).
+    * Balanced shares with high cohesion say the corpus clusters cleanly;
+    * a giant low-cohesion cell says "crawl noise, dedup harder".
+    *
+    * Determinism: the per-member cosine is rounded to the 1e-6 grid and
+    * then summed as an exact scaled INTEGER (floor(cos·1e6 + 0.5) —
+    * exact because the rounded double is within 2e-10 of an integer
+    * multiple, so the .5 offset can never straddle a boundary), making
+    * the mean summation-order-free; the share and mean divisions are
+    * single IEEE ops on exact integers. Scale: assignment is the
+    * per-row [[assignCells]] kernel (no row amplification), the
+    * aggregate shuffles √n cells, and the share rides a window over
+    * those √n rows — nothing here grows faster than the corpus scan. */
+  def topicProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val cells = scaledCells(emb.count())
+    val centroids = materializedCentroids(emb, cells)
+    val scored = assignCells(emb, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("cos",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .withColumn("cos_s",
+        floor(col("cos") * lit(1000000d) + lit(0.5)).cast("long"))
+    scored.groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum("cos_s").as("ssum"),
+        min("cos").as("min_cohesion"),
+        min("vec_id").as("exemplar"))
+      .withColumn("share", col("n_members").cast("double") /
+        sum("n_members").over(Window.partitionBy()))
+      .select(col("cell"), col("n_members"), col("share"),
+        (col("ssum") / lit(1000000.0) / col("n_members")).as("mean_cohesion"),
+        col("min_cohesion"), col("exemplar"))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topic_profile" -> topicProfile _,
     "knn_brute"   -> knnBrute _,
     "knn_lsh"     -> knnLsh _,
     "knn_ivf"     -> knnIvf _,
@@ -741,6 +784,28 @@ object Similarity {
       |  FROM n, centn c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "topic_profile" ->
+      s"""WITH $RefinedScoreCte,
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cscore DESC, cell DESC) AS rn FROM score) WHERE rn = 1),
+         |scored AS (
+         |  SELECT a.vec_id, a.cell,
+         |         ROUND(list_inner_product(nv.v, c.cv) / (nv.nrm * c.cn), 6)
+         |           AS cos
+         |  FROM asg a JOIN n nv USING (vec_id) JOIN centn c USING (cell)),
+         |per AS (
+         |  SELECT cell, COUNT(*) AS n_members,
+         |         CAST(SUM(CAST(floor(cos * 1000000 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS ssum,
+         |         MIN(cos) AS min_cohesion,
+         |         MIN(vec_id) AS exemplar
+         |  FROM scored GROUP BY 1)
+         |SELECT cell, n_members,
+         |       CAST(n_members AS DOUBLE) / (SELECT COUNT(*) FROM e) AS share,
+         |       ssum / 1000000.0 / n_members AS mean_cohesion,
+         |       min_cohesion, exemplar
+         |FROM per ORDER BY cell""".stripMargin,
     "semantic_dedup" ->
       s"""WITH $RefinedScoreCte,
          |asg AS (SELECT vec_id, cell FROM (
