@@ -339,7 +339,14 @@ object Bench {
   val Scale10Subset: Seq[String] = Seq(
     "dedup_minhash", "semantic_dedup", "knn_pq", "knn_ivf",
     "cluster_minsh", "profile_orders", "q21_waiting_supplier",
-    "sessionize", "quality_classifier", "canonical_selection")
+    "sessionize", "quality_classifier", "canonical_selection",
+    // late-r10: three more distinct heavy shapes earn a second decade —
+    // the inverted-index BM25 join, the iterative checkpointed PageRank
+    // rounds (the shape where round growth would bend), and the widest
+    // (5-table) TPC-H join. containment_dedup stays one-decade: its
+    // ~40 s sf1 time would add ~7 min of ×100 wall-clock for a shape
+    // already pinned linear by construction (see FlagNotes).
+    "bm25_rank", "pagerank_dups", "q9_product_profit")
 
   def scale10Bench(
       spark: SparkSession,

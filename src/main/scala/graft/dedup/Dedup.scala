@@ -680,7 +680,35 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Leakage-guarded train/eval split — the ML-data correctness gate a
+    * plain per-document hash split cannot give: a near-duplicate pair
+    * split across train and eval leaks the answer into evaluation, so
+    * assignment must be per CLUSTER, not per document. Every document
+    * inherits the md5 split of its [[clusterMinsh]] component label
+    * (singletons — docs whose shingle block produced no edge — label
+    * themselves), which makes the guard exact by construction: both
+    * endpoints of every blocking edge share a label, hence a split.
+    *
+    * Scale: the component frame is O(n) and the inheritance is one
+    * equi-join on doc_id; the md5 assignment is the same stable
+    * per-row hash as `hash_split` (identical in any engine, stable
+    * under repartitioning and reruns — a rand() split would tear
+    * clusters apart on every retry). */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = connectedComponents(minshStarEdges(spark, dir))
+      .select(col("id").as("doc_id"), col("label"))
+    documents(spark, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 1) < "d",
+          "train").otherwise("eval"))
+      .select("doc_id", "cluster", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_safe_split" -> clusterSafeSplit _,
     "edit_dedup" -> editDedup _,
     "dedup_substring" -> dedupSubstring _,
     "containment_dedup" -> containmentDedup _,
@@ -930,6 +958,32 @@ object Dedup {
         |          ORDER BY q.q DESC, c.doc_id) = 1) AS keep
         |FROM clusters c JOIN q USING (doc_id)
         |ORDER BY c.cluster, c.doc_id""".stripMargin,
+    // the cluster_minsh closure + label inheritance; singletons (no
+    // edge) keep their own doc_id as the label, exactly as the query
+    "cluster_safe_split" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+        |  GROUP BY doc_id),
+        |e AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |      FROM sh x JOIN sh y ON x.k = y.k AND x.doc_id < y.doc_id),
+        |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM adj
+        |  UNION
+        |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r),
+        |comp AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |       COALESCE(comp.label, d.doc_id) AS cluster,
+        |       CASE WHEN substring(md5(CAST(COALESCE(comp.label, d.doc_id)
+        |                                    AS VARCHAR)), 1, 1) < 'd'
+        |            THEN 'train' ELSE 'eval' END AS split
+        |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "cluster_minsh" ->
       """WITH RECURSIVE
         |sh AS (

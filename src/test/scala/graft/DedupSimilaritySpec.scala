@@ -551,6 +551,30 @@ class DedupSpec extends SparkSpec {
     assert(zk.get(1L) == ze.get(1L) && zk.get(3L) == ze.get(3L))
     assert(!zk.contains(2L) && !ze.contains(2L), "short text -> null/absent in both")
   }
+
+  test("cluster_safe_split: no blocking edge ever crosses the split") {
+    val out = graft.dedup.Dedup.clusterSafeSplit(spark, sf)
+    val split = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // covers every document exactly once
+    assert(split.size == graft.tables.Tables.documents(spark, sf).count())
+    // THE guard: both endpoints of every near-dup blocking edge land in
+    // the same split (this is what a per-document hash split violates)
+    val edges = graft.dedup.Dedup.minshStarEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"edge ($a,$b) crosses the split")
+      assert(split(a)._1 == split(b)._1, s"edge ($a,$b) spans clusters")
+    }
+    // the guard is not vacuous at this fixture: at least one cluster is
+    // multi-document, and both split sides are populated
+    assert(edges.nonEmpty)
+    assert(split.values.map(_._2).toSet == Set("train", "eval"))
+    // label inheritance agrees with cluster_minsh on clustered docs
+    val minsh = graft.dedup.Dedup.clusterMinsh(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    minsh.foreach { case (doc, label) => assert(split(doc)._1 == label) }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

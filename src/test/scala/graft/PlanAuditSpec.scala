@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "streaming_daily_counts", "streaming_dedup_counts",
     "streaming_sliding_value", "streaming_sessions",
     "streaming_interval_join", "io_roundtrip", "dedup_clusters",
-    "cluster_minsh", "bucketed_join", "heavy_hitters",
+    "cluster_minsh", "cluster_safe_split", "bucketed_join", "heavy_hitters",
     // these two run a full Structured Streaming build at DF-build time;
     // their batch tails are audited via knn_incremental /
     // dedup_incremental, and DedupSpec pins both lifecycles
