@@ -50,11 +50,17 @@ object TpchAdvanced {
     * sees one fact shuffle plus one small exchange on the 2k-row scoped
     * set, never a second pass over lineitem. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val costs = lineitem(spark, dir)
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val scopedParts = part(spark, dir)
       .filter(col("p_type") === "PROMO" && col("p_size") <= 10)
+    // scope the fact BEFORE the (partkey, suppkey) aggregate: the
+    // semi-join broadcasts the filtered part keys, so only the scoped
+    // fraction of lineitem enters the shuffle — aggregating the whole
+    // table first would move every (part, supplier) pair at 100 TB
+    val costs = lineitem(spark, dir)
+      .join(broadcast(scopedParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     val regionSupp = supplier(spark, dir)
       .join(broadcast(nation(spark, dir).filter(col("n_regionkey") === 0)),
         col("s_nationkey") === col("n_nationkey"))
