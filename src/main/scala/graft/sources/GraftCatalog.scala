@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.table.GraftTable
 
@@ -191,7 +191,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
       filters => table.scanStatsAug(pinnedVersion, filters),
       filters => table.augmentedFilters(pinnedVersion, filters),
       filters => table.columnNdvAug(pinnedVersion, filters),
-      column => table.foldedBounds(pinnedVersion, column))
+      column => table.foldedBounds(pinnedVersion, column),
+      cols => table.partitionGroupCounts(pinnedVersion, cols))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -277,14 +278,16 @@ final class GraftScanBuilder(snapshot: DataFrame,
     scanStats: Seq[Filter] => (Long, Option[Long]),
     augment: Seq[Filter] => Seq[Filter] = identity _,
     columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty,
-    foldedBounds: String => Option[(String, String, String)] = _ => None)
+    foldedBounds: String => Option[(String, String, String)] = _ => None,
+    partitionGroupCounts: Seq[String] => Option[Seq[(Seq[Option[String]], Long)]] =
+      _ => None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snapshot.schema
   private var pushed: Array[Filter] = Array.empty
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftFilters.translate(_).isDefined)
@@ -338,8 +341,9 @@ final class GraftScanBuilder(snapshot: DataFrame,
     }
   }
 
-  private def answerFor(agg: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+  private def answerFor(agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
+    if (pushed.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return groupedAnswerFor(agg)
     val parts: Seq[Option[(StructField, Any)]] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
@@ -354,7 +358,50 @@ final class GraftScanBuilder(snapshot: DataFrame,
         case _ => None
       }
     if (parts.isEmpty || parts.exists(_.isEmpty)) None
-    else Some((StructType(parts.flatten.map(_._1)), parts.flatten.map(_._2)))
+    else Some((StructType(parts.flatten.map(_._1)),
+      Seq(parts.flatten.map(_._2))))
+  }
+
+  /** `GROUP BY <partition cols> → COUNT(*)` from the manifest — one row
+    * per live partition value, counts from footer stats minus
+    * deletion-vector cardinality, hive-path strings cast to the table's
+    * partition types driver-side. Accepted only when every grouping
+    * expression is a bare partition column of a castable type and every
+    * aggregate is COUNT(*); anything else keeps the ordinary scan. */
+  private def groupedAnswerFor(agg: Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    if (agg.aggregateExpressions.isEmpty ||
+      !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
+    val colsOpt = agg.groupByExpressions.toSeq.map(namedCol)
+    if (colsOpt.exists(_.isEmpty)) return None
+    val cols = colsOpt.flatten
+    val fields = cols.map(c => snapshot.schema.find(_.name == c))
+    if (fields.exists(_.isEmpty)) return None
+    val casts: Seq[String => Any] = fields.flatten.map { f =>
+      f.dataType match {
+        case StringType => (s: String) => s
+        case LongType => (s: String) => s.toLong
+        case IntegerType => (s: String) => s.toInt
+        case ShortType => (s: String) => s.toShort
+        case ByteType => (s: String) => s.toByte
+        case BooleanType => (s: String) => s.toBoolean
+        case DateType => (s: String) => java.sql.Date.valueOf(s)
+        case _ => return None // no exact path-string decode → no proof
+      }
+    }
+    partitionGroupCounts(cols).flatMap { groups =>
+      val rows = scala.util.Try(groups.map { case (vals, n) =>
+        vals.zip(casts).map { case (v, c) => v.map(c).orNull } ++
+          agg.aggregateExpressions.toSeq.map(_ => n)
+      }).toOption // a value the cast rejects (adopted layout) → no proof
+      rows.map { rs =>
+        val schema = StructType(
+          fields.flatten.map(f => StructField(f.name, f.dataType)) ++
+            agg.aggregateExpressions.toSeq.zipWithIndex.map { case (_, i) =>
+              StructField(s"count($i)", LongType, nullable = false) })
+        (schema, rs)
+      }
+    }
   }
 
   override def build(): Scan = aggAnswer match {
@@ -365,9 +412,11 @@ final class GraftScanBuilder(snapshot: DataFrame,
   }
 }
 
-/** One-row scan carrying a metadata-answered global aggregate — the
-  * plan for `SELECT COUNT(*)/MIN/MAX FROM t` never touches a data file. */
-final class GraftMetadataAggScan(schema: StructType, values: Seq[Any])
+/** Scan carrying a metadata-answered aggregate — one row for the global
+  * `SELECT COUNT(*)/MIN/MAX FROM t`, one row per live partition value
+  * for `GROUP BY <partition cols> → COUNT(*)`; either way the plan
+  * never touches a data file. */
+final class GraftMetadataAggScan(schema: StructType, rows: Seq[Seq[Any]])
     extends V1Scan {
   override def readSchema(): StructType = schema
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -376,7 +425,7 @@ final class GraftMetadataAggScan(schema: StructType, values: Seq[Any])
       override def sqlContext: SQLContext = context
       override def schema: StructType = GraftMetadataAggScan.this.schema
       override def buildScan(): RDD[Row] =
-        context.sparkContext.parallelize(Seq(Row.fromSeq(values)), 1)
+        context.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
     }.asInstanceOf[T]
 }
 

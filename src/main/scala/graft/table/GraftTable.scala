@@ -1167,6 +1167,53 @@ final class GraftTable private (
     (bytes, rows)
   }
 
+  /** Per-partition-value row counts for a metadata-only
+    * `GROUP BY <partition cols> → COUNT(*)` answer (the Delta
+    * "metadata-optimized query" shape extended to grouped counts): every
+    * live file's hive path names its partition values, footer stats give
+    * its row count, and deletion vectors subtract per file — so the
+    * whole answer folds over the manifest without opening a data file.
+    * Returns raw (still-string) group values in `cols` order; the scan
+    * layer casts them to the table's partition types. `None` (no proof)
+    * when any requested column is not a layout partition column, any
+    * live file lacks a row count or the column's path segment, or the
+    * group values need a column-mapping indirection. A
+    * `__HIVE_DEFAULT_PARTITION__` segment surfaces as null — the same
+    * value the scan path would produce. */
+  private[graft] def partitionGroupCounts(version: Long, cols: Seq[String])
+      : Option[Seq[(Seq[Option[String]], Long)]] = scala.util.Try {
+    if (cols.isEmpty) return None
+    if (!colMapOf(version).isIdentity) return None
+    val layout = layoutPartitionColumns(version)
+    if (!cols.forall(layout.contains)) return None
+    val snap = snapshotAt(version)
+    val perFile: Seq[Option[(Seq[Option[String]], Long)]] =
+      snap.files.toSeq.map { f =>
+        val segs = f.split('/').dropRight(1).iterator
+          .filter(_.contains('='))
+          .map { s =>
+            val i = s.indexOf('=')
+            s.take(i) -> GraftTable.unescapePathValue(s.drop(i + 1))
+          }.toMap
+        val rows = snap.stats.get(f).flatMap(_.get("")).collect {
+          case ("rows", lo, _) =>
+            math.max(0L, lo.toLong -
+              snap.dv.getOrElse(f, Nil).iterator.map(_._2).sum)
+        }
+        val vals: Option[Seq[Option[String]]] =
+          if (cols.forall(segs.contains))
+            Some(cols.map(c => segs(c) match {
+              case "__HIVE_DEFAULT_PARTITION__" => None
+              case v => Some(v)
+            }))
+          else None // segment missing → no proof
+        for { r <- rows; v <- vals } yield (v, r)
+      }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.groupBy(_._1).toSeq
+      .map { case (k, fs) => (k, fs.map(_._2).sum) })
+  }.toOption.flatten
+
   /** Fold per-file footer bounds of `column` over the WHOLE live set —
     * the proof a metadata-only MIN/MAX answer needs. Sound only when:
     * no deletion vectors anywhere (a masked row may hold the extremum),

@@ -47,6 +47,63 @@ class MetadataAggSpec extends SparkSpec {
     assert(after.getLong(0) == t.read().count())
   }
 
+  test("GROUP BY partition columns → COUNT(*) answers from the manifest") {
+    val p = Files.createTempDirectory("meta_agg_gb").toString
+    val t = GraftTable(spark, p, Seq("ticker", "trade_date"))
+    t.write(bars)
+
+    // full partition grouping
+    val df = spark.sql(
+      s"SELECT ticker, trade_date, COUNT(*) AS n FROM graft.`$p` " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    val want = t.read().groupBy("ticker", "trade_date")
+      .agg(count(lit(1)).as("n")).orderBy("ticker", "trade_date").collect()
+    assert(df.collect().toSeq == want.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMetadataAggScan"),
+      s"grouped partition count must answer from the manifest:\n$plan")
+    assert(!plan.contains("GraftV1ScanShim"), s"no data scan expected:\n$plan")
+
+    // subset grouping (one of two partition levels): files aggregate
+    // across the other level
+    val sub = spark.sql(
+      s"SELECT ticker, COUNT(*) AS n FROM graft.`$p` GROUP BY 1 ORDER BY 1")
+    assert(sub.collect().toSeq ==
+      t.read().groupBy("ticker").agg(count(lit(1)).as("n"))
+        .orderBy("ticker").collect().toSeq)
+    assert(sub.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"))
+
+    // counts stay right across DV deletes (cardinality subtracted)
+    t.delete(col("volume") % 3 === 0, mergeOnRead = true)
+    val afterDv = spark.sql(
+      s"SELECT ticker, COUNT(*) AS n FROM graft.`$p` GROUP BY 1 ORDER BY 1")
+    assert(afterDv.collect().toSeq ==
+      t.read().groupBy("ticker").agg(count(lit(1)).as("n"))
+        .orderBy("ticker").collect().toSeq)
+    assert(afterDv.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"))
+
+    // non-partition grouping keeps the ordinary scan — and stays right
+    val byVol = spark.sql(
+      s"SELECT volume % 2 AS b, COUNT(*) AS n FROM graft.`$p` " +
+        "GROUP BY 1 ORDER BY 1")
+    assert(byVol.queryExecution.executedPlan.toString
+      .contains("GraftV1ScanShim"))
+    assert(byVol.collect().toSeq ==
+      t.read().groupBy((col("volume") % 2).as("b"))
+        .agg(count(lit(1)).as("n")).orderBy("b").collect().toSeq)
+
+    // a grouped MIN is NOT metadata-answerable → scan plan, right values
+    val gmin = spark.sql(
+      s"SELECT ticker, MIN(volume) AS m FROM graft.`$p` GROUP BY 1 ORDER BY 1")
+    assert(gmin.queryExecution.executedPlan.toString
+      .contains("GraftV1ScanShim"))
+    assert(gmin.collect().toSeq ==
+      t.read().groupBy("ticker").agg(min("volume").as("m"))
+        .orderBy("ticker").collect().toSeq)
+  }
+
   test("filters, DVs and uncovered types fall back to the scan plan") {
     val p = Files.createTempDirectory("meta_agg_fb").toString
     val t = GraftTable(spark, p, Seq("ticker"))
