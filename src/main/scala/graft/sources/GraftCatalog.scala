@@ -192,7 +192,8 @@ final case class GraftV2Table(spark: SparkSession, path: String,
       filters => table.augmentedFilters(pinnedVersion, filters),
       filters => table.columnNdvAug(pinnedVersion, filters),
       column => table.foldedBounds(pinnedVersion, column),
-      cols => table.partitionGroupCounts(pinnedVersion, cols))
+      cols => table.partitionGroupCounts(pinnedVersion, cols),
+      (cols, c) => table.partitionGroupBounds(pinnedVersion, cols, c))
 
   /** SQL `DELETE FROM graft.\`/p\` WHERE …` — the analyzer hands the
     * WHERE clause as source filters when it is fully translatable
@@ -280,7 +281,10 @@ final class GraftScanBuilder(snapshot: DataFrame,
     columnNdv: Seq[Filter] => Map[String, Long] = _ => Map.empty,
     foldedBounds: String => Option[(String, String, String)] = _ => None,
     partitionGroupCounts: Seq[String] => Option[Seq[(Seq[Option[String]], Long)]] =
-      _ => None)
+      _ => None,
+    partitionGroupBounds: (Seq[String], String) =>
+      Option[Seq[(Seq[Option[String]], (String, String, String))]] =
+      (_, _) => None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -325,19 +329,23 @@ final class GraftScanBuilder(snapshot: DataFrame,
     case _ => None
   }
 
+  /** Exactly-encoded footer-stat value → external value of the column's
+    * type; None on a type/tag mismatch (no proof). */
+  private def typedStat(tag: String, dt: DataType, raw: Long): Option[Any] =
+    (tag, dt) match {
+      case ("long", LongType) => Some(raw)
+      case ("long", IntegerType) => Some(raw.toInt)
+      case ("long", ShortType) => Some(raw.toShort)
+      case ("long", ByteType) => Some(raw.toByte)
+      case ("date", DateType) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw)))
+      case _ => None // type/tag mismatch: no proof
+    }
+
   private def boundValue(c: String, lo: Boolean): Option[(DataType, Any)] = {
     val dt = snapshot.schema.find(_.name == c).map(_.dataType).getOrElse(return None)
     foldedBounds(c).flatMap { case (tag, mn, mx) =>
-      val raw = (if (lo) mn else mx).toLong
-      (tag, dt) match {
-        case ("long", LongType) => Some((dt, raw))
-        case ("long", IntegerType) => Some((dt, raw.toInt))
-        case ("long", ShortType) => Some((dt, raw.toShort))
-        case ("long", ByteType) => Some((dt, raw.toByte))
-        case ("date", DateType) =>
-          Some((dt, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(raw))))
-        case _ => None // type/tag mismatch: no proof
-      }
+      typedStat(tag, dt, (if (lo) mn else mx).toLong).map(v => (dt, v))
     }
   }
 
@@ -362,16 +370,18 @@ final class GraftScanBuilder(snapshot: DataFrame,
       Seq(parts.flatten.map(_._2))))
   }
 
-  /** `GROUP BY <partition cols> → COUNT(*)` from the manifest — one row
-    * per live partition value, counts from footer stats minus
-    * deletion-vector cardinality, hive-path strings cast to the table's
-    * partition types driver-side. Accepted only when every grouping
-    * expression is a bare partition column of a castable type and every
-    * aggregate is COUNT(*); anything else keeps the ordinary scan. */
+  /** `GROUP BY <partition cols> → COUNT(*) / MIN / MAX` from the
+    * manifest — one row per live partition value: counts fold footer
+    * rows minus deletion-vector cardinality, MIN/MAX fold per-file
+    * footer bounds per group (the table layer refuses bounds whenever
+    * ANY deletion vector exists — a masked row could hold a group's
+    * extremum). Hive-path group strings cast to the table's partition
+    * types driver-side. Anything unproven — non-partition grouping
+    * expressions, uncastable types, missing stats — keeps the ordinary
+    * scan plan. */
   private def groupedAnswerFor(agg: Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    if (agg.aggregateExpressions.isEmpty ||
-      !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) return None
+    if (agg.aggregateExpressions.isEmpty) return None
     val colsOpt = agg.groupByExpressions.toSeq.map(namedCol)
     if (colsOpt.exists(_.isEmpty)) return None
     val cols = colsOpt.flatten
@@ -389,18 +399,44 @@ final class GraftScanBuilder(snapshot: DataFrame,
         case _ => return None // no exact path-string decode → no proof
       }
     }
-    partitionGroupCounts(cols).flatMap { groups =>
-      val rows = scala.util.Try(groups.map { case (vals, n) =>
-        vals.zip(casts).map { case (v, c) => v.map(c).orNull } ++
-          agg.aggregateExpressions.toSeq.map(_ => n)
-      }).toOption // a value the cast rejects (adopted layout) → no proof
-      rows.map { rs =>
-        val schema = StructType(
-          fields.flatten.map(f => StructField(f.name, f.dataType)) ++
-            agg.aggregateExpressions.toSeq.zipWithIndex.map { case (_, i) =>
-              StructField(s"count($i)", LongType, nullable = false) })
-        (schema, rs)
+    // per-aggregate answer: group values → (field, value)
+    type GroupKey = Seq[Option[String]]
+    def boundsFor(c: String, lo: Boolean, name: String)
+        : Option[(StructField, Map[GroupKey, Any])] = {
+      val dt = snapshot.schema.find(_.name == c).map(_.dataType)
+        .getOrElse(return None)
+      partitionGroupBounds(cols, c).flatMap { groups =>
+        val typed = groups.map { case (k, (tag, mn, mx)) =>
+          typedStat(tag, dt, (if (lo) mn else mx).toLong).map(k -> _)
+        }
+        if (typed.exists(_.isEmpty)) None
+        else Some((StructField(s"$name($c)", dt), typed.flatten.toMap))
       }
+    }
+    val counts = partitionGroupCounts(cols)
+    val answers: Seq[Option[(StructField, Map[GroupKey, Any])]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) => counts.map(gs =>
+          (StructField(s"count($i)", LongType, nullable = false),
+            gs.map { case (k, n) => (k: GroupKey) -> (n: Any) }.toMap))
+        case (m: Min, _) =>
+          namedCol(m.column).flatMap(c => boundsFor(c, lo = true, "min"))
+        case (m: Max, _) =>
+          namedCol(m.column).flatMap(c => boundsFor(c, lo = false, "max"))
+        case _ => None
+      }
+    if (answers.exists(_.isEmpty)) return None
+    val resolved = answers.flatten
+    // every aggregate folds over the same live file set → same groups
+    val keys = resolved.map(_._2.keySet).distinct
+    if (keys.length != 1) return None
+    val rows = scala.util.Try(keys.head.toSeq.map { k =>
+      k.zip(casts).map { case (v, c) => v.map(c).orNull } ++
+        resolved.map(_._2(k))
+    }).toOption // a value the cast rejects (adopted layout) → no proof
+    rows.map { rs =>
+      (StructType(fields.flatten.map(f => StructField(f.name, f.dataType)) ++
+        resolved.map(_._1)), rs)
     }
   }
 

@@ -1214,6 +1214,54 @@ final class GraftTable private (
       .map { case (k, fs) => (k, fs.map(_._2).sum) })
   }.toOption.flatten
 
+  /** Per-partition-group folded footer bounds of `column` — the grouped
+    * companion of [[foldedBounds]], for metadata-only
+    * `GROUP BY <partition cols> → MIN/MAX(col)`. Same proof rules as
+    * the global fold (no deletion vectors ANYWHERE — a masked row may
+    * hold a group's extremum; every live file carries the column's
+    * stats under one exactly-encoded tag) plus the grouping proof of
+    * [[partitionGroupCounts]]. Returns group values (raw strings, in
+    * `cols` order) → (tag, min, max). */
+  private[graft] def partitionGroupBounds(version: Long, cols: Seq[String],
+      column: String): Option[Seq[(Seq[Option[String]], (String, String, String))]] =
+    scala.util.Try {
+      if (cols.isEmpty) return None
+      if (!colMapOf(version).isIdentity) return None
+      if (!cols.forall(layoutPartitionColumns(version).contains)) return None
+      if (dvOf(version).values.exists(_.nonEmpty)) return None
+      val snap = snapshotAt(version)
+      val perFile: Seq[Option[(Seq[Option[String]], (String, Long, Long))]] =
+        snap.files.toSeq.map { f =>
+          val segs = f.split('/').dropRight(1).iterator
+            .filter(_.contains('='))
+            .map { s =>
+              val i = s.indexOf('=')
+              s.take(i) -> GraftTable.unescapePathValue(s.drop(i + 1))
+            }.toMap
+          val vals: Option[Seq[Option[String]]] =
+            if (cols.forall(segs.contains))
+              Some(cols.map(c => segs(c) match {
+                case "__HIVE_DEFAULT_PARTITION__" => None
+                case v => Some(v)
+              }))
+            else None
+          val b = snap.stats.get(f).flatMap(_.get(column)).collect {
+            case (tag, lo, hi) if tag == "long" || tag == "date" =>
+              (tag, lo.toLong, hi.toLong)
+          }
+          for { v <- vals; bb <- b } yield (v, bb)
+        }
+      if (perFile.exists(_.isEmpty)) None
+      else {
+        val flat = perFile.flatten
+        if (flat.map(_._2._1).distinct.length > 1) None // mixed tags
+        else Some(flat.groupBy(_._1).toSeq.map { case (k, fs) =>
+          (k, (fs.head._2._1,
+            fs.map(_._2._2).min.toString, fs.map(_._2._3).max.toString))
+        })
+      }
+    }.toOption.flatten
+
   /** Fold per-file footer bounds of `column` over the WHOLE live set —
     * the proof a metadata-only MIN/MAX answer needs. Sound only when:
     * no deletion vectors anywhere (a masked row may hold the extremum),

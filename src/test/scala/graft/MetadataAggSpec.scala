@@ -74,6 +74,18 @@ class MetadataAggSpec extends SparkSpec {
     assert(sub.queryExecution.executedPlan.toString
       .contains("GraftMetadataAggScan"))
 
+    // grouped MIN/MAX: per-group folded footer bounds, mixed with COUNT
+    val gmm = spark.sql(
+      s"SELECT ticker, COUNT(*) AS n, MIN(volume) AS lo, MAX(volume) AS hi " +
+        s"FROM graft.`$p` GROUP BY 1 ORDER BY 1")
+    assert(gmm.collect().toSeq ==
+      t.read().groupBy("ticker").agg(count(lit(1)).as("n"),
+        min("volume").as("lo"), max("volume").as("hi"))
+        .orderBy("ticker").collect().toSeq)
+    assert(gmm.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"),
+      "grouped COUNT+MIN+MAX must answer from the manifest")
+
     // counts stay right across DV deletes (cardinality subtracted)
     t.delete(col("volume") % 3 === 0, mergeOnRead = true)
     val afterDv = spark.sql(
@@ -94,7 +106,8 @@ class MetadataAggSpec extends SparkSpec {
       t.read().groupBy((col("volume") % 2).as("b"))
         .agg(count(lit(1)).as("n")).orderBy("b").collect().toSeq)
 
-    // a grouped MIN is NOT metadata-answerable → scan plan, right values
+    // grouped MIN over a DV'd table is NOT provable (a masked row could
+    // be a group's extremum) → scan plan, right values
     val gmin = spark.sql(
       s"SELECT ticker, MIN(volume) AS m FROM graft.`$p` GROUP BY 1 ORDER BY 1")
     assert(gmin.queryExecution.executedPlan.toString
