@@ -164,7 +164,29 @@ object StockPipeline {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** Metadata-only grouped aggregates through the DSv2 catalog: the
+    * per-ticker COUNT/MIN/MAX over a partitioned bar table answers from
+    * the manifest (grouped aggregate pushdown — GraftScanBuilder
+    * .groupedAnswerFor), and the require() makes the driver's oracle
+    * gate itself prove the plan never opened a data file. */
+  def barPartitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("graft_bars_pstats")
+    val bars = dumpBarsForOracle(seededBars(spark))
+    GraftTable(spark, path, Seq("ticker")).write(bars)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val out = spark.sql(
+      s"""SELECT ticker, COUNT(*) AS n_bars,
+         |       MIN(volume) AS min_volume, MAX(volume) AS max_volume
+         |FROM graft.`$path`
+         |GROUP BY ticker ORDER BY ticker""".stripMargin)
+    require(out.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"),
+      "grouped partition aggregate must answer from the manifest")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bar_partition_stats"    -> barPartitionStats _,
     "bar_ingest_summary"     -> barIngestSummary _,
     "bar_mutations"          -> barMutations _,
     "bar_timezone_edge"      -> barTimezoneEdge _,
@@ -184,6 +206,11 @@ object StockPipeline {
   private def dump = s"read_parquet('$BarDumpDir/*.parquet')"
 
   val oracles: Map[String, String] = Map(
+    "bar_partition_stats" ->
+      s"""SELECT ticker, COUNT(*) AS n_bars,
+         |       MIN(volume) AS min_volume, MAX(volume) AS max_volume
+         |FROM $dump
+         |GROUP BY ticker ORDER BY ticker""".stripMargin,
     "bar_ingest_summary" ->
       s"""SELECT ticker, COUNT(*) AS n_bars,
          |       COUNT(DISTINCT trade_date) AS n_days,

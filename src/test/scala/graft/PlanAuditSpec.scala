@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   private val buildTimeExecutors = Set(
     "bar_ingest_summary", "bar_timezone_edge", "bar_maintenance_report",
     "bar_history", "bar_external_analytics", "bar_mutations",
+    "bar_partition_stats",
     "streaming_daily_counts", "streaming_dedup_counts",
     "streaming_sliding_value", "streaming_sessions",
     "streaming_interval_join", "io_roundtrip", "dedup_clusters",
