@@ -381,7 +381,8 @@ final class GraftScanBuilder(snapshot: DataFrame,
     * scan plan. */
   private def groupedAnswerFor(agg: Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
-    if (agg.aggregateExpressions.isEmpty) return None
+    // an empty aggregate list is DISTINCT <partition cols> — the group
+    // keys alone are the answer
     val colsOpt = agg.groupByExpressions.toSeq.map(namedCol)
     if (colsOpt.exists(_.isEmpty)) return None
     val cols = colsOpt.flatten
@@ -427,10 +428,15 @@ final class GraftScanBuilder(snapshot: DataFrame,
       }
     if (answers.exists(_.isEmpty)) return None
     val resolved = answers.flatten
-    // every aggregate folds over the same live file set → same groups
-    val keys = resolved.map(_._2.keySet).distinct
-    if (keys.length != 1) return None
-    val rows = scala.util.Try(keys.head.toSeq.map { k =>
+    // every aggregate folds over the same live file set → same groups;
+    // with no aggregates (DISTINCT) the manifest's group list answers
+    val keySet: Set[GroupKey] =
+      if (resolved.nonEmpty) {
+        val ks = resolved.map(_._2.keySet).distinct
+        if (ks.length != 1) return None
+        ks.head
+      } else counts.getOrElse(return None).map(_._1).toSet
+    val rows = scala.util.Try(keySet.toSeq.map { k =>
       k.zip(casts).map { case (v, c) => v.map(c).orNull } ++
         resolved.map(_._2(k))
     }).toOption // a value the cast rejects (adopted layout) → no proof

@@ -106,6 +106,18 @@ class MetadataAggSpec extends SparkSpec {
       t.read().groupBy((col("volume") % 2).as("b"))
         .agg(count(lit(1)).as("n")).orderBy("b").collect().toSeq)
 
+    // DISTINCT over partition columns = group-by with no aggregates —
+    // the manifest's group list answers (if Spark pushes it at all;
+    // correctness holds either way, the plan assert pins the push)
+    val dist = spark.sql(
+      s"SELECT DISTINCT ticker FROM graft.`$p` ORDER BY ticker")
+    assert(dist.collect().map(_.getString(0)).toSeq ==
+      t.read().select("ticker").distinct().orderBy("ticker")
+        .collect().map(_.getString(0)).toSeq)
+    assert(dist.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"),
+      "DISTINCT partition column must answer from the manifest")
+
     // grouped MIN over a DV'd table is NOT provable (a masked row could
     // be a group's extremum) → scan plan, right values
     val gmin = spark.sql(
