@@ -1211,7 +1211,12 @@ final class GraftTable private (
       }
     if (perFile.exists(_.isEmpty)) None
     else Some(perFile.flatten.groupBy(_._1).toSeq
-      .map { case (k, fs) => (k, fs.map(_._2).sum) })
+      .map { case (k, fs) => (k, fs.map(_._2).sum) }
+      // SQL GROUP BY emits NO row for a group with zero surviving rows:
+      // a group whose every row is DV-masked (or whose files are empty)
+      // must vanish from the grouped answer and from DISTINCT, exactly
+      // as the scan path would drop it
+      .filter(_._2 > 0))
   }.toOption.flatten
 
   /** Per-partition-group folded footer bounds of `column` — the grouped

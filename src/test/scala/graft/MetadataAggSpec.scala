@@ -118,6 +118,24 @@ class MetadataAggSpec extends SparkSpec {
       .contains("GraftMetadataAggScan"),
       "DISTINCT partition column must answer from the manifest")
 
+    // a FULLY-masked partition must vanish from the grouped answer and
+    // from DISTINCT — SQL GROUP BY emits no row for a zero-row group
+    t.delete(col("ticker") === "AAPL", mergeOnRead = true)
+    val gone = spark.sql(
+      s"SELECT ticker, COUNT(*) AS n FROM graft.`$p` GROUP BY 1 ORDER BY 1")
+    assert(gone.collect().toSeq ==
+      t.read().groupBy("ticker").agg(count(lit(1)).as("n"))
+        .orderBy("ticker").collect().toSeq)
+    assert(!gone.collect().exists(_.getString(0) == "AAPL"))
+    assert(gone.queryExecution.executedPlan.toString
+      .contains("GraftMetadataAggScan"))
+    val dist2 = spark.sql(
+      s"SELECT DISTINCT ticker FROM graft.`$p` ORDER BY ticker")
+    assert(!dist2.collect().map(_.getString(0)).contains("AAPL"))
+    assert(dist2.collect().map(_.getString(0)).toSeq ==
+      t.read().select("ticker").distinct().orderBy("ticker")
+        .collect().map(_.getString(0)).toSeq)
+
     // grouped MIN over a DV'd table is NOT provable (a masked row could
     // be a group's extremum) → scan plan, right values
     val gmin = spark.sql(
