@@ -414,7 +414,7 @@ final class GraftScanBuilder(snapshot: DataFrame,
         else Some((StructField(s"$name($c)", dt), typed.flatten.toMap))
       }
     }
-    val counts = partitionGroupCounts(cols)
+    lazy val counts = partitionGroupCounts(cols)
     val answers: Seq[Option[(StructField, Map[GroupKey, Any])]] =
       agg.aggregateExpressions.toSeq.zipWithIndex.map {
         case (_: CountStar, i) => counts.map(gs =>
