@@ -314,7 +314,44 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Kneser-Ney count census — the data side of n-gram LM training:
+    * corpus word-trigram counts plus LEFT and RIGHT continuation-type
+    * counts (how many distinct words extend each inner bigram), the
+    * ingredients KN smoothing interpolates. A distinct (w1,w2,w3) row
+    * contributes exactly one left-extension type to (w2,w3) and one
+    * right-extension type to (w1,w2), so both continuation counts are
+    * plain COUNT(*) windows over the SAME distinct-trigram frame — one
+    * trigram shuffle plus two keyed window passes, integer-exact
+    * everywhere. Top-k cuts FIRST (TakeOrderedAndProject heaps), the
+    * rank window runs over just the k survivors (the [[collocations]]
+    * discipline). */
+  val KnTopK = 50
+
+  def ngramLmCounts(spark: SparkSession, dir: String): DataFrame = {
+    val arr = documents(spark, dir)
+      .select(split(lower(trim(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 3)
+    val tri = arr.select(explode(expr(
+        """arrays_zip(slice(a, 1, size(a) - 2), slice(a, 2, size(a) - 2),
+          |           slice(a, 3, size(a) - 2))""".stripMargin)).as("t"))
+      .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    tri
+      .withColumn("left_types",
+        count(lit(1)).over(Window.partitionBy("w2", "w3")))
+      .withColumn("right_types",
+        count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .orderBy(desc("c3"), col("w1"), col("w2"), col("w3")).limit(KnTopK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("c3"), col("w1"), col("w2"), col("w3"))))
+      .select(col("rk").cast("int").as("rk"), col("w1"), col("w2"),
+        col("w3"), col("c3"), col("left_types"), col("right_types"))
+      .orderBy("rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_lm_counts" -> ngramLmCounts _,
     "collocations"    -> collocations _,
     "string_functions" -> stringFunctions _,
     "corpus_select"   -> corpusSelect _,
@@ -537,6 +574,28 @@ object TextAnalysis {
         |      (a, b) -> (a * 1000003 + b) % 2305843009213693951))) AS BIGINT)
         |  END AS normalized_fingerprint
         |FROM d ORDER BY doc_id""".stripMargin,
+    "ngram_lm_counts" ->
+      s"""WITH t AS (
+         |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |  FROM documents),
+         |g AS (
+         |  SELECT a[CAST(i AS INTEGER)] AS w1,
+         |         a[CAST(i AS INTEGER) + 1] AS w2,
+         |         a[CAST(i AS INTEGER) + 2] AS w3
+         |  FROM (SELECT a,
+         |          unnest(range(1, GREATEST(len(a) - 2, 0) + 1)) AS i
+         |        FROM t WHERE len(a) >= 3)),
+         |tri AS (
+         |  SELECT w1, w2, w3, COUNT(*) AS c3 FROM g
+         |  WHERE w1 <> '' AND w2 <> '' AND w3 <> '' GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY w2, w3) AS left_types,
+         |         COUNT(*) OVER (PARTITION BY w1, w2) AS right_types
+         |  FROM tri)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c3 DESC, w1, w2, w3)
+         |            AS INTEGER) AS rk,
+         |       w1, w2, w3, c3, left_types, right_types
+         |FROM w ORDER BY c3 DESC, w1, w2, w3 LIMIT $KnTopK""".stripMargin,
     "trigram_topk" ->
       """WITH g AS (
         |  SELECT lang, unnest(list_transform(range(1, GREATEST(length(text) - 2, 0) + 1),
