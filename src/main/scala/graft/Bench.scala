@@ -79,7 +79,10 @@ object Bench {
       "q2_min_cost_supplier", "source_similarity", "vocab_growth",
       // corpus topic distribution over the IVF quantizer (per-row
       // assignment kernel + one sqrt(n)-cell aggregate)
-      "topic_profile")
+      "topic_profile",
+      // Kneser-Ney census: the word-trigram distinct + two window
+      // passes — the heaviest pure-text census shape
+      "ngram_lm_counts")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++

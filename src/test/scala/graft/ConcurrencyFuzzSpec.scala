@@ -35,8 +35,8 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     val seedT = GraftTable(spark, path, Nil)
     seedT.write(Seq((-1L, 0L)).toDF("id", "v"))
 
-    val nThreads = 4
-    val opsPerThread = 12
+    val nThreads = 6
+    val opsPerThread = 16
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // per-thread expected final state, written only after a landed op
     val models = Array.fill(nThreads)(
@@ -65,7 +65,7 @@ class ConcurrencyFuzzSpec extends SparkSpec {
           catch {
             case _: java.util.ConcurrentModificationException =>
               attempts += 1
-              if (attempts > 30)
+              if (attempts > 60)
                 throw new IllegalStateException(s"t$tid: livelocked rewrite")
               Thread.sleep(3L * attempts)
           }
