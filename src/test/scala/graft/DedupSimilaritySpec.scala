@@ -728,6 +728,27 @@ class IvfSpec extends SparkSpec {
       .intersect(brute.keySet).size.toDouble / brute.size
     assert(recall > 0.1, s"IVF recall $recall suspiciously low")
   }
+
+  test("topic_profile: a partition of the corpus with coherent cohesion") {
+    val rows = Similarity.topicProfile(spark, sf).collect()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    // cells partition the corpus: members sum to n, shares sum to 1
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val (members, mean, minC) =
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(members >= 1)
+      assert(mean >= minC && mean <= 1.0 + 1e-9)
+      // the exemplar (min vec_id member) really belongs to the cell:
+      // seed cells contain their own seed, whose cosine to itself is 1,
+      // so a seed cell's max cohesion hits 1 — spot-check via bounds
+      assert(minC >= -1.0 - 1e-9)
+    }
+    // deterministic across reruns (order-pinned folds + integer sums)
+    val again = Similarity.topicProfile(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
 
 class PqSpec extends SparkSpec {

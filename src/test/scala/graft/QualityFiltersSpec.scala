@@ -194,4 +194,42 @@ class QualityFiltersSpec extends SparkSpec {
     val again = QualityFilters.sourceMixture(spark, sf)
     assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
   }
+
+  test("source_similarity: set algebra holds; one driver pair recounted") {
+    val rows = QualityFilters.sourceSimilarity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (shared, va, vb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(5)
+      assert(a < b, "unordered pair emitted once, a < b")
+      assert(shared >= 1 && shared <= math.min(va, vb))
+      assert(j > 0.0 && j <= 1.0)
+      assert(j == shared.toDouble / (va + vb - shared).toDouble)
+    }
+    // independent driver recount of the lexicographically first pair
+    val docs = graft.tables.Tables.documents(spark, sf)
+    def vocab(src: String): Set[String] = docs
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).toSet - ""
+    val first = rows.head
+    val (va, vb) = (vocab(first.getString(0)), vocab(first.getString(1)))
+    assert(first.getLong(2) == va.intersect(vb).size.toLong)
+    assert(first.getLong(3) == va.size.toLong && first.getLong(4) == vb.size.toLong)
+  }
+
+  test("vocab_growth: census identities per source") {
+    val rows = QualityFilters.vocabGrowth(spark, sf).collect()
+    val nSources = graft.tables.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val (tokens, types, hapax) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(1L <= hapax || hapax == 0L)
+      assert(hapax <= types && types <= tokens)
+      assert(r.getDouble(5) == types.toDouble / tokens.toDouble)
+      assert(r.getDouble(6) == hapax.toDouble / types.toDouble)
+    }
+  }
 }

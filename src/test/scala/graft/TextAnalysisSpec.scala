@@ -169,4 +169,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(funnel.map(_._5).sum == TextAnalysis.corpusSelect(spark, sf).count(),
       "final funnel stage must equal the corpus_select survivor count")
   }
+
+  test("ngram_lm_counts: driver recount of counts and continuation types") {
+    val rows = TextAnalysis.ngramLmCounts(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.KnTopK)
+    // rank is 1..k and c3 non-increasing along it
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val c3s = rows.map(_.getLong(4))
+    assert(c3s.zip(c3s.tail).forall { case (a, b) => a >= b })
+    // independent driver recount over the raw corpus
+    val tris = graft.tables.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").toSeq
+        .filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.toList))
+    val c3 = tris.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val left = c3.keys.groupBy(t => (t(1), t(2))).map { case (k, v) => k -> v.size.toLong }
+    val right = c3.keys.groupBy(t => (t(0), t(1))).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { r =>
+      val t = List(r.getString(1), r.getString(2), r.getString(3))
+      assert(r.getLong(4) == c3(t), s"c3 mismatch at $t")
+      assert(r.getLong(5) == left((t(1), t(2))), s"left_types mismatch at $t")
+      assert(r.getLong(6) == right((t(0), t(1))), s"right_types mismatch at $t")
+    }
+  }
 }
