@@ -322,6 +322,52 @@ object QualityFilters {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-source duplication telemetry — the dedup OBSERVABILITY report a
+    * curation run reads before deciding how hard to dedup each source:
+    * whole-document exact-duplicate rate (corpus-wide groups on the md5
+    * of whitespace-normalized text; a doc is redundant when an
+    * earlier-id doc carries identical content — the dedup_exact keep
+    * rule) and verbatim-block duplication rate ([[BlockWords]]-word
+    * spans shared with ANY other document, the [[blockDedup]]
+    * granularity rolled up per source). Two hash censuses (doc, block),
+    * integer counts, one IEEE division per rate. */
+  def dupRateReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val docStats = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
+    val blocks = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"""CASE WHEN size(w) >= $BlockWords THEN
+           |  transform(sequence(1, size(w) div $BlockWords),
+           |    i -> concat_ws(' ', slice(w, (i - 1) * $BlockWords + 1, $BlockWords)))
+           |ELSE array() END""".stripMargin)).as("block"))
+      .select(col("doc_id"), col("source"), md5(col("block")).as("bh"))
+    val sharedB = blocks.groupBy("bh")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).select("bh")
+    val blockStats = blocks.join(sharedB, Seq("bh"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_shared_blocks"))
+    val totalBlocks = blocks.groupBy("source")
+      .agg(count(lit(1)).as("n_blocks"))
+    docStats
+      .join(totalBlocks, Seq("source"), "left_outer")
+      .join(blockStats, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("doc_dup_rate"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_shared_blocks"), lit(0L)).as("n_shared_blocks"),
+        (coalesce(col("n_shared_blocks"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_blocks"), lit(0L)), lit(1L)).cast("double"))
+          .as("block_dup_rate"))
+      .orderBy("source")
+  }
+
   /** Vocabulary Jaccard between every source pair — the coarse "are
     * these two crawls the same corpus?" signal that decides whether two
     * sources even need pairwise dedup. Works on DISTINCT (source, word):
@@ -407,6 +453,7 @@ object QualityFilters {
     "source_overlap" -> sourceOverlap _,
     "source_similarity" -> sourceSimilarity _,
     "vocab_growth" -> vocabGrowth _,
+    "dup_rate_report" -> dupRateReport _,
     "token_histogram" -> tokenHistogram _,
     "source_mixture" -> sourceMixture _)
 
@@ -448,6 +495,48 @@ object QualityFilters {
          |FROM blocks x JOIN blocks y ON x.b = y.b AND x.source < y.source
          |GROUP BY 1, 2
          |ORDER BY source_a, source_b""".stripMargin,
+    // the engine pairs md5 images where the oracle groups raw blocks —
+    // identical counts absent a collision (the source_overlap argument)
+    "dup_rate_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |         CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY h)
+         |              THEN 1 ELSE 0 END AS is_dup
+         |  FROM d),
+         |ds AS (SELECT source, COUNT(*) AS n_docs,
+         |              CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs
+         |       FROM r GROUP BY 1),
+         |toks AS (
+         |  SELECT doc_id, source,
+         |         regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, GREATEST(len(w) // $BlockWords, 0) + 1),
+         |      i -> array_to_string(w[((i - 1) * $BlockWords + 1):(i * $BlockWords)], ' ')))
+         |      AS bh
+         |  FROM toks WHERE len(w) >= $BlockWords),
+         |sh AS (SELECT bh FROM (
+         |         SELECT bh, COUNT(DISTINCT doc_id) AS nd FROM b GROUP BY 1)
+         |       WHERE nd > 1),
+         |bs AS (SELECT source, COUNT(*) AS n_shared_blocks FROM b
+         |       WHERE bh IN (SELECT bh FROM sh) GROUP BY 1),
+         |tb AS (SELECT source, COUNT(*) AS n_blocks FROM b GROUP BY 1)
+         |SELECT ds.source, ds.n_docs, ds.n_dup_docs,
+         |       CAST(ds.n_dup_docs AS DOUBLE) / ds.n_docs AS doc_dup_rate,
+         |       CAST(COALESCE(tb.n_blocks, 0) AS BIGINT) AS n_blocks,
+         |       CAST(COALESCE(bs.n_shared_blocks, 0) AS BIGINT)
+         |         AS n_shared_blocks,
+         |       CAST(COALESCE(bs.n_shared_blocks, 0) AS DOUBLE)
+         |         / CAST(GREATEST(COALESCE(tb.n_blocks, 0), 1) AS DOUBLE)
+         |         AS block_dup_rate
+         |FROM ds LEFT JOIN tb ON tb.source = ds.source
+         |LEFT JOIN bs ON bs.source = ds.source
+         |ORDER BY ds.source""".stripMargin,
     "source_similarity" ->
       """WITH vocab AS (
         |  SELECT DISTINCT source, word FROM (

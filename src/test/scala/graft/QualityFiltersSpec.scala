@@ -219,6 +219,33 @@ class QualityFiltersSpec extends SparkSpec {
     assert(first.getLong(3) == va.size.toLong && first.getLong(4) == vb.size.toLong)
   }
 
+  test("dup_rate_report: planted duplicates produce exact rates") {
+    import spark.implicits._
+    // the sf fixture has a true zero doc-dup baseline (dedup_exact: 500
+    // groups of 1), so plant a corpus where both tiers are non-trivial
+    val dir = java.nio.file.Files.createTempDirectory("dup_rate").toString
+    val body = (1 to 45).map(i => s"w$i").mkString(" ") // 45 words: 2 blocks
+    Seq(
+      (1L, body, "en", "a", body.length.toLong),
+      (2L, body, "en", "a", body.length.toLong),           // exact dup of 1
+      (3L, body.replace(" ", " \t "), "en", "b", 0L), // ws-normalized dup
+      (4L, "totally different text " + ("x " * 40).trim, "en", "b", 0L),
+      (5L, "short", "en", "b", 5L))                         // no blocks
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = QualityFilters.dupRateReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // source a: doc 2 is redundant (doc 1 canonical) → 1/2
+    assert(out("a").getLong(2) == 1L && out("a").getDouble(3) == 0.5)
+    // source b: doc 3 duplicates doc 1 ACROSS sources → counted here
+    assert(out("b").getLong(2) == 1L)
+    // block tier: docs 1-3 share both 20-word blocks; doc 4's 2 blocks
+    // and doc 5 (no blocks) are unique → a: 4/4 shared, b: 2/4
+    assert(out("a").getLong(4) == 4L && out("a").getLong(5) == 4L)
+    assert(out("b").getLong(4) == 4L && out("b").getLong(5) == 2L)
+    assert(out("b").getDouble(6) == 0.5)
+  }
+
   test("vocab_growth: census identities per source") {
     val rows = QualityFilters.vocabGrowth(spark, sf).collect()
     val nSources = graft.tables.Tables.documents(spark, sf)
