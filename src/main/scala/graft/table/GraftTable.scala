@@ -2347,8 +2347,17 @@ final class GraftTable private (
   /** Bounded retry for append-like commits losing the version race. A
     * writer that crashed between its vN.files rename and its vN.json
     * commit marker leaves the slot permanently claimed — bounded
-    * attempts turn that into a clear error instead of a livelock. */
-  private def retryOnConflict[T](maxAttempts: Int = 20)(body: => T): T = {
+    * attempts turn that into a clear error instead of a livelock.
+    *
+    * Budget sizing: each lost race re-runs the whole commit, and on a
+    * busy cluster a commit takes seconds — N concurrent writers make N
+    * consecutive losses ROUTINE, not exceptional (Delta's own commit
+    * retry allows ~10^7 ms for exactly this reason; the old 20×5 ms
+    * linear budget gave up after ~1 s of total backoff and failed real
+    * 6-writer runs on a loaded box). Quadratic backoff capped at 1 s,
+    * plus jitter so lockstep writers don't re-collide every round. */
+  private def retryOnConflict[T](maxAttempts: Int = 50)(body: => T): T = {
+    val jitter = new scala.util.Random()
     var attempt = 1
     while (true) {
       try return body
@@ -2359,7 +2368,8 @@ final class GraftTable private (
             "(a concurrent writer may have crashed mid-commit, leaving an " +
             "orphaned vN.files without its vN.json marker)", e)
           attempt += 1
-          Thread.sleep(5L * attempt)
+          Thread.sleep(math.min(1000L, 5L * attempt * attempt) +
+            jitter.nextInt(25).toLong)
       }
     }
     throw new IllegalStateException("unreachable")
