@@ -158,6 +158,51 @@ object BenchScale {
     outDir
   }
 
+  // ---- planted-skew fixture -------------------------------------------
+  //
+  // Uniform scale-ups (sf1/sf10) prove shapes; they cannot prove SKEW
+  // robustness — the hazards that actually kill 100 TB dedup runs are
+  // one document duplicated 10⁴-10⁵× (a mega-block in min-shingle
+  // blocking, a mega-cluster in CC/PageRank, a hot fingerprint in the
+  // substring census, a hot word key in every lexical shuffle) and a
+  // Zipf-stopword vocabulary. This fixture plants exactly that: the
+  // base corpus plus [[SkewCopies]] byte-identical copies of ONE
+  // stopword-saturated boilerplate template (fresh doc_ids, one
+  // source), so ~86% of the corpus is a single blocking key.
+
+  val SkewCopies = 30000
+  private val SkewIdBase = 500000000L
+
+  /** The planted template: all-stopword text (every word is a corpus-
+    * ubiquitous token) long enough to clear the substring census's
+    * 10-token window floor and the 5-char shingle floor. */
+  private[graft] val SkewTemplate: String = {
+    val stop = Seq("the", "of", "and", "a", "to", "in", "is", "it",
+      "for", "on", "with", "as", "at", "by", "from", "that", "this",
+      "be", "are", "was")
+    (0 until 120).map(i => stop(i % stop.size)).mkString(" ")
+  }
+
+  /** Generate the skew dir if absent (marker-gated): base documents +
+    * the planted mega-duplicate block. Only `documents` is written —
+    * the census/blocking family under test reads nothing else. */
+  def ensureSkew(spark: SparkSession, srcDir: String, outDir: String): String = {
+    val marker = new java.io.File(outDir, "_GRAFT_SKEW_OK")
+    if (marker.exists()) return outDir
+    new java.io.File(outDir).mkdirs()
+    val base = graft.tables.Tables.table(spark, srcDir, "documents")
+    val planted = spark.range(SkewCopies)
+      .select((col("id") + lit(SkewIdBase)).as("doc_id"),
+        lit(SkewTemplate).as("text"), lit("en").as("lang"),
+        lit("boilerplate_mill").as("source"),
+        lit(SkewTemplate.length.toLong).as("n_chars"))
+    base.unionByName(planted).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.writeString(marker.toPath,
+      s"src=$srcDir copies=$SkewCopies")
+    outDir
+  }
+
   /** Generate the scaled dir if absent (marker-gated); returns the dir. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String): String = {
     val marker = new java.io.File(outDir, "_GRAFT_SCALED_OK")

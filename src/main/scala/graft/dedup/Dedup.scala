@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 
@@ -431,11 +432,36 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
-    minsh
-      .withColumn("hub", min("doc_id").over(w))
+    // hub election is a PARTIAL-AGG groupBy + join back, not a window
+    // over k: a viral boilerplate template makes one blocking key carry
+    // millions of docs, and `Window.partitionBy(k)` would serialize that
+    // whole mega-block through one task before CC/PageRank even start.
+    // groupBy(min) collapses the hot key map-side to one row per task,
+    // and the join back is a sort-merge join AQE's skew-split can cut
+    // (OptimizeSkewedJoin splits the oversized partition; a window
+    // partition cannot be split). Same hubs, same edges, bit-identical.
+    val hubs = minsh.groupBy("k").agg(min("doc_id").as("hub"))
+    minsh.join(hubs, Seq("k"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("a"), col("doc_id").as("b"))
+  }
+
+  /** Blocking-skew telemetry over the [[minshStarEdges]] key space — the
+    * observability half of the mega-block defense: one row per block
+    * SIZE with how many blocks have it (plus each size bucket's max
+    * doc count sanity anchor), so a skewed corpus shows up as a fat
+    * tail in a bounded-size report instead of an opaque straggler
+    * task. Partial-agg twice (k → size, size → n_blocks): nothing
+    * larger than the distinct-size set ever reaches the driver. */
+  def blockStats(spark: SparkSession, dir: String): DataFrame = {
+    val minsh = documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .filter(col("k").isNotNull)
+    minsh.groupBy("k").agg(count(lit(1)).as("block_size"))
+      .groupBy("block_size")
+      .agg(count(lit(1)).as("n_blocks"))
+      .orderBy("block_size")
   }
 
   def clusterMinsh(spark: SparkSession, dir: String): DataFrame = {
@@ -464,15 +490,26 @@ object Dedup {
     * keyed aggregation per iteration, localCheckpoint between
     * iterations keeps the plan one join deep (the
     * [[connectedComponents]] rule); edges are O(n) by the star
-    * construction, so each iteration is linear. */
+    * construction, so each iteration is linear. The per-vertex sum is
+    * a RUNNING-SUM window (`rows unbounded preceding`, src order), NOT
+    * a collected array: hub degree equals blocking-group size, which
+    * one viral boilerplate template makes unbounded at 100 TB —
+    * WindowExec sorts and SPILLS its partition (no per-vertex in-memory
+    * buffer) while adding contributions in the identical src-ascending
+    * IEEE order the collect_list+fold form used, so ranks are
+    * bit-unchanged (DedupSpec pins a 50k-member star against the
+    * closed form). */
   val PrIters = 5
   val PrDamping = 0.85
   val PrTeleport = 1.0 - PrDamping
 
-  def pagerankDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = minshStarEdges(spark, dir)
-    val adj = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+  /** [[PrIters]] synchronous damped-PageRank rounds over an undirected
+    * edge list (columns a, b) — factored from [[pagerankDups]] so specs
+    * can drive adversarial graphs (mega-hub stars) through the exact
+    * production iteration. */
+  private[graft] def pagerankIterations(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = adj.join(deg, "src").localCheckpoint()
@@ -480,19 +517,30 @@ object Dedup {
     var pr = deg.select(col("src").as("v"))
       .withColumn("pr", lit(1.0) / lit(nV))
       .localCheckpoint()
+    // all three window functions share one (dst, src-order) spec → ONE
+    // WindowExec, one sort, spillable partition buffer; the last row of
+    // each dst partition carries the complete src-ascending running sum
+    val byDst = Window.partitionBy("dst").orderBy("src")
+    val running = byDst.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val entire = byDst.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     for (_ <- 1 to PrIters) {
       pr = withDeg.join(pr, col("src") === col("v"))
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
-        .groupBy("dst")
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
-        .withColumn("s",
-          expr("aggregate(cs, cast(0.0 as double), (acc, x) -> acc + x.c)"))
+        .withColumn("s", sum("c").over(running))
+        .withColumn("rn", row_number().over(byDst))
+        .withColumn("cnt", count(lit(1)).over(entire))
+        .filter(col("rn") === col("cnt"))
         .select(col("dst").as("v"),
           (lit(PrTeleport) / lit(nV) + lit(PrDamping) * col("s")).as("pr"))
         .localCheckpoint()
     }
-    pr.select(col("v").as("doc_id"), col("pr")).orderBy("doc_id")
+    pr
   }
+
+  def pagerankDups(spark: SparkSession, dir: String): DataFrame =
+    pagerankIterations(minshStarEdges(spark, dir))
+      .select(col("v").as("doc_id"), col("pr")).orderBy("doc_id")
 
   /** Containment (asymmetric) near-dup pairs — the case symmetric
     * Jaccard systematically misses: a short document embedded verbatim
@@ -629,13 +677,24 @@ object Dedup {
       .filter(size(col("t")) >= k)
     val perDoc = toks.select(col("doc_id"),
       (size(col("t")) - k + 1).cast("long").as("n_windows"))
+    // the exploded window table MATERIALIZES (the dedupSimhash policy:
+    // both census consumers below would otherwise re-explode the whole
+    // corpus — column pruning defeats ReuseExchange across their
+    // different projections)
     val wins = toks.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(t) - $k),
            |  i -> xxhash64(array_join(slice(t, i + 1, $k), ' ')))"""
           .stripMargin)).as("w"))
-    val census = wins.withColumn("c", count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy("w")))
-    val dupPerDoc = census.filter(col("c") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // groupBy census + semi-join back, NOT a window over the
+    // fingerprint: a 10⁴×-duplicated template makes one fingerprint
+    // carry every copy's rows, and a window would sort them through ONE
+    // task — the partial-agg census collapses the hot key map-side and
+    // the join back is AQE-skew-splittable (r11, measured by the
+    // planted-skew bench section)
+    val dupFps = wins.groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("w")
+    val dupPerDoc = wins.join(dupFps, Seq("w"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     perDoc.join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
@@ -662,16 +721,22 @@ object Dedup {
   val EditPrefix = 400
 
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
     val minsh = documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)
-      .withColumn("hub", min("doc_id").over(w))
-    val hubs = minsh.filter(col("doc_id") === col("hub"))
-      .select(col("k"), col("t").as("ht"))
-    minsh.filter(col("doc_id") =!= col("hub"))
-      .join(hubs, "k")
+    // hub election by partial-agg groupBy + join back (the r11
+    // mega-block rule — see [[minshStarEdges]]): the one-row-per-k hub
+    // frame joins back on k as an AQE-skew-splittable join instead of a
+    // window serializing a viral block through one task. (A doc is a
+    // hub only of its OWN block — hubs are drawn from group members —
+    // so the hub's text attaches by doc_id alone.)
+    val hubIds = minsh.groupBy("k").agg(min("doc_id").as("hub"))
+    val hubs = minsh.select(col("doc_id").as("hub"), col("t").as("ht"))
+      .join(hubIds, Seq("hub"))
+      .select(col("k"), col("hub"), col("ht"))
+    minsh.join(hubs, Seq("k"))
+      .filter(col("doc_id") =!= col("hub"))
       .withColumn("edit_dist", levenshtein(col("t"), col("ht")))
       .withColumn("near",
         col("edit_dist") * 5 <= greatest(length(col("t")), length(col("ht"))))
@@ -721,9 +786,24 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_stream_admit" -> streamDedupAdmit _,
     "pagerank_dups" -> pagerankDups _,
+    "block_stats" -> blockStats _,
     "dedup_simhash" -> dedupSimhash _)
 
   val oracles: Map[String, String] = Map(
+    // blocking-key census: the sh CTE replays the min-md5-shingle key
+    // both engines compute identically, then two exact integer rollups
+    "block_stats" ->
+      """WITH sh AS (
+        |  SELECT doc_id, min(md5(substr(text, CAST(i AS INTEGER), 5))) AS k
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5
+        |  GROUP BY doc_id),
+        |b AS (SELECT k, COUNT(*) AS block_size FROM sh GROUP BY k)
+        |SELECT block_size, COUNT(*) AS n_blocks
+        |FROM b GROUP BY block_size
+        |ORDER BY block_size""".stripMargin,
     // the sh CTE ≡ cluster_minsh's oracle blocking key; star candidates
     // against each block's min-doc_id hub; levenshtein is integer-exact
     // and identical across engines

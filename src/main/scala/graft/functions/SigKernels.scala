@@ -36,6 +36,56 @@ object SigKernels {
     new GenericArrayData(out)
   }
 
+  // md5-derived ±1 hyperplanes — the one plane family BOTH engines can
+  // derive independently (DuckDB recomputes w(j,i) = ±1 from
+  // substr(md5(j || ':' || i),1,1) <= '7', i.e. the top bit of the
+  // digest's first byte), which is what makes the LSH signature — and
+  // therefore knn_lsh — hash-oracle-checkable instead of rows-only.
+  // The matrix is tiny (bits × dims) and cached per shape.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def md5Planes(bits: Int, dims: Int): Array[Double] =
+    planeCache.computeIfAbsent((bits, dims), { key =>
+      val (b, d) = key
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = new Array[Double](b * d)
+      var j = 0
+      while (j < b) {
+        var i = 0
+        while (i < d) {
+          val dig = md.digest(s"$j:$i".getBytes("UTF-8"))
+          w(j * d + i) = if ((dig(0) & 0x80) == 0) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      w
+    })
+
+  /** Hyperplane signature over the md5-derived plane matrix: bit j is
+    * the sign of v · w_j with w_j's lanes summed in ascending index
+    * order (the same left-to-right IEEE fold DuckDB's
+    * list_inner_product performs — bit-identical projections). */
+  def hyperplaneSigMd5(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    val w = md5Planes(bits, n)
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      val base = j * n
+      while (i < n) {
+        proj += v.getDouble(i) * w(base + i)
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Random-hyperplane signature of a double vector: bit j is the sign of
     * the projection onto a ±1 plane derived from mix(seed, j, lane). */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
@@ -176,6 +226,24 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** array<double> vector → long hyperplane signature over the
+  * md5-derived plane matrix (the DuckDB-replayable plane family). */
+case class HyperplaneSigMd5(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.hyperplaneSigMd5(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.hyperplaneSigMd5($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigMd5 =
+    copy(child = newChild)
+}
+
 /** string → hex min-md5 blocking key (b=1 MinHash over char k-grams). */
 case class MinMd5Shingle(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -220,6 +288,9 @@ object SigKernelColumns {
 
   def hyperplane_sig(c: Column, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(c), bits, seed))
+
+  def hyperplane_sig_md5(c: Column, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSigMd5(ColumnBridge.expression(c), bits))
 
   def simhash_sig(c: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(c)))

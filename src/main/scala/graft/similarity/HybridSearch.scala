@@ -107,12 +107,34 @@ object HybridSearch {
     * (the tfidf_keywords float-free doctrine applied to BM25).
     *
     * Scale: the inverted-index join against a BROADCAST bounded query-
-    * term table is linear in corpus tokens; df/dl ride as windows over
-    * the tf frame (two keyed shuffles); the per-(query,doc) term sum
-    * is ORDER-PINNED (fold over word-sorted terms) so float summation
-    * order can never diverge. */
+    * term table is linear in corpus tokens, and NOTHING word-keyed ever
+    * shuffles the full corpus: postings are semi-joined to the bounded
+    * query vocabulary FIRST, df for the surviving terms is a map-side-
+    * combining `groupBy(word).count()` (partial aggregation collapses
+    * the Zipf hot key per task — a word-keyed WINDOW would serialize
+    * every posting of "the" through one task at web scale), and dl is
+    * the doc-keyed `groupBy(doc_id).sum(tf)` (uniform key) joined back.
+    * The per-(query,doc) term sum is ORDER-PINNED (fold over
+    * word-sorted terms) so float summation order can never diverge. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
+
+  /** Postings with tf, df (per word, corpus-wide, only for words in the
+    * broadcast `vocab`) and dl (per doc) — the census shape shared by
+    * [[bm25Rank]] and any tf-idf-family consumer: zero word-keyed
+    * windows, the word-keyed aggregate is partial-agg-combined. */
+  private def tfDfDl(tf: DataFrame, vocab: DataFrame): DataFrame = {
+    // df census only for query-vocabulary words: the semi-join cuts the
+    // census to the terms anyone asked about, and partial aggregation
+    // makes the one word-keyed exchange carry one row per (task, word)
+    val df = tf.join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    // document length is doc-keyed (uniform) — never skewed
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(broadcast(vocab), Seq("word"), "left_semi")
+      .join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+  }
 
   def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
@@ -121,13 +143,26 @@ object HybridSearch {
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val stats = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
-      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    bm25Score(docs, tf)
+  }
+
+  /** [[bm25Rank]] off the STANDING postings table
+    * ([[graft.text.Postings]]) instead of a fresh corpus tokenization —
+    * the day-2 serving shape: the text is never re-scanned, the index
+    * appends incrementally, and scores are bit-identical to the
+    * from-scratch path (same tf rows, same fold order), so the same
+    * oracle hash-verifies both. */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
+    bm25Score(documents(spark, dir),
+      graft.text.Postings.postings(spark, dir).select("doc_id", "word", "tf"))
+
+  /** BM25 scoring over a prepared `tf` frame (doc_id, word, tf). */
+  private def bm25Score(docs: DataFrame, tf: DataFrame): DataFrame = {
     val scalars = docs.select(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.select(count(lit(1)).as("total_words")))
-    val queryTerms = toks.filter(col("doc_id") < HQ)
+      .crossJoin(tf.select(sum("tf").as("total_words")))
+    val queryTerms = tf.filter(col("doc_id") < HQ)
       .select(col("doc_id").as("query_id"), col("word")).distinct()
+    val stats = tfDfDl(tf, queryTerms.select("word").distinct())
     val cand = stats.join(broadcast(queryTerms), Seq("word"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(scalars))
@@ -167,13 +202,25 @@ object HybridSearch {
   val Phrases: Seq[String] =
     Seq("table hash", "part filter", "customer join", "merge group")
 
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark
-    import s.implicits._
-    val toks = documents(spark, dir)
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseFrom(spark, documents(spark, dir)
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")))
-      .toDF("doc_id", "pos", "word")
+      .toDF("doc_id", "pos", "word"))
+
+  /** [[phraseSearch]] off the standing positional postings table —
+    * positions stored per (doc, word) replay the identical token
+    * ordinals (same `\s+` split in both paths), so adjacency join
+    * keys — and the oracle — are unchanged. */
+  def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    phraseFrom(spark, graft.text.Postings.postings(spark, dir)
+      .select(col("doc_id"), col("word"),
+        explode(col("positions")).as("pos")))
+
+  private def phraseFrom(spark: SparkSession, toksIn: DataFrame): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val toks = toksIn.select("doc_id", "pos", "word")
     val ph = Phrases.map { p =>
       val Array(a, b) = p.split(" ", 2); (p, a, b)
     }.toDF("phrase", "w1", "w2")
@@ -195,9 +242,17 @@ object HybridSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf" -> hybridRrf _,
     "bm25_rank" -> bm25Rank _,
-    "phrase_search" -> phraseSearch _)
+    "bm25_indexed" -> bm25Indexed _,
+    "phrase_search" -> phraseSearch _,
+    "phrase_indexed" -> phraseIndexed _)
 
-  val oracles: Map[String, String] = Map(
+  // the standing-postings paths are bit-identical to the from-scratch
+  // ones (same tf rows / positions, same fold order) → same oracle SQL
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "bm25_indexed" -> baseOracles("bm25_rank"),
+    "phrase_indexed" -> baseOracles("phrase_search"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // the trivially-correct per-row adjacent-bigram formulation the
     // positional-index join must agree with
     "phrase_search" -> {

@@ -56,11 +56,15 @@ object Similarity {
     * distance 1 (13 probes) to recover near-boundary neighbors. */
   val SigBits = 12
 
-  // plane j, lane i weight = ±1 from a seeded hash — deterministic, no
-  // stored model; single-pass static kernel (the zip_with-per-bit
-  // formulation interpreted ~bits×lanes lambda calls per vector).
+  // plane j, lane i weight = ±1 from md5("j:i") — deterministic, no
+  // stored model, and INDEPENDENTLY DERIVABLE BY DUCKDB (the
+  // cluster_minsh trick applied to hyperplanes), which upgrades
+  // knn_lsh from rows-only to a full hash oracle: both engines build
+  // the identical plane matrix, project in the identical ascending-
+  // lane IEEE order, and replay the same hamming-1 multiprobe.
+  // Single-pass static kernel with the matrix cached per shape.
   private def signature(v: Column): Column =
-    graft.functions.SigKernelColumns.hyperplane_sig(v, SigBits)
+    graft.functions.SigKernelColumns.hyperplane_sig_md5(v, SigBits)
 
   /** Cell count scaled to the corpus, ~√(n/2): 16 at the 500-vector
     * fixture, 32 at 2000 — the SemDeDup/IVF rule that keeps the
@@ -1021,7 +1025,50 @@ object Similarity {
          |          ORDER BY approx_dist, neighbor_id) AS INTEGER) AS rk FROM s)
          |SELECT query_id, rk, neighbor_id, approx_dist FROM r WHERE rk <= $K
          |ORDER BY query_id, rk""".stripMargin
-    })
-    // knn_lsh is approximate (signature-dependent) → rows-only;
-    // SimilaritySpec measures its recall against knn_brute.
+    }) ++ Map(
+    // knn_lsh: APPROXIMATE (the candidate set is signature-defined) but
+    // fully DETERMINISTIC since r11's md5-derived planes — the oracle
+    // replays the identical pipeline: plane matrix from md5("j:i")
+    // (top-bit of first digest byte ⟺ first hex char <= '7'), the
+    // projection as list_inner_product (same ascending-lane IEEE fold
+    // as the kernel), bucket + hamming-1 multiprobe, cosine top-k.
+    // SimilaritySpec still measures recall against knn_brute.
+    "knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |d AS (SELECT len(v) AS nd FROM e LIMIT 1),
+         |p AS (
+         |  SELECT j, list_transform(range(0, d.nd),
+         |    i -> CASE WHEN substr(md5(j || ':' || i), 1, 1) <= '7'
+         |              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+         |  FROM (SELECT unnest(range(0, $SigBits)) AS j), d),
+         |pr AS (SELECT e.vec_id, p.j, list_inner_product(e.v, p.pl) AS proj
+         |       FROM e, p),
+         |sg AS (SELECT vec_id,
+         |         CAST(SUM(CASE WHEN proj > 0
+         |           THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig
+         |       FROM pr GROUP BY vec_id),
+         |q AS (
+         |  SELECT nn.vec_id AS query_id, nn.v AS qv, nn.nrm AS qn,
+         |         unnest(list_prepend(sg.sig,
+         |           list_transform(range(0, $SigBits),
+         |             jj -> xor(sg.sig,
+         |               CAST((1 << CAST(jj AS INTEGER)) AS BIGINT))))) AS probe
+         |  FROM nn JOIN sg ON nn.vec_id = sg.vec_id
+         |  WHERE nn.vec_id < $NumQueries),
+         |c AS (SELECT nn.vec_id, nn.v, nn.nrm, sg.sig
+         |      FROM nn JOIN sg ON nn.vec_id = sg.vec_id),
+         |sc AS (
+         |  SELECT q.query_id, c.vec_id,
+         |         ROUND(list_inner_product(c.v, q.qv) / (c.nrm * q.qn), 6) AS cos
+         |  FROM c JOIN q ON c.sig = q.probe AND c.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+         |      FROM sc)
+         |SELECT query_id, rk, vec_id AS neighbor_id, cos
+         |FROM r WHERE rk <= $K
+         |ORDER BY query_id, rk""".stripMargin)
 }

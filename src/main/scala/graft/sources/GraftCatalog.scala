@@ -313,11 +313,32 @@ final class GraftScanBuilder(snapshot: DataFrame,
 
   import org.apache.spark.sql.connector.expressions.aggregate._
 
+  // answerFor walks the whole manifest driver-side; Spark calls
+  // supportCompletePushDown and pushAggregation back-to-back with the
+  // same aggregation, so memoize on the aggregation's rendered form
+  // (+ the pushed-filter state it reads) — one manifest fold, not two
+  private var answerMemo: Option[(String, Option[(StructType, Seq[Seq[Any]])])] =
+    None
+
+  private def answerMemoized(agg: Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    val key = agg.aggregateExpressions.map(_.describe).mkString(",") + "|" +
+      agg.groupByExpressions.map(_.describe).mkString(",") + "|" +
+      pushed.length
+    answerMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = answerFor(agg)
+        answerMemo = Some((key, r))
+        r
+    }
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerFor(agg).isDefined
+    answerMemoized(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val a = answerFor(agg)
+    val a = answerMemoized(agg)
     a.foreach(x => aggAnswer = Some(x))
     a.isDefined
   }
@@ -342,10 +363,20 @@ final class GraftScanBuilder(snapshot: DataFrame,
       case _ => None // type/tag mismatch: no proof
     }
 
+  // per-column folds fetched ONCE and reused across the MIN and MAX
+  // sides of the same aggregation (each is a full per-file manifest
+  // walk — a COUNT+MIN+MAX query was paying it per aggregate)
+  private val foldedBoundsCache =
+    scala.collection.mutable.Map.empty[String, Option[(String, String, String)]]
+  private val groupBoundsCache = scala.collection.mutable.Map.empty[
+    (Seq[String], String),
+    Option[Seq[(Seq[Option[String]], (String, String, String))]]]
+
   private def boundValue(c: String, lo: Boolean): Option[(DataType, Any)] = {
     val dt = snapshot.schema.find(_.name == c).map(_.dataType).getOrElse(return None)
-    foldedBounds(c).flatMap { case (tag, mn, mx) =>
-      typedStat(tag, dt, (if (lo) mn else mx).toLong).map(v => (dt, v))
+    foldedBoundsCache.getOrElseUpdate(c, foldedBounds(c)).flatMap {
+      case (tag, mn, mx) =>
+        typedStat(tag, dt, (if (lo) mn else mx).toLong).map(v => (dt, v))
     }
   }
 
@@ -406,7 +437,8 @@ final class GraftScanBuilder(snapshot: DataFrame,
         : Option[(StructField, Map[GroupKey, Any])] = {
       val dt = snapshot.schema.find(_.name == c).map(_.dataType)
         .getOrElse(return None)
-      partitionGroupBounds(cols, c).flatMap { groups =>
+      groupBoundsCache.getOrElseUpdate((cols, c),
+          partitionGroupBounds(cols, c)).flatMap { groups =>
         val typed = groups.map { case (k, (tag, mn, mx)) =>
           typedStat(tag, dt, (if (lo) mn else mx).toLong).map(k -> _)
         }

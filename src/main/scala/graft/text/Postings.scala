@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Standing positional postings table — the shared lexical index the
+  * tokenize-explode family reads instead of each re-deriving
+  * `split(lower(trim(text)), "\s+")` from the raw corpus.
+  *
+  * Schema: one row per (doc_id, word) with the term frequency and the
+  * word's token-array positions (`posexplode` indices over the same
+  * `\s+` split every lexical consumer uses, so adjacency semantics are
+  * identical to the from-scratch tokenization — a whitespace run is one
+  * delimiter in both paths). At 100 TB this is the inverted-index layout: the
+  * corpus text is scanned ONCE per ingest batch, and every lexical
+  * consumer (BM25, phrase search, df censuses) runs off the compact
+  * (doc, word)-keyed table — the same standing-table pattern as the
+  * dedup sketch corpus ([[graft.dedup.Dedup.updateSketchCorpus]],
+  * which reference `DESIGN.md`'s persisted-layout ethos motivates).
+  *
+  * Incremental by construction: [[update]] appends only docs whose ids
+  * the table has never seen (anti-join on the persisted doc_id set), so
+  * a re-run costs one metadata read and a day-2 crawl batch costs only
+  * its own tokenization — never a corpus re-scan.
+  */
+object Postings {
+
+  /** Content-addressed standing location for a source dir's postings
+    * (same fingerprint scheme as the dedup sketch corpus: a regenerated
+    * testdata dir gets a fresh table, a re-run reuses the standing one). */
+  def postingsPath(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_postings_$key").toString
+  }
+
+  /** (doc_id, word, tf, positions) from raw documents — the one
+    * corpus-text scan. positions are sorted raw token indices; tf =
+    * size(positions). */
+  private[graft] def derive(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")))
+    .toDF("doc_id", "pos", "word")
+    .filter(col("word") =!= "")
+    .groupBy("doc_id", "word")
+    .agg(count(lit(1)).as("tf"),
+      sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Create-or-append the standing postings table for `docs`; returns
+    * the table handle. Append is doc-granular and idempotent. */
+  def update(spark: SparkSession, docs: DataFrame,
+      path: String): graft.table.GraftTable = {
+    val t = graft.table.GraftTable(spark, path)
+    if (t.currentVersion < 0) {
+      t.write(derive(docs).repartition(8))
+      return t
+    }
+    val known = t.read().select("doc_id").distinct()
+    val fresh = docs.join(known, Seq("doc_id"), "left_anti")
+    if (!fresh.isEmpty)
+      t.write(derive(fresh).repartition(8),
+        org.apache.spark.sql.SaveMode.Append)
+    t
+  }
+
+  /** The standing postings frame for a source dir (builds on first use). */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    update(spark, documents(spark, dir), postingsPath(dir)).read()
+}

@@ -332,12 +332,17 @@ object QualityFilters {
     * granularity rolled up per source). Two hash censuses (doc, block),
     * integer counts, one IEEE division per rate. */
   def dupRateReport(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val docStats = documents(spark, dir)
+    // first-doc election via partial-agg groupBy + join back, not a
+    // window over the content hash: a 10⁴×-duplicated doc makes one
+    // hash the whole corpus's hot key (r11 mega-block rule; the join
+    // back is AQE-skew-splittable, the census is one row per task per
+    // key map-side)
+    val hashed = documents(spark, dir)
       .select(col("doc_id"), col("source"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
-      .withColumn("is_dup",
-        (col("doc_id") =!= min("doc_id").over(w)).cast("long"))
+    val firstDoc = hashed.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val docStats = hashed.join(firstDoc, Seq("h"))
+      .withColumn("is_dup", (col("doc_id") =!= col("first_doc")).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup_docs"))
     val blocks = documents(spark, dir)

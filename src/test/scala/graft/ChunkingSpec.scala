@@ -5,6 +5,35 @@ import graft.text.Chunking
 
 class ChunkingSpec extends SparkSpec {
 
+  test("sequence_pack: contiguous global stream, boundary-independent") {
+    import spark.implicits._
+    val rows = Chunking.sequencePack(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the stream is gapless and starts at 0: each doc begins exactly
+    // where the previous one ended
+    assert(rows.head._3 == 0L, "first doc must start at token 0")
+    rows.sliding(2).foreach {
+      case Array((_, n1, s1, _, _, _), (d2, _, s2, _, _, _)) =>
+        assert(s2 == s1 + n1, s"gap before doc $d2: $s2 != ${s1 + n1}")
+      case _ =>
+    }
+    // span arithmetic: first/last sequence and offset derive from
+    // start_tok exactly
+    rows.foreach { case (d, n, s, f, l, o) =>
+      assert(f == s / Chunking.SeqLen && o == s % Chunking.SeqLen &&
+        l == (s + n - 1) / Chunking.SeqLen, s"span arithmetic off for $d")
+    }
+    // partition-boundary independence: the two-pass prefix sum gives
+    // the SAME global offsets at any partition count (incl. P=1, the
+    // degenerate single-range case)
+    val p1 = Chunking.sequencePackWith(spark, sf, 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val p5 = Chunking.sequencePackWith(spark, sf, 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(p1.toSeq == rows.toSeq && p5.toSeq == rows.toSeq)
+  }
+
   test("chunk counts, sizes, and overlap arithmetic") {
     val docs = graft.tables.Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).as("len"))

@@ -38,6 +38,13 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     val nThreads = 6
     val opsPerThread = 16
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // abandonment accounting: retried() may abandon an op after its
+    // conflict-retry budget, which keeps the invariants honest under CI
+    // scheduler pressure — but a commit path that conflicted FOREVER
+    // would otherwise pass vacuously with near-zero landed ops. Count
+    // both sides and assert a landed-ops floor at the end.
+    val landedOps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val abandonedOps = new java.util.concurrent.atomic.AtomicInteger(0)
     // per-thread expected final state, written only after a landed op
     val models = Array.fill(nThreads)(
       scala.collection.mutable.Map.empty[Long, Long])
@@ -65,13 +72,14 @@ class ConcurrencyFuzzSpec extends SparkSpec {
       def retried(body: => Unit): Boolean = {
         var attempts = 0
         while (attempts <= 60) {
-          try { body; return true }
+          try { body; landedOps.incrementAndGet(); return true }
           catch {
             case _: java.util.ConcurrentModificationException =>
               attempts += 1
               Thread.sleep(3L * attempts)
           }
         }
+        abandonedOps.incrementAndGet()
         false
       }
       for (op <- 1 to opsPerThread) {
@@ -134,6 +142,15 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     threads.foreach(_.start())
     threads.foreach(_.join(600000))
     assert(errs.isEmpty, s"fuzz errors: ${errs.toArray.mkString("; ")}")
+    // throughput floor: conflicts must resolve, not livelock — at least
+    // 80% of retried ops have to LAND across all threads, or the state
+    // checks below would be validating a near-empty table. (Un-retried
+    // ops — plain/idempotent appends — throw and fail the test directly.)
+    val landed = landedOps.get(); val abandoned = abandonedOps.get()
+    info(s"retried ops: landed=$landed abandoned=$abandoned")
+    assert(landed + abandoned == 0 ||
+      landed.toDouble / (landed + abandoned) >= 0.8,
+      s"conflict livelock: only $landed/${landed + abandoned} retried ops landed")
 
     val t = GraftTable(spark, path, Nil)
     // 1) exact row accounting: union of the disjoint per-thread models

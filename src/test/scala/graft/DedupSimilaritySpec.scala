@@ -225,6 +225,34 @@ class DedupSpec extends SparkSpec {
     assert(pr2 == pr)
   }
 
+  test("pagerank iterations: 50k-member mega-hub star, no per-vertex buffer") {
+    import graft.dedup.Dedup
+    val m = 50000
+    // one viral-template block: hub 0 with 50k members — the degree that
+    // would OOM a collect_list per-vertex buffer; the running-sum window
+    // sorts/spills instead. Expected ranks from the IEEE-faithful driver
+    // replay of the same src-ascending fold.
+    val edges = spark.range(1, m + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val got = Dedup.pagerankIterations(edges)
+      .as[(Long, Double)].collect().toMap
+    val n = m + 1
+    var hub = 1.0 / n
+    var member = 1.0 / n
+    for (_ <- 1 to Dedup.PrIters) {
+      // hub sum: m equal member contributions added left-to-right
+      var s = 0.0
+      for (_ <- 1 to m) s += member / 1.0
+      val newHub = Dedup.PrTeleport / n + Dedup.PrDamping * s
+      val newMember = Dedup.PrTeleport / n + Dedup.PrDamping * (hub / m)
+      hub = newHub; member = newMember
+    }
+    assert(got.size == n)
+    assert(got(0L) == hub, s"hub ${got(0L)} vs model $hub")
+    assert(got(1L) == member && got(m.toLong) == member)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("dedup_stream_admit: exactly-once log, verdicts match a batch recount") {
     import graft.dedup.Dedup
     val df = Dedup.streamDedupAdmit(spark, sf).cache()
@@ -487,18 +515,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._2).toSet == clustered)
   }
 
-  test("dedup_substring: window census explodes the corpus ONCE; planted dup found") {
-    // the census is a count-over-window on the fingerprint table — the
-    // final plan must contain exactly ONE explode of the token windows
-    // (a groupBy+join census would plan the window subtree twice:
-    // column pruning defeats ReuseExchange across its two projections)
+  test("dedup_substring: corpus explodes once (cached), census skew-safe; planted dup found") {
+    // r11 shape: the exploded window table PERSISTS and both census
+    // consumers read the cache (one corpus explode at fill time), and
+    // the census itself is a partial-agg groupBy + semi-join — NEVER a
+    // window over the fingerprint key (a 10⁴×-duplicated template would
+    // serialize through one WindowExec task)
     val df = Dedup.dedupSubstring(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     val finalPlan = plan.split("== Initial Plan ==").head
-    val nGenerate = "Generate explode".r.findAllIn(finalPlan).size
-    assert(nGenerate == 1,
-      s"expected one window explode in final plan, got $nGenerate:\n$finalPlan")
+    // both consumers must read the CACHE (the explode executes once at
+    // fill; it may PRINT under each InMemoryTableScan, so count scans,
+    // not the echoed cached plan)
+    val nCacheScan = "InMemoryTableScan".r.findAllIn(finalPlan).size
+    assert(nCacheScan >= 2,
+      s"expected cached window table read twice, got " +
+        s"cacheScans=$nCacheScan:\n$finalPlan")
+    // no window function over the hot fingerprint key anywhere
+    val winOverFp = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "w")) => w
+    }
+    assert(winOverFp.isEmpty, "fingerprint-keyed window in census plan")
+    spark.catalog.clearCache()
     // a planted 10-token window shared by two docs is counted in both,
     // and the unique-text doc reports zero duplicated windows
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
@@ -579,6 +619,40 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
+
+  test("md5-derived hyperplane signature matches an independent replay") {
+    // the plane contract the DuckDB oracle relies on: w(j,i) = +1 iff
+    // md5("j:i")'s first hex char <= '7' (top bit of byte 0 clear),
+    // projection folded over ascending lanes — recompute both from
+    // first principles and compare against the codegen'd kernel
+    val vecs = Seq(
+      Array(0.5, -1.25, 3.0, 0.125, -2.5, 1.0, -0.75, 4.5),
+      Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+      Array(-3.5, 2.25, -0.5, 0.0, 1.75, -1.0, 0.25, -2.0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def replay(v: Array[Double], bits: Int): Long = {
+      var sig = 0L
+      for (j <- 0 until bits) {
+        var proj = 0.0
+        for (i <- v.indices) {
+          val dig = md.digest(s"$j:$i".getBytes("UTF-8"))
+          val hex = f"${dig(0) & 0xff}%02x".charAt(0)
+          val w = if (hex <= '7') 1.0 else -1.0
+          proj += v(i) * w
+        }
+        if (proj > 0) sig |= (1L << j)
+      }
+      sig
+    }
+    val got = vecs.toDF("v")
+      .select(graft.functions.SigKernelColumns
+        .hyperplane_sig_md5(col("v"), Similarity.SigBits).as("sig"))
+      .as[Long].collect()
+    assert(got.toSeq == vecs.map(replay(_, Similarity.SigBits)).toSeq)
+    // planes are non-degenerate: the all-ones vector must not land in
+    // bucket 0 or the all-set bucket (some plane has each sign)
+    assert(got(1) != 0L && got(1) != (1L << Similarity.SigBits) - 1)
+  }
 
   test("semantic_dedup: survivors cover all cells, pruned rows have an earlier near mate") {
     val survivors = Similarity.semanticDedup(spark, sf).cache()

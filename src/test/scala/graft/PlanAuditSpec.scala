@@ -29,7 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     // these two run a full Structured Streaming build at DF-build time;
     // their batch tails are audited via knn_incremental /
     // dedup_incremental, and DedupSpec pins both lifecycles
-    "knn_stream_index", "dedup_stream_admit")
+    "knn_stream_index", "dedup_stream_admit",
+    // standing-postings consumers build/append the postings table at
+    // DF-build time (PostingsSpec pins indexed ≡ scratch row-for-row,
+    // and the scratch twins ARE audited here); sequence_pack runs its
+    // prefix-sum totals pass (collect over O(P) rows) at build time
+    // (ChunkingSpec pins stream contiguity + boundary independence)
+    "bm25_indexed", "phrase_indexed", "sequence_pack")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
@@ -74,6 +80,21 @@ class PlanAuditSpec extends SparkSpec {
       if (cartesian || bnlj) Some(name) else None
     }
     assert(offenders.isEmpty, s"unplanned cartesian/nested-loop in: $offenders")
+  }
+
+  test("bm25_rank: no full-corpus word-keyed window (Zipf hot-key defense)") {
+    // the df census must be a partial-agg groupBy, never a window over
+    // the word key: every posting of a stopword would serialize through
+    // ONE WindowExec task at web scale. (Window over query_id is fine —
+    // the query set is bounded.)
+    val plan = SparkEntry.queries("bm25_rank")(spark, sf)
+      .queryExecution.optimizedPlan
+    val offending = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "word")) => w
+    }
+    assert(offending.isEmpty,
+      s"word-partitioned window in bm25_rank plan:\n${offending.mkString}")
   }
 
   test("every audited query ends in a total ORDER BY") {

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.text.Postings
+
+/** Standing postings table: content equals the from-scratch derivation,
+  * re-runs append nothing, and a day-2 batch appends ONLY its own docs
+  * (the incremental contract that makes the lexical family a standing
+  * index instead of a per-query corpus re-scan). */
+class PostingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("postings equal the from-scratch tokenization, raw positions kept") {
+    val docs = docsOf(
+      1L -> "The quick  brown fox", // \s+ split collapses the double space
+      2L -> "fox fox jumps")
+    val path = Files.createTempDirectory("gt_postings").toString + "/t"
+    val t = Postings.update(spark, docs, path)
+    val got = t.read().as[(Long, String, Long, Seq[Int])].collect()
+      .map { case (d, w, tf, ps) => (d, w) -> ((tf, ps)) }.toMap
+    // split("\\s+") treats a whitespace RUN as one delimiter: positions
+    // are token ordinals, identical in both tokenization paths
+    assert(got((1L, "brown")) == ((1L, Seq(2))))
+    assert(got((1L, "fox")) == ((1L, Seq(3))))
+    assert(got((2L, "fox")) == ((2L, Seq(0, 1))))
+    assert(!got.keySet.exists(_._2 == ""), "empty tokens must not land rows")
+    // tf ≡ positions length everywhere
+    assert(got.values.forall { case (tf, ps) => tf == ps.length })
+  }
+
+  test("update is idempotent; a fresh batch appends only its own docs") {
+    val d1 = docsOf(1L -> "alpha beta", 2L -> "beta gamma")
+    val path = Files.createTempDirectory("gt_postings2").toString + "/t"
+    val t = Postings.update(spark, d1, path)
+    val v1 = t.currentVersion
+    // replay: nothing new → no commit
+    Postings.update(spark, d1, path)
+    assert(graft.table.GraftTable(spark, path).currentVersion == v1,
+      "replay must not commit")
+    // day-2 batch: only doc 3's postings land
+    val d2 = d1.unionByName(docsOf(3L -> "gamma delta"))
+    Postings.update(spark, d2, path)
+    val t2 = graft.table.GraftTable(spark, path)
+    assert(t2.currentVersion == v1 + 1)
+    val byDoc = t2.read().groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("bm25/phrase indexed paths equal the from-scratch queries") {
+    import graft.similarity.HybridSearch
+    val scratch = HybridSearch.bm25Rank(spark, sf).collect().toSeq
+    val indexed = HybridSearch.bm25Indexed(spark, sf).collect().toSeq
+    assert(indexed == scratch, "bm25_indexed diverged from bm25_rank")
+    val ps = HybridSearch.phraseSearch(spark, sf).collect().toSeq
+    val pi = HybridSearch.phraseIndexed(spark, sf).collect().toSeq
+    assert(pi == ps, "phrase_indexed diverged from phrase_search")
+  }
+}
