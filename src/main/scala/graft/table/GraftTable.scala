@@ -2792,14 +2792,27 @@ final class GraftTable private (
       if (full) (Nil, scopeFiles)
       else scopeFiles.partition(f => provenanceMatched(f) &&
         sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2)
-    // churn guard: rewriting a LONE provenance-matched file (an
-    // undersized tail from the previous same-key OPTIMIZE) reproduces
-    // the same file — skip it too, so repeated OPTIMIZE converges;
-    // two or more small matched files still combine (real compaction)
+    // churn guard, per PARTITION (r11 — the global lone-file rule let a
+    // partitioned table re-churn forever: each partition's undersized
+    // clustered tail made todo.size = #partitions > 1, so every tail
+    // was rewritten into an identical tail on every run): a partition
+    // whose todo set is a LONE provenance-matched file skips — there is
+    // nothing to combine it with, rewriting reproduces the same file.
+    // Two or more todo files in one partition (appends to merge, or
+    // multiple small tails to combine) still rewrite — real compaction.
     val (alreadyDone, todoFiles) =
-      if (!full && todo0.size == 1 && provenanceMatched(todo0.head))
-        (alreadyDone0 ++ todo0, Nil)
-      else (alreadyDone0, todo0)
+      if (full) (alreadyDone0, todo0)
+      else {
+        def partDir(f: String): String = f.lastIndexOf('/') match {
+          case -1 => ""
+          case i => f.take(i)
+        }
+        val (skip, work) = todo0.groupBy(partDir).partition {
+          case (_, fs) => fs.size == 1 && provenanceMatched(fs.head)
+        }
+        (alreadyDone0 ++ skip.values.flatten.toSeq.sorted,
+          work.values.flatten.toSeq.sorted)
+      }
     if (todoFiles.isEmpty)
       return commitRewrite("OPTIMIZE", Nil, Nil, Map(
         "numFilesAdded" -> "0", "numFilesRemoved" -> "0",

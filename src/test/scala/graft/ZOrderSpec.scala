@@ -106,4 +106,35 @@ class ZOrderSpec extends SparkSpec {
       "FULL must re-cluster even provenance-matched files")
     assert(t.read().count() == 20300)
   }
+
+  test("partitioned OPTIMIZE converges: per-partition lone tails never re-churn") {
+    import spark.implicits._
+    // every partition's clustered output is far BELOW the size floor
+    // (the default 1 GiB target): the old GLOBAL lone-file churn guard
+    // saw #partitions todo files and rewrote each identical tail on
+    // every run — the per-partition guard must skip them all
+    val path = java.nio.file.Files.createTempDirectory("zorder_part").toString
+    val t = graft.table.GraftTable(spark, path, Seq("p"))
+    t.write((1 to 9000).map(i => (i.toLong, i % 3, (i * 7919) % 1000))
+      .toDF("id", "p", "k").repartition(4))
+    t.optimize(Seq("k"))
+    val afterFirst = t.manifestFiles().toSet
+    val v1 = t.currentVersion
+    // nothing new in ANY partition: metadata-only commit
+    t.optimize(Seq("k"))
+    assert(t.manifestFiles().toSet == afterFirst,
+      "lone undersized per-partition tails must not re-churn")
+    assert(t.currentVersion == v1 + 1)
+    // an append into ONE partition re-clusters that partition only
+    t.write(Seq((9001L, 1, 42)).toDF("id", "p", "k"),
+      org.apache.spark.sql.SaveMode.Append)
+    t.optimize(Seq("k"))
+    val now = t.manifestFiles().toSet
+    val untouched = afterFirst.filterNot(_.contains("p=1"))
+    assert((now & untouched) == untouched,
+      "partitions without new data must carry their files unrewritten")
+    assert(afterFirst.filter(_.contains("p=1")).forall(f => !now.contains(f)),
+      "the churned partition's tail must combine with its append")
+    assert(t.read().count() == 9001)
+  }
 }
