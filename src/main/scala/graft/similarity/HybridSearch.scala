@@ -211,11 +211,19 @@ object HybridSearch {
   /** [[phraseSearch]] off the standing positional postings table —
     * positions stored per (doc, word) replay the identical token
     * ordinals (same `\s+` split in both paths), so adjacency join
-    * keys — and the oracle — are unchanged. */
-  def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    * keys — and the oracle — are unchanged. THE index advantage the
+    * raw-text path cannot have: the phrase vocabulary is a LITERAL In
+    * predicate on the word column, so it pushes into the parquet scan
+    * (row-group stats + dictionary page filtering) — only phrase-term
+    * postings are ever decoded out of the word-keyed table, a
+    * vanishing fraction of the corpus at any scale. */
+  def phraseIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Phrases.flatMap(_.split(" ", 2)).distinct
     phraseFrom(spark, graft.text.Postings.postings(spark, dir)
+      .filter(col("word").isin(vocab: _*))
       .select(col("doc_id"), col("word"),
         explode(col("positions")).as("pos")))
+  }
 
   private def phraseFrom(spark: SparkSession, toksIn: DataFrame): DataFrame = {
     val s = spark
