@@ -318,7 +318,11 @@ object Bench {
     * serially and blows past the factor. */
   val SkewSubset: Seq[String] = Seq(
     "dedup_substring", "dup_rate_report", "cluster_minsh",
-    "pagerank_dups", "containment_dedup", "bm25_rank", "block_stats")
+    "pagerank_dups", "containment_dedup", "bm25_rank", "block_stats",
+    // the other two r11-hardened shapes: edit_dedup's partial-agg hub
+    // election (30k star candidates, each DP capped at EditPrefix²)
+    // and exact dedup's groupBy on the hot content hash
+    "edit_dedup", "dedup_exact")
 
   /** Diagnosed explanations for skew ratios above the row factor whose
     * cause is planted-data amplification, not a serialization shape. */
@@ -337,7 +341,12 @@ object Bench {
       "(stopwords are in the query docs too), so the candidate set " +
       "grows with every planted copy x every query sharing a stopword " +
       "— real retrieval work, linear in planted postings; the df census " +
-      "stays a partial-agg groupBy (no word-keyed window task)."))
+      "stays a partial-agg groupBy (no word-keyed window task)."),
+    "edit_dedup" -> ("Star candidates = one per planted copy (30k pairs " +
+      "vs a few hundred in the base corpus), each paying the " +
+      "EditPrefix-capped DP — work is linear in planted rows with a " +
+      "large constant, never quadratic in the block (the hub-star " +
+      "construction; hub election is a partial-agg groupBy since r11)."))
 
   def skewBench(spark: SparkSession, sfDir: String): String = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW"))
