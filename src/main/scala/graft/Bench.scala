@@ -89,7 +89,9 @@ object Bench {
     * lexical ops (bm25_indexed, phrase_indexed) stay out like
     * dedup_incremental: run N's cost depends on run N-1's postings
     * state, which would corrupt the min-of-N ratio flags. */
-  val HeadlineR11Added: Seq[String] = Seq("block_stats")
+  val HeadlineR11Added: Seq[String] = Seq("block_stats",
+    // trigram first-occurrence census (skew-safe groupBy + join back)
+    "ngram_novelty")
 
   val Headline: Seq[String] =
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++
@@ -321,8 +323,9 @@ object Bench {
     "pagerank_dups", "containment_dedup", "bm25_rank", "block_stats",
     // the other two r11-hardened shapes: edit_dedup's partial-agg hub
     // election (30k star candidates, each DP capped at EditPrefix²)
-    // and exact dedup's groupBy on the hot content hash
-    "edit_dedup", "dedup_exact")
+    // and exact dedup's groupBy on the hot content hash — plus the
+    // trigram first-occurrence census (every planted trigram is hot)
+    "edit_dedup", "dedup_exact", "ngram_novelty")
 
   /** Diagnosed explanations for skew ratios above the row factor whose
     * cause is planted-data amplification, not a serialization shape. */

@@ -350,7 +350,45 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Per-document n-gram NOVELTY — the freshness/memorization proxy a
+    * curriculum or dedup-threshold decision reads (RefinedWeb-style:
+    * how much of this doc's trigram mass appears nowhere earlier in the
+    * corpus): for each doc, the fraction of its DISTINCT word trigrams
+    * whose corpus-wide FIRST occurrence (min doc_id) is this doc.
+    * Boilerplate-heavy docs score near 0, fresh prose near 1.
+    *
+    * Scale shape: one distinct-(doc, trigram) pass (trigrams ride as
+    * packed xxhash64 images — 8 bytes each — with raw words never
+    * shuffled; the oracle groups raw trigram STRINGS, identical counts
+    * absent a 64-bit collision, the dedup_exact argument), then the
+    * r11 skew-safe census: first-doc election is a partial-agg
+    * `groupBy(gram).agg(min(doc_id))` + join back — a viral template's
+    * trigrams make one hot gram per shingle, never one hot TASK.
+    * Novelty ships as integer BASIS POINTS (n_novel·10⁴ div n_grams):
+    * a rounded double ratio would sit on the half-up/half-even fault
+    * line for exactly-representable fractions like 1/32 — integer
+    * division is bit-identical everywhere. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(a) - 2),
+          |  i -> xxhash64(concat_ws(' ', a[i - 1], a[i], a[i + 1])))"""
+          .stripMargin)).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000L div n_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty"   -> ngramNovelty _,
     "ngram_lm_counts" -> ngramLmCounts _,
     "collocations"    -> collocations _,
     "string_functions" -> stringFunctions _,
@@ -373,6 +411,30 @@ object TextAnalysis {
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
   val oracles: Map[String, String] = Map(
+    // raw trigram STRINGS where the query groups xxhash64 images —
+    // identical counts absent a 64-bit collision between two distinct
+    // trigrams of this corpus (the dedup_exact fingerprint argument);
+    // novelty is integer basis points, no float anywhere
+    "ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(a) - 1),
+        |           i -> a[CAST(i AS INTEGER)] || ' '
+        |                || a[CAST(i AS INTEGER) + 1] || ' '
+        |                || a[CAST(i AS INTEGER) + 2])) AS g
+        |  FROM t WHERE len(a) >= 3),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT g.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+        |FROM g JOIN f USING (g)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "tfidf_keywords" ->
       """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |w AS (

@@ -8,6 +8,26 @@ import org.apache.spark.unsafe.types.UTF8String
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ngram_novelty: first occurrence owns the gram; copies score zero") {
+    val fx = java.nio.file.Files.createTempDirectory("novelty_fx").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all 4 trigrams novel
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy: 0 novel
+      // shares its first trigram window with doc 1, adds 2 fresh ones
+      (3L, "alpha beta gamma theta iota"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$fx/documents.parquet")
+    val got = graft.text.TextAnalysis.ngramNovelty(spark, fx)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 10000L),  // 4/4 novel
+      (2L, 4L, 0L, 0L),      // every trigram first seen in doc 1
+      (3L, 3L, 2L, 6666L)),  // "alpha beta gamma" owned by doc 1; 2*10000 div 3
+      s"got $got")
+  }
+
   test("lang_id identifies real multilingual sentences") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy for a while", "en"),
