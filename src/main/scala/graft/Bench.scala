@@ -97,6 +97,12 @@ object Bench {
     HeadlineR4 ++ HeadlineR5Added ++ HeadlineR7Added ++ HeadlineR9Added ++
       HeadlineR10Added ++ HeadlineR11Added
 
+  /** Headline measurements per query (r12): the artifact records each
+    * query's MIN over this many back-to-back runs — single-run numbers
+    * cannot distinguish a 1.5× regression from one GC pause (the four
+    * r11 runs spanned 74-118 s total on identical code). */
+  val RunsPerQuery = 2
+
   /** Diagnosed explanations for sf1 flags whose super-linearity is a
     * measured DATA property, not an algorithmic shape (each verified by
     * stage-level profiling; see the named query's scaladoc). */
@@ -158,6 +164,32 @@ object Bench {
     * and why nothing proved the other queries' scaling. */
   val ScaleSubset: Seq[String] = Headline
 
+  /** Locale-proof numeric literal for hand-assembled JSON. */
+  private def num(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Flag-note discipline, enforced at JSON-assembly time (r12): a
+    * flagged key WITHOUT a diagnosis is indistinguishable from an
+    * undiagnosed super-linear shape, so every flagged key must carry a
+    * note — the diagnosed one from `notes`, else an explicit auto-note
+    * that says so out loud. The require makes a note-less flagged entry
+    * unrepresentable in any artifact this bench emits. */
+  private def flagNotesJson(flagged: Seq[String],
+      notes: Map[String, String]): String = {
+    val entries = flagged.map { k0 =>
+      val k = k0.replace("\"", "")
+      val v = notes.getOrElse(k,
+        "UNDIAGNOSED: ratio exceeded the factor after the min-of-N " +
+        "re-measure and no diagnosed note exists for this key; auto-note " +
+        "inserted by the flag-note discipline - needs a stage-counted " +
+        "diagnosis next round")
+      "\"" + k + "\":\"" + v + "\""
+    }
+    require(entries.size == flagged.size,
+      s"flagged key without a flag_note: $flagged")
+    entries.mkString("{", ",", "}")
+  }
+
   /** Release persisted blocks between measured queries. Operators that
     * persist an intermediate (the dedup sketch/signature tables) return
     * lazy frames, so THEY cannot unpersist — cache lifetime is owned by
@@ -195,16 +227,37 @@ object Bench {
         try queries(w)(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try {
-        queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0 // sentinel: failed queries must not skew the total
-      } finally releaseCaches(spark)
+    // min-of-N per query (r12): the four r11 runs spanned 74-118 s on
+    // identical code — single-run per-query numbers cannot distinguish a
+    // 1.5× regression from a GC pause. Each query runs RunsPerQuery
+    // times back-to-back (caches released between runs) and the
+    // ARTIFACT records each query's minimum — the least-noise estimate
+    // of its true cost — plus a noise_band summarizing the observed
+    // run-to-run spread so readers can size the noise envelope.
+    val runsByQuery = names.map { name =>
+      name -> (1 to RunsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // sentinel: failed queries must not skew the total
+        } finally releaseCaches(spark)
+      }
     }
+    val results = runsByQuery.map { case (k, ts) =>
+      k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    // per-query max/min spread over the N runs; sub-50 ms queries are
+    // scheduling noise and excluded from the band
+    val spreads = runsByQuery.collect {
+      case (_, ts) if ts.forall(_ >= 0) && ts.min > 0.05 => ts.max / ts.min
+    }.sorted
+    val noiseBand =
+      if (spreads.isEmpty) "{}"
+      else s"""{"p50":${num(spreads(spreads.size / 2))},""" +
+        s""""max":${num(spreads.last)},"n":${spreads.size}}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // any failure poisons the total (-1): a dropped heavy query must never
@@ -227,8 +280,12 @@ object Bench {
     val maintSf1: Option[Seq[(String, Double)]] = sf1Dir
       .filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_SF1"))
       .map(d => maintenanceBench(spark, d))
+    // factor is a PARAMETER (r12, ADVICE): the sf1 block flags against
+    // the first decade's data factor, the sf10 block against the
+    // second's — they are equal today, but tying both to one constant
+    // would silently mis-flag if the decades ever diverge
     def maintBlock(m: Seq[(String, Double)], base: Map[String, Double],
-        ratioKey: String): String = {
+        ratioKey: String, factor: Int): String = {
       val entries = m.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val ratioPairs = m.flatMap { case (k, v) =>
@@ -238,19 +295,18 @@ object Bench {
         .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
       // same flag discipline as the query scale sections: a lifecycle
-      // op whose time ratio exceeds the 10× data factor is named, with
-      // a diagnosed note where the cause is the op's contract
+      // op whose time ratio exceeds the data factor is named, with a
+      // note ALWAYS (diagnosed from MaintNotes, else the explicit
+      // auto-note — flagNotesJson enforces it)
       val flagged = ratioPairs.collect {
-        case (k, r) if r > BenchScale.Factor => "\"" + k + "\""
+        case (k, r) if r > factor => "\"" + k + "\""
       }
-      val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
-        MaintNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
       s"""{"ops":$entries,"$ratioKey":$ratios,""" +
         s""""flagged":${flagged.mkString("[", ",", "]")},""" +
-        s""""flag_notes":${notes.mkString("{", ",", "}")}}"""
+        s""""flag_notes":${flagNotesJson(flagged, MaintNotes)}}"""
     }
     val maintSf1Json = maintSf1
-      .map(m1 => maintBlock(m1, maint.toMap, "ratio_vs_sf01"))
+      .map(m1 => maintBlock(m1, maint.toMap, "ratio_vs_sf01", BenchScale.Factor))
       .getOrElse("{\"skipped\":true}")
     // r10: second decade — ×10 of sf1 for the heaviest shapes, same
     // ratio-vs-factor flag discipline
@@ -263,19 +319,25 @@ object Bench {
     // ratios vs the sf1 lifecycle (the op a 100 TB table runs daily)
     val maintSf10Json = (sf10Dir, maintSf1) match {
       case (Some(d), Some(m1)) if !sys.env.contains("SPARK_GRAFT_SKIP_SF10") =>
-        maintBlock(maintenanceBench(spark, d), m1.toMap, "ratio_vs_sf1")
+        maintBlock(maintenanceBench(spark, d), m1.toMap, "ratio_vs_sf1",
+          BenchScale.Factor10)
       case _ => "{\"skipped\":true}"
     }
     // r11: planted-skew fixture — the adversarial corpus the uniform
     // scale sections cannot represent
     val skewJson = skewBench(spark, sfDir)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"maintenance_sf1":$maintSf1Json,"maintenance_sf10":$maintSf10Json,"sf1":$sf1Json,"sf10":$sf10Json,"skew":$skewJson,"sf":"$sfDir"}"""
+    // r12: the same adversarial question for the EMBEDDING family (one
+    // IVF mega-cell) and for the table lifecycle (one mega-partition)
+    val skewVecJson = skewVecBench(spark, sfDir)
+    val maintSkewJson = maintenanceSkewBench(spark, sfDir)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","runs_per_query":$RunsPerQuery,"noise_band":$noiseBand,"total_r4set":$totalR4,"failed":$failedJson,"queries":$qs,"maintenance":$maintJson,"maintenance_sf1":$maintSf1Json,"maintenance_sf10":$maintSf10Json,"maintenance_skew":$maintSkewJson,"sf1":$sf1Json,"sf10":$sf10Json,"skew":$skewJson,"skew_vec":$skewVecJson,"sf":"$sfDir"}"""
     println(line)
     // durable full-JSON trail: the driver records only a 2000-char tail
     // of stdout, so the complete line also lands in a tracked log file
+    // (path is CWD-relative by default — the env var overrides)
     try {
       val log = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
-        "/root/repo/BENCH_LOCAL.jsonl")
+        new java.io.File("BENCH_LOCAL.jsonl").getAbsolutePath)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(log),
         s"""{"ts_ms":${System.currentTimeMillis()},"bench":$line}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
@@ -306,7 +368,23 @@ object Bench {
       "a CONSTANT at scale, but NOT proportional between adjacent bench " +
       "scales, so the ratio is a modulo artifact, not a shape. The " +
       "fixed point is measured right after it: optimize_converged is a " +
-      "metadata-only commit (0.4 s at sf10, 60M rows)."))
+      "metadata-only commit (0.4 s at sf10, 60M rows)."),
+    "purge" -> ("REORG PURGE rewrites every file that carries a deletion " +
+      "vector. The delete_dv step before it marks ~1% of rows via a " +
+      "key-mod predicate whose keys land in EVERY file, so the whole " +
+      "table is DV'd and purge's work is a full-table rewrite — linear " +
+      "in table bytes by the op's contract, with no fixed-overhead " +
+      "cushion (the containment_dedup argument): the ratio sits AT the " +
+      "data factor and a flag here is noise around it, not a " +
+      "super-linear shape. A production daily loop DVs only the files " +
+      "that churned, so its purge rewrites that bounded set; the bench " +
+      "deliberately pays the worst case."),
+    "mv_refresh" -> ("Refresh cost = the appended batch's change feed " +
+      "(a CONSTANT 5000 rows in this lifecycle) + the view-sized merge; " +
+      "both are scale-invariant here, so the RATIO between decades is " +
+      "fixed-overhead noise around 1x, not a shape — an above-factor " +
+      "ratio means one side's constant landed badly (GC/JIT), which the " +
+      "min-of-N re-measure bounds."))
 
   /** Skew-fixture section (r11): the census/blocking family against the
     * [[BenchScale.ensureSkew]] corpus — base sf0.1 documents plus one
@@ -349,7 +427,16 @@ object Bench {
       "vs a few hundred in the base corpus), each paying the " +
       "EditPrefix-capped DP — work is linear in planted rows with a " +
       "large constant, never quadratic in the block (the hub-star " +
-      "construction; hub election is a partial-agg groupBy since r11)."))
+      "construction; hub election is a partial-agg groupBy since r11)."),
+    "ngram_novelty" -> ("Work amplification on the hot gram key, not " +
+      "serialization: every planted copy contributes the SAME 118 " +
+      "distinct trigrams, so the first-doc census join fans each hot " +
+      "gram out to all 30k copies — rows through the join grow with " +
+      "planted copies x planted grams (real linear work), while the " +
+      "census itself stays a partial-agg groupBy (no hot TASK: the " +
+      "join back is AQE-skew-splittable). Measured 5.7x at a 7x row " +
+      "factor in r11 — sub-linear; this note exists in case noise " +
+      "pushes a future run past the factor."))
 
   def skewBench(spark: SparkSession, sfDir: String): String = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW"))
@@ -401,14 +488,115 @@ object Bench {
     def js(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
-    val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
-      SkewNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
     s"""{"copies":${BenchScale.SkewCopies},"row_factor":${n(factor)},""" +
       s""""base":${js(names.map(k => k -> base(k)))},""" +
       s""""skew":${js(names.map(k => k -> skew(k)))},""" +
       s""""ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
-      s""""flag_notes":${notes.mkString("{", ",", "}")}}"""
+      s""""flag_notes":${flagNotesJson(flagged, SkewNotes)}}"""
+  }
+
+  /** Embedding-skew section (r12): the vector-side counterpart of
+    * [[skewBench]] — [[BenchScale.ensureSkewVec]] plants
+    * [[BenchScale.SkewVecCopies]] byte-identical copies of ONE
+    * embedding, so every copy lands in a single IVF mega-cell (the
+    * hazard the √n-balanced-cell contracts of `semantic_dedup`'s
+    * per-cell quadratic and `knn_ivf`'s probe fraction assume away).
+    * Each family member runs on the base dir and the skew dir; the
+    * flag compares the time ratio against the planted ROW factor with
+    * the same min-of-N re-measure discipline. The standing IVF index
+    * is deleted before each `knn_incremental` measurement on BOTH
+    * sides so every run pays a full build — otherwise run N would
+    * reuse run N−1's index and the ratio would compare a build against
+    * a no-op. */
+  val SkewVecSubset: Seq[String] =
+    Seq("semantic_dedup", "knn_ivf", "knn_incremental", "topic_profile")
+
+  /** Diagnosed explanations for embedding-skew ratios above the row
+    * factor whose cause is the planted data, not a serialization
+    * shape. */
+  val SkewVecNotes: Map[String, String] = Map(
+    "semantic_dedup" -> ("The mega-cell makes the KEEP-FIRST prune " +
+      "cheap, not quadratic: every planted copy is cos-1 with every " +
+      "earlier copy, so the anti-join short-circuits at its FIRST " +
+      "earlier cell-mate — planted work is linear in copies. The " +
+      "residual above-factor risk is the handful of base-corpus " +
+      "members assigned to the mega-cell, each scanning O(cell) before " +
+      "surviving — a bounded set (cell count x survivors), measured " +
+      "here rather than argued."),
+    "knn_ivf" -> ("Queries whose nprobe set includes the mega-cell " +
+      "genuinely score 10k+ postings — real probe work, linear in the " +
+      "planted rows that joined the probed cell; the per-row " +
+      "assignment kernel is flat per vector and the mega-cell's " +
+      "centroid attracts exactly the planted copies."),
+    "knn_incremental" -> ("Each measurement pays a full index BUILD " +
+      "(standing index deleted on both sides for a fair ratio): build " +
+      "cost is n x cells FLOPs, and the skew corpus raises BOTH n and " +
+      "cells (sqrt(n/2) scaling), so the contract ratio is " +
+      "factor^1.5, not factor — the same n*sqrt(n) argument as the " +
+      "uniform-scale knn_ivf note."),
+    "topic_profile" -> ("The mega-cell is one GROUP in a partial-agg " +
+      "groupBy (map-side combine collapses the hot cell key per task); " +
+      "per-member scoring is the flat assignment kernel — linear in " +
+      "planted rows by construction."))
+
+  def skewVecBench(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW"))
+      return "{\"skipped\":\"SPARK_GRAFT_SKIP_SKEW set\"}"
+    if (!sfDir.stripSuffix("/").endsWith("sf0.1"))
+      return "{\"skipped\":\"not an sf0.1 bench dir\"}"
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SKEWVEC_DIR",
+      "/root/repo/target/graft_skew_vec")
+    val dir =
+      try BenchScale.ensureSkewVec(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] skew_vec generation failed: ${e.getMessage}")
+        return "{\"skipped\":\"generation failed\"}"
+      }
+    val baseRows = graft.tables.Tables.embeddings(spark, sfDir).count()
+    val factor =
+      (baseRows + BenchScale.SkewVecCopies).toDouble / math.max(baseRows, 1)
+    val queries = SparkEntry.queries
+    def clearIvf(d: String): Unit =
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(graft.similarity.Similarity.ivfIndexPath(d))))
+    def measure(name: String, d: String): Double =
+      try {
+        if (name == "knn_incremental") clearIvf(d)
+        val t0 = System.nanoTime()
+        queries(name)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] skew_vec/$name failed: ${e.getMessage}")
+        -1.0
+      } finally releaseCaches(spark)
+    val names = SkewVecSubset.filter(queries.contains)
+    val base = scala.collection.mutable.Map(
+      names.map(n => n -> measure(n, sfDir)): _*)
+    val skew = scala.collection.mutable.Map(
+      names.map(n => n -> measure(n, dir)): _*)
+    def ratioOf(k: String): Option[Double] =
+      base.get(k).filter(_ > 0).flatMap(b =>
+        skew.get(k).filter(_ >= 0).map(_ / b))
+    names.filter(k => skew(k) >= 0.5 && ratioOf(k).exists(_ > factor))
+      .foreach { k =>
+        val s2 = measure(k, dir); if (s2 >= 0) skew(k) = math.min(skew(k), s2)
+        val b2 = measure(k, sfDir); if (b2 >= 0) base(k) = math.min(base(k), b2)
+      }
+    val ratios = names.flatMap(k => ratioOf(k).map(k -> _))
+    val flagged = ratios.collect {
+      case (k, r) if r > factor && skew.getOrElse(k, 0.0) >= 0.5 =>
+        "\"" + k + "\""
+    }
+    def js(kvs: Seq[(String, Double)]): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    s"""{"copies":${BenchScale.SkewVecCopies},"row_factor":${num(factor)},""" +
+      s""""base":${js(names.map(k => k -> base(k)))},""" +
+      s""""skew":${js(names.map(k => k -> skew(k)))},""" +
+      s""""ratio":${js(ratios)},""" +
+      s""""flagged":${flagged.mkString("[", ",", "]")},""" +
+      s""""flag_notes":${flagNotesJson(flagged, SkewVecNotes)}}"""
   }
 
   /** sf1 scale section: generate a deterministic ×10 scale-up of the
@@ -494,14 +682,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
     val confirmed = results.map { case (k, _) => k -> sf1Time(k) }
-    // fix-or-explain notes for flags with a diagnosed, data-driven cause
-    // (the flag still prints — the note explains, it does not suppress)
-    val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
-      FlagNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
+    // fix-or-explain notes for flags (the flag still prints — the note
+    // explains, it does not suppress); flagNotesJson guarantees every
+    // flagged key carries one
     val json = s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
-      s""""flag_notes":${notes.mkString("{", ",", "}")}}"""
+      s""""flag_notes":${flagNotesJson(flagged, FlagNotes)}}"""
     (json, confirmed.toMap, Some(dir))
   }
 
@@ -584,12 +771,124 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
     val confirmed = results.map { case (k, _) => k -> sf10Time(k) }
-    val notes = flagged.map(_.replace("\"", "")).flatMap(k =>
-      FlagNotes.get(k).map(v => "\"" + k + "\":\"" + v + "\""))
     (s"""{"factor":${BenchScale.Factor10},"vs":"sf1","gen_sec":${n(genSec)},""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
-      s""""flag_notes":${notes.mkString("{", ",", "}")}}""", Some(dir))
+      s""""flag_notes":${flagNotesJson(flagged, FlagNotes)}}""", Some(dir))
+  }
+
+  /** Skewed-PARTITION maintenance section (r12): the reference's daily
+    * loop IS maintenance, and the r11 skew fixture only ran queries.
+    * This runs the write → append → OPTIMIZE → converged-OPTIMIZE →
+    * MERGE → DV-delete → PURGE → VACUUM lifecycle on the planted skew
+    * corpus under its NATURAL layout — hive-partitioned by `source`,
+    * so `boilerplate_mill` holds ~86% of rows in ONE partition — and
+    * on a UNIFORM twin of the SAME rows (partitioned by a doc_id mod
+    * bucket with the same partition count). Identical volume, only the
+    * layout differs: ratios near 1 say the lifecycle is layout-robust
+    * (OPTIMIZE range-partitions on (partition, key), so a fat
+    * partition gets proportionally many bins, never one fat task), and
+    * `converged_files_changed` records the churn-guard proof — the
+    * converged re-run must rewrite ZERO files regardless of layout. */
+  val MaintSkewFactor = 2.0
+
+  /** Diagnosed notes for lifecycle ops whose skew/uniform ratio can
+    * exceed [[MaintSkewFactor]] by construction. */
+  val MaintSkewNotes: Map[String, String] = Map(
+    "vacuum" -> ("Vacuum walks removed files; both layouts remove the " +
+      "same count, so an above-factor ratio is filesystem-latency noise " +
+      "on a sub-second op, bounded by the min-of-N re-measure."))
+
+  def maintenanceSkewBench(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW"))
+      return "{\"skipped\":\"SPARK_GRAFT_SKIP_SKEW set\"}"
+    if (!sfDir.stripSuffix("/").endsWith("sf0.1"))
+      return "{\"skipped\":\"not an sf0.1 bench dir\"}"
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
+      "/root/repo/target/graft_skew")
+    val dir =
+      try BenchScale.ensureSkew(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] skew generation failed: ${e.getMessage}")
+        return "{\"skipped\":\"generation failed\"}"
+      }
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val nParts = docs.select("source").distinct().count().toInt
+    val skewed = docs.withColumn("part_key", col("source"))
+    val uniform = docs.withColumn("part_key",
+      pmod(col("doc_id"), lit(nParts)).cast("string"))
+    val (skewOps, skewDelta) = docLifecycle(spark, skewed)
+    val (unifOps, unifDelta) = docLifecycle(spark, uniform)
+    val unifMap = unifOps.toMap
+    val ratios = skewOps.flatMap { case (k, v) =>
+      unifMap.get(k).filter(u => u > 0 && v >= 0).map(u => k -> v / u)
+    }
+    val flagged = ratios.collect {
+      case (k, r) if r > MaintSkewFactor &&
+        skewOps.toMap.getOrElse(k, 0.0) >= 0.5 => "\"" + k + "\""
+    }
+    def js(kvs: Seq[(String, Double)]): String = kvs
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    s"""{"partitions":$nParts,"factor":$MaintSkewFactor,""" +
+      s""""ops":${js(skewOps)},"uniform":${js(unifOps)},""" +
+      s""""ratio_vs_uniform":${js(ratios)},""" +
+      s""""converged_files_changed":{"skew":$skewDelta,"uniform":$unifDelta},""" +
+      s""""flagged":${flagged.mkString("[", ",", "]")},""" +
+      s""""flag_notes":${flagNotesJson(flagged, MaintSkewNotes)}}"""
+  }
+
+  /** One documents-table lifecycle run for [[maintenanceSkewBench]]:
+    * the table is hive-partitioned by `part_key` and clustered by
+    * doc_id. Returns the per-op seconds plus the converged-OPTIMIZE
+    * file delta (0 = metadata-only commit — the churn-guard proof). */
+  private def docLifecycle(spark: SparkSession, rows: org.apache.spark.sql.DataFrame)
+      : (Seq[(String, Double)], Long) = {
+    import graft.table.GraftTable
+    val out = Seq.newBuilder[(String, Double)]
+    def timed[T](name: String)(body: => T): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        body
+        out += name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] maintenance_skew/$name failed: ${e.getMessage}")
+        out += name -> -1.0
+      }
+    }
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_bench_mskew").toString
+    var convergedDelta = -1L
+    try {
+      val t = GraftTable(spark, path, Seq("part_key"))
+      timed("write")(t.write(rows.repartition(8)))
+      timed("append")(t.write(
+        rows.limit(1000).withColumn("doc_id", col("doc_id") + lit(10000000000L)),
+        SaveMode.Append))
+      timed("optimize")(t.optimize(Seq("doc_id")))
+      val before = t.detail().numFiles
+      timed("optimize_converged")(t.optimize(Seq("doc_id")))
+      convergedDelta = t.detail().numFiles - before
+      timed("merge")(
+        t.mergeInto(
+            t.read().filter(pmod(col("doc_id"), lit(101)) === 0)
+              .select("doc_id"),
+            Seq("doc_id"))
+          .whenMatchedUpdate(Map("n_chars" -> lit(0L)))
+          .execute())
+      timed("delete_dv")(t.delete(pmod(col("doc_id"), lit(97)) === 0,
+        mergeOnRead = true))
+      timed("purge")(t.purge())
+      timed("vacuum")(t.vacuum(retainHours = 0.0,
+        retentionCheckEnabled = false,
+        nowMs = System.currentTimeMillis() + 3600 * 1000))
+      (out.result(), convergedDelta)
+    } finally {
+      scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(path)))
+      ()
+    }
   }
 
   /** Table-layer micro-bench: the write → append → OPTIMIZE → DV DELETE

@@ -203,6 +203,40 @@ object BenchScale {
     outDir
   }
 
+  // ---- planted-skew fixture, EMBEDDING side -----------------------------
+  //
+  // The text fixture above cannot exercise the vector family's skew
+  // hazard: 10⁴ near-identical embeddings landing in ONE IVF cell — a
+  // mega-cell that breaks the √n-balanced-cell assumption behind
+  // SemDeDup's per-cell quadratic contract and knn_ivf's probe
+  // fraction. This plants exactly that: the base embeddings plus
+  // [[SkewVecCopies]] BYTE-IDENTICAL copies of vector 0's embedding
+  // (fresh vec_ids) — identical is the harshest case: every copy is
+  // cos-1 with every other, and all of them share one Voronoi cell.
+
+  val SkewVecCopies = 10000
+  private val SkewVecIdBase = 600000000L
+
+  /** Generate the embedding-skew dir if absent (marker-gated). Only
+    * `embeddings` is written — the vector family under test reads
+    * nothing else. */
+  def ensureSkewVec(spark: SparkSession, srcDir: String, outDir: String): String = {
+    val marker = new java.io.File(outDir, "_GRAFT_SKEWVEC_OK")
+    if (marker.exists()) return outDir
+    new java.io.File(outDir).mkdirs()
+    val base = graft.tables.Tables.table(spark, srcDir, "embeddings")
+    val template = base.filter(col("vec_id") === 0).drop("vec_id").limit(1)
+    val planted = spark.range(SkewVecCopies)
+      .crossJoin(broadcast(template))
+      .withColumn("vec_id", col("id") + lit(SkewVecIdBase))
+      .drop("id")
+    base.unionByName(planted).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    java.nio.file.Files.writeString(marker.toPath,
+      s"src=$srcDir copies=$SkewVecCopies")
+    outDir
+  }
+
   /** Generate the scaled dir if absent (marker-gated); returns the dir. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String): String = {
     val marker = new java.io.File(outDir, "_GRAFT_SCALED_OK")

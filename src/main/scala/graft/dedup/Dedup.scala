@@ -150,31 +150,25 @@ object Dedup {
         graft.functions.SigKernelColumns.band_signatures(
           col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
 
-  /** Sketch the corpus ONCE and persist the banded sketch table. */
+  /** Sketch the corpus ONCE and persist the banded sketch table —
+    * byte-targeted and (band, sig)-clustered via
+    * [[graft.table.StandingIndex.writeSized]], so the LSH probe join's
+    * key ranges map to disjoint files. */
   def persistSketchCorpus(spark: SparkSession, corpusDocs: DataFrame,
-      path: String): graft.table.GraftTable = {
-    val t = graft.table.GraftTable(spark, path)
-    t.write(bandedSketch(corpusDocs).repartition(8))
-    t
-  }
+      path: String): graft.table.GraftTable =
+    graft.table.StandingIndex.writeSized(spark, path,
+      bandedSketch(corpusDocs), Seq("band", "sig"))
 
   /** Stable sketch-corpus table location for the documents under `dir`,
-    * keyed by the corpus FILES' identity (name, length, mtime): an
-    * unchanged corpus reuses (and appends to) its existing sketch
-    * table across runs; a regenerated corpus keys to a fresh one, so
-    * stale sketches can never poison the pairs. */
-  def sketchCorpusPath(dir: String): String = {
-    val root = new java.io.File(dir, "documents.parquet")
-    val parts: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_sketch_corpus_$key").toString
-  }
+    * keyed by the corpus FILES' content identity
+    * ([[graft.table.StandingIndex.path]] — name/length/mtime plus a
+    * footer-byte sample): an unchanged corpus reuses (and appends to)
+    * its existing sketch table across runs; a regenerated corpus —
+    * even one byte-swapped in place at identical sizes — keys to a
+    * fresh one, so stale sketches can never poison the pairs. */
+  def sketchCorpusPath(dir: String): String =
+    graft.table.StandingIndex.path("graft_sketch_corpus_", dir,
+      "documents.parquet")
 
   /** Create-or-append the sketch corpus at `path`: only docs the table
     * has never seen are sketched and APPENDED — the standing corpus is
@@ -187,7 +181,8 @@ object Dedup {
     val known = t.read().select("doc_id").distinct()
     val fresh = corpusDocs.join(known, Seq("doc_id"), "left_anti")
     if (!fresh.isEmpty)
-      t.write(bandedSketch(fresh).repartition(8),
+      graft.table.StandingIndex.writeSized(spark, path,
+        bandedSketch(fresh), Seq("band", "sig"),
         org.apache.spark.sql.SaveMode.Append)
     t
   }
@@ -681,6 +676,13 @@ object Dedup {
     // both census consumers below would otherwise re-explode the whole
     // corpus — column pruning defeats ReuseExchange across their
     // different projections)
+    // CACHE LIFETIME IS OWNED BY THE DRIVING LOOP (the sketch-table
+    // policy above): the result is lazy, so this function cannot
+    // unpersist its own intermediate — Bench releases caches after
+    // every measured query and Verify clearCache()s between queries;
+    // any other long-lived session must spark.catalog.clearCache()
+    // after consuming the result, or this exploded token-window table
+    // (the largest intermediate in the system) stays resident.
     val wins = toks.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(t) - $k),
            |  i -> xxhash64(array_join(slice(t, i + 1, $k), ' ')))"""

@@ -383,18 +383,9 @@ object Similarity {
     * contract as [[graft.dedup.Dedup.sketchCorpusPath]]: an unchanged
     * corpus reuses (and appends to) its standing index across runs; a
     * regenerated corpus keys to a fresh one. */
-  def ivfIndexPath(dir: String): String = {
-    val root = new java.io.File(dir, "embeddings.parquet")
-    val parts: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_index_$key").toString
-  }
+  def ivfIndexPath(dir: String): String =
+    graft.table.StandingIndex.path("graft_ivf_index_", dir,
+      "embeddings.parquet")
 
   /** Create-or-extend the standing IVF index at `path`: two graft
     * tables, `cells` (centroid vectors — written ONCE at build, the
@@ -407,19 +398,24 @@ object Similarity {
       : (graft.table.GraftTable, graft.table.GraftTable) = {
     val cellsT = graft.table.GraftTable(spark, path + "/cells")
     val asgT = graft.table.GraftTable(spark, path + "/assign")
+    // assign (postings) files are byte-targeted and CELL-clustered
+    // (StandingIndex.writeSized): a probe reads nprobe cells' disjoint
+    // file ranges — the on-disk layout that makes the 16/√n scanned
+    // fraction an IO fraction too, not just a compute one
     if (cellsT.currentVersion < 0) {
       val cents = materializedCentroids(corpus, scaledCells(corpus.count()))
       cellsT.write(cents)
-      asgT.write(assignCells(corpus, cents)
-        .select("vec_id", "cell", "v", "n").repartition(8))
+      graft.table.StandingIndex.writeSized(spark, path + "/assign",
+        assignCells(corpus, cents).select("vec_id", "cell", "v", "n"),
+        Seq("cell"))
     } else {
       val cents = driverCentroids(spark, cellsT)
       val known = asgT.read().select("vec_id").distinct()
       val fresh = corpus.join(known, Seq("vec_id"), "left_anti")
       if (!fresh.isEmpty)
-        asgT.write(assignCells(fresh, cents)
-          .select("vec_id", "cell", "v", "n").repartition(8),
-          org.apache.spark.sql.SaveMode.Append)
+        graft.table.StandingIndex.writeSized(spark, path + "/assign",
+          assignCells(fresh, cents).select("vec_id", "cell", "v", "n"),
+          Seq("cell"), org.apache.spark.sql.SaveMode.Append)
     }
     (cellsT, asgT)
   }

@@ -322,9 +322,13 @@ final class GraftScanBuilder(snapshot: DataFrame,
 
   private def answerMemoized(agg: Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
+    // the filter component keys on the RENDERED pushed filters, not
+    // their count: answerFor bails on pushed.nonEmpty today, but if
+    // metadata answers ever start honoring filters, two different
+    // same-length filter sets must not alias to one memoized answer
     val key = agg.aggregateExpressions.map(_.describe).mkString(",") + "|" +
       agg.groupByExpressions.map(_.describe).mkString(",") + "|" +
-      pushed.length
+      pushed.map(_.toString).mkString(";")
     answerMemo match {
       case Some((k, r)) if k == key => r
       case _ =>

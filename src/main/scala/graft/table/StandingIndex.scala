@@ -1,0 +1,94 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Shared plumbing for STANDING index tables — the dedup sketch corpus,
+  * the IVF index, and the positional postings table. Each is a graft
+  * table living beside the corpus it indexes: built once, appended
+  * incrementally, read by every consumer instead of re-scanning corpus
+  * text/vectors per query.
+  *
+  * Two shared concerns live here:
+  *
+  *  1. '''Content-addressed location.''' The table's path is keyed by a
+  *     fingerprint of the SOURCE table's files, so an unchanged corpus
+  *     reuses (and appends to) its standing index across runs while a
+  *     regenerated corpus keys to a fresh one. The fingerprint covers
+  *     (name, length, mtime) '''plus a footer-byte sample of every
+  *     part file''': a source regenerated in place with identical file
+  *     sizes inside the filesystem's mtime granularity — plausible for
+  *     a deterministic generator — still re-keys, because parquet
+  *     footers carry row-group statistics that change with content.
+  *     The sample reads 4 KiB per part file: metadata-cheap even for a
+  *     many-file source, and never a data scan.
+  *
+  *  2. '''Byte-targeted file sizing.''' Index writes bin-pack their
+  *     output toward a target file size using [[GraftTable.optimize]]'s
+  *     exact logged-bytes computation (write, then OPTIMIZE clustered
+  *     by the index's probe key), replacing fixed `repartition(8)`
+  *     constants that under-split at sf1+ and over-split tiny
+  *     fixtures. The OPTIMIZE doubles as layout: files cover disjoint
+  *     probe-key ranges, so point probes (a phrase vocabulary pushed as
+  *     a literal In, an IVF cell id) skip row groups via footer stats —
+  *     the actual inverted-index layout, not just size hygiene.
+  *     Incremental appends re-bin only their own tail (the provenance
+  *     skip carries every ≥half-target file unread).
+  */
+object StandingIndex {
+
+  /** Default target file size for standing-index writes (shared with
+    * OPTIMIZE's bin-packing default). */
+  val DefaultTargetBytes: Long = GraftTable.DefaultTargetFileSizeBytes
+
+  /** Content fingerprint of `dir/table`'s files (see class doc). */
+  def fingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(dir, table)
+    val parts: Seq[java.io.File] =
+      if (root.isDirectory)
+        root.listFiles().toSeq.filter(_.isFile).sortBy(_.getName)
+      else Seq(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { f =>
+      md.update(s"${f.getName}:${f.length}:${f.lastModified}:"
+        .getBytes("UTF-8"))
+      md.update(footerSample(f))
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Last ≤4 KiB of a file — covers the parquet footer (schema +
+    * row-group stats + data-page offsets), which differs whenever
+    * content differs even at equal byte length. */
+  private def footerSample(f: java.io.File): Array[Byte] = {
+    if (!f.isFile || f.length == 0) return Array.emptyByteArray
+    val take = math.min(4096L, f.length).toInt
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      raf.seek(f.length - take)
+      val buf = new Array[Byte](take)
+      raf.readFully(buf)
+      buf
+    } finally raf.close()
+  }
+
+  /** Standing location for an index over `dir/table`, under the JVM
+    * temp dir (the builder-environment stand-in for a real catalog's
+    * managed location). */
+  def path(prefix: String, dir: String, table: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix${fingerprint(dir, table)}").toString
+
+  /** Write (or append) `df` into the standing table at `path` and
+    * byte-target its files: OPTIMIZE clustered by `clusterBy` toward
+    * `targetBytes`, sized from the commit's LOGGED file bytes — exact,
+    * no estimator. On append, only the appended tail (plus any
+    * undersized prior tail) rewrites. Returns the table handle. */
+  def writeSized(spark: SparkSession, path: String, df: DataFrame,
+      clusterBy: Seq[String], mode: SaveMode = SaveMode.Overwrite,
+      targetBytes: Long = DefaultTargetBytes): GraftTable = {
+    val t = GraftTable(spark, path)
+    t.write(df, mode)
+    t.optimize(clusterBy, targetBytes)
+    t
+  }
+}

@@ -27,20 +27,12 @@ import graft.tables.Tables._
 object Postings {
 
   /** Content-addressed standing location for a source dir's postings
-    * (same fingerprint scheme as the dedup sketch corpus: a regenerated
-    * testdata dir gets a fresh table, a re-run reuses the standing one). */
-  def postingsPath(dir: String): String = {
-    val root = new java.io.File(dir, "documents.parquet")
-    val parts: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
-      else Seq(root)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_postings_$key").toString
-  }
+    * ([[graft.table.StandingIndex.path]]: a regenerated testdata dir —
+    * even one matching the old (name, length, mtime) triple — keys to
+    * a fresh table, a re-run reuses the standing one). */
+  def postingsPath(dir: String): String =
+    graft.table.StandingIndex.path("graft_postings_", dir,
+      "documents.parquet")
 
   /** (doc_id, word, tf, positions) from raw documents — the one
     * corpus-text scan. positions are sorted raw token indices; tf =
@@ -55,19 +47,24 @@ object Postings {
       sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Create-or-append the standing postings table for `docs`; returns
-    * the table handle. Append is doc-granular and idempotent. */
-  def update(spark: SparkSession, docs: DataFrame,
-      path: String): graft.table.GraftTable = {
+    * the table handle. Append is doc-granular and idempotent. Files are
+    * byte-targeted and word-clustered ([[graft.table.StandingIndex
+    * .writeSized]]): OPTIMIZE bin-packs from logged bytes toward
+    * `targetBytes` with files covering disjoint word ranges, so
+    * vocabulary probes (phrase_indexed's literal In) skip row groups —
+    * appends re-bin only their own tail. */
+  def update(spark: SparkSession, docs: DataFrame, path: String,
+      targetBytes: Long = graft.table.StandingIndex.DefaultTargetBytes)
+      : graft.table.GraftTable = {
     val t = graft.table.GraftTable(spark, path)
-    if (t.currentVersion < 0) {
-      t.write(derive(docs).repartition(8))
-      return t
-    }
+    if (t.currentVersion < 0)
+      return graft.table.StandingIndex.writeSized(spark, path,
+        derive(docs), Seq("word"), targetBytes = targetBytes)
     val known = t.read().select("doc_id").distinct()
     val fresh = docs.join(known, Seq("doc_id"), "left_anti")
     if (!fresh.isEmpty)
-      t.write(derive(fresh).repartition(8),
-        org.apache.spark.sql.SaveMode.Append)
+      graft.table.StandingIndex.writeSized(spark, path, derive(fresh),
+        Seq("word"), org.apache.spark.sql.SaveMode.Append, targetBytes)
     t
   }
 

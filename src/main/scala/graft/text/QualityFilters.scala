@@ -380,11 +380,27 @@ object QualityFilters {
     * (≤ source count, never corpus size), and set sizes ride in on a
     * broadcast — the same bounded-self-join argument as
     * [[sourceOverlap]], one vocabulary shuffle total. */
-  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = documents(spark, dir)
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityFrom(documents(spark, dir)
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= ""))
+
+  /** [[sourceSimilarity]] off the STANDING postings table
+    * ([[graft.text.Postings]]): postings rows are already distinct
+    * (doc_id, word) pairs with the identical tokenization, so joining
+    * the doc→source map (a doc_id-keyed, uniform join) and projecting
+    * (source, word) reproduces the scratch path's vocabulary rows
+    * bit-for-bit — same oracle, and the corpus text is never
+    * re-tokenized. */
+  def sourceSimilarityIndexed(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityFrom(
+      Postings.postings(spark, dir).select("doc_id", "word")
+        .join(documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+        .select("source", "word"))
+
+  private def sourceSimilarityFrom(sourceWords: DataFrame): DataFrame = {
+    val vocab = sourceWords
       .distinct()
       .repartition(col("word"))
     val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
@@ -409,13 +425,28 @@ object QualityFilters {
     * machine-generated sources: real text keeps hapax_frac high, boiler-
     * plate collapses it). One (source, word) census; every ratio is a
     * single IEEE divide of exact integers. */
-  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val wordCounts = documents(spark, dir)
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthFrom(spark, dir, documents(spark, dir)
       .select(col("source"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("source", "word")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[vocabGrowth]] off the standing postings table: per-(source,
+    * word) token counts are `sum(tf)` over the index joined to the
+    * doc→source map — identical integers to the scratch explode-count,
+    * same oracle, no corpus re-tokenization. */
+  def vocabGrowthIndexed(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthFrom(spark, dir,
+      Postings.postings(spark, dir).select("doc_id", "word", "tf")
+        .join(documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source", "word")
+        .agg(sum("tf").as("cnt")))
+
+  /** Shared tail over a (source, word, cnt) census frame. */
+  private def vocabGrowthFrom(spark: SparkSession, dir: String,
+      wordCounts: DataFrame): DataFrame = {
     val perSource = wordCounts.groupBy("source").agg(
       sum("cnt").as("n_tokens"),
       count(lit(1)).as("n_types"),
@@ -457,12 +488,20 @@ object QualityFilters {
     "dsir_contrast" -> dsirContrast _,
     "source_overlap" -> sourceOverlap _,
     "source_similarity" -> sourceSimilarity _,
+    "source_similarity_indexed" -> sourceSimilarityIndexed _,
     "vocab_growth" -> vocabGrowth _,
+    "vocab_growth_indexed" -> vocabGrowthIndexed _,
     "dup_rate_report" -> dupRateReport _,
     "token_histogram" -> tokenHistogram _,
     "source_mixture" -> sourceMixture _)
 
-  val oracles: Map[String, String] = Map(
+  // the standing-postings paths are bit-identical to the from-scratch
+  // ones (same distinct pairs / token counts) → same oracle SQL
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "source_similarity_indexed" -> baseOracles("source_similarity"),
+    "vocab_growth_indexed" -> baseOracles("vocab_growth"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // string trigrams where the query censuses their packed-int images
     // (bijective for this ASCII corpus — lm_typicality's argument)
     "dsir_contrast" ->

@@ -184,18 +184,37 @@ object TextAnalysis {
     * domain-labeling pass runs before mixture construction.
     *
     * Scale: tf is one shuffle on (doc_id, word) over exploded unique
-    * pairs; df rides a window on the word key (second shuffle, linear);
-    * n_docs is a one-row broadcast scalar. No joins against a
-    * materialized vocabulary, no driver-side census. */
-  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    * pairs; df is a partial-agg `groupBy("word").count()` joined back —
+    * the bm25Scores census shape (HybridSearch), NEVER a window over
+    * the Zipf word key: a stopword's window partition is every document
+    * containing it, serialized through ONE WindowExec task that AQE
+    * cannot skew-split, while the groupBy collapses the hot key
+    * map-side and the join back is AQE-skew-splittable. n_docs is a
+    * one-row broadcast scalar. Identical integer df values → the
+    * oracle is unchanged. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfFrom(documents(spark, dir), scratchTf(documents(spark, dir)))
+
+  /** (doc_id, word, tf) from a raw documents frame — the from-scratch
+    * tokenization twin of the standing postings table's tf column. */
+  private[graft] def scratchTf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  /** [[tfidfKeywords]] off the STANDING postings table
+    * ([[graft.text.Postings]]): the corpus text is never re-scanned —
+    * tf rows come straight from the index, bit-identical to the
+    * from-scratch path, so the same oracle hash-verifies both. */
+  def tfidfIndexed(spark: SparkSession, dir: String): DataFrame =
+    tfidfFrom(documents(spark, dir),
+      Postings.postings(spark, dir).select("doc_id", "word", "tf"))
+
+  private def tfidfFrom(docs: DataFrame, tf: DataFrame): DataFrame = {
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 2 <= col("n_docs"))
       .withColumn("rk", row_number().over(
@@ -320,11 +339,14 @@ object TextAnalysis {
     * ingredients KN smoothing interpolates. A distinct (w1,w2,w3) row
     * contributes exactly one left-extension type to (w2,w3) and one
     * right-extension type to (w1,w2), so both continuation counts are
-    * plain COUNT(*) windows over the SAME distinct-trigram frame — one
-    * trigram shuffle plus two keyed window passes, integer-exact
-    * everywhere. Top-k cuts FIRST (TakeOrderedAndProject heaps), the
-    * rank window runs over just the k survivors (the [[collocations]]
-    * discipline). */
+    * partial-agg `groupBy` censuses over the SAME distinct-trigram
+    * frame, joined back — the uniform census shape ([[tfidfKeywords]],
+    * bm25Scores): partition sizes here are type-bounded (vocabulary,
+    * not tokens), but "of the"-class bigrams still make a fat window
+    * partition, and the groupBy+join form is skew-proof for free with
+    * identical integer results. Top-k cuts FIRST
+    * (TakeOrderedAndProject heaps), the rank window runs over just the
+    * k survivors (the [[collocations]] discipline). */
   val KnTopK = 50
 
   def ngramLmCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -337,11 +359,13 @@ object TextAnalysis {
       .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
       .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val leftTypes = tri.groupBy("w2", "w3")
+      .agg(count(lit(1)).as("left_types"))
+    val rightTypes = tri.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("right_types"))
     tri
-      .withColumn("left_types",
-        count(lit(1)).over(Window.partitionBy("w2", "w3")))
-      .withColumn("right_types",
-        count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .join(leftTypes, Seq("w2", "w3"))
+      .join(rightTypes, Seq("w1", "w2"))
       .orderBy(desc("c3"), col("w1"), col("w2"), col("w3")).limit(KnTopK)
       .withColumn("rk", row_number().over(
         Window.orderBy(desc("c3"), col("w1"), col("w2"), col("w3"))))
@@ -395,6 +419,7 @@ object TextAnalysis {
     "corpus_select"   -> corpusSelect _,
     "filter_funnel"   -> filterFunnel _,
     "tfidf_keywords"  -> tfidfKeywords _,
+    "tfidf_indexed"   -> tfidfIndexed _,
     "explode_words"   -> explodeWords _,
     "regexp_stats"    -> regexpStats _,
     "text_stats"      -> textStats _,
@@ -410,7 +435,12 @@ object TextAnalysis {
   private[graft] def hitsSql(l: String): String =
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ${stopList(l)}))"
 
-  val oracles: Map[String, String] = Map(
+  // the standing-postings path is bit-identical to the from-scratch one
+  // (same tf rows, same census integers) → same oracle SQL
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "tfidf_indexed" -> baseOracles("tfidf_keywords"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // raw trigram STRINGS where the query groups xxhash64 images —
     // identical counts absent a 64-bit collision between two distinct
     // trigrams of this corpus (the dedup_exact fingerprint argument);

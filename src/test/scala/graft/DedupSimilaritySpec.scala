@@ -38,12 +38,14 @@ class DedupSpec extends SparkSpec {
     val docs = graft.tables.Tables.documents(spark, sf)
     val first = docs.filter(col("doc_id") % 5 === 1)
     val t = Dedup.updateSketchCorpus(spark, first, path)
-    assert(t.currentVersion == 0L)
+    // create = write + its byte-target OPTIMIZE (StandingIndex.writeSized)
+    assert(t.currentVersion == 1L)
     val rows0 = t.read().count()
     // second corpus batch: only the NEW docs are sketched and appended
+    // (ONE append + its tail-only re-bin OPTIMIZE)
     val t2 = Dedup.updateSketchCorpus(spark,
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2), path)
-    assert(t2.currentVersion == 1L, "second batch must be ONE append commit")
+    assert(t2.currentVersion == 3L, "second batch must be ONE append commit")
     val ops = t2.history().select("operation").as[String].collect().toSeq
     assert(ops.count(_ == "APPEND") == 1, s"ops were $ops")
     assert(t2.read().count() > rows0)
@@ -51,7 +53,7 @@ class DedupSpec extends SparkSpec {
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2).count())
     // an already-covered corpus is a no-op: no commit, no re-sketch
     Dedup.updateSketchCorpus(spark, first, path)
-    assert(t2.currentVersion == 1L)
+    assert(t2.currentVersion == 3L)
     // the operator's standing corpus keys to the testdata's identity
     val stable = Dedup.sketchCorpusPath(sf)
     assert(stable == Dedup.sketchCorpusPath(sf), "path must be deterministic")
@@ -141,19 +143,23 @@ class DedupSpec extends SparkSpec {
         lit(0.0), _ + _)))
     val first = emb.filter(col("vec_id") % 5 === 1)
     val (cells0, asg0) = Similarity.updateIvfIndex(spark, first, path)
-    assert(cells0.currentVersion == 0L && asg0.currentVersion == 0L)
+    // assign create = write + its byte-target OPTIMIZE (writeSized)
+    assert(cells0.currentVersion == 0L && asg0.currentVersion == 1L)
     val centRows = cells0.read().count()
-    // second corpus batch: ONE append of only the unseen vectors, and
-    // the quantizer (cells table) is never rewritten
+    // second corpus batch: ONE append of only the unseen vectors (plus
+    // its tail-only re-bin OPTIMIZE), and the quantizer (cells table)
+    // is never rewritten
     val grown = emb.filter(col("vec_id") % 5 === 1 || col("vec_id") % 5 === 2)
     val (cells1, asg1) = Similarity.updateIvfIndex(spark, grown, path)
-    assert(asg1.currentVersion == 1L, "second batch must be ONE append")
+    assert(asg1.currentVersion == 3L, "second batch must be ONE append")
+    assert(asg1.history().select("operation").as[String].collect()
+      .count(_ == "APPEND") == 1, "exactly one APPEND commit")
     assert(cells1.currentVersion == 0L, "centroids must stay fixed")
     assert(cells1.read().count() == centRows)
     assert(asg1.read().select("vec_id").distinct().count() == grown.count())
     // an already-covered corpus is a no-op
     Similarity.updateIvfIndex(spark, first, path)
-    assert(asg1.currentVersion == 1L)
+    assert(asg1.currentVersion == 3L)
   }
 
   test("edit_dedup: star candidates, exact distances, planted near-dup flagged") {
@@ -308,13 +314,14 @@ class DedupSpec extends SparkSpec {
     assert(asg2.read().count() == expected)
     assert(asg2.currentVersion == vAsg, "replayed batches must be no-ops")
     assert(cellsT.currentVersion == 0L)
-    // new vectors arriving later land as ONE more append
+    // new vectors arriving later land as ONE more append (+ its
+    // tail-only re-bin OPTIMIZE — two commits, one APPEND)
     emb.filter(col("vec_id") % 5 === 3).coalesce(1)
       .write.mode("append").parquet(srcDir)
     val asg3 = run()
     assert(asg3.read().count() ==
       expected + emb.filter(col("vec_id") % 5 === 3).count())
-    assert(asg3.currentVersion == vAsg + 1)
+    assert(asg3.currentVersion == vAsg + 2)
   }
 
   test("knn_incremental: batch-only queries over corpus-only postings, exact cos") {

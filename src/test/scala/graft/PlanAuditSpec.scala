@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // and the scratch twins ARE audited here); sequence_pack runs its
     // prefix-sum totals pass (collect over O(P) rows) at build time
     // (ChunkingSpec pins stream contiguity + boundary independence)
-    "bm25_indexed", "phrase_indexed", "sequence_pack")
+    "bm25_indexed", "phrase_indexed", "tfidf_indexed",
+    "vocab_growth_indexed", "source_similarity_indexed", "sequence_pack")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)
@@ -82,19 +83,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unplanned cartesian/nested-loop in: $offenders")
   }
 
-  test("bm25_rank: no full-corpus word-keyed window (Zipf hot-key defense)") {
-    // the df census must be a partial-agg groupBy, never a window over
-    // the word key: every posting of a stopword would serialize through
-    // ONE WindowExec task at web scale. (Window over query_id is fine —
-    // the query set is bounded.)
-    val plan = SparkEntry.queries("bm25_rank")(spark, sf)
-      .queryExecution.optimizedPlan
-    val offending = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.exists(_.references.exists(_.name == "word")) => w
+  test("no token-keyed window census anywhere in the fleet (Zipf hot-key defense)") {
+    // a census must be a partial-agg groupBy (joined back), never a
+    // window PARTITIONED BY a token-grain key: a stopword's window
+    // partition is every posting of "the", serialized through ONE
+    // WindowExec task that AQE cannot skew-split. The banned names are
+    // exactly the corpus-token / n-gram-component columns this repo
+    // censuses over; doc-scoped windows (partition includes doc_id) and
+    // bounded-key windows (query_id, lang, source, …) are fine.
+    val tokenKeys = Set("word", "w1", "w2", "w3")
+    val offenders = audited.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.exists(_.references.exists(a =>
+              tokenKeys(a.name))) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
     }
-    assert(offending.isEmpty,
-      s"word-partitioned window in bm25_rank plan:\n${offending.mkString}")
+    assert(offenders.isEmpty,
+      s"token-keyed window census in: $offenders")
   }
 
   test("every audited query ends in a total ORDER BY") {

@@ -44,11 +44,12 @@ class PostingsSpec extends SparkSpec {
     Postings.update(spark, d1, path)
     assert(graft.table.GraftTable(spark, path).currentVersion == v1,
       "replay must not commit")
-    // day-2 batch: only doc 3's postings land
+    // day-2 batch: only doc 3's postings land (one APPEND + its
+    // tail-only byte-target OPTIMIZE)
     val d2 = d1.unionByName(docsOf(3L -> "gamma delta"))
     Postings.update(spark, d2, path)
     val t2 = graft.table.GraftTable(spark, path)
-    assert(t2.currentVersion == v1 + 1)
+    assert(t2.currentVersion == v1 + 2)
     val byDoc = t2.read().groupBy("doc_id").count()
       .as[(Long, Long)].collect().toMap
     assert(byDoc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
@@ -62,5 +63,37 @@ class PostingsSpec extends SparkSpec {
     val ps = HybridSearch.phraseSearch(spark, sf).collect().toSeq
     val pi = HybridSearch.phraseIndexed(spark, sf).collect().toSeq
     assert(pi == ps, "phrase_indexed diverged from phrase_search")
+  }
+
+  test("postings files are byte-targeted (bin-packed toward the target)") {
+    // build the standing postings for the sf fixture with a deliberately
+    // tiny target so the bin-packing has to split: the write must land
+    // multiple files whose MEAN size sits in the target's band, and the
+    // appended day-2 batch must keep the band (only its tail re-bins).
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val path = Files.createTempDirectory("gt_postings3").toString + "/t"
+    val target = 16 * 1024L
+    val t = Postings.update(spark, docs, path, targetBytes = target)
+    val h = t.health()
+    assert(h.numFiles >= 2, s"expected a split, got ${h.numFiles} file(s)")
+    assert(h.avgFileBytes >= target / 4 && h.avgFileBytes <= target * 2,
+      s"mean file size ${h.avgFileBytes} outside [${target / 4}, ${target * 2}]")
+    // the bin count must track ceil(bytes/target), not a constant
+    val bins = (h.totalBytes + target - 1) / target
+    assert(h.numFiles >= bins / 2 && h.numFiles <= bins * 2,
+      s"${h.numFiles} files vs ~$bins byte-targeted bins")
+  }
+
+  test("tfidf/vocab_growth/source_similarity indexed paths equal scratch") {
+    import graft.text.{TextAnalysis, QualityFilters}
+    assert(TextAnalysis.tfidfIndexed(spark, sf).collect().toSeq ==
+      TextAnalysis.tfidfKeywords(spark, sf).collect().toSeq,
+      "tfidf_indexed diverged from tfidf_keywords")
+    assert(QualityFilters.vocabGrowthIndexed(spark, sf).collect().toSeq ==
+      QualityFilters.vocabGrowth(spark, sf).collect().toSeq,
+      "vocab_growth_indexed diverged from vocab_growth")
+    assert(QualityFilters.sourceSimilarityIndexed(spark, sf).collect().toSeq ==
+      QualityFilters.sourceSimilarity(spark, sf).collect().toSeq,
+      "source_similarity_indexed diverged from source_similarity")
   }
 }
