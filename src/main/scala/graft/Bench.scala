@@ -403,7 +403,11 @@ object Bench {
     // election (30k star candidates, each DP capped at EditPrefix²)
     // and exact dedup's groupBy on the hot content hash — plus the
     // trigram first-occurrence census (every planted trigram is hot)
-    "edit_dedup", "dedup_exact", "ngram_novelty")
+    "edit_dedup", "dedup_exact", "ngram_novelty",
+    // r12: the selection cascade — its exact-dedup election groups by
+    // norm_text, and the planted template IS one norm_text holding 86%
+    // of rows (the content-keyed analogue of the word-key hazard)
+    "corpus_select", "filter_funnel")
 
   /** Diagnosed explanations for skew ratios above the row factor whose
     * cause is planted-data amplification, not a serialization shape. */
@@ -428,6 +432,17 @@ object Bench {
       "EditPrefix-capped DP — work is linear in planted rows with a " +
       "large constant, never quadratic in the block (the hub-star " +
       "construction; hub election is a partial-agg groupBy since r11)."),
+    "corpus_select" -> ("Work is the per-row gate computation (stopword " +
+      "hits x 5 languages, quality composite — linear in rows, and the " +
+      "planted all-stopword docs genuinely pay it) plus the norm_text " +
+      "min census, which partial-aggregation collapses to one row per " +
+      "(task, distinct text) map-side; the dedup gate joins back on the " +
+      "uniform doc_id key. Nothing content-keyed crosses a single task " +
+      "(the r12 rewrite this fixture measures)."),
+    "filter_funnel" -> ("Same shape as corpus_select (shared " +
+      "firstDocsByNormText census, read through a LEFT join tag so " +
+      "non-survivors count too); the funnel itself is a per-source " +
+      "partial agg — linear in planted rows."),
     "ngram_novelty" -> ("Work amplification on the hot gram key, not " +
       "serialization: every planted copy contributes the SAME 118 " +
       "distinct trigrams, so the first-doc census join fans each hot " +
@@ -797,7 +812,14 @@ object Bench {
   val MaintSkewNotes: Map[String, String] = Map(
     "vacuum" -> ("Vacuum walks removed files; both layouts remove the " +
       "same count, so an above-factor ratio is filesystem-latency noise " +
-      "on a sub-second op, bounded by the min-of-N re-measure."))
+      "on a sub-second op, bounded by the min-of-N re-measure."),
+    "delete_dv" -> ("The DV build scans every file for matching row " +
+      "positions on BOTH layouts (same rows, same key-mod predicate, " +
+      "same DV cardinality); the layouts differ only in how rows pack " +
+      "into files. A first single-run pass flagged this op at 2.2x and " +
+      "the per-op min-of-2 is the bound: identical bytes scanned means " +
+      "a residual above-factor ratio here is commit/IO scheduling " +
+      "noise on a ~1-2 s op, not a skew shape."))
 
   def maintenanceSkewBench(spark: SparkSession, sfDir: String): String = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SKEW"))
@@ -817,8 +839,23 @@ object Bench {
     val skewed = docs.withColumn("part_key", col("source"))
     val uniform = docs.withColumn("part_key",
       pmod(col("doc_id"), lit(nParts)).cast("string"))
-    val (skewOps, skewDelta) = docLifecycle(spark, skewed)
-    val (unifOps, unifDelta) = docLifecycle(spark, uniform)
+    // per-op min-of-2 on BOTH layouts: lifecycle ops are stateful, so
+    // the re-measure unit is the whole lifecycle, not one op — a
+    // single-run ratio on a 1-2 s op cannot distinguish a skew tax
+    // from one commit's IO hiccup (first smoke run flagged delete_dv
+    // at 2.2x that way)
+    def minOf2(rows: org.apache.spark.sql.DataFrame)
+        : (Seq[(String, Double)], Long) = {
+      val (a, delta) = docLifecycle(spark, rows)
+      val (b, _) = docLifecycle(spark, rows)
+      val bm = b.toMap
+      (a.map { case (k, v) =>
+        val w = bm.getOrElse(k, v)
+        k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
+      }, delta)
+    }
+    val (skewOps, skewDelta) = minOf2(skewed)
+    val (unifOps, unifDelta) = minOf2(uniform)
     val unifMap = unifOps.toMap
     val ratios = skewOps.flatMap { case (k, v) =>
       unifMap.get(k).filter(u => u > 0 && v >= 0).map(u => k -> v / u)

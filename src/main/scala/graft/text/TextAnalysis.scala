@@ -237,50 +237,69 @@ object TextAnalysis {
         count_if(col("text").rlike("\\bdata\\b")).as("n_docs_data"))
       .orderBy("source")
 
+  /** First-occurrence doc ids per normalized text — the exact-dedup
+    * election shared by [[corpusSelect]] and [[filterFunnel]], as a
+    * partial-agg `groupBy(norm_text).agg(min(doc_id))` (r12): a
+    * boilerplate template duplicated 10⁴× makes norm_text a hot
+    * CONTENT key, and a window partitioned by it would serialize every
+    * copy through one WindowExec task — the groupBy collapses the hot
+    * key map-side, ships narrow (norm_text, doc_id) rows only, and
+    * consumers join back on the uniform doc_id key. `doc_id = min per
+    * group` ≡ the old `row_number() = 1`, so the oracles (which replay
+    * ROW_NUMBER) are unchanged. */
+  private def firstDocsByNormText(docs: DataFrame): DataFrame = docs
+    .select(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm_text"),
+      col("doc_id"))
+    .groupBy("norm_text").agg(min("doc_id").as("doc_id"))
+    .select("doc_id")
+
   /** End-to-end corpus selection — the composed training-data filter a
     * 100 TB pipeline runs before tokenization: exact dedup (keep the
-    * min doc_id per normalized text), language gate (predicted English),
-    * quality gate (composite ≥ 0.5). One window + one scan; the dedup
-    * partition key here is the normalized text for oracle exactness
-    * (dedup_exact demonstrates the hash-key shuffle optimization). */
-  def corpusSelect(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    * min doc_id per normalized text — [[firstDocsByNormText]], the
+    * skew-safe census shape), language gate (predicted English),
+    * quality gate (composite ≥ 0.5). The dedup gate is a LEFT SEMI
+    * join on doc_id: uniform key, one row per distinct text on the
+    * build side. */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    docs
       .select(col("doc_id") +: col("text") +: hitCols: _*)
-      .withColumn("norm_text", lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("quality", qualityCol)
       .withColumn("predicted_lang", bestLang)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("norm_text").orderBy("doc_id")))
-      .filter(col("rn") === 1 && col("quality") >= 0.5 &&
-        col("predicted_lang") === "en")
+      .join(firstDocsByNormText(docs), Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.5 && col("predicted_lang") === "en")
       .select("doc_id", "quality")
       .orderBy("doc_id")
+  }
 
   /** Filter-funnel report — how many documents (per source) survive
     * each CUMULATIVE stage of the [[corpusSelect]] cascade: raw →
     * exact-dedup → language gate → quality gate. The observability
     * artifact every corpus build ships with its output (which stage
     * ate the data, and from which source); losing it means debugging
-    * a 100 TB selection by re-running it. Same single window + one
-    * aggregate as corpus_select itself — the report costs one
-    * conditional-count pass on top of the selection it describes. */
-  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    * a 100 TB selection by re-running it. The dedup stage reads the
+    * same [[firstDocsByNormText]] census (here as a LEFT join tag —
+    * the funnel needs the non-survivors counted too) plus one
+    * conditional-count pass. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    docs
       .select(col("doc_id") +: col("source") +: col("text") +: hitCols: _*)
-      .withColumn("norm_text", lower(regexp_replace(col("text"), "\\s+", " ")))
       .withColumn("quality", qualityCol)
       .withColumn("predicted_lang", bestLang)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("norm_text").orderBy("doc_id")))
+      .join(firstDocsByNormText(docs).withColumn("is_first", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("is_first", coalesce(col("is_first"), lit(false)))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        count_if(col("rn") === 1).as("after_dedup"),
-        count_if(col("rn") === 1 && col("predicted_lang") === "en")
+        count_if(col("is_first")).as("after_dedup"),
+        count_if(col("is_first") && col("predicted_lang") === "en")
           .as("after_lang"),
-        count_if(col("rn") === 1 && col("predicted_lang") === "en" &&
+        count_if(col("is_first") && col("predicted_lang") === "en" &&
           col("quality") >= 0.5).as("after_quality"))
       .orderBy("source")
+  }
 
   /** Collocation mining — the corpus-analysis pass tokenizer/vocab
     * construction runs: adjacent word pairs that co-occur far more

@@ -85,13 +85,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no token-keyed window census anywhere in the fleet (Zipf hot-key defense)") {
     // a census must be a partial-agg groupBy (joined back), never a
-    // window PARTITIONED BY a token-grain key: a stopword's window
-    // partition is every posting of "the", serialized through ONE
-    // WindowExec task that AQE cannot skew-split. The banned names are
-    // exactly the corpus-token / n-gram-component columns this repo
-    // censuses over; doc-scoped windows (partition includes doc_id) and
-    // bounded-key windows (query_id, lang, source, …) are fine.
-    val tokenKeys = Set("word", "w1", "w2", "w3")
+    // window PARTITIONED BY a token- or content-grain key: a stopword's
+    // window partition is every posting of "the", and a 10⁴×-duplicated
+    // template's norm_text partition is every copy — each serialized
+    // through ONE WindowExec task that AQE cannot skew-split. The
+    // banned names are exactly the corpus-token / n-gram-component /
+    // normalized-content columns this repo censuses over; doc-scoped
+    // windows (partition includes doc_id) and bounded-key windows
+    // (query_id, lang, source, …) are fine.
+    val tokenKeys = Set("word", "w1", "w2", "w3", "norm_text")
     val offenders = audited.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan
