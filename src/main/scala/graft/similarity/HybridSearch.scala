@@ -43,7 +43,25 @@ object HybridSearch {
   /** RRF smoothing constant (the value the original paper fixed). */
   val RrfK = 60
 
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridFrom(spark, dir, documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .as("word"))
+      .filter(col("word") =!= ""))
+
+  /** [[hybridRrf]] with the lexical list read off the STANDING postings
+    * table: the kw ranker consumes exactly distinct (doc_id, word)
+    * pairs, which IS the postings key — the index serves it with zero
+    * tokenization and the word column's row-group stats intact.
+    * Bit-identical lists → same oracle. */
+  def hybridIndexed(spark: SparkSession, dir: String): DataFrame =
+    hybridFrom(spark, dir,
+      graft.text.Postings.postings(spark, dir).select("doc_id", "word"))
+
+  /** Shared fusion body over a distinct (doc_id, word) lexical frame. */
+  private def hybridFrom(spark: SparkSession, dir: String,
+      words: DataFrame): DataFrame = {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("n", Similarity.norm(col("v")))
@@ -58,14 +76,6 @@ object HybridSearch {
       .filter(col("rank_vec") <= ListN)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank_vec").cast("int").as("rank_vec"))
-
-    // distinct (doc_id, word) pairs — tokenization identical to the
-    // tfidf/token_count family (whitespace split of lower(trim(text)))
-    val words = documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
-          .as("word"))
-      .filter(col("word") =!= "")
     val queryTerms = words.filter(col("doc_id") < HQ)
       .select(col("doc_id").as("query_id"), col("word"))
     val kwList = words.join(broadcast(queryTerms), Seq("word"))
@@ -249,16 +259,19 @@ object HybridSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_rrf" -> hybridRrf _,
+    "hybrid_indexed" -> hybridIndexed _,
     "bm25_rank" -> bm25Rank _,
     "bm25_indexed" -> bm25Indexed _,
     "phrase_search" -> phraseSearch _,
     "phrase_indexed" -> phraseIndexed _)
 
   // the standing-postings paths are bit-identical to the from-scratch
-  // ones (same tf rows / positions, same fold order) → same oracle SQL
+  // ones (same tf rows / positions / distinct pairs, same fold order)
+  // → same oracle SQL
   val oracles: Map[String, String] = baseOracles ++ Map(
     "bm25_indexed" -> baseOracles("bm25_rank"),
-    "phrase_indexed" -> baseOracles("phrase_search"))
+    "phrase_indexed" -> baseOracles("phrase_search"),
+    "hybrid_indexed" -> baseOracles("hybrid_rrf"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     // the trivially-correct per-row adjacent-bigram formulation the

@@ -135,6 +135,17 @@ object Similarity {
         col("v"), col("n"), typedLit(flat), typedLit(norms), dim) + 1))
   }
 
+  /** KNOWN BOUND (r12, measured by the skew_vec bench): the per-cell
+    * ordered mean fold materializes one cell's (vec_id, v) structs in
+    * an aggregation buffer — max-cell-size × ~(8·dim+16) bytes, ≈5 MB
+    * for the bench's planted 10⁴-copy mega-cell (ratio 0.92, unflagged).
+    * Past ~10⁶ identical vectors in one cell the swap is mechanical:
+    * per-dim running-sum window partitioned by (cell, dim) ordered by
+    * vec_id — the pagerank_dups spill pattern, bit-identical fold
+    * order — or FAISS-style sample training. Not done preemptively:
+    * the ×dim explode taxes every balanced-corpus consumer to defend a
+    * pathology the admission-time near-dup gate (dedup_stream_admit,
+    * SemDeDup itself) exists to keep out of the corpus. */
   private def refinedCentroids(emb: DataFrame, cells: Int): DataFrame = {
     val seeds = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("n").as("cn"))

@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     // and the scratch twins ARE audited here); sequence_pack runs its
     // prefix-sum totals pass (collect over O(P) rows) at build time
     // (ChunkingSpec pins stream contiguity + boundary independence)
-    "bm25_indexed", "phrase_indexed", "tfidf_indexed",
+    "bm25_indexed", "phrase_indexed", "tfidf_indexed", "hybrid_indexed",
     "vocab_growth_indexed", "source_similarity_indexed", "sequence_pack")
 
   // nested-loop is deliberate here: the non-equi side is tiny and

@@ -63,6 +63,9 @@ class PostingsSpec extends SparkSpec {
     val ps = HybridSearch.phraseSearch(spark, sf).collect().toSeq
     val pi = HybridSearch.phraseIndexed(spark, sf).collect().toSeq
     assert(pi == ps, "phrase_indexed diverged from phrase_search")
+    val hr = HybridSearch.hybridRrf(spark, sf).collect().toSeq
+    val hi = HybridSearch.hybridIndexed(spark, sf).collect().toSeq
+    assert(hi == hr, "hybrid_indexed diverged from hybrid_rrf")
   }
 
   test("postings files are byte-targeted (bin-packed toward the target)") {
