@@ -317,7 +317,10 @@ object TextAnalysis {
     * position shuffle); two keyed aggs (bigram, unigram) + one
     * broadcast of the unigram side restricted to surviving bigrams'
     * words... the unigram table is vocabulary-sized, joined on the
-    * word keys of an already-min-count-filtered bigram set. */
+    * word keys of an already-min-count-filtered bigram set. The corpus
+    * token count rides the plan as a broadcast one-row frame (the bm25
+    * scalar shape, r12) — the eager `toks.count()` it replaces ran a
+    * whole extra tokenize pass of the corpus at DataFrame-build time. */
   val CollocTopK = 50
   val CollocMinCo = 5
 
@@ -327,7 +330,7 @@ object TextAnalysis {
     val toks = arr.select(explode(col("a")).as("word"))
       .filter(col("word") =!= "")
     val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
-    val nTok = toks.count() // corpus scalar, driver-side like bm25's
+    val nTok = toks.select(count(lit(1)).as("n_tok"))
     val bi = arr
       .select(explode(expr(
         "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))"))
@@ -339,8 +342,9 @@ object TextAnalysis {
     bi
       .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
       .withColumn("lift",
-        col("n_co").cast("double") * lit(nTok) / (col("c1") * col("c2")))
+        col("n_co").cast("double") * col("n_tok") / (col("c1") * col("c2")))
       // top-k FIRST (plans as TakeOrderedAndProject — per-partition
       // heaps, no global sort of the full bigram set), then the dense
       // rank runs over just the k survivors

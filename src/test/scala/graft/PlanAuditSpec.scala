@@ -47,6 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "hybrid_rrf", // query vectors: fixed handful, broadcast, =!= self
     "knn_incremental", // probe × broadcast(√n stored centroids)
     "bm25_rank", // n_docs/total_words: one-row broadcast scalars
+    "collocations", // n_tok: one-row broadcast scalar (r12, replaced
+                    // the eager driver-side count's extra corpus pass)
     "q11_important_parts") // share threshold: one-row broadcast scalar
 
   // global aggregates: one output row, total order is vacuous
