@@ -82,10 +82,18 @@ object HeavyHitters {
       combOp = (x, y) => agg.merge(x, y),
       depth = 2)
     val candidates = sketch.keys.toSeq
-    val total = words.count()
+    // the corpus token total rides the plan as a broadcast one-row
+    // frame (the bm25/collocations scalar shape, r12): the eager
+    // words.count() it replaces ran an extra tokenize pass of the
+    // corpus before the recount job. The sketch pass above is the one
+    // unavoidable pre-plan job — it must finish to know the candidate
+    // list the recount filters on.
+    val total = words.select(count(lit(1)).as("n_tok"))
     words.filter(col("word").isin(candidates: _*))
       .groupBy("word").agg(count(lit(1)).as("exact_count"))
-      .filter(col("exact_count") * K > lit(total))
+      .crossJoin(broadcast(total))
+      .filter(col("exact_count") * K > col("n_tok"))
+      .drop("n_tok")
       .orderBy(desc("exact_count"), col("word"))
   }
 
