@@ -179,10 +179,9 @@ object Bench {
     val entries = flagged.map { k0 =>
       val k = k0.replace("\"", "")
       val v = notes.getOrElse(k,
-        "UNDIAGNOSED: ratio exceeded the factor after the min-of-N " +
-        "re-measure and no diagnosed note exists for this key; auto-note " +
-        "inserted by the flag-note discipline - needs a stage-counted " +
-        "diagnosis next round")
+        "UNDIAGNOSED: ratio exceeded the factor and no diagnosed note " +
+        "exists for this key; auto-note inserted by the flag-note " +
+        "discipline - needs a stage-counted diagnosis next round")
       "\"" + k + "\":\"" + v + "\""
     }
     require(entries.size == flagged.size,
@@ -379,6 +378,13 @@ object Bench {
       "super-linear shape. A production daily loop DVs only the files " +
       "that churned, so its purge rewrites that bounded set; the bench " +
       "deliberately pays the worst case."),
+    "point_lookup" -> ("The lookup reads ONE file's row group at any " +
+      "scale (bloom sidecar pruning) — what scales is the driver-side " +
+      "proof walk, linear in FILE COUNT with a tiny per-file constant, " +
+      "over a sub-second base. At 10x the files the walk alone puts the " +
+      "ratio near the factor, and the op is small enough (0.5 s at sf1) " +
+      "that one GC pause doubles it — the per-op min-of-2 bounds that; " +
+      "data bytes read stay one file regardless of table size."),
     "mv_refresh" -> ("Refresh cost = the appended batch's change feed " +
       "(a CONSTANT 5000 rows in this lifecycle) + the view-sized merge; " +
       "both are scale-invariant here, so the RATIO between decades is " +
@@ -933,8 +939,20 @@ object Bench {
     * table, one wall-clock second count per op. Read queries alone
     * can't see a table-layer regression (commit cost, rewrite planning,
     * vector plumbing) — this gives those a per-round timing trail.
-    * Failures report as -1 for the failing op, like the query bench. */
+    * Failures report as -1 for the failing op, like the query bench.
+    * Per-op MIN-OF-2 (r12): lifecycle ops are stateful, so the
+    * re-measure unit is the whole lifecycle — single-run ratios on
+    * sub-second ops (point_lookup, vacuum) flagged on GC/IO noise. */
   def maintenanceBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val a = maintenanceLifecycle(spark, sfDir)
+    val b = maintenanceLifecycle(spark, sfDir).toMap
+    a.map { case (k, v) =>
+      val w = b.getOrElse(k, v)
+      k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
+    }
+  }
+
+  private def maintenanceLifecycle(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import graft.table.GraftTable
     val out = Seq.newBuilder[(String, Double)]
     def timed[T](name: String)(body: => T): Option[T] = {
