@@ -378,6 +378,15 @@ object Bench {
       "super-linear shape. A production daily loop DVs only the files " +
       "that churned, so its purge rewrites that bounded set; the bench " +
       "deliberately pays the worst case."),
+    "write" -> ("The lifecycle writes its source frame through a fixed " +
+      "repartition(8) — 8 writer tasks regardless of volume, a " +
+      "bench-fixture constant kept for cross-round comparability (a " +
+      "real table sizes writers to volume, exactly what OPTIMIZE's " +
+      "byte-targeted bins do). At sf1 each writer's sort buffer fits in " +
+      "memory (6M rows / 8 tasks); at sf10 (60M / 8) it spills, so the " +
+      "ratio carries the one-time in-memory->spill transition on top of " +
+      "linear bytes — the optimize note's argument applied to the " +
+      "fixture's write path, not an engine shape."),
     "point_lookup" -> ("The lookup reads ONE file's row group at any " +
       "scale (bloom sidecar pruning) — what scales is the driver-side " +
       "proof walk, linear in FILE COUNT with a tiny per-file constant, " +
