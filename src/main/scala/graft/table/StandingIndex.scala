@@ -40,17 +40,27 @@ object StandingIndex {
     * OPTIMIZE's bin-packing default). */
   val DefaultTargetBytes: Long = GraftTable.DefaultTargetFileSizeBytes
 
-  /** Content fingerprint of `dir/table`'s files (see class doc). */
+  /** Content fingerprint of `dir/table`'s files (see class doc).
+    * Recurses into subdirectories (a hive-partitioned source keeps its
+    * leaf files' identity in the digest) and keys each file by its
+    * ROOT-RELATIVE path, so two layouts with identical leaf names in
+    * different partition dirs cannot collide; a directory whose
+    * listing fails contributes its path only (never an NPE). */
   def fingerprint(dir: String, table: String): String = {
     val root = new java.io.File(dir, table)
-    val parts: Seq[java.io.File] =
-      if (root.isDirectory)
-        root.listFiles().toSeq.filter(_.isFile).sortBy(_.getName)
-      else Seq(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .sortBy(_.getName).flatMap(walk)
+    val parts = walk(root)
+    val rootPath = root.toPath
     val md = java.security.MessageDigest.getInstance("MD5")
     parts.foreach { f =>
-      md.update(s"${f.getName}:${f.length}:${f.lastModified}:"
-        .getBytes("UTF-8"))
+      val rel =
+        if (f == root) f.getName
+        else try rootPath.relativize(f.toPath).toString
+        catch { case _: IllegalArgumentException => f.getName }
+      md.update(s"$rel:${f.length}:${f.lastModified}:".getBytes("UTF-8"))
       md.update(footerSample(f))
     }
     md.digest().map(b => f"$b%02x").mkString

@@ -301,6 +301,24 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Stage row counts for [[corpusSelect]] — the bench skew section's
+    * stage-counted evidence (r13): rows INTO the per-row gate
+    * computation, rows OUT of the norm_text election (= the semi-join
+    * build side), and selected rows out. Counting, not arguing, where
+    * a skew ratio's residual work lives: under the planted-template
+    * corpus, rows_in grows by the full planted factor (every copy pays
+    * the gate computation — linear, unavoidable work) while
+    * election_out grows by ~1 (all copies collapse to one norm_text
+    * group map-side). */
+  def corpusSelectStageCounts(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val docs = documents(spark, dir)
+    Seq(
+      "rows_in" -> docs.count(),
+      "election_out" -> firstDocsByNormText(docs).count(),
+      "selected_out" -> corpusSelect(spark, dir).count())
+  }
+
   /** Collocation mining — the corpus-analysis pass tokenizer/vocab
     * construction runs: adjacent word pairs that co-occur far more
     * often than their unigram frequencies predict (candidate merges
@@ -339,22 +357,57 @@ object TextAnalysis {
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= CollocMinCo)
-    bi
-      .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(nTok))
-      .withColumn("lift",
-        col("n_co").cast("double") * col("n_tok") / (col("c1") * col("c2")))
-      // top-k FIRST (plans as TakeOrderedAndProject — per-partition
-      // heaps, no global sort of the full bigram set), then the dense
-      // rank runs over just the k survivors
-      .orderBy(desc("lift"), col("w1"), col("w2")).limit(CollocTopK)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(desc("lift"), col("w1"), col("w2"))))
-      .select(col("rk").cast("int").as("rk"), col("w1"), col("w2"),
-        col("n_co"), col("lift"))
-      .orderBy("rk")
+    collocationsFrom(uni, nTok, bi)
   }
+
+  /** [[collocations]] off the STANDING postings table: unigram counts
+    * and the corpus token total are `sum(tf)` rollups of the index
+    * (LongType, same integers as the scratch counts), and bigram
+    * adjacency is the positional equi-join `(doc_id, pos) ⋈ (doc_id,
+    * pos−1)` over the exploded positions column — the phrase_indexed
+    * frame convention, so the raw corpus text is never re-scanned.
+    * Bit-identical inputs into the shared [[collocationsFrom]] tail →
+    * the scratch oracle hash-verifies this path too. */
+  def collocationsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val p = Postings.postings(spark, dir)
+    val uni = p.groupBy("word").agg(sum("tf").as("c"))
+    val nTok = p.select(sum("tf").as("n_tok"))
+    val toks = indexedToks(p)
+    val bi = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("w2")), Seq("doc_id", "pos"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= CollocMinCo)
+    collocationsFrom(uni, nTok, bi)
+  }
+
+  /** Shared association/rank tail of [[collocations]] and
+    * [[collocationsIndexed]] — identical inputs give identical doubles
+    * (one IEEE multiply-divide chain, no reassociation). */
+  private def collocationsFrom(uni: DataFrame, nTok: DataFrame,
+      bi: DataFrame): DataFrame = bi
+    .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+    .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+    .crossJoin(broadcast(nTok))
+    .withColumn("lift",
+      col("n_co").cast("double") * col("n_tok") / (col("c1") * col("c2")))
+    // top-k FIRST (plans as TakeOrderedAndProject — per-partition
+    // heaps, no global sort of the full bigram set), then the dense
+    // rank runs over just the k survivors
+    .orderBy(desc("lift"), col("w1"), col("w2")).limit(CollocTopK)
+    .withColumn("rk", row_number().over(
+      Window.orderBy(desc("lift"), col("w1"), col("w2"))))
+    .select(col("rk").cast("int").as("rk"), col("w1"), col("w2"),
+      col("n_co"), col("lift"))
+    .orderBy("rk")
+
+  /** (doc_id, pos, word) token stream reconstructed from the standing
+    * postings table's positions column. Positions are raw `\s+`-split
+    * indices (Postings.derive posexplodes BEFORE the empty filter, and
+    * a trimmed text yields no empty tokens), so adjacency `pos+1` /
+    * `pos+2` frames are exactly the scratch paths' arrays_zip slices. */
+  private def indexedToks(postings: DataFrame): DataFrame = postings
+    .select(col("doc_id"), col("word"), explode(col("positions")).as("pos"))
 
   /** Kneser-Ney count census — the data side of n-gram LM training:
     * corpus word-trigram counts plus LEFT and RIGHT continuation-type
@@ -382,6 +435,36 @@ object TextAnalysis {
       .select(col("t.0").as("w1"), col("t.1").as("w2"), col("t.2").as("w3"))
       .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    ngramLmFrom(tri)
+  }
+
+  /** [[ngramLmCounts]] off the STANDING postings table: the trigram
+    * frame is the positional equi-join `(doc_id, pos) ⋈ (doc_id,
+    * pos−1) ⋈ (doc_id, pos−2)` — short docs simply produce no joined
+    * rows, matching the scratch `size(a) >= 3` gate — and the census
+    * tail is shared, so the integers (and the scratch oracle) are
+    * unchanged. */
+  def ngramLmCountsIndexed(spark: SparkSession, dir: String): DataFrame =
+    ngramLmFrom(indexedTrigrams(Postings.postings(spark, dir))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+
+  /** (doc_id, w1, w2, w3) adjacency frames from the standing postings'
+    * positions — the trigram analogue of [[collocationsIndexed]]'s
+    * bigram join. */
+  private def indexedTrigrams(postings: DataFrame): DataFrame = {
+    val toks = indexedToks(postings)
+    toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("word").as("w2")), Seq("doc_id", "pos"))
+      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
+        col("word").as("w3")), Seq("doc_id", "pos"))
+      .select("doc_id", "w1", "w2", "w3")
+  }
+
+  /** Shared Kneser-Ney census tail: continuation-type counts are
+    * partial-agg groupBys over the distinct-trigram frame, joined back
+    * (never a window over a token-grain key). */
+  private def ngramLmFrom(tri: DataFrame): DataFrame = {
     val leftTypes = tri.groupBy("w2", "w3")
       .agg(count(lit(1)).as("left_types"))
     val rightTypes = tri.groupBy("w1", "w2")
@@ -424,6 +507,23 @@ object TextAnalysis {
           |  i -> xxhash64(concat_ws(' ', a[i - 1], a[i], a[i + 1])))"""
           .stripMargin)).as("g"))
       .distinct()
+    ngramNoveltyFrom(grams)
+  }
+
+  /** [[ngramNovelty]] off the STANDING postings table: the distinct
+    * (doc, trigram-image) frame comes from [[indexedTrigrams]]'
+    * positional joins with the SAME xxhash64-of-space-joined-words
+    * image, so the first-doc census and the basis-point integers (and
+    * the scratch oracle) are unchanged. */
+  def ngramNoveltyIndexed(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyFrom(indexedTrigrams(Postings.postings(spark, dir))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("w1"), col("w2"), col("w3"))).as("g"))
+      .distinct())
+
+  /** Shared novelty tail: skew-safe first-doc election (partial-agg
+    * groupBy(min) + join back) and integer basis points. */
+  private def ngramNoveltyFrom(grams: DataFrame): DataFrame = {
     val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
     grams.join(first, Seq("g"))
       .groupBy("doc_id")
@@ -436,8 +536,11 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_novelty"   -> ngramNovelty _,
+    "ngram_novelty_indexed" -> ngramNoveltyIndexed _,
     "ngram_lm_counts" -> ngramLmCounts _,
+    "ngram_lm_counts_indexed" -> ngramLmCountsIndexed _,
     "collocations"    -> collocations _,
+    "collocations_indexed" -> collocationsIndexed _,
     "string_functions" -> stringFunctions _,
     "corpus_select"   -> corpusSelect _,
     "filter_funnel"   -> filterFunnel _,
@@ -461,7 +564,10 @@ object TextAnalysis {
   // the standing-postings path is bit-identical to the from-scratch one
   // (same tf rows, same census integers) → same oracle SQL
   val oracles: Map[String, String] = baseOracles ++ Map(
-    "tfidf_indexed" -> baseOracles("tfidf_keywords"))
+    "tfidf_indexed" -> baseOracles("tfidf_keywords"),
+    "collocations_indexed" -> baseOracles("collocations"),
+    "ngram_lm_counts_indexed" -> baseOracles("ngram_lm_counts"),
+    "ngram_novelty_indexed" -> baseOracles("ngram_novelty"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     // raw trigram STRINGS where the query groups xxhash64 images —

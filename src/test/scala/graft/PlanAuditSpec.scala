@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     // prefix-sum totals pass (collect over O(P) rows) at build time
     // (ChunkingSpec pins stream contiguity + boundary independence)
     "bm25_indexed", "phrase_indexed", "tfidf_indexed", "hybrid_indexed",
-    "vocab_growth_indexed", "source_similarity_indexed", "sequence_pack")
+    "vocab_growth_indexed", "source_similarity_indexed",
+    "collocations_indexed", "ngram_lm_counts_indexed",
+    "ngram_novelty_indexed", "sequence_pack")
 
   // nested-loop is deliberate here: the non-equi side is tiny and
   // broadcast (band/centroid/probe/grid dimensions)

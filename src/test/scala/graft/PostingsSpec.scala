@@ -99,4 +99,20 @@ class PostingsSpec extends SparkSpec {
       QualityFilters.sourceSimilarity(spark, sf).collect().toSeq,
       "source_similarity_indexed diverged from source_similarity")
   }
+
+  test("adjacency (collocations/KN/novelty) indexed paths equal scratch") {
+    // r13: the last three lexical re-tokenizers ride the positions
+    // column — bigram/trigram frames are positional equi-joins, so
+    // adjacency must be exactly the scratch arrays_zip slices
+    import graft.text.TextAnalysis
+    assert(TextAnalysis.collocationsIndexed(spark, sf).collect().toSeq ==
+      TextAnalysis.collocations(spark, sf).collect().toSeq,
+      "collocations_indexed diverged from collocations")
+    assert(TextAnalysis.ngramLmCountsIndexed(spark, sf).collect().toSeq ==
+      TextAnalysis.ngramLmCounts(spark, sf).collect().toSeq,
+      "ngram_lm_counts_indexed diverged from ngram_lm_counts")
+    assert(TextAnalysis.ngramNoveltyIndexed(spark, sf).collect().toSeq ==
+      TextAnalysis.ngramNovelty(spark, sf).collect().toSeq,
+      "ngram_novelty_indexed diverged from ngram_novelty")
+  }
 }
