@@ -465,6 +465,28 @@ object Similarity {
     graft.table.GraftTable(spark, path + "/assign")
   }
 
+  /** Build the standing IVF index for `dir` WITHOUT the corpus vectors
+    * whose `vec_id % mod == rem` — a held-out day-2 batch — so a
+    * following [[knnIncremental]] pays only that slice's APPEND
+    * (assignment against the STORED centroids, the FAISS
+    * add-after-train contract) plus the probe. The bench's
+    * build-vs-append split: the build cost is already measured as
+    * `knn_ivf`, and this lets the append path be timed on its own
+    * instead of hiding inside build noise (the r12 skew_vec flag).
+    * Quantizer cells derive from the SEED slice's count — slightly
+    * fewer than a full build's, which is exactly the production state
+    * (centroids train once, the corpus keeps growing past them). */
+  def prebuildIvfIndexExcept(spark: SparkSession, dir: String,
+      mod: Int, rem: Int): Unit = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val seed = emb.filter(col("vec_id") % 5 =!= 0)
+      .filter(pmod(col("vec_id"), lit(mod)) =!= rem)
+    updateIvfIndex(spark, seed, ivfIndexPath(dir))
+    ()
+  }
+
   /** Batch ANN against the persisted index: corpus vectors (vec_id not
     * divisible by 5) live in the standing index — nothing re-assigns
     * or re-reads them beyond the probed cells — and the batch (ids
