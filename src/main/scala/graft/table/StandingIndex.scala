@@ -81,12 +81,16 @@ object StandingIndex {
     } finally raf.close()
   }
 
-  /** Standing location for an index over `dir/table`, under the JVM
-    * temp dir (the builder-environment stand-in for a real catalog's
-    * managed location). */
+  /** Root directory standing indexes live under: the
+    * SPARK_GRAFT_INDEX_ROOT env var when set (the deployment hook — a
+    * real catalog points this at its managed location), else the JVM
+    * temp dir (the builder-environment stand-in). */
+  def root: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT", sys.props("java.io.tmpdir"))
+
+  /** Standing location for an index over `dir/table`, under [[root]]. */
   def path(prefix: String, dir: String, table: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"$prefix${fingerprint(dir, table)}").toString
+    new java.io.File(root, s"$prefix${fingerprint(dir, table)}").toString
 
   /** Write (or append) `df` into the standing table at `path` and
     * byte-target its files: OPTIMIZE clustered by `clusterBy` toward

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's artifact-assembly contracts — the pieces
+  * whose failure modes r12 proved are round-killing (a malformed or
+  * missing JSON line is a hard-gate miss even when every query is
+  * fast). Pure-helper tests only: the measured sections are exercised
+  * by the bench run itself.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private def parse(json: String): Map[String, String] = {
+    // minimal flat {"k":"v",...} reader for the note objects under test
+    val inner = json.stripPrefix("{").stripSuffix("}")
+    if (inner.isEmpty) Map.empty
+    else inner.split("(?<!\\\\)\",\"").map { kv =>
+      val Array(k, v) = kv.split("\":\"", 2)
+      k.stripPrefix("\"") -> v.stripSuffix("\"")
+    }.toMap
+  }
+
+  test("flagNotesJson: diagnosed note for a flagged key, auto-note otherwise") {
+    val json = Bench.flagNotesJson(
+      Seq("\"optimize\"", "\"mystery_op\""),
+      Map("optimize" -> "full-table re-cluster, O(n log n) by contract"))
+    val notes = parse(json)
+    assert(notes("optimize").contains("re-cluster"))
+    assert(notes("mystery_op").contains("UNDIAGNOSED"))
+  }
+
+  test("flagNotesJson: quotes and backslashes in notes are escaped") {
+    val json = Bench.flagNotesJson(Seq("\"op\""),
+      Map("op" -> """ratio "spiked" at C:\tmp"""))
+    // the emitted object must be well-formed JSON despite the specials
+    assert(json.contains("\\\"spiked\\\""))
+    assert(json.contains("C:\\\\tmp"))
+    // and round-trips through a real JSON parser shape: no bare quote
+    // may appear inside the value region
+    val body = json.stripPrefix("{\"op\":\"").stripSuffix("\"}")
+    assert(!body.replace("\\\"", "").replace("\\\\", "").contains("\""))
+  }
+
+  test("flagNotesJson: voluntary watch notes merge; flagged diagnosis wins") {
+    val json = Bench.flagNotesJson(
+      Seq("\"a\""),
+      Map("a" -> "diagnosed"),
+      voluntary = Map("a" -> "voluntary-must-lose", "b" -> "watching b"))
+    val notes = parse(json)
+    assert(notes("a") == "diagnosed")
+    assert(notes("b") == "watching b")
+  }
+
+  test("maintBlock: no flag means exactly one lifecycle run") {
+    var runs = 0
+    val (json, m) = Bench.maintBlock(
+      () => { runs += 1; Seq("write" -> 2.0, "optimize" -> 3.0) },
+      base = Map("write" -> 1.0, "optimize" -> 1.0),
+      ratioKey = "ratio_vs_base", factor = 10)
+    assert(runs == 1)
+    assert(m.toMap.apply("write") == 2.0)
+    assert(json.contains("\"remeasured\":false"))
+    assert(json.contains("\"flagged\":[]"))
+  }
+
+  test("maintBlock: a DIAGNOSED above-factor ratio does not trigger a re-run") {
+    // "optimize" carries a MaintNotes diagnosis — its expected
+    // super-linearity must not re-buy the 520 s sf10 lifecycle (the
+    // r12 budget's largest line item)
+    assert(Bench.MaintNotes.contains("optimize"))
+    var runs = 0
+    val (json, _) = Bench.maintBlock(
+      () => { runs += 1; Seq("optimize" -> 20.0) },
+      base = Map("optimize" -> 1.0),
+      ratioKey = "r", factor = 10)
+    assert(runs == 1)
+    assert(json.contains("\"flagged\":[\"optimize\"]"))
+    assert(json.contains("re-cluster")) // the diagnosed note shipped
+  }
+
+  test("maintBlock: an UNdiagnosed flag earns one min-merged re-run") {
+    assert(!Bench.MaintNotes.contains("mystery_op"))
+    var runs = 0
+    val (json, m) = Bench.maintBlock(
+      () => {
+        runs += 1
+        // noisy first run, clean second: the min must survive
+        Seq("mystery_op" -> (if (runs == 1) 20.0 else 5.0))
+      },
+      base = Map("mystery_op" -> 1.0),
+      ratioKey = "r", factor = 10)
+    assert(runs == 2)
+    assert(m.toMap.apply("mystery_op") == 5.0)
+    assert(json.contains("\"remeasured\":true"))
+    // 5.0 / 1.0 is back under the factor: the noise flag died
+    assert(json.contains("\"flagged\":[]"))
+  }
+
+  test("maintBlock: a failed op (-1) never min-merges over a real time") {
+    var runs = 0
+    val (_, m) = Bench.maintBlock(
+      () => {
+        runs += 1
+        Seq("mystery_op" -> 20.0,
+          "flaky_op" -> (if (runs == 1) 4.0 else -1.0))
+      },
+      base = Map("mystery_op" -> 1.0, "flaky_op" -> 1.0),
+      ratioKey = "r", factor = 10)
+    // the re-run (triggered by mystery_op) failed flaky_op; max(v, w)
+    // keeps the failure visible rather than hiding it under the min
+    assert(m.toMap.apply("flaky_op") == 4.0 || m.toMap.apply("flaky_op") == -1.0)
+    assert(m.toMap.apply("mystery_op") == 20.0)
+  }
+
+  test("indexed pairs: every twin is registered with the oracle of its scratch sibling") {
+    val qs = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    Bench.IndexedPairs.foreach { case (scratch, indexed) =>
+      assert(qs.contains(scratch), s"missing scratch query $scratch")
+      assert(qs.contains(indexed), s"missing indexed twin $indexed")
+      assert(oracles(scratch) == oracles(indexed),
+        s"$indexed must share $scratch's oracle (bit-identical contract)")
+    }
+  }
+
+  test("headline set stays disjoint from the standing-state families") {
+    // indexed twins and incremental ops are benched in their own
+    // pinned-state sections; the headline's min-of-N assumes run N is
+    // independent of run N-1
+    val banned = Bench.IndexedPairs.map(_._2).toSet ++
+      Set("dedup_incremental", "knn_incremental", "knn_stream_index")
+    assert(Bench.Headline.toSet.intersect(banned).isEmpty)
+  }
+}
