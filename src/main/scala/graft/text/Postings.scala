@@ -68,7 +68,19 @@ object Postings {
     t
   }
 
-  /** The standing postings frame for a source dir (builds on first use). */
-  def postings(spark: SparkSession, dir: String): DataFrame =
-    update(spark, documents(spark, dir), postingsPath(dir)).read()
+  /** The standing postings frame for a source dir (builds on first
+    * use). The path is content-addressed ([[postingsPath]] fingerprints
+    * the source files), so an EXISTING table at this path is itself the
+    * proof that no document is missing — the doc-granular freshness
+    * anti-join in [[update]] exists for callers feeding NEW batches to
+    * a standing path explicitly (day-2 ingest), and running it here
+    * would re-scan the documents table on every consumer query for an
+    * answer the fingerprint already gave (r13: it cost every indexed
+    * twin a constant ~0.5–1 s per query at sf1). */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val path = postingsPath(dir)
+    val t = graft.table.GraftTable(spark, path)
+    if (t.currentVersion >= 0) t.read()
+    else update(spark, documents(spark, dir), path).read()
+  }
 }

@@ -363,19 +363,15 @@ object TextAnalysis {
   /** [[collocations]] off the STANDING postings table: unigram counts
     * and the corpus token total are `sum(tf)` rollups of the index
     * (LongType, same integers as the scratch counts), and bigram
-    * adjacency is the positional equi-join `(doc_id, pos) ⋈ (doc_id,
-    * pos−1)` over the exploded positions column — the phrase_indexed
-    * frame convention, so the raw corpus text is never re-scanned.
+    * adjacency is [[indexedBigrams]]' one-shuffle in-row
+    * reconstruction, so the raw corpus text is never re-scanned.
     * Bit-identical inputs into the shared [[collocationsFrom]] tail →
     * the scratch oracle hash-verifies this path too. */
   def collocationsIndexed(spark: SparkSession, dir: String): DataFrame = {
     val p = Postings.postings(spark, dir)
     val uni = p.groupBy("word").agg(sum("tf").as("c"))
     val nTok = p.select(sum("tf").as("n_tok"))
-    val toks = indexedToks(p)
-    val bi = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
-        col("word").as("w2")), Seq("doc_id", "pos"))
+    val bi = indexedBigrams(p)
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= CollocMinCo)
     collocationsFrom(uni, nTok, bi)
@@ -404,10 +400,41 @@ object TextAnalysis {
   /** (doc_id, pos, word) token stream reconstructed from the standing
     * postings table's positions column. Positions are raw `\s+`-split
     * indices (Postings.derive posexplodes BEFORE the empty filter, and
-    * a trimmed text yields no empty tokens), so adjacency `pos+1` /
-    * `pos+2` frames are exactly the scratch paths' arrays_zip slices. */
+    * a trimmed text yields no empty tokens), so a dropped empty token
+    * is a pos GAP — every adjacency consumer checks pos contiguity
+    * explicitly and can never fabricate a pair across one. */
   private def indexedToks(postings: DataFrame): DataFrame = postings
     .select(col("doc_id"), col("word"), explode(col("positions")).as("pos"))
+
+  /** Doc-keyed lead() window over the reconstructed token stream — the
+    * shared adjacency engine of [[indexedBigrams]] and
+    * [[indexedTrigrams]] (r13). Three forms were measured at sf1
+    * (min-of-3): the positional equi-join `(doc_id, pos) ⋈ (doc_id,
+    * pos−1) [⋈ pos−2]` shuffles the exploded stream once per adjacency
+    * arm (collocations twin 4.7 s, KN counts 8.4 s, novelty 13.6 s); a
+    * collect_list/array_sort per-doc reconstruction shuffles once but
+    * pays object-heavy aggregation buffers (5.9 / 9.0 / 15.7 s); this
+    * window form shuffles the stream ONCE on the uniform doc_id key,
+    * sorts in-partition, serves ALL leads from the one pass, and stays
+    * in Tungsten (4.5 / 5.7 / 10.3 s — the trigram consumers drop
+    * ~35%, the bigram one is shuffle-bound either way). The residual
+    * gap to scratch is structural: scratch zips adjacency IN-ROW from
+    * the text split with zero shuffle, which is why scratch stays the
+    * default for these three shapes (COVERAGE.md's recorded trade).
+    * doc_id partitions are bounded by tokens-per-doc (~10² — never a
+    * content-keyed mega-partition; the PlanAuditSpec ban covers
+    * token-grain keys, and doc_id is row-uniform by construction). */
+  private def adjacencyWindow = Window.partitionBy("doc_id").orderBy("pos")
+
+  /** (w1, w2) adjacent-pair frame off the standing postings — the
+    * indexed twin of the scratch arrays_zip bigram extraction. */
+  private def indexedBigrams(postings: DataFrame): DataFrame =
+    indexedToks(postings)
+      .select(col("word").as("w1"), col("pos"),
+        lead("word", 1).over(adjacencyWindow).as("w2"),
+        lead("pos", 1).over(adjacencyWindow).as("p2"))
+      .filter(col("p2") === col("pos") + 1)
+      .select("w1", "w2")
 
   /** Kneser-Ney count census — the data side of n-gram LM training:
     * corpus word-trigram counts plus LEFT and RIGHT continuation-type
@@ -439,27 +466,26 @@ object TextAnalysis {
   }
 
   /** [[ngramLmCounts]] off the STANDING postings table: the trigram
-    * frame is the positional equi-join `(doc_id, pos) ⋈ (doc_id,
-    * pos−1) ⋈ (doc_id, pos−2)` — short docs simply produce no joined
-    * rows, matching the scratch `size(a) >= 3` gate — and the census
-    * tail is shared, so the integers (and the scratch oracle) are
-    * unchanged. */
+    * frame comes from [[indexedTrigrams]]' in-row reconstruction —
+    * short docs simply produce no frames, matching the scratch
+    * `size(a) >= 3` gate — and the census tail is shared, so the
+    * integers (and the scratch oracle) are unchanged. */
   def ngramLmCountsIndexed(spark: SparkSession, dir: String): DataFrame =
     ngramLmFrom(indexedTrigrams(Postings.postings(spark, dir))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
 
-  /** (doc_id, w1, w2, w3) adjacency frames from the standing postings'
-    * positions — the trigram analogue of [[collocationsIndexed]]'s
-    * bigram join. */
-  private def indexedTrigrams(postings: DataFrame): DataFrame = {
-    val toks = indexedToks(postings)
-    toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-      .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
-        col("word").as("w2")), Seq("doc_id", "pos"))
-      .join(toks.select(col("doc_id"), (col("pos") - 2).as("pos"),
-        col("word").as("w3")), Seq("doc_id", "pos"))
+  /** (doc_id, w1, w2, w3) adjacency frames off the standing postings —
+    * the trigram analogue of [[indexedBigrams]], pos-contiguity
+    * checked on both leads. */
+  private def indexedTrigrams(postings: DataFrame): DataFrame =
+    indexedToks(postings)
+      .select(col("doc_id"), col("word").as("w1"), col("pos"),
+        lead("word", 1).over(adjacencyWindow).as("w2"),
+        lead("pos", 1).over(adjacencyWindow).as("p2"),
+        lead("word", 2).over(adjacencyWindow).as("w3"),
+        lead("pos", 2).over(adjacencyWindow).as("p3"))
+      .filter(col("p2") === col("pos") + 1 && col("p3") === col("pos") + 2)
       .select("doc_id", "w1", "w2", "w3")
-  }
 
   /** Shared Kneser-Ney census tail: continuation-type counts are
     * partial-agg groupBys over the distinct-trigram frame, joined back
@@ -511,8 +537,8 @@ object TextAnalysis {
   }
 
   /** [[ngramNovelty]] off the STANDING postings table: the distinct
-    * (doc, trigram-image) frame comes from [[indexedTrigrams]]'
-    * positional joins with the SAME xxhash64-of-space-joined-words
+    * (doc, trigram-image) frame comes from [[indexedTrigrams]]' in-row
+    * reconstruction with the SAME xxhash64-of-space-joined-words
     * image, so the first-doc census and the basis-point integers (and
     * the scratch oracle) are unchanged. */
   def ngramNoveltyIndexed(spark: SparkSession, dir: String): DataFrame =
