@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output flows RAW to the console (no "[info] " logger
+// prefix): the driver captures the bench/verify mains' stdout and
+// parses the final JSON line — through sbt's LoggedOutput every line
+// arrives prefixed and no artifact line has ever parsed (BENCH_r01
+// through r12 all record parsed: null, rc 0 or not).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -155,6 +155,21 @@ object Bench {
       "the ratio sits AT the data factor with no fixed-overhead " +
       "cushion — a flag here is measurement noise around 10.0, not a " +
       "super-linear shape (measured 4.7 s sf0.1 / 47 s sf1 warm)."),
+    "lineitem_by_priority" -> ("Scan-bound linear groupBy over the full " +
+      "lineitem table: work = bytes scanned with NO fixed-overhead " +
+      "cushion (the containment_dedup argument at query grain), so the " +
+      "decade ratio sits AT the data factor and straddles it run to " +
+      "run — a flag here is the noise band around the factor on a " +
+      "sub-second base, bounded by the preliminary-flag re-measure of " +
+      "both sides, not a super-linear shape."),
+    "profile_orders" -> ("The one-scan EXACT profile Expands each scan " +
+      "row once per profiled column before aggregating: work is linear " +
+      "in rows x columns with no cushion, and at sf10 the Expand " +
+      "stream crosses the partial-agg hash spill transition — a " +
+      "one-time constant, not a shape (the optimize note's argument at " +
+      "query grain). The approx (HLL) twin benched beside it " +
+      "(profile_orders_approx) is the 100 TB path: no Expand blowup, " +
+      "sketches merge map-side."),
     "knn_pq" -> ("One-time codebook-cap transition, not a scale shape: " +
       "scaledPqCodes = min(256, sqrt(n/2)) crosses its one-byte cap " +
       "between sf1 (100 entries) and sf10 (256) — per-vector encode " +
