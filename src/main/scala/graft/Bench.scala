@@ -444,6 +444,13 @@ object Bench {
       }
     }
     emit(partial = false)
+    // the very last stdout line is a COMPACT summary — a few hundred
+    // bytes, guaranteed to sit entirely inside the driver's 2000-char
+    // stored output tail: whichever line a parser picks (the first
+    // headline partial, the full final artifact, or this) parses. The
+    // full artifact with the per-query map is the line above and every
+    // BENCH_LOCAL.jsonl entry.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","n_queries":${results.size},"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"compact":true,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"full_artifact":"BENCH_LOCAL.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 
