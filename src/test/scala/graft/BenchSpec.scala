@@ -96,7 +96,7 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"flagged\":[]"))
   }
 
-  test("maintBlock: a failed op (-1) never min-merges over a real time") {
+  test("maintBlock: a failed re-run never erases a real first measurement") {
     var runs = 0
     val (_, m) = Bench.maintBlock(
       () => {
@@ -106,10 +106,29 @@ class BenchSpec extends AnyFunSuite {
       },
       base = Map("mystery_op" -> 1.0, "flaky_op" -> 1.0),
       ratioKey = "r", factor = 10)
-    // the re-run (triggered by mystery_op) failed flaky_op; max(v, w)
-    // keeps the failure visible rather than hiding it under the min
-    assert(m.toMap.apply("flaky_op") == 4.0 || m.toMap.apply("flaky_op") == -1.0)
+    assert(runs == 2)
+    // the re-run (triggered by mystery_op) failed flaky_op: the
+    // max(v, w) merge keeps the valid 4.0 sample — min-merging the -1
+    // sentinel would report a real op as faster-than-possible, and
+    // only a BOTH-runs failure may surface as -1
+    assert(m.toMap.apply("flaky_op") == 4.0)
     assert(m.toMap.apply("mystery_op") == 20.0)
+  }
+
+  test("maintBlock: an exhausted budget skips the undiagnosed re-run") {
+    // simulate a run that has already spent its budget: the re-measure
+    // gate must refuse the second lifecycle rather than recreate the
+    // mid-section kill the budget guard exists to prevent
+    Bench.withBudgetForTest(budgetSec = 0.001) {
+      var runs = 0
+      val (json, _) = Bench.maintBlock(
+        () => { runs += 1; Seq("mystery_op" -> 20.0) },
+        base = Map("mystery_op" -> 1.0),
+        ratioKey = "r", factor = 10)
+      assert(runs == 1)
+      assert(json.contains("\"remeasured\":false"))
+      assert(json.contains("\"remeasure_skipped_over_budget\":true"))
+    }
   }
 
   test("indexed pairs: every twin is registered with the oracle of its scratch sibling") {
