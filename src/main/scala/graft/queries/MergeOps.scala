@@ -44,12 +44,11 @@ object MergeOps {
         .select(col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"),
           col("state"))
-      // materialize before the temp table goes out of scope; the total
-      // order goes on the RETURNED frame (the driver sorts-and-hashes what
+      // materialize before the temp table goes out of scope — via a
+      // JVM-lifetime parquet dump, not a driver collect; the total order
+      // goes on the RETURNED frame (the driver sorts-and-hashes what
       // this plan produces)
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      Materialize.beyondSource(out, "graft_merge_sync_out")
         .orderBy("o_orderkey")
     } finally {
       scala.util.Try(
@@ -85,9 +84,7 @@ object MergeOps {
       val out = t.read()
         .select(col("okey"), col("status"),
           round(col("price"), 2).as("price"))
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      Materialize.beyondSource(out, "graft_merge_cond_out")
         .orderBy("okey")
     } finally {
       scala.util.Try(
@@ -123,9 +120,7 @@ object MergeOps {
       val out = t.read()
         .select(col("o_orderkey"), col("status"),
           round(col("price"), 2).as("price"))
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      Materialize.beyondSource(out, "graft_merge_out")
         .orderBy("o_orderkey")
     } finally {
       scala.util.Try(
@@ -152,9 +147,7 @@ object MergeOps {
       val out = t.read()
         .select(col("o_orderkey"), col("status"),
           round(col("price"), 2).as("price"))
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      Materialize.beyondSource(out, "graft_merge_out")
         .orderBy("o_orderkey")
     } finally {
       scala.util.Try(
@@ -189,9 +182,7 @@ object MergeOps {
         org.apache.spark.sql.SaveMode.Append)
       val out = t.read()
         .select(col("p_partkey"), col("price"), col("batch"), col("priority"))
-      val rows = out.collect()
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 4), out.schema)
+      Materialize.beyondSource(out, "graft_col_defaults_out")
         .orderBy("p_partkey")
     } finally {
       scala.util.Try(

@@ -95,11 +95,11 @@ object StockPipeline {
     table.write(bars.repartition(8))
     table.optimize(Seq("timestamp_ms"))
     table.vacuum(0.0, retentionCheckEnabled = false)
-    import spark.implicits._
-    table.history()
-      .select(col("version").cast("long"), col("operation"))
-      .as[(Long, String)].collect().toSeq
-      .toDF("version", "operation").orderBy("version")
+    Materialize.beyondSource(
+        table.history()
+          .select(col("version").cast("long"), col("operation")),
+        "graft_bars_hist_out")
+      .orderBy("version")
   }
 
   /** External-table analytics (external_table.py:125-168): register the
@@ -124,10 +124,9 @@ object StockPipeline {
          |ORDER BY ticker, trade_date""".stripMargin)
     // materialize before dropping the catalog entry (external semantics:
     // data files survive the DROP — D1/D3)
-    val rows = out.collect()
+    val kept = Materialize.beyondSource(out, "graft_bars_ext_out")
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    kept.orderBy("ticker", "trade_date")
   }
 
   /** Row-mutation lifecycle (the Delta DML surface: DELETE / UPDATE /
@@ -158,10 +157,9 @@ object StockPipeline {
         sum("volume").as("total_volume"),
         sum("num_transactions").as("total_tx"))
       .orderBy("ticker")
-    // materialize before the temp table goes out of scope
-    val rows = out.collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    // materialize before the temp table goes out of scope — JVM-lifetime
+    // parquet dump, not a driver collect
+    Materialize.beyondSource(out, "graft_bars_mut_out").orderBy("ticker")
   }
 
   /** Metadata-only grouped aggregates through the DSv2 catalog: the
