@@ -300,23 +300,16 @@ final class GraftTable private (
 
   /** Claim version `v` exclusively — the writer mutex. Exclusive CREATE
     * (not rename) because POSIX rename silently replaces an existing
-    * target, so rename collisions can't detect a lost race on the local
-    * filesystem; HDFS/object stores make create-no-overwrite atomic and
-    * the local path uses O_EXCL via File.createNewFile. */
-  private def claimVersion(v: Long): Unit = {
-    val lock = new Path(logDir, f"v$v%020d.claim")
-    val conflict = () => new GraftTable.CommitConflictException(
-      s"version $v already claimed by a concurrent writer ($lock)")
-    fs match {
-      case l: org.apache.hadoop.fs.LocalFileSystem =>
-        val f = l.getRaw.asInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-          .pathToFile(lock)
-        if (!f.createNewFile()) throw conflict()
-      case other =>
-        try other.create(lock, false).close()
-        catch { case _: java.io.IOException => throw conflict() }
-    }
-  }
+    * target, so rename collisions can't detect a lost race. HOW the
+    * exclusive create happens is the [[LogStore]] seam: the default
+    * store uses the filesystem's atomic create-no-overwrite
+    * (HDFS/GCS/ABFS/S3-with-conditional-writes; O_EXCL locally), and
+    * stores without that primitive configure `spark.graft.logStore =
+    * single-driver` — see LogStore.scala for the store-requirements
+    * table. */
+  private def claimVersion(v: Long): Unit =
+    LogStore.resolve(spark)
+      .createExclusive(fs, new Path(logDir, f"v$v%020d.claim"))
 
   /** Commit version `currentVersion + 1` as an ACTION RECORD: `adds`
     * enter the live set, `removes(base)` leave it — computed AFTER the
