@@ -40,14 +40,37 @@ object StandingIndex {
     * OPTIMIZE's bin-packing default). */
   val DefaultTargetBytes: Long = GraftTable.DefaultTargetFileSizeBytes
 
-  /** Content fingerprint of `dir/table`'s files (see class doc).
-    * Recurses into subdirectories (a hive-partitioned source keeps its
-    * leaf files' identity in the digest) and keys each file by its
-    * ROOT-RELATIVE path, so two layouts with identical leaf names in
-    * different partition dirs cannot collide; a directory whose
-    * listing fails contributes its path only (never an NPE). */
+  /** Content fingerprint of `dir/table` (see class doc).
+    *
+    * '''Graft-table sources skip the walk entirely''': the manifest
+    * version already IS the content identity (commits are the only way
+    * content changes, and versions are immutable once written), so the
+    * digest covers just (canonical table path, latest manifest name,
+    * its length, its mtime) — one directory listing of `_graft_log` +
+    * one stat, no LIST+read storm over 100k+ data files per path
+    * resolution. The manifest file's length/mtime guards the one hole
+    * version numbers alone leave: a table deleted and regenerated at
+    * the same path restarts at v0 with different content.
+    *
+    * '''Raw parquet dirs keep the recursive walk''': nothing else pins
+    * their identity. The walk recurses into subdirectories (a
+    * hive-partitioned source keeps its leaf files' identity in the
+    * digest) and keys each file by its ROOT-RELATIVE path, so two
+    * layouts with identical leaf names in different partition dirs
+    * cannot collide; a directory whose listing fails contributes its
+    * path only (never an NPE). */
   def fingerprint(dir: String, table: String): String = {
     val root = new java.io.File(dir, table)
+    val manifests = Option(new java.io.File(root, "_graft_log").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+    if (manifests.nonEmpty) {
+      val latest = manifests.maxBy(_.getName) // zero-padded → lexicographic max
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update((s"graft:${root.getCanonicalPath}:${latest.getName}:" +
+        s"${latest.length}:${latest.lastModified}").getBytes("UTF-8"))
+      return md.digest().map(b => f"$b%02x").mkString
+    }
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isFile) Seq(f)
       else Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)

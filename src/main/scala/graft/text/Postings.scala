@@ -52,7 +52,20 @@ object Postings {
     * .writeSized]]): OPTIMIZE bin-packs from logged bytes toward
     * `targetBytes` with files covering disjoint word ranges, so
     * vocabulary probes (phrase_indexed's literal In) skip row groups —
-    * appends re-bin only their own tail. */
+    * appends re-bin only their own tail.
+    *
+    * '''FULL-CORPUS INVARIANT''': when `path` is a content-addressed
+    * standing location ([[postingsPath]]), the FIRST call that commits
+    * there must cover the entire corpus the path fingerprints —
+    * [[postings]] treats any committed table at that path as complete
+    * and serves it without a freshness probe (by design: the per-query
+    * anti-join it replaces cost every indexed twin ~0.5–1 s at sf1).
+    * Day-2 calls may pass either the full current corpus or just the
+    * new batch — the doc-granular anti-join lands only unseen docs
+    * either way — but a first build from a PARTIAL batch would make
+    * every `*_indexed` twin silently serve incomplete postings. Callers
+    * managing their own (non-fingerprinted) paths carry no such
+    * constraint. */
   def update(spark: SparkSession, docs: DataFrame, path: String,
       targetBytes: Long = graft.table.StandingIndex.DefaultTargetBytes)
       : graft.table.GraftTable = {
@@ -76,7 +89,9 @@ object Postings {
     * a standing path explicitly (day-2 ingest), and running it here
     * would re-scan the documents table on every consumer query for an
     * answer the fingerprint already gave (r13: it cost every indexed
-    * twin a constant ~0.5–1 s per query at sf1). */
+    * twin a constant ~0.5–1 s per query at sf1). The flip side is
+    * [[update]]'s FULL-CORPUS INVARIANT: the first commit at a
+    * fingerprinted path must cover the whole corpus — see its doc. */
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val path = postingsPath(dir)
     val t = graft.table.GraftTable(spark, path)

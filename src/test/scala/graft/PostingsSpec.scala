@@ -115,4 +115,41 @@ class PostingsSpec extends SparkSpec {
       TextAnalysis.ngramNovelty(spark, sf).collect().toSeq,
       "ngram_novelty_indexed diverged from ngram_novelty")
   }
+
+  test("graft-table source keys the standing index by manifest version, not a file walk") {
+    import graft.table.{GraftTable, StandingIndex}
+    val parent = Files.createTempDirectory("gt_fp_src").toString
+    val t = GraftTable(spark, new java.io.File(parent, "corpus").toString)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    val p1 = StandingIndex.fingerprint(parent, "corpus")
+    assert(StandingIndex.fingerprint(parent, "corpus") == p1,
+      "no-op re-resolution must reuse the fingerprint")
+
+    // out-of-band mtime churn on a DATA file must not re-key — the
+    // manifest is the identity, proving the per-file walk is gone for
+    // graft sources
+    val dataFile = new java.io.File(parent, "corpus").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(dataFile.setLastModified(dataFile.lastModified() + 60000))
+    assert(StandingIndex.fingerprint(parent, "corpus") == p1,
+      "graft-source fingerprint must ignore data-file mtimes")
+
+    // a commit (version bump) must invalidate
+    t.write(Seq((3L, "c")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append)
+    assert(StandingIndex.fingerprint(parent, "corpus") != p1,
+      "version bump must re-key the standing index")
+
+    // raw parquet dirs keep the walk: the same mtime churn re-keys
+    val rawParent = Files.createTempDirectory("gt_fp_raw").toString
+    Seq((1L, "a")).toDF("id", "v").write
+      .parquet(new java.io.File(rawParent, "raw").toString)
+    val r1 = StandingIndex.fingerprint(rawParent, "raw")
+    val rawFile = new java.io.File(rawParent, "raw").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(rawFile.setLastModified(rawFile.lastModified() + 60000))
+    assert(StandingIndex.fingerprint(rawParent, "raw") != r1,
+      "raw-dir fingerprint must still track file state")
+  }
 }
