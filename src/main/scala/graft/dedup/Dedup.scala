@@ -361,8 +361,17 @@ object Dedup {
     * every round: the checkpoint truncates lineage so the plan stays
     * ONE join deep no matter the diameter — without it each round
     * chains the previous plan and planner cost climbs per iteration
-    * (and a lost executor would recompute the whole chain). */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+    * (and a lost executor would recompute the whole chain).
+    *
+    * `checkpointDir`: when set, rounds checkpoint RELIABLY to that
+    * (HDFS/object-store) directory instead of executor storage —
+    * `localCheckpoint` pins blocks to executors, so at cluster scale a
+    * lost executor mid-iteration fails the job unrecoverable; reliable
+    * checkpoints survive executor loss at the cost of a write per
+    * round. Default unchanged (local[*] has no executor-loss mode). */
+  def connectedComponents(edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = truncator(edges.sparkSession, checkpointDir)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
@@ -371,9 +380,9 @@ object Dedup {
     // propagation round, but skips the distinct-vertices shuffle and
     // the first join (for shallow near-dup graphs this IS most of the
     // loop: a star/clique graph converges immediately after this)
-    var labels = sym.groupBy("src")
+    var labels = ckpt(sym.groupBy("src")
       .agg(least(min(col("dst")), col("src")).as("label"))
-      .select(col("src").as("id"), col("label")).localCheckpoint()
+      .select(col("src").as("id"), col("label")))
     var converged = false
     while (!converged) {
       val neighborMin = sym.join(labels, col("dst") === col("id"))
@@ -382,15 +391,28 @@ object Dedup {
       // label (materializes AND truncates lineage), so the convergence
       // check is a filter over the materialized round — not a second
       // join re-shuffling the labels
-      val round = labels.join(neighborMin, col("id") === col("src"), "left")
+      val round = ckpt(labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = round.filter(col("label") =!= col("old")).isEmpty
       labels = round.select("id", "label")
     }
     sym.unpersist()
     labels
+  }
+
+  /** Round-truncation strategy for the iterative ops: eager
+    * `localCheckpoint` by default (executor storage — fast, correct on
+    * local[*]), eager RELIABLE `checkpoint` into `dir` when given (the
+    * cluster-grade form: blocks survive executor loss). Setting the
+    * SparkContext checkpoint dir is idempotent and scoped to the
+    * caller's choice. */
+  private def truncator(ss: org.apache.spark.sql.SparkSession,
+      dir: Option[String]): DataFrame => DataFrame = dir match {
+    case Some(d) =>
+      ss.sparkContext.setCheckpointDir(d)
+      df => df.checkpoint()
+    case None => df => df.localCheckpoint()
   }
 
   /** Near-dup clusters from the LSH candidate graph: every doc labeled
@@ -501,17 +523,19 @@ object Dedup {
   /** [[PrIters]] synchronous damped-PageRank rounds over an undirected
     * edge list (columns a, b) — factored from [[pagerankDups]] so specs
     * can drive adversarial graphs (mega-hub stars) through the exact
-    * production iteration. */
-  private[graft] def pagerankIterations(edges: DataFrame): DataFrame = {
-    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    * production iteration. `checkpointDir` swaps the per-round
+    * localCheckpoint for a reliable one (see [[connectedComponents]]'s
+    * doc — same executor-loss rationale). */
+  private[graft] def pagerankIterations(edges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = truncator(edges.sparkSession, checkpointDir)
+    val adj = ckpt(edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = adj.join(deg, "src").localCheckpoint()
+    val withDeg = ckpt(adj.join(deg, "src"))
     val nV = deg.count() // vertex count: O(components)-bounded scalar
-    var pr = deg.select(col("src").as("v"))
-      .withColumn("pr", lit(1.0) / lit(nV))
-      .localCheckpoint()
+    var pr = ckpt(deg.select(col("src").as("v"))
+      .withColumn("pr", lit(1.0) / lit(nV)))
     // all three window functions share one (dst, src-order) spec → ONE
     // WindowExec, one sort, spillable partition buffer; the last row of
     // each dst partition carries the complete src-ascending running sum
@@ -528,7 +552,7 @@ object Dedup {
         .filter(col("rn") === col("cnt"))
         .select(col("dst").as("v"),
           (lit(PrTeleport) / lit(nV) + lit(PrDamping) * col("s")).as("pr"))
-        .localCheckpoint()
+      pr = ckpt(pr)
     }
     pr
   }

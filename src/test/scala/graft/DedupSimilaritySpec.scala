@@ -475,6 +475,33 @@ class DedupSpec extends SparkSpec {
     assert(planNodes <= 3, s"expected checkpointed leaf plan, got $planNodes nodes")
   }
 
+  test("reliable-checkpoint option: CC and PageRank identical to the local default") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("gt_reliable_ckpt").toString
+    // two components + a hub — enough rounds to checkpoint more than once
+    val edges = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L))).toDF("a", "b")
+
+    val localCC = graft.dedup.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliableCC = graft.dedup.Dedup
+      .connectedComponents(edges, Some(ckptDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliableCC == localCC)
+
+    val localPr = Dedup.pagerankIterations(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reliablePr = Dedup.pagerankIterations(edges, Some(ckptDir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reliablePr == localPr, "bit-identical: same plan, different storage")
+
+    // the option really went through SparkContext reliable checkpointing
+    val written = new java.io.File(ckptDir).listFiles()
+    assert(written != null && written.nonEmpty,
+      "reliable checkpoints must land in the given directory")
+  }
+
   test("dedup self-joins never rescan the corpus per join arm") {
     // dedupMinhash and dedupSimhash MATERIALIZE their sketch/sig tables
     // (the in-query analogue of the persisted sketch corpus): relying on
