@@ -78,7 +78,7 @@ object StockPipeline {
     * invariant report. */
   def barMaintenanceReport(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_maint")
-    val bars = seededBars(spark)
+    val bars = dumpBarsForOracle(seededBars(spark))
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     // fixed pre-write partitioning → deterministic file counts everywhere
     table.write(bars.repartition(8))
@@ -87,17 +87,27 @@ object StockPipeline {
   }
 
   /** History audit (M3) after a write→optimize→vacuum cycle
-    * (maintenance.py:212-216). */
+    * (maintenance.py:212-216). Each version carries its MANIFEST-debited
+    * row total (partitionsReport sums the log's per-file stats —
+    * metadata-only time travel, no data scan), which ties the engine's
+    * row accounting to ground truth: the DuckDB oracle re-derives the
+    * expected total by counting the independent seed-42 bars dump and
+    * asserts the lifecycle preserved it at every version. */
   def barHistory(spark: SparkSession, dir: String): DataFrame = {
     val path = tmpDir("graft_bars_hist")
-    val bars = seededBars(spark)
+    val bars = dumpBarsForOracle(seededBars(spark))
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     table.write(bars.repartition(8))
     table.optimize(Seq("timestamp_ms"))
     table.vacuum(0.0, retentionCheckEnabled = false)
+    import spark.implicits._
+    val totals = (0L to table.currentVersion)
+      .map(v => (v, table.partitionsReport(v).map(_._3).sum))
+      .toDF("version", "rows_total")
     Materialize.beyondSource(
         table.history()
-          .select(col("version").cast("long"), col("operation")),
+          .select(col("version").cast("long"), col("operation"))
+          .join(totals, "version"),
         "graft_bars_hist_out")
       .orderBy("version")
   }
@@ -198,9 +208,18 @@ object StockPipeline {
     * (make_timestamp takes microseconds) and re-runs each query's
     * aggregation — and for bar_mutations, replays the DELETE / UPDATE /
     * MERGE algebra in plain SQL, independently checking the engine's
-    * copy-on-write DML. bar_history / bar_maintenance_report stay
-    * rows-only: their outputs (operation log, file counts) are
-    * implementation-defined, pinned by StockPipelineSpec instead. */
+    * copy-on-write DML.
+    *
+    * bar_history / bar_maintenance_report oracles are built WITHOUT the
+    * engine: DuckDB derives the expected output from the declared
+    * lifecycle (write→optimize→vacuum ⇒ versions 0/1/2 with those
+    * operation names) plus the independent bars dump — rows_total must
+    * equal the dump's count at EVERY version (the preservation
+    * invariant), files_before = partitions × the fixed repartition(8)
+    * fan-out, files_after = one bin-packed file per partition, and the
+    * vacuum's orphan count = every pre-optimize file. Any drift in the
+    * engine's operation log, manifest row accounting, bin-packing, or
+    * orphan collection breaks the hash. */
   private def dump = s"read_parquet('$BarDumpDir/*.parquet')"
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +268,26 @@ object StockPipeline {
          |       CAST(SUM(volume) AS BIGINT) AS total_volume,
          |       CAST(SUM(num_transactions) AS BIGINT) AS total_tx
          |FROM (SELECT * FROM u UNION ALL SELECT * FROM ins)
-         |GROUP BY ticker ORDER BY ticker""".stripMargin)
+         |GROUP BY ticker ORDER BY ticker""".stripMargin,
+    "bar_history" ->
+      s"""SELECT CAST(v.version AS BIGINT) AS version, v.operation,
+         |       (SELECT COUNT(*) FROM $dump) AS rows_total
+         |FROM (VALUES (0, 'WRITE'), (1, 'OPTIMIZE'), (2, 'VACUUM'))
+         |     AS v(version, operation)
+         |ORDER BY version""".stripMargin,
+    "bar_maintenance_report" ->
+      s"""WITH p AS (
+         |  SELECT COUNT(*) AS nrows,
+         |         COUNT(DISTINCT ticker || '|' || CAST(trade_date AS VARCHAR))
+         |           AS nparts
+         |  FROM $dump)
+         |SELECT metric, value FROM (
+         |  SELECT 'files_after' AS metric, CAST(nparts AS VARCHAR) AS value FROM p
+         |  UNION ALL SELECT 'files_before', CAST(nparts * 8 AS VARCHAR) FROM p
+         |  UNION ALL SELECT 'operations', 'OPTIMIZE,VACUUM,WRITE' FROM p
+         |  UNION ALL SELECT 'orphans_deleted', CAST(nparts * 8 AS VARCHAR) FROM p
+         |  UNION ALL SELECT 'row_count_preserved', 'true' FROM p
+         |  UNION ALL SELECT 'rows_after', CAST(nrows AS VARCHAR) FROM p
+         |  UNION ALL SELECT 'rows_before', CAST(nrows AS VARCHAR) FROM p
+         |) ORDER BY metric""".stripMargin)
 }
