@@ -128,12 +128,12 @@ final class GraftTable private (
   /** One commit's action record: file adds/removes (adds carry their
     * byte size), stats of the adds, and per-file deletion-vector
     * REPLACEMENTS (empty runs = clear). */
-  private final case class Actions(adds: Seq[(String, Option[Long])],
+  private[graft] final case class Actions(adds: Seq[(String, Option[Long])],
       removes: Seq[String],
       addStats: Map[String, Map[String, (String, String, String)]],
       dvChanges: Map[String, Seq[(Long, Long)]])
 
-  private def readActionRecord(v: Long): Actions = {
+  private[graft] def readActionRecord(v: Long): Actions = {
     val lines = readLines(actionsPath(v))
     val statsP = new Path(logDir, f"v$v%020d.stats.tsv")
     val dvP = new Path(logDir, f"v$v%020d.dv.tsv")
@@ -2813,11 +2813,27 @@ final class GraftTable private (
         "targetFileSizeBytes" -> targetFileSizeBytes.toString,
         "zOrderBy" -> keysTag,
         "where" -> where.getOrElse("")))
-    val scopeFiles2 = todoFiles
-    val df = readLive(scopeFiles2, dvRead) // logical view; clusterBy names are logical
+    clusterRewriteCommit(todoFiles, clusterBy, keysTag,
+      targetFileSizeBytes, where.getOrElse(""), alreadyDone.size,
+      dvRead, sizesNow, provenance = keysTag)
+  }
+
+  /** Shared cluster-rewrite tail of [[optimize]] and
+    * [[optimizeFullWaved]]: read `todo` live (DVs applied), sort into
+    * byte-targeted range bins by (partition columns ++ cluster key),
+    * append the files and commit ONE OPTIMIZE version. `provenance`
+    * lands in the ClusteredKey sidecar's third slot — the keys tag for
+    * plain OPTIMIZE (unchanged), the wave epoch for waved re-clusters
+    * (what lets a resumed waved run skip completed waves). */
+  private def clusterRewriteCommit(todo: Seq[String], clusterBy: Seq[String],
+      keysTag: String, targetFileSizeBytes: Long, whereStr: String,
+      skippedCount: Int, dvRead: Map[String, Seq[(Long, Long)]],
+      sizesNow: Map[String, Long], provenance: String,
+      extraMetrics: Map[String, String] = Map.empty): Long = {
+    val df = readLive(todo, dvRead) // logical view; clusterBy names are logical
     // bin count from LOGGED sizes (status-RPC fallback for legacy files
     // only): sizing a million-file compaction costs zero filesystem calls
-    val scopeBytes = scopeFiles2.map(f =>
+    val scopeBytes = todo.map(f =>
       sizesNow.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
     val bins = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
@@ -2832,15 +2848,116 @@ final class GraftTable private (
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
     val added = appendDataFiles(toPhysicalStrict(compacted))
-    commitRewrite("OPTIMIZE", scopeFiles2, added, Map(
+    commitRewrite("OPTIMIZE", todo, added, Map(
       "numFilesAdded" -> added.size.toString,
-      "numFilesRemoved" -> scopeFiles2.size.toString,
-      "numFilesSkipped" -> alreadyDone.size.toString,
+      "numFilesRemoved" -> todo.size.toString,
+      "numFilesSkipped" -> skippedCount.toString,
       "targetFileSizeBytes" -> targetFileSizeBytes.toString,
       "zOrderBy" -> keysTag,
-      "where" -> where.getOrElse("")), readDv = dvRead,
+      "where" -> whereStr) ++ extraMetrics, readDv = dvRead,
       statsAnnotation = Some(GraftTable.ClusteredKey ->
-        (("keys", keysTag, keysTag))))
+        (("keys", keysTag, provenance))))
+  }
+
+  /** OPTIMIZE FULL in byte-budgeted, independently-committed WAVES —
+    * the interruptible form of a full-table re-cluster. A 100 TB
+    * OPTIMIZE cannot be one sort job + one commit: a failure anywhere
+    * repeats everything, and the cluster holds a table-sized shuffle in
+    * flight. Each wave takes up to `maxWaveBytes` of
+    * not-yet-reclustered files (partition order, then name —
+    * deterministic membership, waves roughly aligned with partition
+    * boundaries), cluster-rewrites exactly those, and commits: one
+    * bounded sort and one bounded commit per wave, so wall time is
+    * linear in waves and a kill costs at most the in-flight wave.
+    *
+    * RESUMABILITY is the epoch tag: every wave's outputs carry `epoch`
+    * in their ClusteredKey sidecar slot, and wave selection skips files
+    * already tagged with this epoch — a run killed between waves (or
+    * mid-wave: the partial wave never committed, its files are vacuum
+    * orphans) resumes under the same `epoch` and redoes nothing that
+    * committed. A NEW epoch re-clusters everything: the OPTIMIZE FULL
+    * semantic, for when per-batch clustering has accumulated too much
+    * cross-batch range overlap. Cross-WAVE key ranges may likewise
+    * overlap — the same per-batch trade [[optimize]] already makes for
+    * appends, tolerated by data skipping; per-wave files still cover
+    * disjoint ranges within their wave.
+    *
+    * `maxWaves` bounds the waves run in THIS call (a driver that wants
+    * one wave per scheduler tick passes 1); the return is the committed
+    * version per wave. Reference anchor: the reference's OPTIMIZE is
+    * delta-spark's single-commit form (maintenance.py:140-158); this is
+    * the scale path that form lacks. */
+  def optimizeFullWaved(clusterBy0: Seq[String] = Nil,
+      targetFileSizeBytes: Long = GraftTable.DefaultTargetFileSizeBytes,
+      maxWaveBytes: Long = 8L * GraftTable.DefaultTargetFileSizeBytes,
+      epoch: String = "epoch-1",
+      where: Option[String] = None,
+      maxWaves: Int = Int.MaxValue): Seq[Long] = {
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    require(maxWaveBytes >= targetFileSizeBytes,
+      "maxWaveBytes must cover at least one target file")
+    require(epoch.nonEmpty, "epoch must be non-empty")
+    val clusterBy =
+      if (clusterBy0.nonEmpty) clusterBy0
+      else properties.get(GraftTable.ClusterByProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val keysTag = clusterBy.mkString(",")
+    where.foreach { w =>
+      val refs = spark.sessionState.sqlParser.parseExpression(w).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }.toSet
+      val bad = refs -- partitionColumns.toSet
+      require(bad.isEmpty,
+        s"OPTIMIZE WHERE may reference partition columns only; got: ${bad.mkString(", ")}")
+    }
+    val versions = Seq.newBuilder[Long]
+    var waves = 0
+    var done = false
+    while (!done && waves < maxWaves) {
+      val live = manifestFiles()
+      val scope = where match {
+        case None => live
+        case Some(w) => partitionScopedFiles(w, live)
+      }
+      val statsNow = statsOf(currentVersion)
+      val sizesNow = snapshotAt(currentVersion).sizes
+      val dvRead = dvOf(currentVersion)
+      // epoch-tagged and DV-free = this epoch already re-clustered it
+      // (a DV landing later re-qualifies the file: the rewrite folds
+      // the vector in, same as plain OPTIMIZE)
+      def thisEpoch(f: String): Boolean =
+        statsNow.get(f).flatMap(_.get(GraftTable.ClusteredKey))
+          .exists { case (_, k, e) => k == keysTag && e == epoch } &&
+        dvRead.getOrElse(f, Nil).isEmpty
+      val todoAll = scope.filterNot(thisEpoch)
+      if (todoAll.isEmpty) done = true
+      else {
+        def partDir(f: String): String = f.lastIndexOf('/') match {
+          case -1 => ""
+          case i => f.take(i)
+        }
+        val ordered = todoAll.sortBy(f => (partDir(f), f))
+        val sel = Seq.newBuilder[String]
+        var bytes = 0L
+        var n = 0
+        ordered.foreach { f =>
+          if (n == 0 || bytes < maxWaveBytes) {
+            sel += f
+            bytes += sizesNow.getOrElse(f, 0L)
+            n += 1
+          }
+        }
+        val wave = sel.result()
+        versions += clusterRewriteCommit(wave, clusterBy, keysTag,
+          targetFileSizeBytes, where.getOrElse(""),
+          skippedCount = todoAll.size - wave.size, dvRead, sizesNow,
+          provenance = epoch,
+          extraMetrics = Map("wave" -> waves.toString, "epoch" -> epoch,
+            "waveBytes" -> bytes.toString))
+        waves += 1
+      }
+    }
+    versions.result()
   }
 
   // ---- M2: VACUUM ------------------------------------------------------
