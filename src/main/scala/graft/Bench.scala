@@ -250,6 +250,29 @@ object Bench {
     "skew_vec" -> 240, "maintenance_skew" -> 130, "sf10" -> 900,
     "maintenance_sf10" -> 650)
 
+  /** Cold-fixture surcharge for [[SectionHints]] (r13 ADVICE): the
+    * hints are WARM-run costs, but a cold machine generates the
+    * scale/skew fixture inside the section — without this term the
+    * guard can start a section it cannot finish (a mid-section kill
+    * instead of a recorded skip). Values are conservative generation
+    * estimates; a warm marker zeroes them. `maintenance_skew` shares
+    * the skew dir, so it is warm whenever the skew section ran. */
+  private def coldFixtureExtraSec(key: String, sfDir: String): Double = {
+    def dirOf(env: String, dflt: String) = sys.env.getOrElse(env,
+      new java.io.File(dflt).getAbsolutePath)
+    key match {
+      case "sf1" if !BenchScale.scaledIsWarm(
+        dirOf("SPARK_GRAFT_SF1_DIR", "target/graft_sf1")) => 120.0
+      case "sf10" if !BenchScale.scaledIsWarm(
+        dirOf("SPARK_GRAFT_SF10_DIR", "target/graft_sf10")) => 420.0
+      case "skew" | "maintenance_skew" if !BenchScale.skewIsWarm(
+        dirOf("SPARK_GRAFT_SKEW_DIR", "target/graft_skew")) => 60.0
+      case "skew_vec" if !BenchScale.skewVecIsWarm(sfDir,
+        dirOf("SPARK_GRAFT_SKEWVEC_DIR", "target/graft_skew_vec")) => 40.0
+      case _ => 0.0
+    }
+  }
+
   // ---- run-wide budget state (set by main; the benign defaults keep
   // the helpers usable standalone and under test) ----
   @volatile private var runStartNs: Long = System.nanoTime()
@@ -407,7 +430,8 @@ object Bench {
       }
     }
     def section(key: String)(body: => String): Unit = {
-      val hint = SectionHints.getOrElse(key, 120.0)
+      val hint = SectionHints.getOrElse(key, 120.0) +
+        coldFixtureExtraSec(key, sfDir)
       sections(key) =
         if (elapsedSec + hint > budgetSec)
           s"""{"skipped":"over_budget","elapsed_sec":${num(elapsedSec)},"hint_sec":${num(hint)}}"""
@@ -438,8 +462,17 @@ object Bench {
       sf1Times = times; sf1Dir = d; json
     }
     section("indexed_sf1") {
-      sf1Dir.map(d => indexedBench(spark, d, sf1Times, 1))
-        .getOrElse("{\"skipped\":\"no sf1 dir\"}")
+      // min-of-2 like the headline set, budget-gated: the section hint
+      // (130) prices build + ONE pass; the second pass costs roughly
+      // the hint again minus the (now warm) build, so the upgrade is
+      // gated on the full two-pass price still fitting — r13's runs=1
+      // section was noise-exposed enough to invert its own recorded
+      // speedups run-to-run
+      sf1Dir.map { d =>
+        val twoPass = 2 * SectionHints("indexed_sf1")
+        indexedBench(spark, d, sf1Times,
+          if (reMeasureFits(twoPass)) RunsPerQuery else 1)
+      }.getOrElse("{\"skipped\":\"no sf1 dir\"}")
     }
     // r10: the reference's daily loop IS maintenance — the table
     // lifecycle gets its own 10× datapoint (ratios vs the sf0.1 run).
@@ -600,31 +633,46 @@ object Bench {
           } finally releaseCaches(spark)
         }
         val ok = ts.filter(_ >= 0)
-        (scr, idx, if (ok.isEmpty) -1.0 else ok.min)
+        (scr, idx, if (ok.isEmpty) -1.0 else ok.min, ts)
     }
-    val qjson = rows.map { case (_, idx, v) => "\"" + idx + "\":" + num(v) }
+    val qjson = rows.map { case (_, idx, v, _) => "\"" + idx + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val speedups = rows.flatMap { case (scr, idx, v) =>
+    val speedups = rows.flatMap { case (scr, idx, v, _) =>
       scratchTimes.get(scr).filter(_ > 0).filter(_ => v > 0)
         .map(s => "\"" + idx + "\":" + num(s / v))
     }.mkString("{", ",", "}")
+    // same noise-band convention as the headline set (r13 verdict: the
+    // single-run section inverted its own conclusion run-to-run —
+    // speedups are only as trustworthy as the recorded spread)
+    val spreads = rows.collect {
+      case (_, _, _, ts) if ts.forall(_ >= 0) && ts.min > 0.05 =>
+        ts.max / ts.min
+    }.sorted
+    val band =
+      if (spreads.isEmpty) "{}"
+      else s"""{"p50":${num(spreads(spreads.size / 2))},""" +
+        s""""max":${num(spreads.last)},"n":${spreads.size}}"""
     s"""{"postings_build_sec":${num(buildSec)},"postings_cold":$cold,""" +
-      s""""runs":$runs,"queries":$qjson,"speedup_vs_scratch":$speedups}"""
+      s""""runs":$runs,"noise_band":$band,"queries":$qjson,""" +
+      s""""speedup_vs_scratch":$speedups}"""
   }
 
   /** Diagnosed explanations for maintenance ops whose scale ratio can
     * exceed the data factor by the op's own contract. */
   val MaintNotes: Map[String, String] = Map(
-    "optimize" -> ("OPTIMIZE here is a FULL-TABLE re-cluster by key " +
-      "(sort every row, rewrite every file): O(n log n) by contract " +
-      "plus the one-time in-memory->spill sort transition this box " +
-      "crosses between sf1 (6M rows) and sf10 (60M). The daily-op " +
-      "shapes are benched right next to it: optimize_incremental " +
-      "(provenance skip — a post-append re-run re-clusters only the " +
-      "appended tail) and optimize_scoped (WHERE-scoped to one churned " +
-      "partition, untouched files carried unread — the reference's " +
-      "daily loop, maintenance.py:140-173); the full-table ratio is " +
-      "the worst case the bench deliberately pays once per run."),
+    "optimize_waved" -> ("The full re-cluster in byte-budgeted waves " +
+      "(one bounded sort + one commit each, same-epoch resumable): " +
+      "total work is n/waveBytes bounded in-memory sorts — LINEAR in " +
+      "table bytes with no fixed-overhead cushion (the write/purge " +
+      "argument), so the decade ratio sits AT the data factor and a " +
+      "flag here is noise around it, not the retired one-shot sort's " +
+      "O(n log n) + spill-transition shape."),
+    "optimize_wave_max" -> ("Per-wave ceiling: flat across decades " +
+      "once the table exceeds one wave (1 GiB). A decade whose " +
+      "SMALLER side fits in a single sub-cap wave (sf1's whole scope " +
+      "is one ~250 MB wave) compares a partial wave against a full " +
+      "one, so that transition ratio can reach cap/smaller-table — " +
+      "bounded, and gone from sf10 onward."),
     "optimize_incremental" -> ("Cost = each partition's undersized " +
       "clustered TAIL + the appended delta (the provenance skip carries " +
       "every >=half-target file unread). Tail bytes are corpus-size mod " +
@@ -868,7 +916,14 @@ object Bench {
     * window pays exactly the day-2 cost: appending the held-out slice
     * against STORED centroids plus the batch probe. The index is
     * cleared again afterwards so a seed-trained quantizer never leaks
-    * into a later full-contract run. */
+    * into a later full-contract run.
+    *
+    * r14: the fixture plants its copies INDEX-SIDE ONLY (ids ≡ 2 mod
+    * 20 — see BenchScale), so no planted row is ever a query or an
+    * appended-slice member; the flag gate compares engine work against
+    * the row factor instead of the old fixture-geometry quadratic
+    * (planted queries × planted postings), which carried a permanent
+    * counted-but-flagged note. */
   val SkewVecSubset: Seq[String] =
     Seq("semantic_dedup", "knn_ivf", "knn_incremental_append",
       "topic_profile")
@@ -896,23 +951,11 @@ object Bench {
       "planted rows that joined the probed cell; the per-row " +
       "assignment kernel is flat per vector and the mega-cell's " +
       "centroid attracts exactly the planted copies."),
-    "knn_incremental_append" -> ("The append path measured on its own " +
-      "(r13): the quantizer and 19/20 of the postings are built OUTSIDE " +
-      "the timed window (build cost = this section's knn_ivf line); the " +
-      "window pays assigning the held-out 1-in-20 slice against STORED " +
-      "centroids plus the batch probe. The above-factor ratio is the " +
-      "fixture's own geometry, counted not argued: the planted copies " +
-      "land on BOTH sides of the probe join - 1 in 5 of the 10k planted " +
-      "ids joins the query batch (400 -> 2400 queries) and the rest form " +
-      "the probed mega-cell (max cell 87 -> 7512 of 9000 index rows, " +
-      "measured) - so probe PAIRS grow ~100x (planted queries x planted " +
-      "postings, quadratic in copies by construction: every planted " +
-      "query genuinely has thousands of exact matches to rank) while " +
-      "TIME grew 11x: per-pair cost is flat and the plan is sub-linear " +
-      "in its real work. At 100 TB the quantizer's oversized-cell " +
-      "signal (one cell holding 5/6 of the corpus) triggers re-train or " +
-      "cell splitting before serving; the one-shot bench deliberately " +
-      "probes the degenerate quantizer."),
+    "knn_incremental_append" -> ("Fixture geometry (r14, one-sided): " +
+      "planted ids ≡ 2 (mod 20) sit index-side only — zero " +
+      "planted queries, zero planted appends — so probe pairs grow " +
+      "linearly with the planted rows and the timed window pays the " +
+      "same append slice as the base run plus linear mega-cell probes."),
     "topic_profile" -> ("The mega-cell is one GROUP in a partial-agg " +
       "groupBy (map-side combine collapses the hot cell key per task); " +
       "per-member scoring is the flat assignment kernel — linear in " +
@@ -971,8 +1014,20 @@ object Bench {
     def ratioOf(k: String): Option[Double] =
       base.get(k).filter(_ > 0).flatMap(b =>
         skew.get(k).filter(_ >= 0).map(_ / b))
+    // a re-measure of the append split ALSO pays the untimed
+    // clearIvf + prebuild on both dirs — the dominant cost. The
+    // section's own knn_ivf times (a full from-scratch build + probe
+    // per dir) are the measured proxy for that prebuild, so the budget
+    // estimate adds them rather than admitting a re-run the wall
+    // budget can't absorb (r13 ADVICE).
+    def reMeasureEstimate(k: String): Double = {
+      val timed = skew(k) + math.max(base(k), 0.0)
+      if (k != "knn_incremental_append") timed
+      else timed + (base.get("knn_ivf").toSeq ++ skew.get("knn_ivf"))
+        .filter(_ > 0).sum
+    }
     names.filter(k => skew(k) >= 0.5 && ratioOf(k).exists(_ > factor) &&
-        reMeasureFits(skew(k) + math.max(base(k), 0.0)))
+        reMeasureFits(reMeasureEstimate(k)))
       .foreach { k =>
         val s2 = measure(k, dir); if (s2 >= 0) skew(k) = math.min(skew(k), s2)
         val b2 = measure(k, sfDir); if (b2 >= 0) base(k) = math.min(base(k), b2)
@@ -1240,12 +1295,15 @@ object Bench {
         unifMap.get(k).filter(u => u > 0 && v >= 0).map(u => k -> v / u)
       }
     }
-    val undiagnosed = ratiosOf.exists { case (k, r) =>
+    // needs-re-measure and budget-fit reported SEPARATELY (r13 ADVICE):
+    // a flag skipped for budget must be distinguishable in the artifact
+    // from a run that needed no re-measure
+    val needsReMeasure = ratiosOf.exists { case (k, r) =>
       r > MaintSkewFactor && skewOps.toMap.getOrElse(k, 0.0) >= 0.5 &&
         !MaintSkewNotes.contains(k)
-    } && reMeasureFits((skewOps ++ unifOps).collect {
-      case (_, v) if v > 0 => v
-    }.sum)
+    }
+    val undiagnosed = needsReMeasure && reMeasureFits(
+      (skewOps ++ unifOps).collect { case (_, v) if v > 0 => v }.sum)
     if (undiagnosed) {
       def minMerge(a: Seq[(String, Double)], b: Map[String, Double]) =
         a.map { case (k, v) =>
@@ -1270,6 +1328,7 @@ object Bench {
     s"""{"partitions":$nParts,"factor":$MaintSkewFactor,""" +
       s""""ops":${js(skewOps)},"uniform":${js(unifOps)},""" +
       s""""remeasured":$undiagnosed,""" +
+      s""""remeasure_skipped_over_budget":${needsReMeasure && !undiagnosed},""" +
       s""""ratio_vs_uniform":${js(ratios)},""" +
       s""""converged_files_changed":{"skew":$skewDelta,"uniform":$unifDelta},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
@@ -1407,7 +1466,34 @@ object Bench {
         scratch.write(li.repartition(8))
       }
       timed("append")(t.write(li.limit(1000), SaveMode.Append))
-      timed("optimize")(t.optimize(Seq("l_orderkey")))
+      // r14: the full re-cluster runs WAVED — byte-budgeted bounded
+      // sorts, one commit per wave (optimizeFullWaved): the
+      // interruptible form a 100 TB OPTIMIZE needs, and the structural
+      // fix for the r13 sf10 14.5× flag (the one-shot global sort paid
+      // O(n log n) plus the in-memory→spill transition; per-wave sorts
+      // are bounded and never spill). "optimize_waved" is end-to-end
+      // (linear in bytes: n/waveBytes bounded sorts), "optimize_wave
+      // _max" the per-wave ceiling (the flat-across-decades unit once
+      // the table exceeds one wave), "optimize_waves" the wave count.
+      val waveSecs = scala.collection.mutable.ArrayBuffer[Double]()
+      timed("optimize_waved") {
+        var more = true
+        while (more) {
+          val w0 = System.nanoTime()
+          // wave cap = one target file (1 GiB): sf0.1/sf1 fit in one
+          // wave, sf10 takes several — the decade where the one-shot
+          // sort used to spill shows its per-wave bound instead
+          val vs = t.optimizeFullWaved(Seq("l_orderkey"),
+            maxWaveBytes = GraftTable.DefaultTargetFileSizeBytes,
+            epoch = "bench-e1", maxWaves = 1)
+          if (vs.isEmpty) more = false
+          else waveSecs += (System.nanoTime() - w0) / 1e9
+        }
+      }
+      if (waveSecs.nonEmpty) {
+        out += "optimize_wave_max" -> waveSecs.max
+        out += "optimize_waves" -> waveSecs.size.toDouble
+      }
       // the daily-loop shapes the full-table ratio above deliberately
       // ISN'T: a second same-key OPTIMIZE after a small append must
       // converge via the provenance skip (only the appended tail

@@ -64,18 +64,19 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("maintBlock: a DIAGNOSED above-factor ratio does not trigger a re-run") {
-    // "optimize" carries a MaintNotes diagnosis — its expected
-    // super-linearity must not re-buy the 520 s sf10 lifecycle (the
-    // r12 budget's largest line item)
-    assert(Bench.MaintNotes.contains("optimize"))
+    // "optimize_waved" carries a MaintNotes diagnosis (linear at the
+    // factor, like write/purge) — a noise excursion over the factor
+    // must not re-buy the 520 s sf10 lifecycle (the r12 budget's
+    // largest line item)
+    assert(Bench.MaintNotes.contains("optimize_waved"))
     var runs = 0
     val (json, _) = Bench.maintBlock(
-      () => { runs += 1; Seq("optimize" -> 20.0) },
-      base = Map("optimize" -> 1.0),
+      () => { runs += 1; Seq("optimize_waved" -> 20.0) },
+      base = Map("optimize_waved" -> 1.0),
       ratioKey = "r", factor = 10)
     assert(runs == 1)
-    assert(json.contains("\"flagged\":[\"optimize\"]"))
-    assert(json.contains("re-cluster")) // the diagnosed note shipped
+    assert(json.contains("\"flagged\":[\"optimize_waved\"]"))
+    assert(json.contains("waves")) // the diagnosed note shipped
   }
 
   test("maintBlock: an UNdiagnosed flag earns one min-merged re-run") {
