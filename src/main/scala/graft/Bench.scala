@@ -668,11 +668,11 @@ object Bench {
       "flag here is noise around it, not the retired one-shot sort's " +
       "O(n log n) + spill-transition shape."),
     "optimize_wave_max" -> ("Per-wave ceiling: flat across decades " +
-      "once the table exceeds one wave (1 GiB). A decade whose " +
+      "once the table exceeds one wave (256 MiB here). A decade whose " +
       "SMALLER side fits in a single sub-cap wave (sf1's whole scope " +
-      "is one ~250 MB wave) compares a partial wave against a full " +
+      "is one partial wave) compares a partial wave against a full " +
       "one, so that transition ratio can reach cap/smaller-table — " +
-      "bounded, and gone from sf10 onward."),
+      "bounded by construction, and gone from sf10 onward."),
     "optimize_incremental" -> ("Cost = each partition's undersized " +
       "clustered TAIL + the appended delta (the provenance skip carries " +
       "every >=half-target file unread). Tail bytes are corpus-size mod " +
@@ -1435,7 +1435,7 @@ object Bench {
     math.max(spark.sparkContext.defaultParallelism, byBytes)
   }
 
-  private def maintenanceLifecycle(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  private[graft] def maintenanceLifecycle(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import graft.table.GraftTable
     val out = Seq.newBuilder[(String, Double)]
     def timed[T](name: String)(body: => T): Option[T] = {
@@ -1475,16 +1475,22 @@ object Bench {
       // (linear in bytes: n/waveBytes bounded sorts), "optimize_wave
       // _max" the per-wave ceiling (the flat-across-decades unit once
       // the table exceeds one wave), "optimize_waves" the wave count.
+      // file-size target scaled to the BENCH tables (sf10's whole
+      // lineitem subset is under 1 GB compressed, so the production
+      // 1 GiB default cannot demonstrate waves at any benched decade):
+      // 64 MiB files, 256 MiB waves → sf0.1/sf1 fit in one wave, sf10
+      // takes several, and each wave sorts in 4 parallel in-memory
+      // range bins. Every optimize call below shares the target so the
+      // provenance skip's half-target size test keeps recognizing the
+      // waved outputs (incremental stays incremental).
+      val liTarget = 64L * 1024 * 1024
       val waveSecs = scala.collection.mutable.ArrayBuffer[Double]()
       timed("optimize_waved") {
         var more = true
         while (more) {
           val w0 = System.nanoTime()
-          // wave cap = one target file (1 GiB): sf0.1/sf1 fit in one
-          // wave, sf10 takes several — the decade where the one-shot
-          // sort used to spill shows its per-wave bound instead
           val vs = t.optimizeFullWaved(Seq("l_orderkey"),
-            maxWaveBytes = GraftTable.DefaultTargetFileSizeBytes,
+            targetFileSizeBytes = liTarget, maxWaveBytes = 4 * liTarget,
             epoch = "bench-e1", maxWaves = 1)
           if (vs.isEmpty) more = false
           else waveSecs += (System.nanoTime() - w0) / 1e9
@@ -1501,14 +1507,15 @@ object Bench {
       // partition while untouched partitions' files carry over unread
       timed("optimize_incremental") {
         t.write(li.limit(2000), SaveMode.Append)
-        t.optimize(Seq("l_orderkey"))
+        t.optimize(Seq("l_orderkey"), liTarget)
       }
       // a THIRD optimize with nothing new must converge to a metadata-
       // only commit (per-partition churn guard: every partition is one
       // provenance-matched clustered set, nothing to combine)
-      timed("optimize_converged")(t.optimize(Seq("l_orderkey")))
+      timed("optimize_converged")(t.optimize(Seq("l_orderkey"), liTarget))
       timed("optimize_scoped")(
-        t.optimize(Seq("l_orderkey"), where = Some("l_returnflag = 'A'")))
+        t.optimize(Seq("l_orderkey"), liTarget,
+          where = Some("l_returnflag = 'A'")))
       // narrow-source sync merge: keys + one changed column (before the
       // DV delete — its copy-on-write rewrite would materialize the
       // vectors and leave purge nothing to do)

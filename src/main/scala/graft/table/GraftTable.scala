@@ -2843,8 +2843,27 @@ final class GraftTable private (
       if (clusterBy.size <= 1) clusterBy.map(col)
       else Seq(graft.functions.ZOrder.zorderKey(df, clusterBy))
     val sortCols = partitionColumns.map(col) ++ clusterKey
+    // When the WHOLE todo set needs no more files than it has hive
+    // partitions (bins ≤ partition dirs), global range binning is the
+    // wrong tool: sampled bin boundaries land INSIDE partitions, so a
+    // 3-partition/2-bin rewrite emits ~2 undersized files per
+    // partition — a layout the next OPTIMIZE rewrites into the same
+    // shape forever (the lone-file churn guard never engages; surfaced
+    // by the r14 bench retarget as a 25× converged-op flag). Compact
+    // by PARTITION HASH instead: deterministically one file per
+    // partition (key-sorted within — a single file is trivially
+    // range-disjoint), which IS the churn guard's fixed point. Big
+    // partitions (bins > dirs) keep the global range split so no task
+    // ever sorts more than ~one target file of input.
+    val todoDirs = todo.map(f => f.lastIndexOf('/') match {
+      case -1 => ""
+      case i => f.take(i)
+    }).distinct
     val compacted =
-      if (sortCols.nonEmpty)
+      if (partitionColumns.nonEmpty && bins <= todoDirs.size)
+        df.repartition(todoDirs.size, partitionColumns.map(col): _*)
+          .sortWithinPartitions(sortCols: _*)
+      else if (sortCols.nonEmpty)
         df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
       else df.repartition(bins)
     val added = appendDataFiles(toPhysicalStrict(compacted))
