@@ -694,7 +694,8 @@ object Bench {
     "write" -> ("Byte-targeted writers since r13: parallelism = source " +
       "size estimate over 32 MiB per-writer source bins, floored at " +
       "session parallelism — the fixed repartition(8) r12 diagnosed at " +
-      "sf10 is retired (kept one transition round as write_repart8). " +
+      "sf10 is retired (write_repart8 ran its one declared transition " +
+      "round in r13 and is gone since r14). " +
       "The write is linear in table bytes with NO fixed-overhead " +
       "cushion (the containment_dedup/purge argument), so its decade " +
       "ratio sits AT the data factor and straddles it run to run — " +
@@ -710,16 +711,6 @@ object Bench {
       "production daily merge touches the files its keys actually hit; " +
       "the bench deliberately pays the worst case (reference " +
       "maintenance.py's full-sync shape)."),
-    "write_repart8" -> ("The RETIRED fixed-8-writer fixture, timed one " +
-      "transition round beside the byte-targeted write so the fix is " +
-      "visible as old-vs-new numbers in one artifact. Measured verdict " +
-      "of the transition: BOTH fixtures straddle the factor on " +
-      "adjacent same-code runs (byte-targeted 9.9x/10.6x, fixed-8 " +
-      "10.1x/8.8x) — the write is linear with no fixed-overhead " +
-      "cushion, so r12's 10.2x flag was the at-the-factor noise band, " +
-      "not a spill cliff; byte-targeting stays because writers that " +
-      "scale with volume are the correct engine shape, not because it " +
-      "moves this ratio."),
     "point_lookup" -> ("The lookup reads ONE file's row group at any " +
       "scale (bloom sidecar pruning) — what scales is the driver-side " +
       "proof walk, linear in FILE COUNT with a tiny per-file constant, " +
@@ -1457,14 +1448,9 @@ object Bench {
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_shipdate")
       timed("write")(t.write(li.repartition(writeParts(spark, li))))
-      // transition record (r13, one round only): the retired fixed-8
-      // fixture timed into a scratch table beside the byte-targeted
-      // write, so the r12 sf10 write flag's fix is visible as numbers
-      // (old vs new) in the same artifact
-      timed("write_repart8") {
-        val scratch = GraftTable(spark, path + "_w8", Seq("l_returnflag"))
-        scratch.write(li.repartition(8))
-      }
+      // the r13 write_repart8 transition fixture (old fixed-8 writer
+      // timed beside the byte-targeted one) served its one declared
+      // round and is retired — its verdict lives in MaintNotes("write")
       timed("append")(t.write(li.limit(1000), SaveMode.Append))
       // r14: the full re-cluster runs WAVED — byte-budgeted bounded
       // sorts, one commit per wave (optimizeFullWaved): the
