@@ -82,6 +82,37 @@ class OptimizeWavedSpec extends SparkSpec {
     assert(t.read().select("id", "k", "v").collect().toSet == before)
   }
 
+  test("bins < partitions: compaction lands one file per partition and converges") {
+    // the r14 churn bug, pinned exactly: 3 hive partitions whose total
+    // bytes need only ~2 target files. Global range binning put sampled
+    // bin boundaries INSIDE partitions (~2 undersized files each), a
+    // layout every later OPTIMIZE rewrote into itself forever. The
+    // partition-hash path must emit exactly one key-sorted file per
+    // partition, and the next OPTIMIZE must be metadata-only.
+    val path = Files.createTempDirectory("gt_binslt").toString
+    val t = GraftTable(spark, path, Seq("k"))
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"),
+        (col("id") * 37 % 1000).as("v"))
+    t.write(df.repartition(6))
+    val before = t.read().select("id", "k", "v").collect().toSet
+    // target sized so ceil(totalBytes/target) = 2 < 3 partitions
+    val total = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("k="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val target = (total * 2 / 3).toInt max 1024
+    t.optimize(Seq("v"), target)
+    val perPart = t.partitionsReport().map { case (p, files, _, _) => p -> files }
+    assert(perPart.forall(_._2 == 1),
+      s"expected one file per partition, got $perPart")
+    val v = t.currentVersion
+    t.optimize(Seq("v"), target)
+    assert(t.readActionRecord(v + 1).adds.isEmpty,
+      "second optimize must be metadata-only (no re-churn)")
+    assert(t.read().select("id", "k", "v").collect().toSet == before)
+  }
+
   test("plain incremental OPTIMIZE still converges over waved output") {
     val t = seedTable()
     t.optimizeFullWaved(Seq("v"), targetFileSizeBytes = 8 * 1024,
