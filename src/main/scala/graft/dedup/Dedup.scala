@@ -368,10 +368,14 @@ object Dedup {
     * `localCheckpoint` pins blocks to executors, so at cluster scale a
     * lost executor mid-iteration fails the job unrecoverable; reliable
     * checkpoints survive executor loss at the cost of a write per
-    * round. Default unchanged (local[*] has no executor-loss mode). */
+    * round. Default unchanged (local[*] has no executor-loss mode).
+    * Storage is bounded: dead rounds are reclaimed as the loop advances
+    * (at most two rounds of files live at once), and the final round's
+    * files are reclaimed by running inside
+    * [[withReliableCheckpoints]] once the result is materialized. */
   def connectedComponents(edges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = truncator(edges.sparkSession, checkpointDir)
+    val ckpt = new Truncator(edges.sparkSession, checkpointDir)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
       .cache()
@@ -380,7 +384,7 @@ object Dedup {
     // propagation round, but skips the distinct-vertices shuffle and
     // the first join (for shallow near-dup graphs this IS most of the
     // loop: a star/clique graph converges immediately after this)
-    var labels = ckpt(sym.groupBy("src")
+    var labels = ckpt.round(sym.groupBy("src")
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label")))
     var converged = false
@@ -391,7 +395,8 @@ object Dedup {
       // label (materializes AND truncates lineage), so the convergence
       // check is a filter over the materialized round — not a second
       // join re-shuffling the labels
-      val round = ckpt(labels.join(neighborMin, col("id") === col("src"), "left")
+      val round = ckpt.round(
+        labels.join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = round.filter(col("label") =!= col("old")).isEmpty
@@ -401,18 +406,71 @@ object Dedup {
     labels
   }
 
+  /** Run `op` inside a per-invocation RELIABLE-checkpoint scope rooted
+    * at `root` and delete the scope's files afterwards — the cleanup
+    * handle for [[connectedComponents]]/[[pagerankIterations]]'s
+    * `checkpointDir` option. `op` receives the scope directory to pass
+    * as the checkpointDir and must MATERIALIZE whatever it needs from
+    * the returned frames before returning (collect, write, count):
+    * reliable-checkpointed frames read their own files, which stop
+    * existing when this returns. Without this wrapper (or a caller-run
+    * equivalent) every invocation leaks its final round's checkpoint
+    * files — at 100 TB and five rounds that is real storage per run. */
+  def withReliableCheckpoints[T](spark: SparkSession, root: String)(
+      op: String => T): T = {
+    val scope = new org.apache.hadoop.fs.Path(root,
+      "graft-ckpt-" + java.util.UUID.randomUUID().toString)
+    val fs = scope.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try op(scope.toString)
+    finally scala.util.Try(fs.delete(scope, true))
+  }
+
   /** Round-truncation strategy for the iterative ops: eager
     * `localCheckpoint` by default (executor storage — fast, correct on
-    * local[*]), eager RELIABLE `checkpoint` into `dir` when given (the
-    * cluster-grade form: blocks survive executor loss). Setting the
-    * SparkContext checkpoint dir is idempotent and scoped to the
-    * caller's choice. */
-  private def truncator(ss: org.apache.spark.sql.SparkSession,
-      dir: Option[String]): DataFrame => DataFrame = dir match {
-    case Some(d) =>
+    * local[*]), eager RELIABLE `checkpoint` under `dir` when given (the
+    * cluster-grade form: blocks survive executor loss). Two lifetimes:
+    *
+    *  - [[pin]] — frames referenced by EVERY iteration (pagerank's
+    *    adjacency): files live until the scope is cleaned.
+    *  - [[round]] — per-round frames: once round N+2 is materialized,
+    *    round N's files are provably dead (round N+1 reads its own
+    *    checkpoint, not N's lineage) and are deleted immediately, so a
+    *    long-diameter graph holds at most TWO rounds of checkpoint
+    *    bytes instead of one per iteration.
+    *
+    * The invocation's files land in the fresh UUID subdirectory
+    * `setCheckpointDir` mints per call, so concurrent tables don't
+    * interleave; callers reclaim the final round + pins with
+    * [[Dedup.withReliableCheckpoints]] once the result is consumed. */
+  private final class Truncator(ss: org.apache.spark.sql.SparkSession,
+      dir: Option[String]) {
+    private val reliable = dir.map { d =>
       ss.sparkContext.setCheckpointDir(d)
-      df => df.checkpoint()
-    case None => df => df.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(
+        ss.sparkContext.getCheckpointDir.get)
+      (p.getFileSystem(ss.sparkContext.hadoopConfiguration), p)
+    }
+    private var prevRound = Set.empty[String] // round N-1's rdd dirs
+    private var lastRound = Set.empty[String] // round N's rdd dirs
+    private def snapshot(): Set[String] = reliable match {
+      case Some((fs, p)) if scala.util.Try(fs.exists(p)).getOrElse(false) =>
+        fs.listStatus(p).map(_.getPath.toString).toSet
+      case _ => Set.empty
+    }
+    def pin(df: DataFrame): DataFrame =
+      if (reliable.isEmpty) df.localCheckpoint() else df.checkpoint()
+    def round(df: DataFrame): DataFrame = reliable match {
+      case None => df.localCheckpoint()
+      case Some((fs, _)) =>
+        val before = snapshot()
+        val out = df.checkpoint() // eager: materialized on return
+        val fresh = snapshot() -- before
+        prevRound.foreach(d => scala.util.Try(
+          fs.delete(new org.apache.hadoop.fs.Path(d), true)))
+        prevRound = lastRound
+        lastRound = fresh
+        out
+    }
   }
 
   /** Near-dup clusters from the LSH candidate graph: every doc labeled
@@ -528,13 +586,15 @@ object Dedup {
     * doc — same executor-loss rationale). */
   private[graft] def pagerankIterations(edges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = truncator(edges.sparkSession, checkpointDir)
-    val adj = ckpt(edges.select(col("a").as("src"), col("b").as("dst"))
+    val ckpt = new Truncator(edges.sparkSession, checkpointDir)
+    // adjacency frames feed EVERY iteration → pinned (never
+    // round-reclaimed); only the per-iteration rank frames rotate
+    val adj = ckpt.pin(edges.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = ckpt(adj.join(deg, "src"))
+    val withDeg = ckpt.pin(adj.join(deg, "src"))
     val nV = deg.count() // vertex count: O(components)-bounded scalar
-    var pr = ckpt(deg.select(col("src").as("v"))
+    var pr = ckpt.round(deg.select(col("src").as("v"))
       .withColumn("pr", lit(1.0) / lit(nV)))
     // all three window functions share one (dst, src-order) spec → ONE
     // WindowExec, one sort, spillable partition buffer; the last row of
@@ -552,7 +612,7 @@ object Dedup {
         .filter(col("rn") === col("cnt"))
         .select(col("dst").as("v"),
           (lit(PrTeleport) / lit(nV) + lit(PrDamping) * col("s")).as("pr"))
-      pr = ckpt(pr)
+      pr = ckpt.round(pr)
     }
     pr
   }

@@ -412,13 +412,20 @@ final class GraftTable private (
         // failure after it (none today) must never unwind a landed commit
         val landed = scala.util.Try(
           fs.exists(new Path(logDir, f"v$v%020d.json"))).getOrElse(true)
-        if (!landed)
+        if (!landed) {
           Seq(f"v$v%020d.actions.tsv", f"v$v%020d.constraints.tsv",
               f"v$v%020d.generated.tsv", f"v$v%020d.stats.tsv",
               f"v$v%020d.dv.tsv", f"v$v%020d.colmap.tsv",
               f"v$v%020d.schema", f"v$v%020d.properties.tsv",
               f"v$v%020d.claim")
             .foreach(n => scala.util.Try(fs.delete(new Path(logDir, n), false)))
+          // deleting the claim FILE frees the slot on the filesystem;
+          // stores with JVM-side claim state (single-driver registry)
+          // must also forget it or every retry of v throws "claimed in
+          // this JVM" and the table wedges at currentVersion+1 == v
+          scala.util.Try(LogStore.resolve(spark)
+            .release(fs, new Path(logDir, f"v$v%020d.claim")))
+        }
         throw e
     }
   }
@@ -2962,7 +2969,14 @@ final class GraftTable private (
         ordered.foreach { f =>
           if (n == 0 || bytes < maxWaveBytes) {
             sel += f
-            bytes += sizesNow.getOrElse(f, 0L)
+            // legacy/converted files may carry no logged size — counting
+            // them as 0 would let a wave exceed maxWaveBytes without
+            // bound (the bounded-sort guarantee is the feature's point);
+            // pay one status RPC for the unlogged minority instead, the
+            // same fallback clusterRewriteCommit uses for bin sizing
+            bytes += sizesNow.getOrElse(f,
+              scala.util.Try(fs.getFileStatus(dataPath(f)).getLen)
+                .getOrElse(0L))
             n += 1
           }
         }

@@ -40,6 +40,17 @@ trait LogStore {
     * must guarantee that of N concurrent callers on the same path, at
     * most one returns normally. */
   def createExclusive(fs: FileSystem, path: Path): Unit
+
+  /** Release a claim previously won via [[createExclusive]] whose commit
+    * did NOT land, so the same version slot can be retried. Called by
+    * the commit failure sweep alongside deleting the claim file. Stores
+    * whose only state is the claim file itself need nothing here; a
+    * store holding JVM-side claim state (e.g. [[SingleDriverLogStore]]'s
+    * registry) must forget `path`, otherwise the first recoverable
+    * commit failure (a CHECK-constraint violation, say) wedges the slot
+    * forever: retries of version v keep throwing "claimed in this JVM"
+    * even though the claim file is gone. */
+  def release(fs: FileSystem, path: Path): Unit = ()
 }
 
 /** Default store: relies on the filesystem's own atomic
@@ -93,6 +104,11 @@ object SingleDriverLogStore extends LogStore {
       ok = true
     } finally if (!ok) claimed.remove(key)
   }
+
+  /** The registry IS this store's mutex — dropping the key is what
+    * makes a failed commit's version slot claimable again. */
+  override def release(fs: FileSystem, path: Path): Unit =
+    claimed.remove(fs.makeQualified(path).toString)
 }
 
 object LogStore {

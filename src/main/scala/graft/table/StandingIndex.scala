@@ -48,9 +48,13 @@ object StandingIndex {
     * digest covers just (canonical table path, latest manifest name,
     * its length, its mtime) — one directory listing of `_graft_log` +
     * one stat, no LIST+read storm over 100k+ data files per path
-    * resolution. The manifest file's length/mtime guards the one hole
-    * version numbers alone leave: a table deleted and regenerated at
-    * the same path restarts at v0 with different content.
+    * resolution. The manifest's CONTENT (a few hundred bytes of commit
+    * JSON, hashed whole) guards the one hole version numbers alone
+    * leave: a table deleted and regenerated at the same path restarts
+    * at v0 — and because commit JSON carries an in-commit timestamp,
+    * the regenerated manifest's bytes differ even when its name,
+    * length, and (within filesystem granularity) mtime all collide
+    * with the old one's.
     *
     * '''Raw parquet dirs keep the recursive walk''': nothing else pins
     * their identity. The walk recurses into subdirectories (a
@@ -67,8 +71,12 @@ object StandingIndex {
     if (manifests.nonEmpty) {
       val latest = manifests.maxBy(_.getName) // zero-padded → lexicographic max
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update((s"graft:${root.getCanonicalPath}:${latest.getName}:" +
-        s"${latest.length}:${latest.lastModified}").getBytes("UTF-8"))
+      md.update((s"graft:${root.getCanonicalPath}:${latest.getName}:")
+        .getBytes("UTF-8"))
+      // hash the manifest's bytes, not (length, mtime): commit JSON is
+      // tiny and its in-commit timestamp makes a same-name same-length
+      // regenerated manifest distinguishable within mtime granularity
+      md.update(java.nio.file.Files.readAllBytes(latest.toPath))
       return md.digest().map(b => f"$b%02x").mkString
     }
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -26,6 +26,15 @@ import graft.tables.Tables._
   */
 object Postings {
 
+  /** TBLPROPERTIES key recording how many distinct documents the
+    * standing table has ingested across all [[update]] commits. The
+    * enforcement half of the FULL-CORPUS INVARIANT: [[postings]]
+    * compares it against the source's own row count (parquet
+    * metadata — no data scan) before serving, so a table first-built
+    * from a partial batch is refused instead of silently feeding
+    * incomplete postings to every `*_indexed` twin. */
+  val DocCountProp = "graft.postings.docCount"
+
   /** Content-addressed standing location for a source dir's postings
     * ([[graft.table.StandingIndex.path]]: a regenerated testdata dir —
     * even one matching the old (name, length, mtime) triple — keys to
@@ -70,14 +79,25 @@ object Postings {
       targetBytes: Long = graft.table.StandingIndex.DefaultTargetBytes)
       : graft.table.GraftTable = {
     val t = graft.table.GraftTable(spark, path)
-    if (t.currentVersion < 0)
-      return graft.table.StandingIndex.writeSized(spark, path,
+    if (t.currentVersion < 0) {
+      val n = docs.select("doc_id").distinct().count()
+      val built = graft.table.StandingIndex.writeSized(spark, path,
         derive(docs), Seq("word"), targetBytes = targetBytes)
+      built.setProperties(Map(DocCountProp -> n.toString))
+      return built
+    }
     val known = t.read().select("doc_id").distinct()
     val fresh = docs.join(known, Seq("doc_id"), "left_anti")
-    if (!fresh.isEmpty)
+    if (!fresh.isEmpty) {
+      val added = fresh.select("doc_id").distinct().count()
       graft.table.StandingIndex.writeSized(spark, path, derive(fresh),
         Seq("word"), org.apache.spark.sql.SaveMode.Append, targetBytes)
+      // advance the ingested-doc census with the batch it covers —
+      // cumulative, so the serve-time completeness check stays one
+      // property read no matter how many day-2 batches landed
+      val prior = t.properties.get(DocCountProp).map(_.toLong).getOrElse(0L)
+      t.setProperties(Map(DocCountProp -> (prior + added).toString))
+    }
     t
   }
 
@@ -95,7 +115,32 @@ object Postings {
   def postings(spark: SparkSession, dir: String): DataFrame = {
     val path = postingsPath(dir)
     val t = graft.table.GraftTable(spark, path)
-    if (t.currentVersion >= 0) t.read()
-    else update(spark, documents(spark, dir), path).read()
+    if (t.currentVersion >= 0) {
+      // completeness gate (one property read + one parquet metadata
+      // count, never a text scan): refuse a standing table whose
+      // ingested-doc census doesn't cover the corpus the path
+      // fingerprints — a first build from a partial batch must fail
+      // loudly here, not serve incomplete postings to the twins
+      val ingested = t.properties.get(DocCountProp).map(_.toLong)
+        .orElse {
+          // legacy table (built before the census property existed):
+          // backfill ONCE from the postings table itself — a distinct
+          // count over the compact (doc, word) index, never the corpus
+          // text — so pre-upgrade standing tables self-heal instead of
+          // being refused forever
+          val n = t.read().select("doc_id").distinct().count()
+          t.setProperties(Map(DocCountProp -> n.toString))
+          Some(n)
+        }
+      val corpus = documents(spark, dir).count() // agg-pushdown: footers only
+      if (!ingested.contains(corpus))
+        throw new IllegalStateException(
+          s"incomplete postings table at $path: ingested " +
+          s"${ingested.map(_.toString).getOrElse("unknown (no " + DocCountProp +
+            " property)")} of $corpus corpus documents — the first build " +
+          "at a fingerprinted standing path must cover the full corpus " +
+          "(re-run Postings.update with the complete documents frame)")
+      t.read()
+    } else update(spark, documents(spark, dir), path).read()
   }
 }

@@ -502,6 +502,51 @@ class DedupSpec extends SparkSpec {
       "reliable checkpoints must land in the given directory")
   }
 
+  test("reliable checkpoints are bounded mid-run and reclaimed after consumption") {
+    import spark.implicits._
+    def rddDirs(root: java.io.File): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.getName.startsWith("rdd-")) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      if (root.exists()) walk(root) else Nil
+    }
+    // diameter-24 path graph → ~12+ label-propagation rounds: without
+    // dead-round reclamation the dir would hold one rdd-* dir per round
+    val edges = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val localCC = graft.dedup.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val root = java.nio.file.Files.createTempDirectory("gt_ckpt_gc").toString
+    val reliableCC = graft.dedup.Dedup.withReliableCheckpoints(spark, root) {
+      d =>
+        val labels = graft.dedup.Dedup.connectedComponents(edges, Some(d))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // mid-scope: dead rounds were reclaimed as the loop advanced —
+        // at most two live rounds remain, never one dir per round
+        val live = rddDirs(new java.io.File(d))
+        assert(live.size <= 3,
+          s"expected ≤3 live rdd checkpoint dirs (2 rounds + slack), " +
+          s"got ${live.size}: ${live.map(_.getName)}")
+        got
+    }
+    assert(reliableCC == localCC, "results unchanged under the GC'd scope")
+    // after the scope closes, the invocation's files are gone entirely
+    assert(Option(new java.io.File(root).listFiles()).forall(_.isEmpty),
+      "scope cleanup must leave the checkpoint root empty")
+
+    // pagerank under the same scope shape: identical ranks, clean root
+    val root2 = java.nio.file.Files.createTempDirectory("gt_ckpt_gc2").toString
+    val localPr = Dedup.pagerankIterations(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reliablePr = Dedup.withReliableCheckpoints(spark, root2) { d =>
+      Dedup.pagerankIterations(edges, Some(d))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(reliablePr == localPr)
+    assert(Option(new java.io.File(root2).listFiles()).forall(_.isEmpty),
+      "pagerank scope cleanup must leave the checkpoint root empty")
+  }
+
   test("dedup self-joins never rescan the corpus per join arm") {
     // dedupMinhash and dedupSimhash MATERIALIZE their sketch/sig tables
     // (the in-query analogue of the persisted sketch corpus): relying on

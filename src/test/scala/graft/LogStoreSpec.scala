@@ -110,6 +110,48 @@ class LogStoreSpec extends SparkSpec {
     finally spark.conf.unset(LogStore.ConfKey)
   }
 
+  test("release() forgets a single-driver claim so the slot is claimable again") {
+    val fs = nonAtomicFs()
+    val claim = freshClaim("ls_release")
+    SingleDriverLogStore.createExclusive(fs, claim)
+    // what the commit failure sweep does: claim FILE deleted, then release
+    fs.delete(claim, false)
+    intercept[GraftTable.CommitConflictException] {
+      SingleDriverLogStore.createExclusive(fs, claim) // registry still holds it
+    }
+    SingleDriverLogStore.release(fs, claim)
+    SingleDriverLogStore.createExclusive(fs, claim) // now retryable
+    assert(fs.exists(claim))
+  }
+
+  test("a post-claim commit failure does not wedge the table under the single-driver store") {
+    spark.conf.set(LogStore.ConfKey, "single-driver")
+    try {
+      val path = Files.createTempDirectory("ls_wedge").toString
+      val t = GraftTable(spark, path)
+      val df = spark.range(50).select(col("id"), (col("id") % 5).as("k"))
+      t.write(df) // v0
+      // deterministic failure AFTER claimVersion: commitClaimed's first
+      // sidecar write creates `.v…actions.tsv.tmp`; a directory planted
+      // at that path makes fs.create(tmp, overwrite=true) throw, which
+      // exercises the failure sweep (claim file delete + store release)
+      val fs = new Path(path).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val logDir = new Path(path, "_graft_log")
+      val obstacle = new Path(logDir, f".v${1L}%020d.actions.tsv.tmp")
+      fs.mkdirs(obstacle)
+      intercept[Exception] {
+        t.write(df, org.apache.spark.sql.SaveMode.Append)
+      }
+      fs.delete(obstacle, true)
+      // before the sweep called release(), this retry of version 1 threw
+      // "claimed in this JVM" forever — the wedge ADVICE flagged
+      t.write(df.filter(col("k") === 0), org.apache.spark.sql.SaveMode.Append)
+      assert(t.read().count() == 60)
+      assert(t.currentVersion == 1)
+    } finally spark.conf.unset(LogStore.ConfKey)
+  }
+
   test("table commits run end-to-end under the single-driver store") {
     spark.conf.set(LogStore.ConfKey, "single-driver")
     try {

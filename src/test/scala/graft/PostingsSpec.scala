@@ -45,11 +45,13 @@ class PostingsSpec extends SparkSpec {
     assert(graft.table.GraftTable(spark, path).currentVersion == v1,
       "replay must not commit")
     // day-2 batch: only doc 3's postings land (one APPEND + its
-    // tail-only byte-target OPTIMIZE)
+    // tail-only byte-target OPTIMIZE + the doc-census property commit)
     val d2 = d1.unionByName(docsOf(3L -> "gamma delta"))
     Postings.update(spark, d2, path)
     val t2 = graft.table.GraftTable(spark, path)
-    assert(t2.currentVersion == v1 + 2)
+    assert(t2.currentVersion == v1 + 3)
+    assert(t2.properties(Postings.DocCountProp) == "3",
+      "census property must count every distinct ingested doc")
     val byDoc = t2.read().groupBy("doc_id").count()
       .as[(Long, Long)].collect().toMap
     assert(byDoc == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
@@ -116,6 +118,27 @@ class PostingsSpec extends SparkSpec {
       "ngram_novelty_indexed diverged from ngram_novelty")
   }
 
+  test("a partial first build at a fingerprinted standing path is refused") {
+    // an isolated corpus copy: poisoning the REAL sf fixture's standing
+    // path would break every indexed twin in this JVM
+    val dir = Files.createTempDirectory("gt_partial").toString
+    graft.tables.Tables.documents(spark, sf).limit(40)
+      .write.parquet(new java.io.File(dir, "documents.parquet").toString)
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val total = docs.count()
+    // off-contract first build: half the corpus lands at the
+    // fingerprinted path (the silent-incompleteness hazard)
+    Postings.update(spark, docs.filter(col("doc_id") % 2 === 0),
+      Postings.postingsPath(dir))
+    val e = intercept[IllegalStateException] { Postings.postings(spark, dir) }
+    assert(e.getMessage.contains("incomplete postings table"),
+      s"named completeness error expected, got: ${e.getMessage}")
+    // feeding the full corpus completes the census — serving resumes
+    Postings.update(spark, docs, Postings.postingsPath(dir))
+    assert(Postings.postings(spark, dir)
+      .select("doc_id").distinct().count() == total)
+  }
+
   test("graft-table source keys the standing index by manifest version, not a file walk") {
     import graft.table.{GraftTable, StandingIndex}
     val parent = Files.createTempDirectory("gt_fp_src").toString
@@ -140,6 +163,34 @@ class PostingsSpec extends SparkSpec {
       org.apache.spark.sql.SaveMode.Append)
     assert(StandingIndex.fingerprint(parent, "corpus") != p1,
       "version bump must re-key the standing index")
+
+    // a table deleted and REGENERATED at the same path restarts at v0:
+    // the new latest manifest has the same NAME, and (forced here) the
+    // same mtime as the old one — only its content distinguishes them.
+    // The digest hashes the manifest bytes, so it must re-key even
+    // inside the (name, length, mtime) collision window.
+    val manifest0 = new java.io.File(
+      new java.io.File(parent, "corpus"), "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val oldMtime = manifest0.lastModified()
+    val p2 = StandingIndex.fingerprint(parent, "corpus")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(parent, "corpus"))
+    val t2 = GraftTable(spark, new java.io.File(parent, "corpus").toString)
+    t2.write(Seq((7L, "x"), (8L, "y"), (9L, "z")).toDF("id", "v"))
+    t2.write(Seq((10L, "w")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append) // same latest version number
+    val manifest1 = new java.io.File(
+      new java.io.File(parent, "corpus"), "_graft_log").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    assert(manifest1.getName == manifest0.getName,
+      "fixture: regenerated table must land the same latest manifest name")
+    assert(manifest1.setLastModified(oldMtime)) // force the mtime collision
+    assert(StandingIndex.fingerprint(parent, "corpus") != p2,
+      "regenerated table at the same path must re-key the standing " +
+      "index even when manifest name and mtime collide")
 
     // raw parquet dirs keep the walk: the same mtime churn re-keys
     val rawParent = Files.createTempDirectory("gt_fp_raw").toString
