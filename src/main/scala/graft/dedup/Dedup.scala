@@ -20,9 +20,13 @@ import graft.tables.Tables._
   *  - exact Jaccard runs only on LSH candidates (array_intersect on
   *    collected shingle sets of the candidate docs).
   *
-  * MinHash/SimHash outputs have no SQL oracle (sketches are
-  * implementation-defined); DedupSpec pins recall against brute-force
-  * Jaccard on sf0.001.
+  * Since r15 the MinHash/SimHash pipelines hash ONLY through md5 (the
+  * one digest both engines share): the affine permutation matrix and
+  * the SimHash word hash are md5-derived, so dedup_minhash,
+  * dedup_simhash, and dedup_clusters are fully DuckDB-oracled
+  * (sketch → band → candidate → verify replayed bit-exactly);
+  * DedupSpec additionally pins recall against brute-force Jaccard on
+  * sf0.001 and each kernel against an independent explode replay.
   */
 object Dedup {
 
@@ -68,7 +72,17 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5.
+  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ 0.5 —
+    * HASH-ORACLED since r15: lanes are md5-affine permutations
+    * ([[graft.functions.SigKernels.md5PermSketch]]: a_j, b_j derived
+    * from md5("a:j")/md5("b:j"), shingle hash from md5(shingle) — the
+    * one hash family BOTH engines compute), so DuckDB rebuilds the
+    * permutation matrix and replays sketch → band → candidate → verify
+    * bit-exactly (the knn_lsh r11 graduation pattern). Lanes live in
+    * [0, 2^31-1): int lanes are LOSSLESS, so the verify join ships
+    * 4 bytes/lane with agreement exactly equal to the oracle's (the
+    * old fold16 shipped 2 bytes at a 2^-16 false-equal slack that a
+    * hash oracle cannot absorb).
     *
     * The sketch table is persisted (disk-backed) so the corpus is
     * sketched ONCE for its three consumers — the returned frame is lazy,
@@ -79,7 +93,7 @@ object Dedup {
     * 100 TB the sketch is checkpointed to a real table instead —
     * [[persistSketchCorpus]]). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // the sketch table MATERIALIZES (1.5 KB/doc — NumPerm longs, ~1-2%
+    // the sketch table MATERIALIZES (0.77 KB/doc — NumPerm ints, ~1%
     // of corpus bytes; disk-backed): it is consumed three times (band
     // explosion + both sides of the verify join), and without explicit
     // materialization Catalyst plans each consumer as its own text scan
@@ -89,19 +103,18 @@ object Dedup {
     // corpus the incremental flow ([[persistSketchCorpus]]) stores as a
     // real table — at 100 TB you keep this artifact durably, you don't
     // recompute it per join arm.
-    // the est verify join ships FOLDED 16-bit lanes ([[ArrayKernels
-    // .fold16]]): agreement is one-sided-exact (equal lanes stay equal;
-    // collisions add ≤3e-5 est) and the candidate×sketch exchange — the
-    // dominant cost once the sketch side outgrows broadcast — moves a
-    // quarter of the bytes. Full lanes stay only for band signatures.
-    val sk = minhashSketches(spark, dir)
-      .withColumn("sk16",
-        graft.functions.ArrayKernelColumns.fold_sketch16(col("sketch")))
+    val sk = documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SigKernelColumns.md5_perm_sketch(
+          col("text"), 5, NumPerm).as("sketch"))
+      .filter(col("sketch").isNotNull)
       .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band signatures via the static kernel (single pass over the sketch)
+    // band keys via the static kernel (single pass over the sketch):
+    // comma-joined decimal lanes — the band identity DuckDB reassembles
+    // with string_agg(lane, ',' ORDER BY j)
     val banded = sk.select(col("doc_id"), posexplode(
-      graft.functions.SigKernelColumns.band_signatures(
+      graft.functions.SigKernelColumns.md5_band_keys(
         col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
       .repartition(col("band"), col("sig"))
     // join strategy is left to AQE ON PURPOSE: at bench scale the cached
@@ -118,12 +131,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val skV = sk.select(col("doc_id"), col("sk16"))
+    val skV = sk.select(col("doc_id"), col("sketch"))
     val est = candidates
-      .join(skV.withColumnRenamed("doc_id", "a").withColumnRenamed("sk16", "ska"), "a")
-      .join(skV.withColumnRenamed("doc_id", "b").withColumnRenamed("sk16", "skb"), "b")
+      .join(skV.withColumnRenamed("doc_id", "a").withColumnRenamed("sketch", "ska"), "a")
+      .join(skV.withColumnRenamed("doc_id", "b").withColumnRenamed("sketch", "skb"), "b")
       .withColumn("est_jaccard",
-        graft.functions.ArrayKernelColumns.sketch_agreement16(col("ska"), col("skb"))
+        graft.functions.SigKernelColumns.sketch_agreement_int(col("ska"), col("skb"))
           .cast("double") / lit(NumPerm.toDouble))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -334,9 +347,15 @@ object Dedup {
     // left both self-join arms with their own text scan + kernel pass
     // whenever AQE broadcast one side — at 100 TB that is a second full
     // corpus read for nothing
+    // md5 word hash since r15 ([[graft.functions.SigKernels
+    // .simhashMd5]]): DuckDB reassembles the 64-bit word value from two
+    // 8-hex-char md5 halves and replays bit votes → signature →
+    // brute-force hamming, so the pair set is hash-oracled (the 4-piece
+    // pigeonhole blocking below guarantees EVERY hamming≤3 pair shares
+    // a piece, so blocked+verified ≡ brute force exactly)
     val sigs = documents(spark, dir)
       .select(col("doc_id"),
-        graft.functions.SigKernelColumns.simhash_sig(col("text")).as("sig"))
+        graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pieces = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
       """transform(sequence(0, 3),
@@ -875,7 +894,112 @@ object Dedup {
     "block_stats" -> blockStats _,
     "dedup_simhash" -> dedupSimhash _)
 
+  /** DuckDB SQL parsing `n` leading hex chars of VARCHAR expression `e`
+    * into a BIGINT (big-endian) — the bridge from md5 hex to the
+    * integer domain the md5-affine permutations live in. */
+  private def hexVal(e: String, n: Int): String =
+    (1 to n).map { i =>
+      val mult = 1L << (4 * (n - i))
+      s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE chain replaying [[dedupMinhash]]'s md5-affine pipeline
+    * in DuckDB: permutation matrix from md5("a:j")/md5("b:j"), shingle
+    * hash from md5(shingle), lane mins, string band keys, banded
+    * candidates, exact lane agreement. Ends with the `agree(a, b, eq)`
+    * relation; consumers append their own final SELECT. */
+  private def minhashAgreeCtes: String =
+    s"""perm AS (
+       |  SELECT j,
+       |         (${hexVal("substr(md5('a:' || j), 1, 8)", 8)}
+       |            % ${MersenneP - 1}) + 1 AS a,
+       |         ${hexVal("substr(md5('b:' || j), 1, 8)", 8)}
+       |            % $MersenneP AS b
+       |  FROM (SELECT unnest(range(0, $NumPerm)) AS j)),
+       |shm AS (
+       |  SELECT doc_id, substr(md5(substr(text, CAST(i AS INTEGER), 5)), 1, 8) AS m
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+       |        FROM documents)
+       |  WHERE length(substr(text, CAST(i AS INTEGER), 5)) = 5),
+       |sh AS (SELECT doc_id, ${hexVal("m", 8)} % $MersenneP AS h FROM shm),
+       |lanes AS (
+       |  SELECT doc_id, j, MIN((p.a * s.h + p.b) % $MersenneP) AS lane
+       |  FROM sh s CROSS JOIN perm p GROUP BY doc_id, j),
+       |sig AS (
+       |  SELECT doc_id, j // $RowsPerBand AS band,
+       |         string_agg(CAST(lane AS VARCHAR), ',' ORDER BY j) AS key
+       |  FROM lanes GROUP BY doc_id, j // $RowsPerBand),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM sig x JOIN sig y ON x.band = y.band AND x.key = y.key
+       |    AND x.doc_id < y.doc_id),
+       |agree AS (
+       |  SELECT c.a, c.b,
+       |         SUM(CASE WHEN la.lane = lb.lane THEN 1 ELSE 0 END) AS eq
+       |  FROM cand c
+       |  JOIN lanes la ON la.doc_id = c.a
+       |  JOIN lanes lb ON lb.doc_id = c.b AND lb.j = la.j
+       |  GROUP BY c.a, c.b)""".stripMargin
+
+  private def MersenneP: Long = graft.functions.SigKernels.MersennePrime
+
   val oracles: Map[String, String] = Map(
+    // full replay of the md5-affine MinHash pipeline (see
+    // minhashAgreeCtes): sketch → band → candidate → exact lane
+    // agreement, with est ≥ 0.5 ⇔ eq ≥ NumPerm/2 (0.5 and eq/NumPerm
+    // are both exact doubles, so the filter cannot disagree)
+    "dedup_minhash" ->
+      s"""WITH $minhashAgreeCtes
+         |SELECT a, b,
+         |       round(CAST(eq AS DOUBLE) / $NumPerm.0, 4) AS est_jaccard
+         |FROM agree WHERE CAST(eq AS DOUBLE) / $NumPerm.0 >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    // connected components over the est-filtered minhash pair graph —
+    // the same closure CTE as cluster_minsh, over the replayed edges
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashAgreeCtes,
+         |e AS (SELECT a, b FROM agree
+         |      WHERE CAST(eq AS DOUBLE) / $NumPerm.0 >= 0.5),
+         |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM adj
+         |  UNION
+         |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r)
+         |SELECT min(r) AS cluster, id AS doc_id FROM reach
+         |GROUP BY id ORDER BY cluster, doc_id""".stripMargin,
+    // md5-word-hash SimHash replay: 64-bit word value reassembled from
+    // two 8-hex-char halves, per-bit majority vote, brute-force hamming
+    // (the 4-piece pigeonhole blocking in the query guarantees EVERY
+    // hamming≤3 pair shares a piece, so blocked+verified ≡ brute force)
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |th AS (SELECT doc_id, md5(w) AS m FROM tok),
+         |gv AS (SELECT doc_id,
+         |         ${hexVal("substr(m, 1, 8)", 8)} AS hi,
+         |         ${hexVal("substr(m, 9, 8)", 8)} AS lo
+         |       FROM th),
+         |votes AS (
+         |  SELECT doc_id, i,
+         |         SUM(CASE WHEN (CASE WHEN i < 32 THEN (lo >> i) & 1
+         |                             ELSE (hi >> (i - 32)) & 1 END) = 1
+         |                  THEN 1 ELSE -1 END) AS v
+         |  FROM gv CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+         |  GROUP BY doc_id, i),
+         |sg AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN v > 0 THEN
+         |           CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+         |                ELSE CAST(1 AS BIGINT) << i END
+         |           ELSE 0 END) AS BIGINT) AS sig
+         |  FROM votes GROUP BY doc_id)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+         |FROM sg x JOIN sg y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+         |ORDER BY a, b""".stripMargin,
     // blocking-key census: the sh CTE replays the min-md5-shingle key
     // both engines compute identically, then two exact integer rollups
     "block_stats" ->
@@ -1168,9 +1292,8 @@ object Dedup {
         |  SELECT reach.id, adj.dst FROM reach JOIN adj ON adj.src = reach.r)
         |SELECT min(r) AS cluster, id AS doc_id FROM reach
         |GROUP BY id ORDER BY cluster, doc_id""".stripMargin)
-    // minhash/simhash sketch outputs are implementation-defined →
-    // rows-only; DedupSpec pins recall/precision against brute-force
-    // Jaccard. dedup_clusters inherits the LSH edge set → rows-only; its
-    // component operator is oracle-checked via cluster_minsh and
-    // ≡-union-find in DedupSpec.
+    // r15: dedup_minhash / dedup_simhash / dedup_clusters graduated to
+    // full hash oracles above (md5-derived permutations / word hashes);
+    // DedupSpec keeps the statistical pins (recall/precision vs
+    // brute-force Jaccard, ≡-union-find) on top.
 }

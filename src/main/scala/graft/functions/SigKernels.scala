@@ -190,6 +190,165 @@ object SigKernels {
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
   }
+
+  // ---- md5-derived MinHash permutations (the DuckDB-replayable
+  // permutation family, mirroring md5Planes above): classic affine
+  // minhash lane_j = min over shingles of (a_j·h(s) + b_j) mod p with
+  //   p    = 2147483647 (Mersenne 2^31-1: products stay under 2^62,
+  //          exact in BIGINT arithmetic in BOTH engines),
+  //   h(s) = first 8 hex chars of md5(shingle) as an unsigned int, mod p,
+  //   a_j  = (first8hex(md5("a:" ++ j)) mod (p-1)) + 1,
+  //   b_j  =  first8hex(md5("b:" ++ j)) mod p.
+  // One md5 per shingle (the same cost class as minMd5Shingle, which is
+  // benched fine at sf10) plus numPerm cheap mult-mods; DuckDB rebuilds
+  // the identical (a_j, b_j) matrix from md5 and replays band →
+  // candidate → verify, which is what graduates dedup_minhash /
+  // dedup_clusters from rows-only to hash-oracled.
+
+  final val MersennePrime: Long = 2147483647L
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+
+  /** First 4 digest bytes as an unsigned 32-bit value — equals parsing
+    * the first 8 hex chars of the md5 string. */
+  private def head32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  private def md5Perms(numPerm: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numPerm, { n =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val a = new Array[Long](n)
+      val b = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        a(j) = head32(md.digest(s"a:$j".getBytes("UTF-8"))) %
+          (MersennePrime - 1) + 1
+        b(j) = head32(md.digest(s"b:$j".getBytes("UTF-8"))) % MersennePrime
+        j += 1
+      }
+      (a, b)
+    })
+
+  /** numPerm md5-affine MinHash lanes over char k-gram shingles, as
+    * array<int> (every lane < 2^31-1, so int lanes are LOSSLESS — the
+    * verify join ships half the bytes of long lanes with none of
+    * fold16's collision slack, keeping lane agreement exactly equal to
+    * the oracle's). NULL when the text has no length-k window, like
+    * [[minMd5Shingle]]. ASCII fast path / code-point fallback identical
+    * to minMd5Shingle's (substring semantics are character-based). */
+  def md5PermSketch(s: org.apache.spark.unsafe.types.UTF8String, k: Int,
+      numPerm: Int): ArrayData = {
+    val md = Md5.get()
+    val (pa, pb) = md5Perms(numPerm)
+    val lanes = new Array[Int](numPerm)
+    java.util.Arrays.fill(lanes, Int.MaxValue) // p = 2^31-1 unreachable: lanes ≤ p-1
+    var any = false
+    def offer(d: Array[Byte]): Unit = {
+      any = true
+      val h = head32(d) % MersennePrime
+      var j = 0
+      while (j < numPerm) {
+        val v = ((pa(j) * h + pb(j)) % MersennePrime).toInt
+        if (v < lanes(j)) lanes(j) = v
+        j += 1
+      }
+    }
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) {
+      if (bytes.length < k) return null
+      i = 0
+      while (i <= bytes.length - k) {
+        md.reset(); md.update(bytes, i, k)
+        offer(md.digest())
+        i += 1
+      }
+    } else {
+      val cps = s.toString.codePoints().toArray
+      if (cps.length < k) return null
+      val sb = new java.lang.StringBuilder(4 * k)
+      i = 0
+      while (i <= cps.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
+        md.reset()
+        offer(md.digest(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    }
+    if (!any) null else new GenericArrayData(lanes)
+  }
+
+  /** Band keys over an int-lane sketch: band b's key is the
+    * comma-joined decimal lanes of its rowsPerBand slice — a plain
+    * string BOTH engines can assemble (DuckDB:
+    * string_agg(lane, ',' ORDER BY j) per (doc, j // rowsPerBand)),
+    * unlike [[bandSignatures]]'s mix()-folded longs. */
+  def md5BandKeys(sketch: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](bands)
+    val sb = new java.lang.StringBuilder(12 * rowsPerBand)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < rowsPerBand) {
+        if (i > 0) sb.append(',')
+        sb.append(sketch.getInt(b * rowsPerBand + i))
+        i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Count of equal lanes between two int-lane sketches. */
+  def agreementInt(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getInt(i) == b.getInt(i)) eq += 1
+      i += 1
+    }
+    eq
+  }
+
+  /** SimHash over whitespace tokens with an md5-derived 64-bit word
+    * hash (first 16 hex chars of md5(word), big-endian — DuckDB
+    * reassembles the same value from two 8-hex-char halves), replacing
+    * [[simhash]]'s XXH64 word hash that no SQL engine shares. Same
+    * trim/split tokenization, same majority-bit vote. */
+  def simhashMd5(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = Md5.get()
+    val toks = s.trim().toString.split("\\s+")
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var g = 0L
+      var bi = 0
+      while (bi < 8) { g = (g << 8) | (d(bi) & 0xffL); bi += 1 }
+      var i = 0
+      while (i < 64) {
+        if (((g >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
 }
 
 /** array<bigint> sketch → array<bigint> of band signatures. */
@@ -265,6 +424,80 @@ case class MinMd5Shingle(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** string → array<int> md5-affine MinHash lanes (null when no k-window). */
+case class Md5PermSketch(child: Expression, k: Int, numPerm: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // short texts yield null
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.md5PermSketch(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.SigKernels.md5PermSketch($c, $k, $numPerm);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PermSketch =
+    copy(child = newChild)
+}
+
+/** array<int> sketch → array<string> of comma-joined band keys. */
+case class Md5BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.md5BandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SigKernels.md5BandKeys($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BandKeys =
+    copy(child = newChild)
+}
+
+/** eq-lane count of two array<int> sketches. */
+case class SketchAgreementInt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigKernels.agreementInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigKernels.agreementInt($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SketchAgreementInt =
+    copy(left = newLeft, right = newRight)
+}
+
+/** string → long md5-word-hash SimHash signature. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigKernels.simhashMd5(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigKernels.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** string → long SimHash signature. */
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -297,4 +530,17 @@ object SigKernelColumns {
 
   def min_md5_shingle(c: Column, k: Int = 5): Column =
     ColumnBridge.column(MinMd5Shingle(ColumnBridge.expression(c), k))
+
+  def md5_perm_sketch(c: Column, k: Int, numPerm: Int): Column =
+    ColumnBridge.column(Md5PermSketch(ColumnBridge.expression(c), k, numPerm))
+
+  def md5_band_keys(c: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(Md5BandKeys(ColumnBridge.expression(c), bands, rowsPerBand))
+
+  def sketch_agreement_int(a: Column, b: Column): Column =
+    ColumnBridge.column(SketchAgreementInt(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash_md5(c: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(c)))
 }

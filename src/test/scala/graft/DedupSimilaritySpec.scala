@@ -641,6 +641,73 @@ class DedupSpec extends SparkSpec {
     assert((sim intersect mh).size >= sim.size / 2, s"sim=$sim mh=$mh")
   }
 
+  test("Md5PermSketch kernel equals an independent md5-affine replay") {
+    // independent replay: shingle hashes via Spark's own md5/conv
+    // functions, permutation matrix re-derived from MessageDigest here,
+    // affine mins folded in plain Scala — pins the kernel's permutation
+    // derivation AND its min fold against the documented construction
+    // (the same one the DuckDB oracle replays at sf0.01)
+    val P = 2147483647L
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.md5_perm_sketch(
+          col("text"), 5, Dedup.NumPerm).as("sk"))
+      .filter(col("sk").isNotNull)
+      .as[(Long, Seq[Int])].collect().toMap
+    val hs = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(length(text) - 4, 1)),
+          |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
+      .filter(length(col("shingle")) === 5)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long") % P).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def head32(d: Array[Byte]): Long =
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val a = (0 until Dedup.NumPerm).map(j =>
+      head32(md.digest(s"a:$j".getBytes("UTF-8"))) % (P - 1) + 1)
+    val b = (0 until Dedup.NumPerm).map(j =>
+      head32(md.digest(s"b:$j".getBytes("UTF-8"))) % P)
+    val expected = hs.mapValues { hvals =>
+      (0 until Dedup.NumPerm).map(j =>
+        hvals.map(h => ((a(j) * h + b(j)) % P).toInt).min).toSeq
+    }.toMap
+    assert(viaKernel == expected)
+    // short / non-ASCII edges: <5 chars → null; multibyte windows are
+    // code-point windows (substring semantics), same as MinMd5Shingle
+    val edge = Seq((1L, "abcd"), (2L, "数据库引擎测试")).toDF("doc_id", "text")
+    val ek = edge.select(col("doc_id"),
+        graft.functions.SigKernelColumns.md5_perm_sketch(col("text"), 5, 8).as("sk"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(ek(1L).isEmpty, "4-char text has no 5-gram: null sketch")
+    assert(ek(2L).nonEmpty && ek(2L).get.length == 8)
+  }
+
+  test("SimHashMd5 kernel equals the explode+md5 majority-vote replay") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val words = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("lo"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val expected = words.view.mapValues { ws =>
+      val counts = new Array[Int](64)
+      ws.foreach { case (_, hi, lo) =>
+        val g = (hi << 32) | lo
+        (0 until 64).foreach(i =>
+          if (((g >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, i) => if (counts(i) > 0) s | (1L << i) else s)
+    }.toMap
+    assert(viaKernel == expected)
+  }
+
   test("MinMd5Shingle kernel is identical to the explode+md5+groupBy(min) pipeline") {
     val docs = graft.tables.Tables.documents(spark, sf)
     val viaKernel = docs.select(col("doc_id"),
