@@ -4382,6 +4382,22 @@ object GraftTable {
     * (liquid-clustering-lite: layout policy as table metadata). */
   val ClusterByProp = "graft.clusterBy"
 
+  /** Target OPTIMIZE output file size consulted by the SQL surface
+    * (delta.targetFileSize parity). Absent → 1 GiB. */
+  val TargetFileSizeProp = "graft.optimize.targetFileSize"
+
+  /** Per-wave byte budget consulted by SQL `OPTIMIZE … MAX WAVES n`
+    * (the [[GraftTable.optimizeFullWaved]] surface): layout policy as
+    * table metadata, like [[ClusterByProp]]. Absent → the API default
+    * (8× the target file size). */
+  val MaxWaveBytesProp = "graft.optimize.maxWaveBytes"
+
+  /** Epoch tag for SQL-driven waved re-clusters. Resume works by
+    * re-running the same statement under the same epoch (tagged files
+    * are skipped); bumping this property starts a fresh full
+    * re-cluster campaign. Absent → "epoch-1". */
+  val OptimizeEpochProp = "graft.optimize.epoch"
+
   /** "false" disables CDC SIDECAR writes on UPDATE/MERGE (Delta's
     * delta.enableChangeDataFeed, inverted default: graft tables serve a
     * full-fidelity feed out of the box). With sidecars off the change

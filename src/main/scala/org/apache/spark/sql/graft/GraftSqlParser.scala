@@ -16,7 +16,7 @@ import graft.table.GraftTable
   * grammar for — the Delta pattern (DeltaSqlParser): a delegating
   * ParserInterface that recognizes
   *
-  *   OPTIMIZE <tbl> [WHERE <pred>] [ZORDER BY (c, …)]
+  *   OPTIMIZE <tbl> [FULL] [WHERE <pred>] [ZORDER BY (c, …)] [MAX WAVES n]
   *   VACUUM <tbl> [LITE] [RETAIN <n> HOURS] [DRY RUN]
   *   RESTORE [TABLE] <tbl> [TO] VERSION AS OF <n>
   *   DESCRIBE HISTORY <tbl>
@@ -60,7 +60,7 @@ object GraftSqlParser {
   private val Tbl = """((?:\w+\s*\.\s*)?`[^`]+`|[\w.]+)"""
 
   private val OptimizeRe =
-    s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*OPTIMIZE\\s+$Tbl(\\s+FULL)?(?:\\s+WHERE\\s+(.+?))?(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?(?:\\s+MAX\\s+WAVES\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val VacuumRe =
     s"""(?is)^\\s*VACUUM\\s+$Tbl(\\s+LITE)?(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val RestoreRe =
@@ -105,11 +105,11 @@ object GraftSqlParser {
     s"""(?is)^\\s*ANALYZE\\s+TABLE\\s+$Tbl\\s+COMPUTE\\s+STATISTICS\\s+FOR\\s+(?:(ALL\\s+COLUMNS)|COLUMNS\\s+([\\w\\s,]+?))\\s*;?\\s*$$""".r
 
   private def parseMaintenance(sql: String): Option[LogicalPlan] = sql match {
-    case OptimizeRe(tbl, full, where, zorder) =>
+    case OptimizeRe(tbl, full, where, zorder, maxWaves) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(',').toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
       Some(GraftOptimizeCommand(tbl, Option(where).map(_.trim), cols,
-        full = full != null))
+        full = full != null, maxWaves = Option(maxWaves).map(_.toInt)))
     case VacuumRe(tbl, lite, hours, dry) =>
       Some(GraftVacuumCommand(tbl,
         Option(hours).map(_.toDouble), dry != null, lite = lite != null))
@@ -400,13 +400,39 @@ case class GraftConvertCommand(table: String,
   }
 }
 
+/** `OPTIMIZE t [FULL] [WHERE …] [ZORDER BY (…)] [MAX WAVES n]`.
+  * Without MAX WAVES: the single-commit OPTIMIZE. With it: the
+  * resumable waved full re-cluster ([[GraftTable.optimizeFullWaved]] —
+  * the 100 TB path), one committed version row per wave, at most n
+  * waves this invocation; per-wave bytes come from the
+  * `graft.optimize.maxWaveBytes` table property (absent → the API
+  * default) and the campaign epoch from `graft.optimize.epoch`, so
+  * re-running the same statement RESUMES the same campaign and
+  * bumping the property starts a new one. */
 case class GraftOptimizeCommand(table: String, where: Option[String],
-    zorderBy: Seq[String], full: Boolean = false) extends LeafRunnableCommand {
+    zorderBy: Seq[String], full: Boolean = false,
+    maxWaves: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(GraftSqlParser.resolve(session, table)
-      .optimize(zorderBy, where = where, full = full)))
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(session, table)
+    val props = t.properties
+    val target = props.get(GraftTable.TargetFileSizeProp).map(_.toLong)
+      .getOrElse(GraftTable.DefaultTargetFileSizeBytes)
+    maxWaves match {
+      case None =>
+        Seq(Row(t.optimize(zorderBy, targetFileSizeBytes = target,
+          where = where, full = full)))
+      case Some(n) =>
+        require(n >= 1, "MAX WAVES must be at least 1")
+        val waveBytes = props.get(GraftTable.MaxWaveBytesProp).map(_.toLong)
+          .getOrElse(8L * target)
+        val epoch = props.getOrElse(GraftTable.OptimizeEpochProp, "epoch-1")
+        t.optimizeFullWaved(zorderBy, targetFileSizeBytes = target,
+          maxWaveBytes = waveBytes, epoch = epoch, where = where,
+          maxWaves = n).map(Row(_))
+    }
+  }
 }
 
 case class GraftVacuumCommand(table: String, retainHours: Option[Double],

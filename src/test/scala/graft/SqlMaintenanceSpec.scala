@@ -40,6 +40,52 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(t.manifestFiles().size <= before)
   }
 
+  test("OPTIMIZE ... MAX WAVES drives the resumable waved re-cluster through SQL") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sqlm_waved").toString
+    val t = GraftTable(spark, path, Seq("k"))
+    t.write(spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"),
+        (col("id") * 37 % 1000).as("v"))
+      .repartition(6))
+    val before = t.read().select("id", "k", "v").collect().toSet
+    // layout policy as table metadata: small target + wave budget force
+    // multiple byte-bounded waves on this fixture
+    t.setProperties(Map(
+      GraftTable.TargetFileSizeProp -> (8 * 1024).toString,
+      GraftTable.MaxWaveBytesProp -> (16 * 1024).toString))
+    val v0 = t.currentVersion
+    // first invocation bounded to ONE wave (the scheduler-tick shape)
+    val w1 = spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (v) MAX WAVES 1")
+      .as[Long].collect()
+    assert(w1.toSeq == Seq(v0 + 1), s"expected exactly one wave commit: $w1")
+    // re-running the SAME statement resumes the campaign: later waves
+    // land as their own commits, none of wave 1's outputs rewritten
+    val wave1Outputs = t.readActionRecord(w1.head).adds.map(_._1).toSet
+    val rest = spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (v) MAX WAVES 10")
+      .as[Long].collect()
+    assert(rest.nonEmpty, "resume must run the remaining waves")
+    val rewritten = rest.flatMap(v =>
+      t.readActionRecord(v).removes.map(_.toString)).toSet
+    assert(wave1Outputs.intersect(rewritten).isEmpty,
+      "resume must not rewrite a committed wave's outputs")
+    // one OPTIMIZE commit per wave, epoch-tagged, content preserved
+    val hist = t.history()
+      .filter(col("version").isin((w1 ++ rest).map(Long.box): _*))
+      .select("operation", "operationMetrics.epoch").collect()
+    assert(hist.length == w1.length + rest.length &&
+      hist.forall(r => r.getString(0) == "OPTIMIZE" &&
+        r.getString(1) == "epoch-1"))
+    assert(t.read().select("id", "k", "v").collect().toSet == before)
+    // converged: the statement is now a no-op
+    assert(spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (v) MAX WAVES 10")
+      .collect().isEmpty, "finished campaign must commit nothing")
+    // bumping the epoch property starts a fresh campaign
+    t.setProperties(Map(GraftTable.OptimizeEpochProp -> "epoch-2"))
+    assert(spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (v) MAX WAVES 1")
+      .collect().nonEmpty, "new epoch must re-cluster")
+  }
+
   test("VACUUM: DRY RUN reports, RETAIN 0 HOURS deletes under the conf override") {
     val (t, path) = freshTable("sqlm_vac")
     t.write(bars.repartition(4))
