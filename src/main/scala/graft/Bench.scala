@@ -110,6 +110,116 @@ object Bench {
     * r11 runs spanned 74-118 s total on identical code). */
   val RunsPerQuery = 2
 
+  /** Cross-run load guard threshold (r15): the run is flagged (and
+    * once re-run) when the MEDIAN per-query inflation vs the session's
+    * best prior final run exceeds this. 1.25 sits above observed
+    * same-code run spread (r13's four runs spanned 1.25× total; r14's
+    * two clean runs were within 1.01×) and below the load events the
+    * guard exists for (r14's shipped worst run: 1.39× uniform). */
+  val LoadGuardMedian = 1.25
+
+  /** One prior FINAL bench line (partial:false, with a per-query map). */
+  private[graft] final case class PriorRun(runId: Long, total: Double,
+      queries: Map[String, Double])
+
+  /** Prior final runs for `sf` parsed from the durable jsonl trail —
+    * newest code may have added/removed queries, so consumers compare
+    * over the common-query intersection only. Regex-parsed on purpose:
+    * the lines are this file's own single-line emissions. */
+  private[graft] def priorFinalRuns(logPath: String, sf: String)
+      : Seq[PriorRun] = {
+    val f = new java.io.File(logPath)
+    if (!f.isFile) return Nil
+    val RunIdRe = """"run_id":(\d+)""".r
+    val ValueRe = """"value":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+    val SfRe = """"sf":"([^"]+)"""".r
+    val QueriesRe = """"queries":\{([^}]*)\}""".r
+    val PairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().toSeq.collect {
+      case line if line.contains("\"partial\":false") &&
+          !line.contains("\"compact\":true") &&
+          SfRe.findFirstMatchIn(line).exists(_.group(1) == sf) =>
+        for {
+          id <- RunIdRe.findFirstMatchIn(line).map(_.group(1).toLong)
+          tot <- ValueRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+          qm <- QueriesRe.findFirstMatchIn(line).map(_.group(1))
+        } yield PriorRun(id, tot,
+          PairRe.findAllMatchIn(qm)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }.flatten
+    finally src.close()
+  }
+
+  // ---- run-over-run state diagnostics (r15, verdict #3) ----
+  // maintenance_sf10's `merge` grew monotonically across six
+  // consecutive runs (24.0→37.2 s) while siblings bounced — the
+  // signature of per-session state accumulation, not noise. Two
+  // moves: (a) COUNT the candidate pools before each lifecycle and
+  // stamp them into the section JSON, so the next drift carries its
+  // own correlate; (b) sweep stale graft-owned temp dirs at bench
+  // start (each run leaks dozens of fixture dirs into java.io.tmpdir;
+  // standing indexes are explicitly spared — their cross-run reuse is
+  // a feature).
+
+  /** Temp-dir prefixes this repo's fixtures create and never reuse
+    * across runs. Standing-index prefixes (graft_postings_,
+    * graft_ivf_index_, graft_sketch_corpus_) are NOT here. */
+  private val SweepPrefixes = Seq("graft_bench_maint", "graft_merge",
+    "graft_time_scan", "graft_bloom_lookup", "graft_bucketed",
+    "graft_bars_", "graft_col_defaults", "graft_sink_", "gt_", "sqlm_",
+    "cm_mut", "ls_")
+
+  private def isStanding(name: String): Boolean =
+    name.startsWith("graft_postings_") ||
+      name.startsWith("graft_ivf_index_") ||
+      name.startsWith("graft_sketch_corpus_")
+
+  /** Delete matching top-level tmpdir entries older than 2 h; returns
+    * (dirs deleted, bytes reclaimed). Age-gated so a concurrently
+    * running suite's live fixtures are never touched. */
+  private[graft] def sweepStaleTmp(): (Int, Long) = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 2 * 3600 * 1000L
+    var n = 0
+    var bytes = 0L
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { d =>
+      val nm = d.getName
+      if (!isStanding(nm) && SweepPrefixes.exists(nm.startsWith) &&
+          d.lastModified() < cutoff) {
+        val sz = dirBytes(d)
+        if (scala.util.Try(
+            org.apache.commons.io.FileUtils.deleteDirectory(d)).isSuccess ||
+            !d.exists()) { n += 1; bytes += sz }
+      }
+    }
+    (n, bytes)
+  }
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+
+  /** Counted pre-state snapshot stamped into each maintenance section:
+    * tmpdir population, standing-index footprint, fixture footprint,
+    * and the wall-clock offset into this bench run — the candidate
+    * correlates for any run-over-run lifecycle drift. */
+  private[graft] def preStateJson(fixtureDir: String,
+      elapsedSec: Double): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val entries = Option(tmp.list()).map(_.length).getOrElse(0)
+    val standingBytes = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(d => isStanding(d.getName)).map(dirBytes).sum
+    val fix = new java.io.File(fixtureDir)
+    def fixCount(f: java.io.File): Int =
+      if (f.isFile) 1
+      else Option(f.listFiles()).getOrElse(Array.empty).map(fixCount).sum
+    s"""{"tmp_entries":$entries,"standing_bytes":$standingBytes,""" +
+      s""""fixture_files":${fixCount(fix)},""" +
+      s""""fixture_bytes":${dirBytes(fix)},""" +
+      s""""elapsed_at_start":${num(elapsedSec)}}"""
+  }
+
   /** Diagnosed explanations for sf1 flags whose super-linearity is a
     * measured DATA property, not an algorithmic shape (each verified by
     * stage-level profiling; see the named query's scaladoc). */
@@ -245,7 +355,7 @@ object Bench {
     * afford to finish — skipping at the boundary is recorded in the
     * artifact, a kill mid-section records nothing for it. */
   val SectionHints: Map[String, Double] = Map(
-    "maintenance" -> 60, "indexed" -> 60, "sf1" -> 340,
+    "maintenance" -> 60, "sf1" -> 340,
     "indexed_sf1" -> 130, "maintenance_sf1" -> 90, "skew" -> 400,
     "skew_vec" -> 240, "maintenance_skew" -> 130, "sf10" -> 900,
     "maintenance_sf10" -> 650)
@@ -305,6 +415,14 @@ object Bench {
       .getOrElse(DefaultBudgetSec)
     runStartNs = startNs
     runBudgetSec = budgetSec
+    // r15: reclaim stale fixture dirs earlier runs leaked into tmpdir —
+    // the /tmp-fill candidate for the run-over-run merge creep; standing
+    // indexes are spared (cross-run reuse is their point)
+    locally {
+      val (n, b) = sweepStaleTmp()
+      if (n > 0) System.err.println(
+        s"[bench] tmp sweep: $n stale fixture dirs, $b bytes reclaimed")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -355,9 +473,80 @@ object Bench {
     // measurement (min over successes; r13, ADVICE) — only an
     // all-runs-failed query poisons the total, and mixed outcomes are
     // surfaced in partial_failure rather than silently dropped
-    val results = runsByQuery.map { case (k, ts) =>
+    var results = runsByQuery.map { case (k, ts) =>
       val ok = ts.filter(_ >= 0)
       k -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
+      new java.io.File("BENCH_LOCAL.jsonl").getAbsolutePath)
+    // ---- cross-run load guard (r15, verdict #1) ----
+    // The driver ships the LAST run as the artifact of record; r14's
+    // last run was the session's worst by ~40% with UNIFORM per-query
+    // inflation (machine load), and per-query min-of-N cannot defend
+    // against whole-run load. Compare this run's headline to the
+    // session's best prior FINAL line (same sf, common queries): when
+    // the MEDIAN per-query inflation exceeds LoadGuardMedian — a single
+    // legitimately-changed query cannot move the median, uniform load
+    // does — re-run the headline once (budget-gated) keeping per-query
+    // mins, and if the median still exceeds the guard, stamp the
+    // artifact with a load_flag carrying the inflation vector so it
+    // self-describes as load-contaminated instead of silently shipping.
+    var loadFlagJson = "null"
+    locally {
+      val prior = priorFinalRuns(logPath, sfDir)
+        .filter(r => r.total > 0 && r.queries.nonEmpty)
+        .sortBy(_.total).headOption
+      prior.foreach { p =>
+        def inflation(cur: Map[String, Double])
+            : (Double, Double, Seq[(String, Double)]) = {
+          val common = cur.toSeq.collect {
+            case (k, v) if v > 0.05 && p.queries.get(k).exists(_ > 0.05) =>
+              (k, v / p.queries(k))
+          }
+          if (common.isEmpty) (1.0, 0.0, Nil)
+          else {
+            val rs = common.map(_._2).sorted
+            (rs(rs.size / 2),
+              common.count(_._2 > 1.15).toDouble / common.size,
+              common.sortBy(-_._2))
+          }
+        }
+        val (med0, _, _) = inflation(results.toMap)
+        val fired = med0 > LoadGuardMedian
+        var reRan = false
+        if (fired) {
+          val reCost = results.collect { case (_, v) if v > 0 => v }.sum
+          if (reMeasureFits(reCost * 1.2)) {
+            reRan = true
+            System.err.println(s"[bench] load guard: median inflation " +
+              s"${num(med0)} vs run ${p.runId} — re-running headline once")
+            results = results.map { case (k, v) =>
+              val t0 = System.nanoTime()
+              val w =
+                try { queries(k)(spark, sfDir).count()
+                      (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => -1.0 }
+                finally releaseCaches(spark)
+              k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
+            }
+          }
+        }
+        val (med, frac, perQ) = inflation(results.toMap)
+        if (med > LoadGuardMedian) {
+          val top = perQ.take(8)
+            .map { case (k, r) => "\"" + k + "\":" + num(r) }
+            .mkString("{", ",", "}")
+          loadFlagJson = s"""{"best_prior_run":${p.runId},""" +
+            s""""best_prior_total":${num(p.total)},""" +
+            s""""median_inflation":${num(med)},""" +
+            s""""inflated_frac":${num(frac)},"re_ran":$reRan,""" +
+            s""""top_inflation":$top}"""
+        } else if (fired) {
+          loadFlagJson = s"""{"recovered_by_rerun":true,""" +
+            s""""best_prior_run":${p.runId},""" +
+            s""""median_inflation":${num(med)}}"""
+        }
+      }
     }
     val partialFailed = runsByQuery.collect {
       case (k, ts) if ts.exists(_ < 0) && ts.exists(_ >= 0) => "\"" + k + "\""
@@ -394,13 +583,11 @@ object Bench {
     // one line emitted only after ALL sections, rc 124 → parsed null).
     // The reference prints each op's timing as it completes
     // (maintenance.py:148-151); this is that ethos at artifact grain.
-    val sectionKeys = Seq("maintenance", "indexed", "sf1", "indexed_sf1",
+    val sectionKeys = Seq("maintenance", "sf1", "indexed_sf1",
       "maintenance_sf1", "skew", "skew_vec", "maintenance_skew", "sf10",
       "maintenance_sf10")
     val sections = scala.collection.mutable.LinkedHashMap(
       sectionKeys.map(k => k -> "{\"pending\":true}"): _*)
-    val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
-      new java.io.File("BENCH_LOCAL.jsonl").getAbsolutePath)
     // intermediate emissions land in a sibling scratch file, truncated
     // per run: a killed run still leaves its latest complete state on
     // disk, without growing the tracked log ~12 lines of redundant
@@ -414,7 +601,7 @@ object Bench {
     def emit(partial: Boolean): Unit = {
       val sj = sections.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","runs_per_query":$RunsPerQuery,"partial":$partial,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"noise_band":$noiseBand,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"queries":$qs,$sj,"sf":"$sfDir"}"""
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","runs_per_query":$RunsPerQuery,"partial":$partial,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"noise_band":$noiseBand,"load_flag":$loadFlagJson,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"queries":$qs,$sj,"sf":"$sfDir"}"""
       println(line)
       // durable full-JSON trail: the driver records only a 2000-char
       // tail of stdout, so every emission also lands on disk
@@ -452,9 +639,11 @@ object Bench {
       maint01 = m.toMap
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
-    // r13: the nine standing-index twins, measured against a pre-built
-    // postings table (state pinned outside the timed window)
-    section("indexed")(indexedBench(spark, sfDir, results.toMap, RunsPerQuery))
+    // the sf0.1 `indexed` section was DROPPED in r15 (r14 verdict #7):
+    // at sf0.1 the twins measure fixed overheads, not the index —
+    // shipped-run "speedups" of 0.04×–1.23× contradicted the same
+    // artifact's sf1 numbers and informed no decision. indexed_sf1
+    // below is the informative section.
     var sf1Times: Map[String, Double] = Map.empty
     var sf1Dir: Option[String] = None
     section("sf1") {
@@ -483,7 +672,8 @@ object Bench {
       sf1Dir.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_SF1")) match {
         case Some(d) =>
           val (json, m) = maintBlock(() => maintenanceLifecycle(spark, d),
-            maint01, "ratio_vs_sf01", BenchScale.Factor)
+            maint01, "ratio_vs_sf01", BenchScale.Factor,
+            preState = preStateJson(d, elapsedSec))
           maintSf1 = Some(m); json
         case None => "{\"skipped\":true}"
       }
@@ -511,7 +701,8 @@ object Bench {
       (sf10Dir, maintSf1) match {
         case (Some(d), Some(m1)) =>
           maintBlock(() => maintenanceLifecycle(spark, d), m1.toMap,
-            "ratio_vs_sf1", BenchScale.Factor10)._1
+            "ratio_vs_sf1", BenchScale.Factor10,
+            preState = preStateJson(d, elapsedSec))._1
         case _ => "{\"skipped\":true}"
       }
     }
@@ -536,7 +727,8 @@ object Bench {
     * confirmation noise demands. Returns (json, per-op seconds) so the
     * next decade ratios against the confirmed numbers. */
   private[graft] def maintBlock(run: () => Seq[(String, Double)],
-      base: Map[String, Double], ratioKey: String, factor: Int)
+      base: Map[String, Double], ratioKey: String, factor: Int,
+      preState: String = "null")
       : (String, Seq[(String, Double)]) = {
     var m = run()
     def ratiosOf(mm: Seq[(String, Double)]): Seq[(String, Double)] =
@@ -569,7 +761,7 @@ object Bench {
       case (k, r) if r > factor && m.toMap.getOrElse(k, 0.0) >= 0.5 =>
         "\"" + k + "\""
     }
-    (s"""{"ops":$entries,"$ratioKey":$ratios,""" +
+    (s"""{"pre_state":$preState,"ops":$entries,"$ratioKey":$ratios,""" +
       s""""remeasured":$remeasured,""" +
       (if (undiagnosed && !remeasured)
         s""""remeasure_skipped_over_budget":true,""" else "") +
@@ -660,6 +852,16 @@ object Bench {
   /** Diagnosed explanations for maintenance ops whose scale ratio can
     * exceed the data factor by the op's own contract. */
   val MaintNotes: Map[String, String] = Map(
+    "merge" -> ("r14 observed a monotonic run-over-run creep at sf10 " +
+      "(24.0->37.2 s across six consecutive runs) — the session-state " +
+      "signature, not noise. r15 counters: every maintenance section " +
+      "now stamps pre_state (tmpdir population, standing-index bytes, " +
+      "fixture files/bytes, elapsed offset into the run) so any future " +
+      "drift carries its own correlate, and bench start sweeps the " +
+      "stale fixture dirs earlier runs leaked into tmpdir (the " +
+      "leading candidate pool: thousands of leaked entries measured). " +
+      "Flat post-sweep lineage confirms the fix; a re-creep indicts " +
+      "whichever pre_state counter moved with it."),
     "optimize_waved" -> ("The full re-cluster in byte-budgeted waves " +
       "(one bounded sort + one commit each, same-epoch resumable): " +
       "total work is n/waveBytes bounded in-memory sorts — LINEAR in " +

@@ -143,6 +143,31 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("priorFinalRuns: parses only same-sf FINAL lines with query maps") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_lineage")
+    val log = dir.resolve("BENCH_LOCAL.jsonl")
+    def wrap(runId: Long, bench: String): String =
+      s"""{"ts_ms":1,"run_id":$runId,"bench":$bench}"""
+    java.nio.file.Files.writeString(log, Seq(
+      // partial line: skipped
+      wrap(1, """{"metric":"total","value":40.0,"partial":true,"queries":{"q1":1.0},"sf":"/d/sf0.1"}"""),
+      // final line, matching sf: kept
+      wrap(2, """{"metric":"total","value":46.8,"partial":false,"noise_band":{"p50":1.1},"queries":{"q1":1.5,"q2":2.25E-1},"maintenance":{"queries":{"decoy":9.9}},"sf":"/d/sf0.1"}"""),
+      // final line, other sf: skipped
+      wrap(3, """{"metric":"total","value":9.0,"partial":false,"queries":{"q1":0.5},"sf":"/d/sf0.01"}"""),
+      // compact summary (no query map): skipped
+      wrap(4, """{"metric":"total","value":46.8,"partial":false,"compact":true,"sf":"/d/sf0.1"}""")
+    ).mkString("\n") + "\n")
+    val runs = Bench.priorFinalRuns(log.toString, "/d/sf0.1")
+    assert(runs.map(_.runId) == Seq(2L))
+    assert(runs.head.total == 46.8)
+    // the FIRST queries map on the line (the headline one), decoys in
+    // section payloads ignored; scientific notation parses
+    assert(runs.head.queries == Map("q1" -> 1.5, "q2" -> 0.225))
+    assert(Bench.priorFinalRuns(dir.resolve("absent.jsonl").toString,
+      "/d/sf0.1").isEmpty)
+  }
+
   test("headline set stays disjoint from the standing-state families") {
     // indexed twins and incremental ops are benched in their own
     // pinned-state sections; the headline's min-of-N assumes run N is
