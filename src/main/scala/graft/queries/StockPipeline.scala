@@ -38,6 +38,18 @@ object StockPipeline {
     System.getProperty("java.io.tmpdir"), "graft_oracle_bars_seed42").getAbsolutePath
   private val barDumpDone = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Fixed dump of the maintenance table's MANIFEST-derived v0 file
+    * census (one row: total files the WRITE landed), written before any
+    * maintenance op runs. The health report's files_before comes from
+    * the reference-style DISK walk; this dump is the log's independent
+    * second accounting of the same state — the oracle compares the two
+    * instead of hard-coding the repartition(8)×nparts fan-out, which
+    * assumed every write task holds rows of every hive partition (a
+    * Spark hash-partitioning detail a version bump may change; r14
+    * ADVICE). */
+  private val MaintV0DumpDir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_oracle_bars_maint_v0").getAbsolutePath
+
   private def seededBars(spark: SparkSession): DataFrame =
     Enrich.withTimeColumns(BarSource.harvest(spark, seed = 42L, delayMs = 0))
 
@@ -82,6 +94,10 @@ object StockPipeline {
     val table = GraftTable(spark, path, Seq("ticker", "trade_date"))
     // fixed pre-write partitioning → deterministic file counts everywhere
     table.write(bars.repartition(8))
+    // manifest-derived v0 census for the oracle (see MaintV0DumpDir)
+    import spark.implicits._
+    Seq(table.partitionsReport(0).map(_._2).sum).toDF("n_files")
+      .coalesce(1).write.mode("overwrite").parquet(MaintV0DumpDir)
     val report = Maintenance.run(table, clusterBy = Seq("timestamp_ms"))
     Maintenance.reportDF(spark, report)
   }
@@ -275,17 +291,25 @@ object StockPipeline {
          |FROM (VALUES (0, 'WRITE'), (1, 'OPTIMIZE'), (2, 'VACUUM'))
          |     AS v(version, operation)
          |ORDER BY version""".stripMargin,
+    // files_before/orphans_deleted come from the query's MANIFEST-v0
+    // census dump (independent accounting: the report's numbers are a
+    // reference-style disk walk, the dump is the transaction log's
+    // view of the same pre-maintenance state) — not the nparts*8
+    // fan-out assumption the r14 ADVICE flagged
     "bar_maintenance_report" ->
       s"""WITH p AS (
          |  SELECT COUNT(*) AS nrows,
          |         COUNT(DISTINCT ticker || '|' || CAST(trade_date AS VARCHAR))
          |           AS nparts
-         |  FROM $dump)
+         |  FROM $dump),
+         |v0 AS (
+         |  SELECT CAST(n_files AS BIGINT) AS files0
+         |  FROM read_parquet('$MaintV0DumpDir/*.parquet'))
          |SELECT metric, value FROM (
          |  SELECT 'files_after' AS metric, CAST(nparts AS VARCHAR) AS value FROM p
-         |  UNION ALL SELECT 'files_before', CAST(nparts * 8 AS VARCHAR) FROM p
+         |  UNION ALL SELECT 'files_before', CAST(files0 AS VARCHAR) FROM v0
          |  UNION ALL SELECT 'operations', 'OPTIMIZE,VACUUM,WRITE' FROM p
-         |  UNION ALL SELECT 'orphans_deleted', CAST(nparts * 8 AS VARCHAR) FROM p
+         |  UNION ALL SELECT 'orphans_deleted', CAST(files0 AS VARCHAR) FROM v0
          |  UNION ALL SELECT 'row_count_preserved', 'true' FROM p
          |  UNION ALL SELECT 'rows_after', CAST(nrows AS VARCHAR) FROM p
          |  UNION ALL SELECT 'rows_before', CAST(nrows AS VARCHAR) FROM p
