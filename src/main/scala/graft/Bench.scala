@@ -135,7 +135,14 @@ object Bench {
     val SfRe = """"sf":"([^"]+)"""".r
     val QueriesRe = """"queries":\{([^}]*)\}""".r
     val PairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
-    val src = scala.io.Source.fromFile(f)
+    // explicit UTF-8 with replacement: the log carries UTF-8 note text
+    // (×, →) and the JVM default charset under a C locale is ASCII —
+    // Source.fromFile with the default codec threw MalformedInput and,
+    // uncaught, would kill the run before its first artifact emission
+    val codec = scala.io.Codec.UTF8
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val src = scala.io.Source.fromFile(f)(codec)
     try src.getLines().toSeq.collect {
       case line if line.contains("\"partial\":false") &&
           !line.contains("\"compact\":true") &&
@@ -492,7 +499,10 @@ object Bench {
     // artifact with a load_flag carrying the inflation vector so it
     // self-describes as load-contaminated instead of silently shipping.
     var loadFlagJson = "null"
-    locally {
+    // the guard runs BEFORE the first artifact emission: any failure in
+    // it must degrade to "no guard", never kill the run (the r12
+    // hard-gate lesson — a dead run parses as a missing one)
+    try {
       val prior = priorFinalRuns(logPath, sfDir)
         .filter(r => r.total > 0 && r.queries.nonEmpty)
         .sortBy(_.total).headOption
@@ -547,6 +557,10 @@ object Bench {
             s""""median_inflation":${num(med)}}"""
         }
       }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] load guard skipped: ${e.getMessage}")
+      loadFlagJson =
+        s"""{"guard_error":"${esc(String.valueOf(e.getMessage))}"}"""
     }
     val partialFailed = runsByQuery.collect {
       case (k, ts) if ts.exists(_ < 0) && ts.exists(_ >= 0) => "\"" + k + "\""
@@ -713,7 +727,7 @@ object Bench {
     // headline partial, the full final artifact, or this) parses. The
     // full artifact with the per-query map is the line above and every
     // BENCH_LOCAL.jsonl entry.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","n_queries":${results.size},"partial":false,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"compact":true,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"full_artifact":"BENCH_LOCAL.jsonl","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","n_queries":${results.size},"partial":false,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"compact":true,"load_flag":$loadFlagJson,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"full_artifact":"BENCH_LOCAL.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 
