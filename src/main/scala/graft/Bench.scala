@@ -231,7 +231,14 @@ object Bench {
     * measured DATA property, not an algorithmic shape (each verified by
     * stage-level profiling; see the named query's scaladoc). */
   val FlagNotes: Map[String, String] = Map(
-    "dedup_minhash" -> ("LSH candidate pairs grow 12.0x at 10x data " +
+    "dedup_minhash" -> ("r15 LINEAGE STEP, intentional: the operator " +
+      "moved from OPH/xxhash sketches to md5-affine permutations (the " +
+      "hash-oracle graduation) — headline sf0.1 cold cost rose " +
+      "1.9 -> ~3.2-4.0 s (one md5 per shingle) while sf10 DROPPED " +
+      "80.3 -> 20.6-27.6 s (lossless int lanes halve the verify-join " +
+      "bytes; no fold16 step): the trade favors exactly the scale that " +
+      "matters. Pre-r15 numbers are not comparable. " +
+      "LSH candidate pairs grow 12.0x at 10x data " +
       "(294k to 3.52M, stage-profiled): digit/punctuation shingles are " +
       "invariant under BenchScale's Caesar transform, so scaled copies " +
       "gain genuine cross-copy near-dup candidates. Per-candidate cost " +
