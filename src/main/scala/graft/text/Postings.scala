@@ -21,8 +21,9 @@ import graft.tables.Tables._
   *
   * Incremental by construction: [[update]] appends only docs whose ids
   * the table has never seen (anti-join on the persisted doc_id set), so
-  * a re-run costs one metadata read and a day-2 crawl batch costs only
-  * its own tokenization — never a corpus re-scan.
+  * a re-run costs one distinct-count over the compact (doc, word) index
+  * and a day-2 crawl batch costs only its own tokenization — never a
+  * corpus re-scan.
   */
 object Postings {
 
@@ -44,13 +45,25 @@ object Postings {
       "documents.parquet")
 
   /** (doc_id, word, tf, positions) from raw documents — the one
-    * corpus-text scan. positions are sorted raw token indices; tf =
-    * size(positions). */
+    * corpus-text scan. positions are sorted raw token indices (the
+    * explode runs on the UNFILTERED split array, so ordinals match the
+    * scratch tokenizers even when the split yields leading empties).
+    *
+    * A doc whose text tokenizes to nothing (null/whitespace-only)
+    * lands one SENTINEL row (word = null, positions = []) via
+    * `posexplode_outer` over a null-ified array: the table's distinct
+    * doc_id set is then exactly the ingested-doc census — [[update]]'s
+    * anti-join stops re-ingesting tokenless docs forever and the
+    * [[DocCountProp]] property can be recomputed from the table
+    * itself. [[postings]] filters sentinels out before serving, so no
+    * lexical consumer ever sees a null word. */
   private[graft] def derive(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
-      posexplode(split(lower(trim(col("text"))), "\\s+")))
+      split(lower(trim(col("text"))), "\\s+").as("toks"))
+    .select(col("doc_id"), posexplode_outer(
+      when(exists(col("toks"), w => w =!= ""), col("toks"))))
     .toDF("doc_id", "pos", "word")
-    .filter(col("word") =!= "")
+    .filter(col("word").isNull || col("word") =!= "")
     .groupBy("doc_id", "word")
     .agg(count(lit(1)).as("tf"),
       sort_array(collect_list(col("pos"))).as("positions"))
@@ -87,16 +100,26 @@ object Postings {
       return built
     }
     val known = t.read().select("doc_id").distinct()
+    // pre-append census: distinct doc_id in the table IS the ingested
+    // set (tokenless docs hold sentinel rows — derive's doc), so the
+    // property is recomputed from table + batch instead of trusting the
+    // stored value: a crash between a committed append and its property
+    // commit leaves the census stale, and prior+added would carry that
+    // staleness forward forever
+    val knownN = known.count()
     val fresh = docs.join(known, Seq("doc_id"), "left_anti")
     if (!fresh.isEmpty) {
       val added = fresh.select("doc_id").distinct().count()
       graft.table.StandingIndex.writeSized(spark, path, derive(fresh),
         Seq("word"), org.apache.spark.sql.SaveMode.Append, targetBytes)
-      // advance the ingested-doc census with the batch it covers —
-      // cumulative, so the serve-time completeness check stays one
-      // property read no matter how many day-2 batches landed
-      val prior = t.properties.get(DocCountProp).map(_.toLong).getOrElse(0L)
-      t.setProperties(Map(DocCountProp -> (prior + added).toString))
+      t.setProperties(Map(DocCountProp -> (knownN + added).toString))
+    } else if (!t.properties.get(DocCountProp).contains(knownN.toString)) {
+      // self-heal: the data landed but the census commit didn't (or a
+      // legacy census undercounted) — a replay with no fresh docs
+      // reconciles the property from the table, so [[postings]]'s
+      // remedy ("re-run update with the complete documents frame")
+      // always works
+      t.setProperties(Map(DocCountProp -> knownN.toString))
     }
     t
   }
@@ -126,8 +149,11 @@ object Postings {
           // legacy table (built before the census property existed):
           // backfill ONCE from the postings table itself — a distinct
           // count over the compact (doc, word) index, never the corpus
-          // text — so pre-upgrade standing tables self-heal instead of
-          // being refused forever
+          // text. Pre-sentinel legacy tables undercount docs whose text
+          // tokenized to nothing; the gate then refuses and its stated
+          // remedy is real: a re-run of [[update]] with the full corpus
+          // ingests the missing docs as sentinels and reconciles the
+          // census
           val n = t.read().select("doc_id").distinct().count()
           t.setProperties(Map(DocCountProp -> n.toString))
           Some(n)
@@ -140,7 +166,10 @@ object Postings {
             " property)")} of $corpus corpus documents — the first build " +
           "at a fingerprinted standing path must cover the full corpus " +
           "(re-run Postings.update with the complete documents frame)")
-      t.read()
-    } else update(spark, documents(spark, dir), path).read()
+      t.read().filter(col("word").isNotNull)
+    } else {
+      update(spark, documents(spark, dir), path)
+        .read().filter(col("word").isNotNull)
+    }
   }
 }

@@ -118,6 +118,48 @@ class PostingsSpec extends SparkSpec {
       "ngram_novelty_indexed diverged from ngram_novelty")
   }
 
+  test("tokenless docs are censused once and stay invisible to consumers") {
+    // empty / whitespace-only / null text yields no postings rows, but
+    // the doc must still count as INGESTED: pre-r15 it stayed "fresh"
+    // forever (re-inflating the census on every update) and the
+    // serve-time completeness gate could never match the corpus count
+    val docs = docsOf(1L -> "alpha beta", 2L -> "", 3L -> "   \t\n",
+      4L -> null.asInstanceOf[String])
+    val path = Files.createTempDirectory("gt_postings_tl").toString + "/t"
+    val t = Postings.update(spark, docs, path)
+    assert(t.properties(Postings.DocCountProp) == "4",
+      "census must count tokenless docs as ingested")
+    val v1 = t.currentVersion
+    // replay: tokenless docs are in the table (as sentinels) → nothing
+    // fresh, census already right → zero commits
+    Postings.update(spark, docs, path)
+    val t2 = graft.table.GraftTable(spark, path)
+    assert(t2.currentVersion == v1, "tokenless docs must not re-ingest")
+    assert(t2.properties(Postings.DocCountProp) == "4",
+      "replay must not inflate the census")
+    // sentinel rows are the census mechanism, never a consumer-visible
+    // word: the raw table holds them, the served frame does not
+    assert(t2.read().filter(col("word").isNull)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(t2.read().filter(col("word").isNotNull)
+      .select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("a stale census (crash between append and property commit) self-heals") {
+    val docs = docsOf(1L -> "alpha beta", 2L -> "beta gamma")
+    val path = Files.createTempDirectory("gt_postings_heal").toString + "/t"
+    val t = Postings.update(spark, docs, path)
+    // simulate the torn day-2 ingest: the data commit landed but the
+    // census commit didn't — the stored property undercounts
+    t.setProperties(Map(Postings.DocCountProp -> "1"))
+    // a replay has nothing fresh to append, but must reconcile the
+    // census from the table itself instead of wedging forever
+    Postings.update(spark, docs, path)
+    assert(graft.table.GraftTable(spark, path)
+      .properties(Postings.DocCountProp) == "2",
+      "replay must reconcile a stale census from the table's doc set")
+  }
+
   test("a partial first build at a fingerprinted standing path is refused") {
     // an isolated corpus copy: poisoning the REAL sf fixture's standing
     // path would break every indexed twin in this JVM
