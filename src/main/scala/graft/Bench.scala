@@ -175,24 +175,45 @@ object Bench {
   private val SweepPrefixes = Seq("graft_bench_maint", "graft_merge",
     "graft_time_scan", "graft_bloom_lookup", "graft_bucketed",
     "graft_bars_", "graft_col_defaults", "graft_sink_", "gt_", "sqlm_",
-    "cm_mut", "ls_")
+    "cm_mut", "ls_",
+    // retired sketch-family generations: the current generation is
+    // spared by isStanding below; pre-m1 (OPH) corpora can never be
+    // read again — the family generation is part of the path — so
+    // they age out like any other stale fixture
+    "graft_sketch_corpus_")
 
   private def isStanding(name: String): Boolean =
     name.startsWith("graft_postings_") ||
       name.startsWith("graft_ivf_index_") ||
-      name.startsWith("graft_sketch_corpus_")
+      name.startsWith("graft_sketch_corpus_m1_")
+
+  /** `Files.createTempDirectory(prefix)` mints prefix + a random
+    * non-negative Long — every fixture dir this repo leaks ends in a
+    * long digit run — and `StandingIndex.path` names end in a 32-hex
+    * content digest (how retired sketch-corpus generations look).
+    * Requiring one of the two keeps the sweep off foreign dirs that
+    * merely share a short prefix (gt_, ls_, … are generic). */
+  private val TempDirTail = ".*([0-9]{6,}|[0-9a-f]{32})$".r
 
   /** Delete matching top-level tmpdir entries older than 2 h; returns
     * (dirs deleted, bytes reclaimed). Age-gated so a concurrently
-    * running suite's live fixtures are never touched. */
+    * running suite's live fixtures are never touched; scoped to dirs
+    * that carry the createTempDirectory digit tail AND are owned by
+    * the current user, so a foreign process's `gt_*`-named data is
+    * outside the blast radius. */
   private[graft] def sweepStaleTmp(): (Int, Long) = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 2 * 3600 * 1000L
+    val me = sys.props("user.name")
+    def ownedByMe(d: java.io.File): Boolean = scala.util.Try(
+      java.nio.file.Files.getOwner(d.toPath).getName == me)
+      .getOrElse(false)
     var n = 0
     var bytes = 0L
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { d =>
       val nm = d.getName
       if (!isStanding(nm) && SweepPrefixes.exists(nm.startsWith) &&
+          TempDirTail.matches(nm) && ownedByMe(d) &&
           d.lastModified() < cutoff) {
         val sz = dirBytes(d)
         if (scala.util.Try(
@@ -316,9 +337,24 @@ object Bench {
 
   /** JSON string-literal escape for hand-assembled artifact lines: a
     * note containing a quote or backslash must never corrupt the line
-    * (r13, ADVICE). */
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+    * (r13, ADVICE) — and neither may a NEWLINE or control char (r15:
+    * exception messages carry plan trees; a raw \n would split the
+    * one-line artifact, poisoning BENCH_LOCAL.jsonl's line-oriented
+    * lineage and the driver's JSON parse). */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' =>
+        sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   /** Flag-note discipline, enforced at JSON-assembly time (r12): a
     * flagged key WITHOUT a diagnosis is indistinguishable from an
@@ -506,6 +542,9 @@ object Bench {
     // artifact with a load_flag carrying the inflation vector so it
     // self-describes as load-contaminated instead of silently shipping.
     var loadFlagJson = "null"
+    // per-query guard re-run durations (-1 = re-run failed): folded into
+    // partial_failure below so the re-run never erases a failure record
+    var reRunTimes = Map.empty[String, Double]
     // the guard runs BEFORE the first artifact emission: any failure in
     // it must degrade to "no guard", never kill the run (the r12
     // hard-gate lesson — a dead run parses as a missing one)
@@ -544,6 +583,7 @@ object Bench {
                       (System.nanoTime() - t0) / 1e9 }
                 catch { case _: Throwable => -1.0 }
                 finally releaseCaches(spark)
+              reRunTimes += k -> w
               k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
             }
           }
@@ -566,11 +606,21 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] load guard skipped: ${e.getMessage}")
+      // truncated: an unbounded message could push the compact
+      // last-resort line past the driver's 2000-char stdout tail
       loadFlagJson =
-        s"""{"guard_error":"${esc(String.valueOf(e.getMessage))}"}"""
+        s"""{"guard_error":"${esc(String.valueOf(e.getMessage).take(300))}"}"""
     }
+    // the guard re-run counts as a run: a query whose CONTRACT runs all
+    // failed but whose re-run succeeded must surface in partial_failure
+    // (mixed outcomes are never silently laundered into a clean
+    // measurement), and a re-run failure on an otherwise-green query
+    // must surface the same way
     val partialFailed = runsByQuery.collect {
-      case (k, ts) if ts.exists(_ < 0) && ts.exists(_ >= 0) => "\"" + k + "\""
+      case (k, ts0) if {
+          val ts = ts0 ++ reRunTimes.get(k)
+          ts.exists(_ < 0) && ts.exists(_ >= 0)
+        } => "\"" + k + "\""
     }
     // per-query max/min spread over the N runs; sub-50 ms queries are
     // scheduling noise and excluded from the band

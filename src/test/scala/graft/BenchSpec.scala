@@ -41,6 +41,51 @@ class BenchSpec extends AnyFunSuite {
     assert(!body.replace("\\\"", "").replace("\\\\", "").contains("\""))
   }
 
+  test("flagNotesJson: control characters never reach the artifact raw") {
+    // exception messages carry plan trees: a raw \n in any assembled
+    // string would split the one-line artifact and poison the
+    // line-oriented BENCH_LOCAL.jsonl lineage
+    val json = Bench.flagNotesJson(Seq("\"op\""),
+      Map("op" -> "line1\nline2\ttab\rretctl"))
+    assert(!json.exists(_ < ' '), "no raw control char may survive")
+    assert(json.contains("\\n") && json.contains("\\t") &&
+      json.contains("\\r") && json.contains("\\u0001"))
+  }
+
+  test("sweepStaleTmp: only stale, digit-tailed, owned fixture dirs are swept") {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val old = System.currentTimeMillis() - 3 * 3600 * 1000L
+    def mk(name: String, stale: Boolean): java.io.File = {
+      val d = new java.io.File(tmp, name)
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("x"), "x")
+      if (stale) d.setLastModified(old)
+      d
+    }
+    val swept = mk("gt_sweepspec" + System.nanoTime(), stale = true)
+    // prefix-matching but WITHOUT createTempDirectory's random digit
+    // tail: could be a foreign process's data, must be spared
+    val noTail = mk("gt_sweepspec_foreign_data", stale = true)
+    val young = mk("gt_sweepspec" + (System.nanoTime() + 7), stale = false)
+    val standing = mk("graft_postings_" + System.nanoTime(), stale = true)
+    val hex32 = "0123456789abcdef0123456789abcdef"
+    // retired sketch-family generation (no m1 segment): unreadable by
+    // any current code → ages out; the CURRENT generation is standing
+    val retiredGen = mk("graft_sketch_corpus_" + hex32, stale = true)
+    val currentGen = mk("graft_sketch_corpus_m1_" + hex32, stale = true)
+    try {
+      Bench.sweepStaleTmp()
+      assert(!swept.exists(), "stale digit-tailed fixture must be swept")
+      assert(noTail.exists(), "no digit tail → not ours → spared")
+      assert(young.exists(), "young dirs must be spared")
+      assert(standing.exists(), "standing indexes must be spared")
+      assert(!retiredGen.exists(), "retired sketch generation must age out")
+      assert(currentGen.exists(), "current sketch generation is standing")
+    } finally Seq(noTail, young, standing, currentGen).foreach { d =>
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+  }
+
   test("flagNotesJson: voluntary watch notes merge; flagged diagnosis wins") {
     val json = Bench.flagNotesJson(
       Seq("\"a\""),
