@@ -50,15 +50,6 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
 
-  /** MinHash sketch per doc — a scalar codegen'd expression (OPH, see
-    * [[MinHashKernel]]): zero shuffle, O(text) per row. The typed
-    * Aggregator alternative (shingle explode → groupBy) costs two
-    * shuffles of the shingle table and O(text × numPerm) hashing. */
-  def minhashSketches(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"),
-        MinHashSketch.minhash_sketch(col("text"), 5, NumPerm).as("sketch"))
-
   /** Exact dedup: normalize → groupBy → keep min doc_id. Groups on the
     * 64-bit hash of the normalized text, not the text itself — the
     * shuffle then moves 8 bytes + partial aggregates per row instead of
@@ -154,23 +145,46 @@ object Dedup {
     * near-dup pairs involving at least one batch doc, which equals the
     * full recompute's pair set restricted to the batch (spec-pinned).
     */
+  /** Sketch-family tag stamped on every persisted sketch corpus. The
+    * incremental flow's contract is "equals [[ngramJaccard]] restricted
+    * to the batch", which is only STRUCTURAL if both funnels share one
+    * sketch family: when [[dedupMinhash]] moved to md5-affine
+    * permutations (r15, the hash-oracle graduation) a standing corpus
+    * of old OPH sketches would band-join new md5 batch sketches into
+    * garbage candidates — silently, since fewer candidates just looks
+    * like fewer dups. [[updateSketchCorpus]] refuses a family-mismatched
+    * table instead. */
+  val SketchFamilyProp = "graft.sketch.family"
+  val SketchFamily = "md5-affine-v1"
+
   /** (doc_id, sketch, band, sig): the in-scan sketch kernel + banding,
-    * exploded one row per band. */
+    * exploded one row per band — the SAME md5-affine family and band
+    * keys as [[dedupMinhash]], so a batch sketched here band-joins a
+    * corpus sketched there candidate-for-candidate. */
   def bandedSketch(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-        MinHashSketch.minhash_sketch(col("text"), 5, NumPerm).as("sketch"))
+        graft.functions.SigKernelColumns.md5_perm_sketch(
+          col("text"), 5, NumPerm).as("sketch"))
+      .filter(col("sketch").isNotNull)
       .select(col("doc_id"), col("sketch"), posexplode(
-        graft.functions.SigKernelColumns.band_signatures(
+        graft.functions.SigKernelColumns.md5_band_keys(
           col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
 
   /** Sketch the corpus ONCE and persist the banded sketch table —
-    * byte-targeted and (band, sig)-clustered via
-    * [[graft.table.StandingIndex.writeSized]], so the LSH probe join's
-    * key ranges map to disjoint files. */
+    * byte-targeted and band-clustered via
+    * [[graft.table.StandingIndex.writeSized]] (1-D int sort: the probe
+    * join shuffles on (band, sig) either way, so the one predicate file
+    * stats can actually prune is [[incrementalPairs]]'s `band = 0`
+    * sketch-side scan — band-disjoint files skip ~(Bands-1)/Bands of
+    * the table for it; the old (band, sig) Morton pair is impossible
+    * now anyway, since md5-affine band keys are strings). */
   def persistSketchCorpus(spark: SparkSession, corpusDocs: DataFrame,
-      path: String): graft.table.GraftTable =
-    graft.table.StandingIndex.writeSized(spark, path,
-      bandedSketch(corpusDocs), Seq("band", "sig"))
+      path: String): graft.table.GraftTable = {
+    val t = graft.table.StandingIndex.writeSized(spark, path,
+      bandedSketch(corpusDocs), Seq("band"))
+    t.setProperties(Map(SketchFamilyProp -> SketchFamily))
+    t
+  }
 
   /** Stable sketch-corpus table location for the documents under `dir`,
     * keyed by the corpus FILES' content identity
@@ -180,7 +194,11 @@ object Dedup {
     * even one byte-swapped in place at identical sizes — keys to a
     * fresh one, so stale sketches can never poison the pairs. */
   def sketchCorpusPath(dir: String): String =
-    graft.table.StandingIndex.path("graft_sketch_corpus_", dir,
+    // the _m1 segment is the FAMILY generation: md5-affine sketches
+    // (r15) must never key to a standing OPH-family corpus left by an
+    // earlier build — same reason the family property exists, but for
+    // the content-addressed default path the rebuild is automatic
+    graft.table.StandingIndex.path("graft_sketch_corpus_m1_", dir,
       "documents.parquet")
 
   /** Create-or-append the sketch corpus at `path`: only docs the table
@@ -191,11 +209,19 @@ object Dedup {
       path: String): graft.table.GraftTable = {
     val t = graft.table.GraftTable(spark, path)
     if (t.currentVersion < 0) return persistSketchCorpus(spark, corpusDocs, path)
+    val family = t.properties.get(SketchFamilyProp)
+    if (!family.contains(SketchFamily))
+      throw new IllegalStateException(
+        s"sketch corpus at $path was built with family " +
+        s"${family.getOrElse("unknown (pre-" + SketchFamilyProp + ")")} " +
+        s"but this build sketches $SketchFamily: band keys would join " +
+        "into garbage candidates — rebuild the corpus (delete the table " +
+        "and re-run updateSketchCorpus with the full corpus)")
     val known = t.read().select("doc_id").distinct()
     val fresh = corpusDocs.join(known, Seq("doc_id"), "left_anti")
     if (!fresh.isEmpty)
       graft.table.StandingIndex.writeSized(spark, path,
-        bandedSketch(fresh), Seq("band", "sig"),
+        bandedSketch(fresh), Seq("band"),
         org.apache.spark.sql.SaveMode.Append)
     t
   }
@@ -207,35 +233,54 @@ object Dedup {
     * only candidate doc ids. */
   def incrementalPairs(spark: SparkSession, dir: String,
       corpusBanded: DataFrame, batchDocs: DataFrame): DataFrame = {
-    // the band join carries only FOLDED 16-bit lanes (the est filter is
-    // one-sided-exact over them — see [[ArrayKernels.fold16]]); the
-    // full sketches never ride the candidate exchange
-    def folded(d: DataFrame): DataFrame = d
-      .withColumn("sk16",
-        graft.functions.ArrayKernelColumns.fold_sketch16(col("sketch")))
-      .drop("sketch")
-    val corpus = folded(corpusBanded).repartition(col("band"), col("sig"))
-    val batch = folded(bandedSketch(batchDocs))
+    // the est gate runs the SAME md5-affine lanes as [[dedupMinhash]]:
+    // lossless int agreement makes the candidate funnel IDENTICAL to
+    // the full recompute's, which is what turns the "incremental ≡ full
+    // restricted to the batch" contract from a corpus-dependent
+    // coincidence into a structural property (the old fold16 2-byte
+    // lanes saved join bytes but estimated through a DIFFERENT random
+    // family — a pair near the 0.5 S-curve knee could pass one gate and
+    // fail the other). Join shape mirrors dedupMinhash: the band-key
+    // exchange ships IDS ONLY, and the full sketches join per
+    // CANDIDATE — the batch's from a persisted one-pass sketch frame,
+    // the corpus's from the stored table's band-0 rows (exactly one
+    // per doc; the band file clustering makes that a row-group-skipped
+    // scan, never a 32×-duplicated read).
+    val bsk = batchDocs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.md5_perm_sketch(
+          col("text"), 5, NumPerm).as("sketch"))
+      .filter(col("sketch").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = bsk.select(col("doc_id"), posexplode(
+        graft.functions.SigKernelColumns.md5_band_keys(
+          col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
+      .repartition(col("band"), col("sig"))
+    val corpusBands = corpusBanded.select("doc_id", "band", "sig")
       .repartition(col("band"), col("sig"))
     // batch-vs-corpus (either orientation) + batch-internal pairs,
     // normalized to a < b; estimate from sketches, verify exactly
-    val cands = batch.as("x").join(corpus.as("y"),
+    val pairs = batchBands.as("x").join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-        when(col("x.doc_id") < col("y.doc_id"), col("x.sk16"))
-          .otherwise(col("y.sk16")).as("ska"),
-        when(col("x.doc_id") < col("y.doc_id"), col("y.sk16"))
-          .otherwise(col("x.sk16")).as("skb"))
-      .unionByName(batch.as("x").join(batch.as("y"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .unionByName(batchBands.as("x").join(batchBands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sk16").as("ska"), col("y.sk16").as("skb")))
-      .filter(graft.functions.ArrayKernelColumns
-        .sketch_agreement16(col("ska"), col("skb"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+      .distinct()
+    val skV = corpusBanded.filter(col("band") === 0)
+      .select(col("doc_id"), col("sketch"))
+      .unionByName(bsk)
+      .dropDuplicates("doc_id")
+    val cands = pairs
+      .join(skV.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("sketch", "ska"), "a")
+      .join(skV.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("sketch", "skb"), "b")
+      .filter(graft.functions.SigKernelColumns
+        .sketch_agreement_int(col("ska"), col("skb"))
         .cast("double") / lit(NumPerm.toDouble) >= 0.5)
-      .select("a", "b").distinct()
+      .select("a", "b")
     // exact verification reads ONLY candidate docs' shingles
     val sets = shingleTable(spark, dir)
       .groupBy("doc_id").agg(collect_set("sh").as("shingles"))
@@ -446,48 +491,57 @@ object Dedup {
 
   /** Round-truncation strategy for the iterative ops: eager
     * `localCheckpoint` by default (executor storage — fast, correct on
-    * local[*]), eager RELIABLE `checkpoint` under `dir` when given (the
-    * cluster-grade form: blocks survive executor loss). Two lifetimes:
+    * local[*]), RELIABLE parquet materialization under `dir` when given
+    * (the cluster-grade form: files survive executor loss, exactly the
+    * guarantee `RDD.checkpoint` buys). Two lifetimes:
     *
     *  - [[pin]] — frames referenced by EVERY iteration (pagerank's
     *    adjacency): files live until the scope is cleaned.
     *  - [[round]] — per-round frames: once round N+2 is materialized,
     *    round N's files are provably dead (round N+1 reads its own
-    *    checkpoint, not N's lineage) and are deleted immediately, so a
+    *    files, not N's lineage) and are deleted immediately, so a
     *    long-diameter graph holds at most TWO rounds of checkpoint
     *    bytes instead of one per iteration.
     *
-    * The invocation's files land in the fresh UUID subdirectory
-    * `setCheckpointDir` mints per call, so concurrent tables don't
-    * interleave; callers reclaim the final round + pins with
+    * The reliable form deliberately does NOT use `Dataset.checkpoint`:
+    * that rides `setCheckpointDir`, which is PROCESS-GLOBAL state — a
+    * concurrent Truncator's constructor would redirect this one's
+    * rounds into its own scope, and any listing-diff reclamation then
+    * deletes files a concurrent invocation still reads. Writing each
+    * round to a private `trunc-<uuid>/round-N` parquet dir keeps
+    * every path this instance deletes a path only this instance
+    * created, so concurrent invocations (even sharing `dir`) cannot
+    * interleave. Callers reclaim the final round + pins with
     * [[Dedup.withReliableCheckpoints]] once the result is consumed. */
   private final class Truncator(ss: org.apache.spark.sql.SparkSession,
       dir: Option[String]) {
     private val reliable = dir.map { d =>
-      ss.sparkContext.setCheckpointDir(d)
-      val p = new org.apache.hadoop.fs.Path(
-        ss.sparkContext.getCheckpointDir.get)
+      val p = new org.apache.hadoop.fs.Path(d,
+        "trunc-" + java.util.UUID.randomUUID().toString)
       (p.getFileSystem(ss.sparkContext.hadoopConfiguration), p)
     }
-    private var prevRound = Set.empty[String] // round N-1's rdd dirs
-    private var lastRound = Set.empty[String] // round N's rdd dirs
-    private def snapshot(): Set[String] = reliable match {
-      case Some((fs, p)) if scala.util.Try(fs.exists(p)).getOrElse(false) =>
-        fs.listStatus(p).map(_.getPath.toString).toSet
-      case _ => Set.empty
+    private var seq = 0
+    private var prevRound: Option[org.apache.hadoop.fs.Path] = None
+    private var lastRound: Option[org.apache.hadoop.fs.Path] = None
+    /** Eager write + schema-pinned read-back (the explicit schema keeps
+      * an EMPTY round readable — zero-file parquet dirs can't infer). */
+    private def materialize(df: DataFrame, name: String)
+        : (DataFrame, org.apache.hadoop.fs.Path) = {
+      val out = new org.apache.hadoop.fs.Path(reliable.get._2, name)
+      df.write.parquet(out.toString)
+      (ss.read.schema(df.schema).parquet(out.toString), out)
     }
     def pin(df: DataFrame): DataFrame =
-      if (reliable.isEmpty) df.localCheckpoint() else df.checkpoint()
+      if (reliable.isEmpty) df.localCheckpoint()
+      else { seq += 1; materialize(df, s"pin-$seq")._1 }
     def round(df: DataFrame): DataFrame = reliable match {
       case None => df.localCheckpoint()
       case Some((fs, _)) =>
-        val before = snapshot()
-        val out = df.checkpoint() // eager: materialized on return
-        val fresh = snapshot() -- before
-        prevRound.foreach(d => scala.util.Try(
-          fs.delete(new org.apache.hadoop.fs.Path(d), true)))
+        seq += 1
+        val (out, path) = materialize(df, s"round-$seq")
+        prevRound.foreach(p => scala.util.Try(fs.delete(p, true)))
         prevRound = lastRound
-        lastRound = fresh
+        lastRound = Some(path)
         out
     }
   }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Tight-loop array kernels as codegen'd binary expressions. Spark's
@@ -23,36 +23,6 @@ object ArrayKernels {
     var i = 0
     while (i < n) {
       if (a.getLong(i) == b.getLong(i)) eq += 1
-      i += 1
-    }
-    eq
-  }
-
-  /** Fold each 64-bit sketch lane to its low 16 bits. Agreement over
-    * folded lanes is a strictly one-sided approximation: equal lanes
-    * stay equal (recall preserved exactly); unequal lanes collide with
-    * probability 2^-16 per lane (xxhash low bits are uniform), adding
-    * an expected ≤ 192·2^-16 ≈ 0.003 false-equal LANES per pair —
-    * ≤ 3·10^-5 of estimated Jaccard. The point is the verify-join
-    * shuffle: 2 bytes/lane instead of 8 ships a quarter of the bytes
-    * through the candidate×sketch exchange, which is the dominant cost
-    * of dedup at the scale where the sketch side outgrows broadcast
-    * (measured at ×100 of the bench dir: 96 GB → 24 GB shuffled). */
-  def fold16(a: ArrayData): ArrayData = {
-    val n = a.numElements()
-    val out = new Array[Short](n)
-    var i = 0
-    while (i < n) { out(i) = a.getLong(i).toShort; i += 1 }
-    new GenericArrayData(out)
-  }
-
-  /** Count of equal lanes between two equal-length short arrays. */
-  def agreement16(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
-    var eq = 0
-    var i = 0
-    while (i < n) {
-      if (a.getShort(i) == b.getShort(i)) eq += 1
       i += 1
     }
     eq
@@ -105,54 +75,11 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** array<bigint> sketch → array<smallint> of folded lanes. */
-case class FoldSketch16(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.ShortType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-
-  override protected def nullSafeEval(a: Any): Any =
-    ArrayKernels.fold16(a.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.ArrayKernels.fold16($a)")
-
-  override protected def withNewChildInternal(newChild: Expression): FoldSketch16 =
-    copy(child = newChild)
-}
-
-/** eq-lane count of two array<smallint> folded sketches. */
-case class SketchAgreement16(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = IntegerType
-  override def nullIntolerant: Boolean = true
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    ArrayKernels.agreement16(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.ArrayKernels.agreement16($a, $b)")
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SketchAgreement16 =
-    copy(left = newLeft, right = newRight)
-}
-
 object ArrayKernelColumns {
   import org.apache.spark.sql.graft.ColumnBridge
 
   def sketch_agreement(a: Column, b: Column): Column =
     ColumnBridge.column(SketchAgreement(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
-
-  def fold_sketch16(a: Column): Column =
-    ColumnBridge.column(FoldSketch16(ColumnBridge.expression(a)))
-
-  def sketch_agreement16(a: Column, b: Column): Column =
-    ColumnBridge.column(SketchAgreement16(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def array_dot(a: Column, b: Column): Column =

@@ -18,24 +18,6 @@ object SigKernels {
     z ^ (z >>> 31)
   }
 
-  /** Fold a MinHash sketch into `bands` band signatures (hash of each
-    * rowsPerBand-lane slice, band index mixed in). */
-  def bandSignatures(sketch: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = mix(b.toLong)
-      var i = 0
-      while (i < rowsPerBand) {
-        h = mix(h ^ sketch.getLong(b * rowsPerBand + i))
-        i += 1
-      }
-      out(b) = h
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
-
   // md5-derived ±1 hyperplanes — the one plane family BOTH engines can
   // derive independently (DuckDB recomputes w(j,i) = ±1 from
   // substr(md5(j || ':' || i),1,1) <= '7', i.e. the top bit of the
@@ -114,7 +96,10 @@ object SigKernels {
   def simhash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
-    val toks = s.trim().toString.split("\\s+")
+    // limit -1: keep trailing empty tokens — Spark's split keeps them,
+    // Java's default drops them, and the explode-pipeline equality this
+    // kernel is pinned to must hold on trailing-whitespace docs too
+    val toks = s.trim().toString.split("\\s+", -1)
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -289,7 +274,8 @@ object SigKernels {
     * comma-joined decimal lanes of its rowsPerBand slice — a plain
     * string BOTH engines can assemble (DuckDB:
     * string_agg(lane, ',' ORDER BY j) per (doc, j // rowsPerBand)),
-    * unlike [[bandSignatures]]'s mix()-folded longs. */
+    * unlike the retired OPH family's mix()-folded long keys that no
+    * SQL engine could reassemble. */
   def md5BandKeys(sketch: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val out = new Array[org.apache.spark.unsafe.types.UTF8String](bands)
     val sb = new java.lang.StringBuilder(12 * rowsPerBand)
@@ -324,10 +310,14 @@ object SigKernels {
     * hash (first 16 hex chars of md5(word), big-endian — DuckDB
     * reassembles the same value from two 8-hex-char halves), replacing
     * [[simhash]]'s XXH64 word hash that no SQL engine shares. Same
-    * trim/split tokenization, same majority-bit vote. */
+    * majority-bit vote; the tokenizer is pinned to what BOTH regex
+    * engines mean by `\s+`-split: the explicit class `[ \t\n\f\r]`
+    * (RE2's `\s` — Java's adds \x0B, which DuckDB would not split on)
+    * with limit -1 (keep trailing empty tokens — DuckDB's
+    * regexp_split_to_array keeps them, Java's default drops them). */
   def simhashMd5(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = Md5.get()
-    val toks = s.trim().toString.split("\\s+")
+    val toks = s.trim().toString.split("[ \\t\\n\\f\\r]+", -1)
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -349,23 +339,6 @@ object SigKernels {
     while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
     sig
   }
-}
-
-/** array<bigint> sketch → array<bigint> of band signatures. */
-case class BandSignatures(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-
-  override protected def nullSafeEval(input: Any): Any =
-    SigKernels.bandSignatures(input.asInstanceOf[ArrayData], bands, rowsPerBand)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SigKernels.bandSignatures($c, $bands, $rowsPerBand)")
-
-  override protected def withNewChildInternal(newChild: Expression): BandSignatures =
-    copy(child = newChild)
 }
 
 /** array<double> vector → long hyperplane signature. */
@@ -515,9 +488,6 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
 object SigKernelColumns {
   import org.apache.spark.sql.graft.ColumnBridge
-
-  def band_signatures(c: Column, bands: Int, rowsPerBand: Int): Column =
-    ColumnBridge.column(BandSignatures(ColumnBridge.expression(c), bands, rowsPerBand))
 
   def hyperplane_sig(c: Column, bits: Int, seed: Long = 42L): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(c), bits, seed))

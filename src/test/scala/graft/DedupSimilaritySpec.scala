@@ -38,14 +38,17 @@ class DedupSpec extends SparkSpec {
     val docs = graft.tables.Tables.documents(spark, sf)
     val first = docs.filter(col("doc_id") % 5 === 1)
     val t = Dedup.updateSketchCorpus(spark, first, path)
-    // create = write + its byte-target OPTIMIZE (StandingIndex.writeSized)
-    assert(t.currentVersion == 1L)
+    // create = write + its byte-target OPTIMIZE (StandingIndex
+    // .writeSized) + the sketch-family SETPROPS commit
+    assert(t.currentVersion == 2L)
+    assert(t.properties(Dedup.SketchFamilyProp) == Dedup.SketchFamily,
+      "corpus must be stamped with the sketch family it was built with")
     val rows0 = t.read().count()
     // second corpus batch: only the NEW docs are sketched and appended
     // (ONE append + its tail-only re-bin OPTIMIZE)
     val t2 = Dedup.updateSketchCorpus(spark,
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2), path)
-    assert(t2.currentVersion == 3L, "second batch must be ONE append commit")
+    assert(t2.currentVersion == 4L, "second batch must be ONE append commit")
     val ops = t2.history().select("operation").as[String].collect().toSeq
     assert(ops.count(_ == "APPEND") == 1, s"ops were $ops")
     assert(t2.read().count() > rows0)
@@ -53,7 +56,15 @@ class DedupSpec extends SparkSpec {
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2).count())
     // an already-covered corpus is a no-op: no commit, no re-sketch
     Dedup.updateSketchCorpus(spark, first, path)
-    assert(t2.currentVersion == 3L)
+    assert(t2.currentVersion == 4L)
+    // a corpus persisted under a DIFFERENT sketch family must be
+    // refused, never silently band-joined (garbage candidates)
+    t2.setProperties(Map(Dedup.SketchFamilyProp -> "oph-xxhash-v0"))
+    val e = intercept[IllegalStateException] {
+      Dedup.updateSketchCorpus(spark, first, path)
+    }
+    assert(e.getMessage.contains("family"), e.getMessage)
+    t2.setProperties(Map(Dedup.SketchFamilyProp -> Dedup.SketchFamily))
     // the operator's standing corpus keys to the testdata's identity
     val stable = Dedup.sketchCorpusPath(sf)
     assert(stable == Dedup.sketchCorpusPath(sf), "path must be deterministic")
@@ -68,8 +79,8 @@ class DedupSpec extends SparkSpec {
     // 1) plan proof: the incremental query computes the sketch kernel
     // for the BATCH side only — the corpus side is a stored-table scan
     val qe = Dedup.incrementalPairs(spark, sf, t.read(), batch).queryExecution
-    assert("(?i)minhash_?sketch".r.findAllIn(qe.optimizedPlan.toString).nonEmpty,
-      "batch side must compute the sketch kernel in-scan")
+    assert("(?i)md5_?perm_?sketch".r.findAllIn(qe.optimizedPlan.toString).nonEmpty,
+      "batch side must compute the md5-affine sketch kernel in-scan")
     assert(qe.executedPlan.toString.contains("dd_inc_tamper"),
       "corpus side must scan the persisted sketch table")
     // 2) behavioral proof: corrupt the STORED sketches (doc_id swap) —
@@ -79,7 +90,7 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     val crossHonest = honest.filter { case (a, b) => a % 5 != 0 || b % 5 != 0 }
     assert(crossHonest.nonEmpty, "fixture needs batch-vs-corpus pairs")
-    val tampered = t.read().withColumn("sig", col("sig") + 1)
+    val tampered = t.read().withColumn("sig", concat(col("sig"), lit("~")))
     val tamperedPairs: Set[(Long, Long)] =
       Dedup.incrementalPairs(spark, sf, tampered, batch)
         .filter(col("a") % 5 =!= 0 || col("b") % 5 =!= 0)
@@ -506,7 +517,7 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     def rddDirs(root: java.io.File): Seq[java.io.File] = {
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.getName.startsWith("rdd-")) Seq(f)
+        if (f.getName.startsWith("round-")) Seq(f)
         else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
       if (root.exists()) walk(root) else Nil
     }
@@ -545,6 +556,37 @@ class DedupSpec extends SparkSpec {
     assert(reliablePr == localPr)
     assert(Option(new java.io.File(root2).listFiles()).forall(_.isEmpty),
       "pagerank scope cleanup must leave the checkpoint root empty")
+  }
+
+  test("concurrent reliable-checkpoint invocations never interleave") {
+    // the hazard: Dataset.checkpoint rides the PROCESS-GLOBAL
+    // setCheckpointDir, so a second invocation's constructor would
+    // redirect the first one's round files into its own scope and the
+    // dead-round reclamation would delete files the first still reads
+    // (FileNotFound or silently wrong labels). The Truncator writes
+    // rounds into a private trunc-<uuid> scope instead — two
+    // invocations racing on the SAME root must both label correctly.
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val edgesA = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val edgesB = (100L until 124L).map(i => (i, i + 1)).toDF("a", "b")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectA = labelsOf(Dedup.connectedComponents(edgesA))
+    val expectB = labelsOf(Dedup.connectedComponents(edgesB))
+    val root = java.nio.file.Files.createTempDirectory("gt_ckpt_conc").toString
+    val fa = Future(Dedup.withReliableCheckpoints(spark, root)(d =>
+      labelsOf(Dedup.connectedComponents(edgesA, Some(d)))))
+    val fb = Future(Dedup.withReliableCheckpoints(spark, root)(d =>
+      labelsOf(Dedup.connectedComponents(edgesB, Some(d)))))
+    assert(Await.result(fa, 5.minutes) == expectA,
+      "invocation A's labels corrupted by a concurrent scope")
+    assert(Await.result(fb, 5.minutes) == expectB,
+      "invocation B's labels corrupted by a concurrent scope")
+    assert(Option(new java.io.File(root).listFiles()).forall(_.isEmpty),
+      "both scopes must clean the shared root")
   }
 
   test("dedup self-joins never rescan the corpus per join arm") {
@@ -685,18 +727,19 @@ class DedupSpec extends SparkSpec {
     assert(ek(2L).nonEmpty && ek(2L).get.length == 8)
   }
 
-  test("SimHashMd5 kernel equals the explode+md5 majority-vote replay") {
-    val docs = graft.tables.Tables.documents(spark, sf)
-    val viaKernel = docs.select(col("doc_id"),
-        graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
-      .as[(Long, Long)].collect().toMap
+  /** Spark-side replay of the md5-SimHash with the SAME explicit
+    * tokenizer class the kernel and the DuckDB oracle pin (`[ \t\n\f\r]+`,
+    * all empty tokens kept — see SigKernels.simhashMd5's doc). */
+  private def simhashMd5Replay(docs: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] = {
     val words = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hi"),
         conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("lo"))
       .as[(Long, Long, Long)].collect().groupBy(_._1)
-    val expected = words.view.mapValues { ws =>
+    words.view.mapValues { ws =>
       val counts = new Array[Int](64)
       ws.foreach { case (_, hi, lo) =>
         val g = (hi << 32) | lo
@@ -705,7 +748,41 @@ class DedupSpec extends SparkSpec {
       }
       (0 until 64).foldLeft(0L)((s, i) => if (counts(i) > 0) s | (1L << i) else s)
     }.toMap
-    assert(viaKernel == expected)
+  }
+
+  test("SimHashMd5 kernel equals the explode+md5 majority-vote replay") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaKernel == simhashMd5Replay(docs))
+  }
+
+  test("simhash_md5 tokenizer survives hostile whitespace (trailing, \\x0B)") {
+    // the three engines' default \s-splits disagree exactly here:
+    // Java's String.split drops trailing empty tokens and splits on
+    // \x0B; RE2 (DuckDB) keeps trailing empties and does NOT treat
+    // \x0B as whitespace; Spark's split keeps empties with Java's
+    // class. The kernel pins the explicit RE2-compatible class with
+    // empties kept, so signatures agree on corpora containing these
+    // shapes instead of only on corpora that happen to lack them.
+    val docs = Seq(
+      1L -> "alpha beta\n",      // trailing whitespace → trailing ""
+      2L -> "alphabeta",   // \x0B: ONE token, not two
+      3L -> "\talpha",           // leading whitespace → leading ""
+      4L -> "a  b").toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaKernel == simhashMd5Replay(docs))
+    // \x0B must NOT split: under Java's \s the \x0B doc would
+    // tokenize to [alpha, beta] and collide with the space-separated
+    // doc's signature - the RE2-compatible class keeps it ONE token
+    val spaceSig = Seq(9L -> "alpha beta").toDF("doc_id", "text")
+      .select(graft.functions.SigKernelColumns.simhash_md5(col("text")))
+      .as[Long].collect().head
+    assert(viaKernel(2L) != spaceSig,
+      "\\x0B doc must not tokenize like the space-separated doc")
   }
 
   test("MinMd5Shingle kernel is identical to the explode+md5+groupBy(min) pipeline") {
