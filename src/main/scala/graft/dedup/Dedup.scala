@@ -160,7 +160,14 @@ object Dedup {
   /** (doc_id, sketch, band, sig): the in-scan sketch kernel + banding,
     * exploded one row per band — the SAME md5-affine family and band
     * keys as [[dedupMinhash]], so a batch sketched here band-joins a
-    * corpus sketched there candidate-for-candidate. */
+    * corpus sketched there candidate-for-candidate.
+    *
+    * The full int-lane sketch is carried ONLY on each doc's band-0 row
+    * (null on the other Bands-1): every consumer reads sketches through
+    * the band-0 slice ([[incrementalPairs]]'s skV), so repeating the
+    * ~0.5 KB array per band row would multiply the persisted corpus's
+    * disk bytes ~[[Bands]]× for nothing — at 100 TB that is the
+    * difference between a 0.1% and a 3% standing-storage overhead. */
   def bandedSketch(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
@@ -169,6 +176,9 @@ object Dedup {
       .select(col("doc_id"), col("sketch"), posexplode(
         graft.functions.SigKernelColumns.md5_band_keys(
           col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
+      .select(col("doc_id"),
+        when(col("band") === 0, col("sketch")).as("sketch"),
+        col("band"), col("sig"))
 
   /** Sketch the corpus ONCE and persist the banded sketch table —
     * byte-targeted and band-clustered via

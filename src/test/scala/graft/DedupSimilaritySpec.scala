@@ -54,6 +54,15 @@ class DedupSpec extends SparkSpec {
     assert(t2.read().count() > rows0)
     assert(t2.read().select("doc_id").distinct().count() ==
       docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2).count())
+    // slim layout: the ~0.5 KB sketch rides ONLY each doc's band-0 row
+    // (consumers read sketches through the band-0 slice) — repeating it
+    // per band row would multiply the standing corpus's disk bytes
+    // ~Bands× for nothing
+    assert(t2.read().filter(col("sketch").isNotNull).count() ==
+      t2.read().select("doc_id").distinct().count(),
+      "exactly one non-null sketch row per doc (band 0)")
+    assert(t2.read().filter(col("sketch").isNotNull && col("band") =!= 0)
+      .isEmpty, "non-band-0 rows must not carry the sketch")
     // an already-covered corpus is a no-op: no commit, no re-sketch
     Dedup.updateSketchCorpus(spark, first, path)
     assert(t2.currentVersion == 4L)
