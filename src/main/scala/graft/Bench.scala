@@ -158,80 +158,58 @@ object Bench {
     finally src.close()
   }
 
-  // ---- run-over-run state diagnostics (r15, verdict #3) ----
+  // ---- run-over-run state diagnostics (r15 verdict #3; r16 #2) ----
   // maintenance_sf10's `merge` grew monotonically across six
   // consecutive runs (24.0→37.2 s) while siblings bounced — the
-  // signature of per-session state accumulation, not noise. Two
-  // moves: (a) COUNT the candidate pools before each lifecycle and
-  // stamp them into the section JSON, so the next drift carries its
-  // own correlate; (b) sweep stale graft-owned temp dirs at bench
-  // start (each run leaks dozens of fixture dirs into java.io.tmpdir;
-  // standing indexes are explicitly spared — their cross-run reuse is
-  // a feature).
-
-  /** Temp-dir prefixes this repo's fixtures create and never reuse
-    * across runs. Standing-index prefixes (graft_postings_,
-    * graft_ivf_index_, graft_sketch_corpus_) are NOT here. */
-  private val SweepPrefixes = Seq("graft_bench_maint", "graft_merge",
-    "graft_time_scan", "graft_bloom_lookup", "graft_bucketed",
-    "graft_bars_", "graft_col_defaults", "graft_sink_", "gt_", "sqlm_",
-    "cm_mut", "ls_",
-    // retired sketch-family generations: the current generation is
-    // spared by isStanding below; pre-m1 (OPH) corpora can never be
-    // read again — the family generation is part of the path — so
-    // they age out like any other stale fixture
-    "graft_sketch_corpus_")
+  // signature of per-session state accumulation, not noise. r15
+  // countered with pre_state counters + a start-of-run sweep; r16
+  // moved every throwaway fixture dir into the project-owned
+  // [[graft.GraftTmp]] namespace, so the sweep and the counters
+  // are exact (the r15 `tmp_entries` census mixed this repo's leaks
+  // with whatever else the machine dropped in /tmp, and the prefix
+  // sweep missed every test-suite fixture family).
 
   private def isStanding(name: String): Boolean =
     name.startsWith("graft_postings_") ||
       name.startsWith("graft_ivf_index_") ||
       name.startsWith("graft_sketch_corpus_m1_")
 
-  /** `Files.createTempDirectory(prefix)` mints prefix + a random
-    * non-negative Long — every fixture dir this repo leaks ends in a
-    * long digit run — and `StandingIndex.path` names end in a 32-hex
-    * content digest (how retired sketch-corpus generations look).
-    * Requiring one of the two keeps the sweep off foreign dirs that
-    * merely share a short prefix (gt_, ls_, … are generic). */
-  private val TempDirTail = ".*([0-9]{6,}|[0-9a-f]{32})$".r
-
-  /** Delete matching top-level tmpdir entries older than 2 h; returns
-    * (dirs deleted, bytes reclaimed). Age-gated so a concurrently
-    * running suite's live fixtures are never touched; scoped to dirs
-    * that carry the createTempDirectory digit tail AND are owned by
-    * the current user, so a foreign process's `gt_*`-named data is
-    * outside the blast radius. */
-  private[graft] def sweepStaleTmp(): (Int, Long) = {
-    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - 2 * 3600 * 1000L
-    val me = sys.props("user.name")
-    def ownedByMe(d: java.io.File): Boolean = scala.util.Try(
-      java.nio.file.Files.getOwner(d.toPath).getName == me)
-      .getOrElse(false)
-    var n = 0
-    var bytes = 0L
-    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { d =>
-      val nm = d.getName
-      if (!isStanding(nm) && SweepPrefixes.exists(nm.startsWith) &&
-          TempDirTail.matches(nm) && ownedByMe(d) &&
-          d.lastModified() < cutoff) {
-        val sz = dirBytes(d)
-        if (scala.util.Try(
-            org.apache.commons.io.FileUtils.deleteDirectory(d)).isSuccess ||
-            !d.exists()) { n += 1; bytes += sz }
-      }
-    }
-    (n, bytes)
-  }
+  /** Reclaim stale fixture dirs (r16, ADVICE): every throwaway dir the
+    * repo mints now lives under [[graft.GraftTmp.root]], so the
+    * sweep deletes only inside that namespace — age-gated, no prefix
+    * heuristics, and a foreign process's `gt_*`-named data at the
+    * tmpdir top level is outside the blast radius by construction (the
+    * r15 prefix+digit-tail sweep over the shared tmpdir root is
+    * retired; its ~3k-entry top-level backlog was cleaned once,
+    * manually, when the namespace landed). Standing indexes
+    * ([[isStanding]]) live OUTSIDE the namespace and are never
+    * candidates. Env SPARK_GRAFT_SKIP_TMP_SWEEP disables it — the
+    * flat-lineage proof runs (two consecutive full runs with the sweep
+    * off, tmp delta ≈ 0) need leaks visible, not reclaimed. Returns
+    * (dirs deleted, bytes reclaimed). */
+  private[graft] def sweepStaleTmp(): (Int, Long) =
+    if (sys.env.contains("SPARK_GRAFT_SKIP_TMP_SWEEP")) (0, 0L)
+    else graft.GraftTmp.sweep()
 
   private def dirBytes(f: java.io.File): Long =
     if (f.isFile) f.length()
     else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
 
+  /** Splice a section's graft-tmp fixture-entry delta into its
+    * already-assembled JSON object (hand-assembled artifact grain —
+    * the section bodies each return a complete `{…}`). */
+  private[graft] def withTmpDelta(json: String, delta: Int): String =
+    if (json == "{}") s"""{"tmp_delta":$delta}"""
+    else if (json.startsWith("{")) s"""{"tmp_delta":$delta,""" + json.drop(1)
+    else json
+
   /** Counted pre-state snapshot stamped into each maintenance section:
-    * tmpdir population, standing-index footprint, fixture footprint,
-    * and the wall-clock offset into this bench run — the candidate
-    * correlates for any run-over-run lifecycle drift. */
+    * tmpdir population (top-level, continuity with pre-r16 lineage),
+    * the GRAFT-owned fixture population (graft-tmp namespace entries —
+    * the counter that can actually attribute a leak to this repo),
+    * standing-index footprint, fixture footprint, and the wall-clock
+    * offset into this bench run — the candidate correlates for any
+    * run-over-run lifecycle drift. */
   private[graft] def preStateJson(fixtureDir: String,
       elapsedSec: Double): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
@@ -242,7 +220,9 @@ object Bench {
     def fixCount(f: java.io.File): Int =
       if (f.isFile) 1
       else Option(f.listFiles()).getOrElse(Array.empty).map(fixCount).sum
-    s"""{"tmp_entries":$entries,"standing_bytes":$standingBytes,""" +
+    s"""{"tmp_entries":$entries,""" +
+      s""""graft_tmp_entries":${graft.GraftTmp.entries()},""" +
+      s""""standing_bytes":$standingBytes,""" +
       s""""fixture_files":${fixCount(fix)},""" +
       s""""fixture_bytes":${dirBytes(fix)},""" +
       s""""elapsed_at_start":${num(elapsedSec)}}"""
@@ -690,6 +670,11 @@ object Bench {
     def section(key: String)(body: => String): Unit = {
       val hint = SectionHints.getOrElse(key, 120.0) +
         coldFixtureExtraSec(key, sfDir)
+      // per-section graft-tmp fixture delta (r16 verdict #2): each
+      // section's JSON carries how many namespace entries IT left
+      // behind, so a leak names its section instead of showing up as
+      // an unattributable end-of-run census bump
+      val tmpBefore = graft.GraftTmp.entries()
       sections(key) =
         if (elapsedSec + hint > budgetSec)
           s"""{"skipped":"over_budget","elapsed_sec":${num(elapsedSec)},"hint_sec":${num(hint)}}"""
@@ -699,6 +684,8 @@ object Bench {
             System.err.println(s"[bench] section $key failed: ${e.getMessage}")
             s"""{"error":"${esc(String.valueOf(e.getMessage))}"}"""
           }
+      sections(key) = withTmpDelta(sections(key),
+        graft.GraftTmp.entries() - tmpBefore)
       emit(partial = true)
     }
     // the 2×-contract numbers land BEFORE any optional section runs
@@ -1619,7 +1606,7 @@ object Bench {
       }
     }
     val path =
-      java.nio.file.Files.createTempDirectory("graft_bench_mskew").toString
+      graft.GraftTmp.dir("graft_bench_mskew").toString
     var convergedDelta = -1L
     try {
       val t = GraftTable(spark, path, Seq("part_key"))
@@ -1714,7 +1701,7 @@ object Bench {
         None
       }
     }
-    val path = java.nio.file.Files.createTempDirectory("graft_bench_maint").toString
+    val path = graft.GraftTmp.dir("graft_bench_maint").toString
     try {
       val t = GraftTable(spark, path, Seq("l_returnflag"))
       val li = graft.tables.Tables.lineitem(spark, sfDir)

@@ -30,7 +30,7 @@ object Indexing {
   private val NumFiles = 8
 
   def indexedLookup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_bloom_lookup").toString
+    val base = graft.GraftTmp.dir("graft_bloom_lookup").toString
     val src = orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("price"))
@@ -68,7 +68,7 @@ object Indexing {
     * parquet. */
   def prunedTimeScan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
-    val base = Files.createTempDirectory("graft_time_scan").toString
+    val base = graft.GraftTmp.dir("graft_time_scan").toString
     val t = GraftTable(spark, base)
     val src = lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),

@@ -15,7 +15,7 @@ object IoAndScalars {
     * each format preserves row counts and the key column. The oracle
     * checks counts (a faithful round-trip is exactly "same rows"). */
   def ioRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft_io").toString
+    val base = graft.GraftTmp.dir("graft_io").toString
     val ev = events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"),
         // csv has no native timestamp-with-nanos; write epoch micros

@@ -26,7 +26,7 @@ object Materialize {
     * The parquet roundtrip is type-exact for the lifecycle results
     * (long / double / string — no timestamp annotation drift). */
   def beyondSource(out: DataFrame, prefix: String): DataFrame = {
-    val dump = Files.createTempDirectory(prefix).toString
+    val dump = graft.GraftTmp.dir(prefix).toString
     out.write.mode("overwrite").parquet(dump)
     out.sparkSession.read.parquet(dump)
   }

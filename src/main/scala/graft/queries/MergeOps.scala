@@ -22,7 +22,7 @@ import graft.tables.Tables
 object MergeOps {
 
   def mergeSync(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_merge_sync")
+    val path = graft.GraftTmp.dir("graft_merge_sync")
     try {
       val t = GraftTable(spark, path.toString)
       val seed = Tables.orders(spark, dir)
@@ -64,7 +64,7 @@ object MergeOps {
     * Matched rows (open orders whose doubled price clears the residual)
     * take that price; key-matched rows failing it stay untouched. */
   def mergeCond(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_merge_cond")
+    val path = graft.GraftTmp.dir("graft_merge_cond")
     try {
       val t = GraftTable(spark, path.toString)
       val orders = Tables.orders(spark, dir)
@@ -100,7 +100,7 @@ object MergeOps {
     * holding matching rows rewritten, their other rows kept. The end
     * state is relational, so DuckDB hash-verifies both paths. */
   def replaceWhere(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_replace_where")
+    val path = graft.GraftTmp.dir("graft_replace_where")
     try {
       val t = GraftTable(spark, path.toString, Seq("status"))
       val seed = Tables.orders(spark, dir)
@@ -133,7 +133,7 @@ object MergeOps {
     * 'F' slice at tripled price — while untouched partitions carry over
     * unread. */
   def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_dyn_overwrite")
+    val path = graft.GraftTmp.dir("graft_dyn_overwrite")
     try {
       val t = GraftTable(spark, path.toString, Seq("status"))
       val seed = Tables.orders(spark, dir)
@@ -163,7 +163,7 @@ object MergeOps {
     * DuckDB re-derives which rows carry defaulted values from the key
     * split alone. */
   def columnDefaults(spark: SparkSession, dir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_col_defaults")
+    val path = graft.GraftTmp.dir("graft_col_defaults")
     try {
       val t = GraftTable(spark, path.toString)
       val base = Tables.part(spark, dir)

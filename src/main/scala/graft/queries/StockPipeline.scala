@@ -27,7 +27,7 @@ import graft.transform.Enrich
 object StockPipeline {
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.GraftTmp.dir(prefix).toString
 
   /** Fixed dump location for the seed-42 bars — baked into the oracle SQL
     * below, so the driver's DuckDB process finds the same files the

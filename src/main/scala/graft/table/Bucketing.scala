@@ -24,7 +24,7 @@ object Bucketing {
   /** Write lineitem + orders bucketed by the join key into external
     * locations under a temp dir; returns the catalog table names. */
   def writeBucketed(spark: SparkSession, dir: String, buckets: Int = 8): BucketedPair = {
-    val wh = Files.createTempDirectory("graft_bucketed").toString
+    val wh = graft.GraftTmp.dir("graft_bucketed").toString
     val id = fresh()
     val lt = s"graft_bkt_lineitem_$id"
     val ot = s"graft_bkt_orders_$id"

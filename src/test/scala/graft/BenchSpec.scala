@@ -52,38 +52,46 @@ class BenchSpec extends AnyFunSuite {
       json.contains("\\r") && json.contains("\\u0001"))
   }
 
-  test("sweepStaleTmp: only stale, digit-tailed, owned fixture dirs are swept") {
+  test("sweepStaleTmp: namespaced — stale dirs inside graft-tmp swept, " +
+      "top-level tmpdir never touched") {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val old = System.currentTimeMillis() - 3 * 3600 * 1000L
-    def mk(name: String, stale: Boolean): java.io.File = {
-      val d = new java.io.File(tmp, name)
+    def mk(parent: java.io.File, name: String, stale: Boolean): java.io.File = {
+      val d = new java.io.File(parent, name)
       d.mkdirs()
       java.nio.file.Files.writeString(d.toPath.resolve("x"), "x")
       if (stale) d.setLastModified(old)
       d
     }
-    val swept = mk("gt_sweepspec" + System.nanoTime(), stale = true)
-    // prefix-matching but WITHOUT createTempDirectory's random digit
-    // tail: could be a foreign process's data, must be spared
-    val noTail = mk("gt_sweepspec_foreign_data", stale = true)
-    val young = mk("gt_sweepspec" + (System.nanoTime() + 7), stale = false)
-    val standing = mk("graft_postings_" + System.nanoTime(), stale = true)
-    val hex32 = "0123456789abcdef0123456789abcdef"
-    // retired sketch-family generation (no m1 segment): unreadable by
-    // any current code → ages out; the CURRENT generation is standing
-    val retiredGen = mk("graft_sketch_corpus_" + hex32, stale = true)
-    val currentGen = mk("graft_sketch_corpus_m1_" + hex32, stale = true)
+    val root = graft.GraftTmp.root.toFile
+    val swept = mk(root, "gt_sweepspec" + System.nanoTime(), stale = true)
+    val young = mk(root, "gt_sweepspec" + (System.nanoTime() + 7),
+      stale = false)
+    // a stale dir at the tmpdir TOP LEVEL — even one matching an old
+    // graft fixture prefix — is outside the sweep's blast radius: the
+    // r15 prefix-heuristic top-level sweep is retired (ADVICE r16)
+    val topLevel = mk(tmp, "gt_sweepspec_top" + System.nanoTime(),
+      stale = true)
+    // standing indexes live at the top level too and must survive
+    val standing = mk(tmp, "graft_postings_" + System.nanoTime(),
+      stale = true)
     try {
       Bench.sweepStaleTmp()
-      assert(!swept.exists(), "stale digit-tailed fixture must be swept")
-      assert(noTail.exists(), "no digit tail → not ours → spared")
-      assert(young.exists(), "young dirs must be spared")
+      assert(!swept.exists(), "stale namespace fixture must be swept")
+      assert(young.exists(), "young namespace dirs must be spared")
+      assert(topLevel.exists(), "top-level tmpdir dirs must never be touched")
       assert(standing.exists(), "standing indexes must be spared")
-      assert(!retiredGen.exists(), "retired sketch generation must age out")
-      assert(currentGen.exists(), "current sketch generation is standing")
-    } finally Seq(noTail, young, standing, currentGen).foreach { d =>
+    } finally Seq(young, topLevel, standing).foreach { d =>
       Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
     }
+  }
+
+  test("withTmpDelta: splices the fixture delta into assembled section JSON") {
+    assert(Bench.withTmpDelta("""{"ops":{"write":1.0}}""", 3) ==
+      """{"tmp_delta":3,"ops":{"write":1.0}}""")
+    assert(Bench.withTmpDelta("{}", 0) == """{"tmp_delta":0}""")
+    // non-object payloads (defensive) pass through untouched
+    assert(Bench.withTmpDelta("null", 1) == "null")
   }
 
   test("flagNotesJson: voluntary watch notes merge; flagged diagnosis wins") {
@@ -189,7 +197,7 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("priorFinalRuns: parses only same-sf FINAL lines with query maps") {
-    val dir = java.nio.file.Files.createTempDirectory("bench_lineage")
+    val dir = graft.GraftTmp.dir("bench_lineage")
     val log = dir.resolve("BENCH_LOCAL.jsonl")
     def wrap(runId: Long, bench: String): String =
       s"""{"ts_ms":1,"run_id":$runId,"bench":$bench}"""

@@ -40,7 +40,7 @@ class BloomIndexSpec extends SparkSpec {
   }
 
   private def fresh(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path), path)
   }
 

@@ -100,7 +100,7 @@ class TimeTravelSpec extends SparkSpec {
 
   test("readVersion sees pre-overwrite data until vacuum reclaims it") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_tt").toString
+    val path = graft.GraftTmp.dir("gt_tt").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((1 to 100).toDF("v"))                      // v0
     t.write((1 to 50).toDF("v"))                       // v1 logical overwrite
@@ -117,7 +117,7 @@ class TimeTravelSpec extends SparkSpec {
     // commits land within one wall-clock millisecond (or the clock
     // steps back), via Delta's max(prev+1, now) in-commit clamp
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_ict").toString
+    val path = graft.GraftTmp.dir("gt_ict").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((1 to 10).toDF("v"))                              // v0
     (1 to 4).foreach(i => t.setProperties(Map(s"k$i" -> "v"))) // fast metadata commits
@@ -132,7 +132,7 @@ class TimeTravelSpec extends SparkSpec {
 
   test("TIMESTAMP AS OF resolves to the latest version at or before it") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_tsaof").toString
+    val path = graft.GraftTmp.dir("gt_tsaof").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((1 to 100).toDF("v"))                      // v0
     val afterV0 = System.currentTimeMillis()
@@ -188,7 +188,7 @@ class SchemaEnforcementSpec extends SparkSpec {
   import spark.implicits._
 
   test("append with changed column type is rejected; mergeSchema allows new columns") {
-    val path = Files.createTempDirectory("gt_schema").toString
+    val path = graft.GraftTmp.dir("gt_schema").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write(Seq((1L, "a")).toDF("id", "name"))
     // same schema appends fine
@@ -220,7 +220,7 @@ class SchemaEnforcementSpec extends SparkSpec {
 
   test("generated columns: computed when absent, validated when present, UPDATE recomputes") {
     import org.apache.spark.sql.functions.{col, lit}
-    val path = Files.createTempDirectory("gt_gen").toString
+    val path = graft.GraftTmp.dir("gt_gen").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write(Seq((1L, 2L), (2L, 4L)).toDF("id", "twice"))
     t.addGeneratedColumn("twice", "id * 2")
@@ -262,7 +262,7 @@ class SchemaEnforcementSpec extends SparkSpec {
   }
 
   test("concurrent blind appends both land via commit retry") {
-    val path = Files.createTempDirectory("gt_conc").toString
+    val path = graft.GraftTmp.dir("gt_conc").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write(Seq(0L).toDF("v")) // v0
     // two writers interleave appends; losers of the version race must

@@ -14,14 +14,14 @@ class CloneManifestSpec extends SparkSpec {
     BarSource.harvest(spark, delayMs = 0))
 
   test("deep clone copies files, carries metadata, survives source vacuum") {
-    val srcPath = Files.createTempDirectory("deep_src").toString
+    val srcPath = graft.GraftTmp.dir("deep_src").toString
     val t = GraftTable(spark, srcPath, Seq("ticker"))
     t.write(bars)
     t.addConstraint("pos_vol", "volume >= 0")
     t.delete(col("ticker") === "MSFT") // a DV-free copy-on-write delete
     val expect = t.read().orderBy("ticker", "timestamp_ms").collect()
 
-    val tgtPath = Files.createTempDirectory("deep_tgt").toString + "/c"
+    val tgtPath = graft.GraftTmp.dir("deep_tgt").toString + "/c"
     val c = t.deepClone(tgtPath)
     // every clone manifest entry is clone-local (no path back to source)
     assert(c.manifestFiles().forall(!_.startsWith("/")))
@@ -33,27 +33,27 @@ class CloneManifestSpec extends SparkSpec {
     assert(c.read().orderBy("ticker", "timestamp_ms").collect().sameElements(expect))
 
     // SQL form, cloning the clone at version 0
-    val tgt2 = Files.createTempDirectory("deep_tgt2").toString + "/d"
+    val tgt2 = graft.GraftTmp.dir("deep_tgt2").toString + "/d"
     spark.sql(s"CREATE TABLE graft.`$tgt2` DEEP CLONE graft.`$tgtPath`")
     assert(GraftTable(spark, tgt2, Seq("ticker")).read().count() ==
       expect.length)
   }
 
   test("deep clone of a shallow clone localizes the absolute entries") {
-    val srcPath = Files.createTempDirectory("deep_sh_src").toString
+    val srcPath = graft.GraftTmp.dir("deep_sh_src").toString
     val t = GraftTable(spark, srcPath, Seq("ticker"))
     t.write(bars)
     val sh = t.shallowClone(
-      Files.createTempDirectory("deep_sh_mid").toString + "/s")
+      graft.GraftTmp.dir("deep_sh_mid").toString + "/s")
     assert(sh.manifestFiles().exists(_.startsWith("/"))) // references source
     val deep = sh.deepClone(
-      Files.createTempDirectory("deep_sh_tgt").toString + "/d")
+      graft.GraftTmp.dir("deep_sh_tgt").toString + "/d")
     assert(deep.manifestFiles().forall(!_.startsWith("/")))
     assert(deep.read().count() == t.read().count())
   }
 
   test("symlink manifest lists exactly the live files per partition dir") {
-    val p = Files.createTempDirectory("symlink").toString
+    val p = graft.GraftTmp.dir("symlink").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     val n = t.generateSymlinkManifest()
@@ -75,7 +75,7 @@ class CloneManifestSpec extends SparkSpec {
   }
 
   test("auto-regenerated manifest stays current across commits") {
-    val p = Files.createTempDirectory("symlink_auto").toString
+    val p = graft.GraftTmp.dir("symlink_auto").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true"))
@@ -101,7 +101,7 @@ class CloneManifestSpec extends SparkSpec {
   }
 
   test("symlink manifest refuses a table with live deletion vectors") {
-    val p = Files.createTempDirectory("symlink_dv").toString
+    val p = graft.GraftTmp.dir("symlink_dv").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.delete(col("ticker") === "AAPL", mergeOnRead = true)
@@ -110,7 +110,7 @@ class CloneManifestSpec extends SparkSpec {
   }
 
   test("enabling the symlink property on a DV table fails BEFORE commit") {
-    val p = Files.createTempDirectory("symlink_en_dv").toString
+    val p = graft.GraftTmp.dir("symlink_en_dv").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.delete(col("ticker") === "AAPL", mergeOnRead = true)
@@ -126,7 +126,7 @@ class CloneManifestSpec extends SparkSpec {
   }
 
   test("enabling the symlink property on a column-mapped table fails") {
-    val p = Files.createTempDirectory("symlink_en_cm").toString
+    val p = graft.GraftTmp.dir("symlink_en_cm").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.renameColumn("volume", "vol") // logical != physical from here on
@@ -138,7 +138,7 @@ class CloneManifestSpec extends SparkSpec {
   }
 
   test("RENAME COLUMN on a symlink-enabled table fails BEFORE commit") {
-    val p = Files.createTempDirectory("symlink_rename").toString
+    val p = graft.GraftTmp.dir("symlink_rename").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.setProperties(Map(GraftTable.SymlinkManifestProp -> "true"))

@@ -18,7 +18,7 @@ class ColumnMappingSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(prefix: String): GraftTable = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     GraftTable(spark, path, Seq("ticker", "trade_date"))
   }
 
@@ -110,7 +110,7 @@ class ColumnMappingSpec extends SparkSpec {
   test("stats pruning keys through the map; DSv1/DSv2 read logical names") {
     val t = freshTable("cm_prune")
     // unpartitioned table with disjoint id ranges per file
-    val path = Files.createTempDirectory("cm_prune_flat").toString
+    val path = graft.GraftTmp.dir("cm_prune_flat").toString
     val flat = GraftTable(spark, path, Nil)
     val df = spark.range(0, 4000).toDF("id").withColumn("v", col("id") * 2.0)
     flat.write(df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
@@ -149,7 +149,7 @@ class ColumnMappingSpec extends SparkSpec {
     t.renameColumn("close", "close_px")
 
     // clone sees the renamed schema
-    val clonePath = Files.createTempDirectory("cm_clone").toString + "/c"
+    val clonePath = graft.GraftTmp.dir("cm_clone").toString + "/c"
     val c = t.shallowClone(clonePath)
     assert(c.read().columns.contains("close_px"))
     assert(c.read().count() == t.read().count())

@@ -31,7 +31,7 @@ class ConcurrencyFuzzSpec extends SparkSpec {
 
   test("fuzz: mixed-op many-writer interleavings keep every invariant") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_fuzz").toString
+    val path = graft.GraftTmp.dir("gt_fuzz").toString
     val seedT = GraftTable(spark, path, Nil)
     seedT.write(Seq((-1L, 0L)).toDF("id", "v"))
 

@@ -12,8 +12,8 @@ class CopyIntoSpec extends SparkSpec {
   import spark.implicits._
 
   test("each source file loads once; re-runs no-op; new files load incrementally") {
-    val srcDir = Files.createTempDirectory("ci_src").toString
-    val tgt = Files.createTempDirectory("ci_tgt").toString
+    val srcDir = graft.GraftTmp.dir("ci_src").toString
+    val tgt = graft.GraftTmp.dir("ci_tgt").toString
     (0 until 3).foreach { i =>
       Seq((i.toLong, s"f$i")).toDF("id", "s")
         .coalesce(1).write.parquet(s"$srcDir/part$i")
@@ -39,8 +39,8 @@ class CopyIntoSpec extends SparkSpec {
   }
 
   test("markers survive checkpoints and log-tail replay") {
-    val srcDir = Files.createTempDirectory("ci_ckpt_src").toString
-    val tgt = Files.createTempDirectory("ci_ckpt_tgt").toString
+    val srcDir = graft.GraftTmp.dir("ci_ckpt_src").toString
+    val tgt = graft.GraftTmp.dir("ci_ckpt_tgt").toString
     Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(s"$srcDir/p0")
     val t = GraftTable(spark, tgt, Nil)
     t.write(Seq((0L, "seed")).toDF("id", "s"))
@@ -54,8 +54,8 @@ class CopyIntoSpec extends SparkSpec {
   }
 
   test("SQL: COPY INTO with FORMAT_OPTIONS and COPY_OPTIONS") {
-    val srcDir = Files.createTempDirectory("ci_sql_src").toString
-    val tgt = Files.createTempDirectory("ci_sql_tgt").toString
+    val srcDir = graft.GraftTmp.dir("ci_sql_src").toString
+    val tgt = graft.GraftTmp.dir("ci_sql_tgt").toString
     java.nio.file.Files.writeString(
       java.nio.file.Path.of(srcDir, "a.csv"), "id,s\n7,x\n8,y\n")
     val t = GraftTable(spark, tgt, Nil)
@@ -81,9 +81,9 @@ class CopyIntoSpec extends SparkSpec {
   }
 
   test("COPY INTO a nonexistent target fails with the CREATE TABLE contract") {
-    val srcDir = Files.createTempDirectory("ci_missing_src").toString
+    val srcDir = graft.GraftTmp.dir("ci_missing_src").toString
     Seq((1L, "a")).toDF("id", "s").coalesce(1).write.parquet(s"$srcDir/p0")
-    val tgt = Files.createTempDirectory("ci_missing_tgt").toString
+    val tgt = graft.GraftTmp.dir("ci_missing_tgt").toString
     val e = intercept[IllegalArgumentException] {
       GraftTable(spark, tgt, Nil).copyInto(srcDir)
     }

@@ -34,7 +34,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("sketch corpus is appended, never rebuilt, on a second batch") {
-    val path = java.nio.file.Files.createTempDirectory("dd_inc_grow").toString
+    val path = graft.GraftTmp.dir("dd_inc_grow").toString
     val docs = graft.tables.Tables.documents(spark, sf)
     val first = docs.filter(col("doc_id") % 5 === 1)
     val t = Dedup.updateSketchCorpus(spark, first, path)
@@ -80,7 +80,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental dedup reads the corpus from the sketch table, not the text") {
-    val path = java.nio.file.Files.createTempDirectory("dd_inc_tamper").toString
+    val path = graft.GraftTmp.dir("dd_inc_tamper").toString
     val docs = graft.tables.Tables.documents(spark, sf)
     val t = Dedup.persistSketchCorpus(spark,
       docs.filter(col("doc_id") % 5 =!= 0), path)
@@ -155,7 +155,7 @@ class DedupSpec extends SparkSpec {
 
   test("knn_incremental: standing index appended never rebuilt; probe reads it") {
     import graft.similarity.Similarity
-    val path = java.nio.file.Files.createTempDirectory("ivf_inc_grow").toString
+    val path = graft.GraftTmp.dir("ivf_inc_grow").toString
     val emb = graft.tables.Tables.embeddings(spark, sf)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -212,7 +212,7 @@ class DedupSpec extends SparkSpec {
     }
     // planted corpus: doc 11 is doc 10 with one substituted word → same
     // min-shingle block (shared content dominates), small distance, near
-    val fx = java.nio.file.Files.createTempDirectory("edit_fx").toString
+    val fx = graft.GraftTmp.dir("edit_fx").toString
     val base = "the quick brown fox jumps over the lazy dog while the " +
       "cunning red vixen watches from the shaded hillside meadow quietly"
     Seq((10L, base, "en", "s1", 0L),
@@ -310,8 +310,8 @@ class DedupSpec extends SparkSpec {
 
   test("streamIntoIvfIndex: streamed vectors land exactly once, quantizer fixed") {
     import graft.similarity.Similarity
-    val path = java.nio.file.Files.createTempDirectory("ivf_stream").toString
-    val srcDir = java.nio.file.Files.createTempDirectory("ivf_stream_src").toString
+    val path = graft.GraftTmp.dir("ivf_stream").toString
+    val srcDir = graft.GraftTmp.dir("ivf_stream_src").toString
     val emb = graft.tables.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
     val seed = emb.filter(col("vec_id") % 5 === 1)
@@ -497,8 +497,7 @@ class DedupSpec extends SparkSpec {
 
   test("reliable-checkpoint option: CC and PageRank identical to the local default") {
     import spark.implicits._
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("gt_reliable_ckpt").toString
+    val ckptDir = graft.GraftTmp.dir("gt_reliable_ckpt").toString
     // two components + a hub — enough rounds to checkpoint more than once
     val edges = ((0L until 20L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (100L, 102L), (100L, 103L))).toDF("a", "b")
@@ -536,7 +535,7 @@ class DedupSpec extends SparkSpec {
     val localCC = graft.dedup.Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    val root = java.nio.file.Files.createTempDirectory("gt_ckpt_gc").toString
+    val root = graft.GraftTmp.dir("gt_ckpt_gc").toString
     val reliableCC = graft.dedup.Dedup.withReliableCheckpoints(spark, root) {
       d =>
         val labels = graft.dedup.Dedup.connectedComponents(edges, Some(d))
@@ -555,7 +554,7 @@ class DedupSpec extends SparkSpec {
       "scope cleanup must leave the checkpoint root empty")
 
     // pagerank under the same scope shape: identical ranks, clean root
-    val root2 = java.nio.file.Files.createTempDirectory("gt_ckpt_gc2").toString
+    val root2 = graft.GraftTmp.dir("gt_ckpt_gc2").toString
     val localPr = Dedup.pagerankIterations(edges)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val reliablePr = Dedup.withReliableCheckpoints(spark, root2) { d =>
@@ -585,7 +584,7 @@ class DedupSpec extends SparkSpec {
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expectA = labelsOf(Dedup.connectedComponents(edgesA))
     val expectB = labelsOf(Dedup.connectedComponents(edgesB))
-    val root = java.nio.file.Files.createTempDirectory("gt_ckpt_conc").toString
+    val root = graft.GraftTmp.dir("gt_ckpt_conc").toString
     val fa = Future(Dedup.withReliableCheckpoints(spark, root)(d =>
       labelsOf(Dedup.connectedComponents(edgesA, Some(d)))))
     val fb = Future(Dedup.withReliableCheckpoints(spark, root)(d =>

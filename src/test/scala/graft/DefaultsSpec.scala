@@ -17,7 +17,7 @@ import graft.table.GraftTable
 class DefaultsSpec extends SparkSpec {
 
   private def fresh(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path, Seq.empty), path)
   }
 
@@ -120,7 +120,7 @@ class DefaultsSpec extends SparkSpec {
     import spark.implicits._
     t.write(Seq((50L, "fifty")).toDF("id", "name"), SaveMode.Append)
     assert(t.read().filter(col("id") === 50).head().getAs[Double]("total") == 3.25)
-    val clonePath = Files.createTempDirectory("def_clone").toString
+    val clonePath = graft.GraftTmp.dir("def_clone").toString
     val c = t.shallowClone(clonePath)
     assert(c.columnDefaults == Map("total" -> "3.25"))
     c.write(Seq((51L, "fifty-one")).toDF("id", "name"), SaveMode.Append)

@@ -16,7 +16,7 @@ import graft.transform.Enrich
 class DeletionVectorSpec extends SparkSpec {
 
   private def freshTable(prefix: String): GraftTable = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     GraftTable(spark, path, Seq("ticker", "trade_date"))
   }
 
@@ -188,7 +188,7 @@ class DeletionVectorSpec extends SparkSpec {
     t.delete(col("ticker") === "AAPL", mergeOnRead = true)
     val expected = t.read().count()
 
-    val clonePath = Files.createTempDirectory("dv_clone_tgt").toString + "/c"
+    val clonePath = graft.GraftTmp.dir("dv_clone_tgt").toString + "/c"
     val c = t.shallowClone(clonePath)
     assert(c.read().count() == expected)
     assert(c.read().filter(col("ticker") === "AAPL").count() == 0)
@@ -232,7 +232,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.rowCountFromStats(0) == Some(scanned))
 
     // convert with stats skipped records no counts -> scan fallback
-    val plainDir = Files.createTempDirectory("dv_cnt_plain").toString
+    val plainDir = graft.GraftTmp.dir("dv_cnt_plain").toString
     bars.limit(100).write.mode("overwrite").parquet(plainDir)
     val c = graft.table.GraftTable.convert(spark, plainDir, Nil, collectStats = false)
     assert(c.rowCountFromStats().isEmpty)
@@ -267,7 +267,7 @@ class DeletionVectorSpec extends SparkSpec {
 
   test("hive-escaped partition values ('%', ' ', ':') keep vectors effective") {
     import spark.implicits._
-    val path = Files.createTempDirectory("dv_escape").toString
+    val path = graft.GraftTmp.dir("dv_escape").toString
     val t = GraftTable(spark, path, Seq("bucket"))
     val rows = Seq(
       ("a%b", 1L), ("a%b", 2L), ("a b", 3L), ("a b", 4L),

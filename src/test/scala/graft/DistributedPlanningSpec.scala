@@ -20,7 +20,7 @@ class DistributedPlanningSpec extends SparkSpec {
   import org.apache.spark.sql.sources._
 
   private def fresh(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path), path)
   }
 

@@ -19,7 +19,7 @@ import graft.table.{GeneratedPruning, GraftTable}
 class GeneratedPruningSpec extends SparkSpec {
 
   private def fresh(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path), path)
   }
 
@@ -60,7 +60,7 @@ class GeneratedPruningSpec extends SparkSpec {
 
   test("partition values prune the file list, typed") {
     import spark.implicits._
-    val path = Files.createTempDirectory("part_stats").toString
+    val path = graft.GraftTmp.dir("part_stats").toString
     val t = GraftTable(spark, path, Seq("bucket"))
     t.write((1 to 300).map(i => (i.toLong, i % 12)).toDF("id", "bucket"))
     val v = t.currentVersion
@@ -81,7 +81,7 @@ class GeneratedPruningSpec extends SparkSpec {
 
   test("range filter on ts prunes partitions generated as to_date(ts)") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gen_prune").toString
+    val path = graft.GraftTmp.dir("gen_prune").toString
     val t = GraftTable(spark, path, Seq("d"))
     val df = (0 until 6).flatMap { day =>
       (0 until 50).map(i => (day * 50 + i, ts(f"2024-03-${day + 1}%02d 10:00:00")))
@@ -116,7 +116,7 @@ class GeneratedPruningSpec extends SparkSpec {
 
   test("equality derives through any deterministic definition") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gen_eq").toString
+    val path = graft.GraftTmp.dir("gen_eq").toString
     val t = GraftTable(spark, path, Seq("g"))
     val df = (1 to 200).map(i => (i.toLong, s"doc_$i"))
       .toDF("id", "body")
@@ -197,7 +197,7 @@ class GeneratedPruningSpec extends SparkSpec {
     // end-to-end: table declared under UTC; a New-York-session reader
     // must lose no rows (an LTE bound evaluated in the reader's zone
     // would prune the d=2024-03-04 partition and silently drop 20 rows)
-    val path = Files.createTempDirectory("gen_tz").toString
+    val path = graft.GraftTmp.dir("gen_tz").toString
     val t = GraftTable(spark, path, Seq("d"))
     val df = (0 until 6).flatMap { day =>
       (0 until 20).map(i => (day * 20 + i, instant(f"2024-03-${day + 1}%02d" +

@@ -15,7 +15,7 @@ class GraftSourceSpec extends SparkSpec {
     BarSource.harvest(spark, delayMs = 0)).cache()
 
   test("format(graft) write + read roundtrip with partitioning") {
-    val path = Files.createTempDirectory("gsrc_rt").toString
+    val path = graft.GraftTmp.dir("gsrc_rt").toString
     bars.write.format("graft")
       .option("partitionBy", "ticker,trade_date")
       .mode("overwrite").save(path)
@@ -27,7 +27,7 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("versionAsOf reads an older snapshot; filters and pruning work") {
-    val path = Files.createTempDirectory("gsrc_tt").toString
+    val path = graft.GraftTmp.dir("gsrc_tt").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(4))
     t.delete(col("ticker") === "AAPL")
@@ -43,7 +43,7 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("batch change feed: readChangeFeed option and table_changes SQL") {
-    val path = Files.createTempDirectory("gsrc_cdf").toString
+    val path = graft.GraftTmp.dir("gsrc_cdf").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val aapl = t.read().filter(col("ticker") === "AAPL").count()
@@ -77,7 +77,7 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("partition filters prune the graft scan (hive-partition pruning)") {
-    val path = Files.createTempDirectory("gsrc_prune").toString
+    val path = graft.GraftTmp.dir("gsrc_prune").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val scan = t.read().filter(col("ticker") === "AAPL")
@@ -93,7 +93,7 @@ class GraftSourceSpec extends SparkSpec {
   test("partition values with '+' or stray '%' decode soundly (no silent pruning)") {
     import spark.implicits._
     import org.apache.spark.sql.sources.EqualTo
-    val path = Files.createTempDirectory("gsrc_plus").toString
+    val path = graft.GraftTmp.dir("gsrc_plus").toString
     val t = GraftTable(spark, path, Seq("tz"))
     t.write(Seq(("UTC+2", 1L), ("UTC+2", 2L), ("UTC-5", 3L)).toDF("tz", "v"))
     // '+' in a string partition value must stay a literal plus — a
@@ -117,7 +117,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("DSv2 catalog: VERSION AS OF SQL, identical rows, pruning reaches the scan") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = Files.createTempDirectory("gsrc_v2").toString
+    val path = graft.GraftTmp.dir("gsrc_v2").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(4))
     t.delete(col("ticker") === "AAPL")
@@ -166,7 +166,7 @@ class GraftSourceSpec extends SparkSpec {
   test("manifest stats skip files whose min/max exclude the predicate") {
     import spark.implicits._
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
-    val path = Files.createTempDirectory("gsrc_skip").toString
+    val path = graft.GraftTmp.dir("gsrc_skip").toString
     val t = GraftTable(spark, path) // unpartitioned: skipping ≠ hive pruning
     val df = (0 until 4000).map(i => (i.toLong, i * 2.0, f"s$i%05d")).toDF("id", "v", "s")
     t.write(df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
@@ -218,7 +218,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("DSv2 SQL DML: INSERT INTO appends, INSERT OVERWRITE replaces, layout preserved") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = Files.createTempDirectory("gsrc_v2w").toString
+    val path = graft.GraftTmp.dir("gsrc_v2w").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val n0 = t.read().count()
@@ -258,7 +258,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("DSv2 SQL DELETE FROM routes through the copy-on-write delete") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = Files.createTempDirectory("gsrc_v2d").toString
+    val path = graft.GraftTmp.dir("gsrc_v2d").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val n0 = t.read().count()
@@ -297,7 +297,7 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("wide commits collect footer stats distributed, identical to the driver path") {
-    val path = Files.createTempDirectory("gsrc_dist").toString
+    val path = graft.GraftTmp.dir("gsrc_dist").toString
     val t = GraftTable(spark, path)
     val df = spark.range(0, 6400).toDF("id")
       .withColumn("v", col("id") * 2.0)
@@ -328,7 +328,7 @@ class GraftSourceSpec extends SparkSpec {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.schema.MessageTypeParser
-    val dir = Files.createTempDirectory("gsrc_poison").toString
+    val dir = graft.GraftTmp.dir("gsrc_poison").toString
     val file = s"$dir/poison.parquet"
     val schema = MessageTypeParser.parseMessageType(
       """message doc {
@@ -354,7 +354,7 @@ class GraftSourceSpec extends SparkSpec {
     // ADVICE r4 high: precision<=18 decimals are stored as UNSCALED ints
     // in parquet footers; comparing those raw against the filter's scaled
     // BigDecimal silently skipped files with matching rows
-    val path = Files.createTempDirectory("gsrc_dec").toString
+    val path = graft.GraftTmp.dir("gsrc_dec").toString
     val t = GraftTable(spark, path)
     val df = spark.range(0, 4000).toDF("id")
       .withColumn("amt", (col("id") * 0.25).cast("decimal(10,2)"))
@@ -379,7 +379,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("non-finite double stats neither crash nor drop rows; NaN rows survive range pruning") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gsrc_inf").toString
+    val path = graft.GraftTmp.dir("gsrc_inf").toString
     val t = GraftTable(spark, path)
     // file 0: ordinary values; file 1: ±Infinity; file 2: NaN rows whose
     // non-NaN values all sit BELOW the predicate (the wrongly-prunable case)
@@ -403,7 +403,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("string pruning uses unsigned UTF-8 order (supplementary-plane safe)") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gsrc_utf8").toString
+    val path = graft.GraftTmp.dir("gsrc_utf8").toString
     val t = GraftTable(spark, path)
     // "𝌆" (U+1D306) > "�" in UTF-8 byte order but LESS THAN it in
     // UTF-16 code-unit order (surrogates D834 < FFFD) — the old compareTo
@@ -420,7 +420,7 @@ class GraftSourceSpec extends SparkSpec {
   }
 
   test("append mode enforces schema; SQL USING graft scans the table") {
-    val path = Files.createTempDirectory("gsrc_sql").toString
+    val path = graft.GraftTmp.dir("gsrc_sql").toString
     bars.write.format("graft")
       .option("partitionBy", "ticker,trade_date")
       .mode("overwrite").save(path)
@@ -438,7 +438,7 @@ class GraftSourceSpec extends SparkSpec {
 
   test("txnAppId/txnVersion writer options: replayed batch appends no-op") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_txn_opt").toString
+    val path = graft.GraftTmp.dir("graft_txn_opt").toString
     val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s")
     def append(v: Long): Unit =
       df.write.format("graft").mode("append")
@@ -472,7 +472,7 @@ class GraftSourceSpec extends SparkSpec {
     // read a vacuumed file (its post-vacuum batches derive only from
     // commits whose files are live)
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_maint_stream").toString
+    val path = graft.GraftTmp.dir("graft_maint_stream").toString
     val t = graft.table.GraftTable(spark, path)
     def batch(lo: Int, n: Int, parts: Int) =
       (lo until lo + n).map(_.toLong).toDF("id").repartition(parts)

@@ -22,7 +22,7 @@ class IncrementalLogSpec extends SparkSpec {
 
   test("appends write O(delta) action records, never O(live-files) manifests") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_delta").toString
+    val path = graft.GraftTmp.dir("il_delta").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     t.write((0 until 100).map(_.toLong).toDF("id").repartition(4))
@@ -84,7 +84,7 @@ class IncrementalLogSpec extends SparkSpec {
 
   test("add actions record file sizes; DESCRIBE DETAIL serves bytes from the log") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_sizes").toString
+    val path = graft.GraftTmp.dir("il_sizes").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     t.write((0 until 500).map(_.toLong).toDF("id").repartition(3))
@@ -110,14 +110,14 @@ class IncrementalLogSpec extends SparkSpec {
     // adoption paths carry sizes too: a shallow clone's detail agrees
     // with the source without re-stat'ing (same numbers either way —
     // the carried sizes just make it log-served)
-    val clonePath = Files.createTempDirectory("il_sizes_clone").toString + "/c"
+    val clonePath = graft.GraftTmp.dir("il_sizes_clone").toString + "/c"
     val c = t.shallowClone(clonePath)
     assert(c.detail().sizeInBytes == truth)
   }
 
   test("manifest checkpoints are parquet datasets readable as DataFrames") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_ckpt").toString
+    val path = graft.GraftTmp.dir("il_ckpt").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     (0 to 12).foreach { i =>
@@ -148,7 +148,7 @@ class IncrementalLogSpec extends SparkSpec {
 
   test("deletion vectors and stats replay through the action log") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_dv").toString
+    val path = graft.GraftTmp.dir("il_dv").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     t.write((0 until 100).map(_.toLong).toDF("id").repartition(2))
@@ -180,7 +180,7 @@ class IncrementalLogSpec extends SparkSpec {
 
   test("legacy full-snapshot manifests remain readable and take precedence") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_legacy").toString
+    val path = graft.GraftTmp.dir("il_legacy").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     t.write((0 until 10).map(_.toLong).toDF("id").repartition(2))
@@ -201,7 +201,7 @@ class IncrementalLogSpec extends SparkSpec {
 
   test("log truncation checkpoints the oldest retained version first") {
     import spark.implicits._
-    val path = Files.createTempDirectory("il_trunc").toString
+    val path = graft.GraftTmp.dir("il_trunc").toString
     val fs = hfs(path)
     val t = GraftTable(spark, path, Nil)
     (0 to 24).foreach { i =>

@@ -41,7 +41,7 @@ class LogStoreSpec extends SparkSpec {
   }
 
   private def freshClaim(prefix: String): Path =
-    new Path(Files.createTempDirectory(prefix).toString,
+    new Path(graft.GraftTmp.dir(prefix).toString,
       "v00000000000000000007.claim")
 
   test("non-atomic create lets two claimers both succeed under the default store") {
@@ -127,7 +127,7 @@ class LogStoreSpec extends SparkSpec {
   test("a post-claim commit failure does not wedge the table under the single-driver store") {
     spark.conf.set(LogStore.ConfKey, "single-driver")
     try {
-      val path = Files.createTempDirectory("ls_wedge").toString
+      val path = graft.GraftTmp.dir("ls_wedge").toString
       val t = GraftTable(spark, path)
       val df = spark.range(50).select(col("id"), (col("id") % 5).as("k"))
       t.write(df) // v0
@@ -155,7 +155,7 @@ class LogStoreSpec extends SparkSpec {
   test("table commits run end-to-end under the single-driver store") {
     spark.conf.set(LogStore.ConfKey, "single-driver")
     try {
-      val path = Files.createTempDirectory("ls_table").toString
+      val path = graft.GraftTmp.dir("ls_table").toString
       val t = GraftTable(spark, path)
       val df = spark.range(100).select(col("id"), (col("id") % 5).as("k"))
       t.write(df)

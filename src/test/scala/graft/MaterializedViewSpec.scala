@@ -28,11 +28,11 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("refresh tracks appends, deletes, DV deletes and updates exactly") {
-    val srcPath = Files.createTempDirectory("mv_src").toString
+    val srcPath = graft.GraftTmp.dir("mv_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
     src.write(bars.filter(col("ticker") =!= "NVDA"))
 
-    val mvPath = Files.createTempDirectory("mv_view").toString + "/mv"
+    val mvPath = graft.GraftTmp.dir("mv_view").toString + "/mv"
     val mv = MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
     assertCurrent(mv, src)
 
@@ -65,10 +65,10 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("SQL CREATE / REFRESH MATERIALIZED VIEW round-trip") {
-    val srcPath = Files.createTempDirectory("mv_sql_src").toString
+    val srcPath = graft.GraftTmp.dir("mv_sql_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
     src.write(bars)
-    val mvPath = Files.createTempDirectory("mv_sql").toString + "/mv"
+    val mvPath = graft.GraftTmp.dir("mv_sql").toString + "/mv"
     spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvPath` AS " +
       s"SELECT ticker, COUNT(*), SUM(volume) FROM graft.`$srcPath` " +
       "GROUP BY ticker")
@@ -82,10 +82,10 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("torn refresh (merge landed, property commit lost) never double-applies") {
-    val srcPath = Files.createTempDirectory("mv_torn_src").toString
+    val srcPath = graft.GraftTmp.dir("mv_torn_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
     src.write(bars)
-    val mvPath = Files.createTempDirectory("mv_torn").toString + "/mv"
+    val mvPath = graft.GraftTmp.dir("mv_torn").toString + "/mv"
     val mv = MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
 
     src.delete(col("ticker") === "TSLA")
@@ -105,7 +105,7 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("CDC opt-out: no sidecar written, feed falls back to inference") {
-    val p = Files.createTempDirectory("cdc_off").toString
+    val p = graft.GraftTmp.dir("cdc_off").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     t.setProperties(Map(GraftTable.ChangeDataFeedProp -> "false"))
@@ -125,8 +125,8 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("streaming ingest keeps the MV current per micro-batch") {
-    val srcPath = Files.createTempDirectory("mv_stream_src").toString + "/t"
-    val mvPath = Files.createTempDirectory("mv_stream_mv").toString + "/mv"
+    val srcPath = graft.GraftTmp.dir("mv_stream_src").toString + "/t"
+    val mvPath = graft.GraftTmp.dir("mv_stream_mv").toString + "/mv"
     val (table, _) = graft.streaming.Streaming.streamIntoTableWithMv(
       spark, sf, srcPath, mvPath)
     val got = GraftTable(spark, mvPath, Seq.empty).read()
@@ -149,10 +149,10 @@ class MaterializedViewSpec extends SparkSpec {
   }
 
   test("refresh cost scales with the change, not the table: append window reads no base files") {
-    val srcPath = Files.createTempDirectory("mv_cost_src").toString
+    val srcPath = graft.GraftTmp.dir("mv_cost_src").toString
     val src = GraftTable(spark, srcPath, Seq("ticker"))
     src.write(bars)
-    val mvPath = Files.createTempDirectory("mv_cost").toString + "/mv"
+    val mvPath = graft.GraftTmp.dir("mv_cost").toString + "/mv"
     MV.create(spark, mvPath, src, Seq("ticker"), Seq("volume"))
     val appended = bars.filter(col("ticker") === "AAPL").limit(10)
     src.write(appended, org.apache.spark.sql.SaveMode.Append)

@@ -23,7 +23,7 @@ class MetadataAggSpec extends SparkSpec {
   }
 
   test("COUNT(*) and MIN/MAX answer from the manifest, no file scan") {
-    val p = Files.createTempDirectory("meta_agg").toString
+    val p = graft.GraftTmp.dir("meta_agg").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
     val want = t.read().agg(count(lit(1)), min("volume"), max("volume"))
@@ -48,7 +48,7 @@ class MetadataAggSpec extends SparkSpec {
   }
 
   test("GROUP BY partition columns → COUNT(*) answers from the manifest") {
-    val p = Files.createTempDirectory("meta_agg_gb").toString
+    val p = graft.GraftTmp.dir("meta_agg_gb").toString
     val t = GraftTable(spark, p, Seq("ticker", "trade_date"))
     t.write(bars)
 
@@ -148,7 +148,7 @@ class MetadataAggSpec extends SparkSpec {
   }
 
   test("filters, DVs and uncovered types fall back to the scan plan") {
-    val p = Files.createTempDirectory("meta_agg_fb").toString
+    val p = graft.GraftTmp.dir("meta_agg_fb").toString
     val t = GraftTable(spark, p, Seq("ticker"))
     t.write(bars)
 

@@ -15,7 +15,7 @@ import graft.transform.Enrich
 class MutationSpec extends SparkSpec {
 
   private def freshTable(prefix: String): GraftTable = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     GraftTable(spark, path, Seq("ticker", "trade_date"))
   }
 
@@ -78,7 +78,7 @@ class MutationSpec extends SparkSpec {
 
   test("appends landing during a rewrite's scan-to-commit window are never lost") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_mixed").toString
+    val path = graft.GraftTmp.dir("gt_mixed").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((0 until 1000).map(_.toLong).toDF("id").repartition(4))
     // one writer streams appends while the other runs snapshot-derived
@@ -109,7 +109,7 @@ class MutationSpec extends SparkSpec {
 
   test("concurrent copy-on-write deletes on DISJOINT partitions both land") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_conc_disjoint").toString
+    val path = graft.GraftTmp.dir("gt_conc_disjoint").toString
     val t = graft.table.GraftTable(spark, path, Seq("p"))
     t.write((0 until 900).map(i => (i % 3, i.toLong)).toDF("p", "id").repartition(3))
     assert(t.read().count() == 900)
@@ -140,7 +140,7 @@ class MutationSpec extends SparkSpec {
 
   test("SET TBLPROPERTIES racing an identity append: both property sets land") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_prop_race").toString
+    val path = graft.GraftTmp.dir("gt_prop_race").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write(Seq((0L, "seed")).toDF("k", "s"))
     t.addIdentityColumn("rid", start = 1L, step = 1L)
@@ -180,7 +180,7 @@ class MutationSpec extends SparkSpec {
 
   test("overlapping concurrent rewrites: one clear abort or clean serialization, never lost updates") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_conc_overlap").toString
+    val path = graft.GraftTmp.dir("gt_conc_overlap").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((0 until 1000).map(_.toLong).toDF("id").repartition(2))
 
@@ -212,7 +212,7 @@ class MutationSpec extends SparkSpec {
 
   test("merge-on-read DELETE racing a rewrite: no row resurrection, loser aborts cleanly") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_conc_dv").toString
+    val path = graft.GraftTmp.dir("gt_conc_dv").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((0 until 1000).map(i => (i.toLong, 0L)).toDF("id", "v").repartition(4))
 
@@ -249,7 +249,7 @@ class MutationSpec extends SparkSpec {
 
   test("concurrent ADD COLUMN of distinct columns: both land with consistent schema") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_conc_addcol").toString
+    val path = graft.GraftTmp.dir("gt_conc_addcol").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((0 until 10).map(_.toLong).toDF("id").repartition(1))
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -271,7 +271,7 @@ class MutationSpec extends SparkSpec {
 
   test("update predicate is pinned before assignments mutate its columns") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_upd_pin").toString
+    val path = graft.GraftTmp.dir("gt_upd_pin").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write(Seq((1L, 0L), (2L, 0L)).toDF("id", "v"))
     // the predicate references id, and id is itself assigned: the v
@@ -325,7 +325,7 @@ class MutationSpec extends SparkSpec {
   }
 
   test("merge into empty table is a plain write") {
-    val path = Files.createTempDirectory("gt_merge_empty").toString
+    val path = graft.GraftTmp.dir("gt_merge_empty").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.merge(bars.repartition(2), Seq("ticker", "timestamp_ms"))
     assert(t.read().count() == bars.count())
@@ -394,7 +394,7 @@ class MutationSpec extends SparkSpec {
 
   test("MERGE records CDC: update images, delete preimages, inserts — per clause") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("gt_merge_cdc").toString
+    val path = graft.GraftTmp.dir("gt_merge_cdc").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((1L, "keep", 10.0), (2L, "upd", 20.0), (3L, "del", 30.0))
       .toDF("k", "tag", "v"))
@@ -606,7 +606,7 @@ class MutationSpec extends SparkSpec {
 
   test("identity columns: unique engine-assigned values, ALWAYS semantics, merge fills inserts only") {
     import spark.implicits._
-    val path = Files.createTempDirectory("gt_identity").toString
+    val path = graft.GraftTmp.dir("gt_identity").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     t.write((0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "s").repartition(4))
     t.addIdentityColumn("rid", start = 100L, step = 2L)
@@ -667,7 +667,7 @@ class MutationSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 0 until 6) {
-      val path = Files.createTempDirectory(s"gt_merge_fuzz$trial").toString
+      val path = graft.GraftTmp.dir(s"gt_merge_fuzz$trial").toString
       val t = graft.table.GraftTable(spark, path, Nil)
       val n = 60
       val tgtRows = (0 until n).map(i => (i.toLong, rnd.nextInt(100).toLong))
@@ -810,7 +810,7 @@ class MutationSpec extends SparkSpec {
     val srcRows = src.read().count()
     val srcFiles = src.manifestFiles().toSet
 
-    val clonePath = Files.createTempDirectory("gt_clone_dst").toString
+    val clonePath = graft.GraftTmp.dir("gt_clone_dst").toString
     val clone = src.shallowClone(clonePath)
     // zero-copy: identical rows, no parquet under the clone root yet
     assert(clone.read().count() == srcRows)
@@ -861,7 +861,7 @@ class MutationSpec extends SparkSpec {
     src.addConstraint("vol_floor", "volume >= 0")
     src.delete(col("ticker") === "AAPL")
     val clone = src.shallowClone(
-      Files.createTempDirectory("gt_clone_v_dst").toString, v0)
+      graft.GraftTmp.dir("gt_clone_v_dst").toString, v0)
     assert(clone.read().count() == total)                  // pre-delete rows
     assert(clone.constraints.isEmpty)                      // v0 had none
     intercept[IllegalArgumentException] { src.shallowClone("/tmp/x", 999L) }

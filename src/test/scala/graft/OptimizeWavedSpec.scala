@@ -17,7 +17,7 @@ class OptimizeWavedSpec extends SparkSpec {
   /** Partitioned table with many small files: 3 partitions × 6 input
     * files each. ~Small targets force multiple waves. */
   private def seedTable(): GraftTable = {
-    val path = Files.createTempDirectory("gt_waved").toString
+    val path = graft.GraftTmp.dir("gt_waved").toString
     val t = GraftTable(spark, path, Seq("k"))
     val df = spark.range(3000)
       .select(col("id"), (col("id") % 3).cast("string").as("k"),
@@ -89,7 +89,7 @@ class OptimizeWavedSpec extends SparkSpec {
     // layout every later OPTIMIZE rewrote into itself forever. The
     // partition-hash path must emit exactly one key-sorted file per
     // partition, and the next OPTIMIZE must be metadata-only.
-    val path = Files.createTempDirectory("gt_binslt").toString
+    val path = graft.GraftTmp.dir("gt_binslt").toString
     val t = GraftTable(spark, path, Seq("k"))
     val df = spark.range(3000)
       .select(col("id"), (col("id") % 3).cast("string").as("k"),

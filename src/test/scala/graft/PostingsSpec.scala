@@ -21,7 +21,7 @@ class PostingsSpec extends SparkSpec {
     val docs = docsOf(
       1L -> "The quick  brown fox", // \s+ split collapses the double space
       2L -> "fox fox jumps")
-    val path = Files.createTempDirectory("gt_postings").toString + "/t"
+    val path = graft.GraftTmp.dir("gt_postings").toString + "/t"
     val t = Postings.update(spark, docs, path)
     val got = t.read().as[(Long, String, Long, Seq[Int])].collect()
       .map { case (d, w, tf, ps) => (d, w) -> ((tf, ps)) }.toMap
@@ -37,7 +37,7 @@ class PostingsSpec extends SparkSpec {
 
   test("update is idempotent; a fresh batch appends only its own docs") {
     val d1 = docsOf(1L -> "alpha beta", 2L -> "beta gamma")
-    val path = Files.createTempDirectory("gt_postings2").toString + "/t"
+    val path = graft.GraftTmp.dir("gt_postings2").toString + "/t"
     val t = Postings.update(spark, d1, path)
     val v1 = t.currentVersion
     // replay: nothing new → no commit
@@ -76,7 +76,7 @@ class PostingsSpec extends SparkSpec {
     // multiple files whose MEAN size sits in the target's band, and the
     // appended day-2 batch must keep the band (only its tail re-bins).
     val docs = graft.tables.Tables.documents(spark, sf)
-    val path = Files.createTempDirectory("gt_postings3").toString + "/t"
+    val path = graft.GraftTmp.dir("gt_postings3").toString + "/t"
     val target = 16 * 1024L
     val t = Postings.update(spark, docs, path, targetBytes = target)
     val h = t.health()
@@ -125,7 +125,7 @@ class PostingsSpec extends SparkSpec {
     // serve-time completeness gate could never match the corpus count
     val docs = docsOf(1L -> "alpha beta", 2L -> "", 3L -> "   \t\n",
       4L -> null.asInstanceOf[String])
-    val path = Files.createTempDirectory("gt_postings_tl").toString + "/t"
+    val path = graft.GraftTmp.dir("gt_postings_tl").toString + "/t"
     val t = Postings.update(spark, docs, path)
     assert(t.properties(Postings.DocCountProp) == "4",
       "census must count tokenless docs as ingested")
@@ -147,7 +147,7 @@ class PostingsSpec extends SparkSpec {
 
   test("a stale census (crash between append and property commit) self-heals") {
     val docs = docsOf(1L -> "alpha beta", 2L -> "beta gamma")
-    val path = Files.createTempDirectory("gt_postings_heal").toString + "/t"
+    val path = graft.GraftTmp.dir("gt_postings_heal").toString + "/t"
     val t = Postings.update(spark, docs, path)
     // simulate the torn day-2 ingest: the data commit landed but the
     // census commit didn't — the stored property undercounts
@@ -163,7 +163,7 @@ class PostingsSpec extends SparkSpec {
   test("a partial first build at a fingerprinted standing path is refused") {
     // an isolated corpus copy: poisoning the REAL sf fixture's standing
     // path would break every indexed twin in this JVM
-    val dir = Files.createTempDirectory("gt_partial").toString
+    val dir = graft.GraftTmp.dir("gt_partial").toString
     graft.tables.Tables.documents(spark, sf).limit(40)
       .write.parquet(new java.io.File(dir, "documents.parquet").toString)
     val docs = graft.tables.Tables.documents(spark, dir)
@@ -183,7 +183,7 @@ class PostingsSpec extends SparkSpec {
 
   test("graft-table source keys the standing index by manifest version, not a file walk") {
     import graft.table.{GraftTable, StandingIndex}
-    val parent = Files.createTempDirectory("gt_fp_src").toString
+    val parent = graft.GraftTmp.dir("gt_fp_src").toString
     val t = GraftTable(spark, new java.io.File(parent, "corpus").toString)
     t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
 
@@ -235,7 +235,7 @@ class PostingsSpec extends SparkSpec {
       "index even when manifest name and mtime collide")
 
     // raw parquet dirs keep the walk: the same mtime churn re-keys
-    val rawParent = Files.createTempDirectory("gt_fp_raw").toString
+    val rawParent = graft.GraftTmp.dir("gt_fp_raw").toString
     Seq((1L, "a")).toDF("id", "v").write
       .parquet(new java.io.File(rawParent, "raw").toString)
     val r1 = StandingIndex.fingerprint(rawParent, "raw")

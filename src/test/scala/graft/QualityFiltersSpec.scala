@@ -223,7 +223,7 @@ class QualityFiltersSpec extends SparkSpec {
     import spark.implicits._
     // the sf fixture has a true zero doc-dup baseline (dedup_exact: 500
     // groups of 1), so plant a corpus where both tiers are non-trivial
-    val dir = java.nio.file.Files.createTempDirectory("dup_rate").toString
+    val dir = graft.GraftTmp.dir("dup_rate").toString
     val body = (1 to 45).map(i => s"w$i").mkString(" ") // 45 words: 2 blocks
     Seq(
       (1L, body, "en", "a", body.length.toLong),

@@ -42,7 +42,7 @@ class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("DSv1: small graft table auto-broadcasts without a hint") {
     import spark.implicits._
-    val path = Files.createTempDirectory("stats_v1").toString
+    val path = graft.GraftTmp.dir("stats_v1").toString
     val t = GraftTable(spark, path)
     t.write((1 to 100).map(i => (i.toLong, s"name_$i")).toDF("id", "name"))
     assert(t.sizeInBytes() > 0)
@@ -61,7 +61,7 @@ class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("DSv2: filter-pruned scan stats unlock broadcast on a big table") {
     import spark.implicits._
-    val path = Files.createTempDirectory("stats_v2").toString
+    val path = graft.GraftTmp.dir("stats_v2").toString
     // 10 range-partitioned files: a probe on one id prunes to ~1 file
     // via min/max skipping, so post-pruning bytes << total bytes.
     // Payload is random-ish hex so parquet can't compress it away.
@@ -98,7 +98,7 @@ class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("ANALYZE column NDV flips a 3-table join to broadcast builds") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("stats_ndv").toString
+    val dir = graft.GraftTmp.dir("stats_ndv").toString
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     // two dims, one file each (a point filter can NOT file-prune, so
     // bytes stay big), unique join keys: only a distinct-count estimate
@@ -155,7 +155,7 @@ class RelationStatsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("scanStats rows subtract deletion-vector cardinality") {
     import spark.implicits._
-    val path = Files.createTempDirectory("stats_dv").toString
+    val path = graft.GraftTmp.dir("stats_dv").toString
     val t = GraftTable(spark, path)
     t.write((1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "bucket"))
     val (_, before) = t.scanStats(t.currentVersion, Nil)

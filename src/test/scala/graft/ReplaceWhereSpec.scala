@@ -16,7 +16,7 @@ import graft.transform.Enrich
 class ReplaceWhereSpec extends SparkSpec {
 
   private def freshTable(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path, Seq("ticker", "trade_date")), path)
   }
 
@@ -202,7 +202,7 @@ class ReplaceWhereSpec extends SparkSpec {
 
   test("identity append preserves a concurrently set property") {
     import spark.implicits._
-    val path = Files.createTempDirectory("rw_idprop").toString
+    val path = graft.GraftTmp.dir("rw_idprop").toString
     val t = GraftTable(spark, path, Nil)
     t.write(Seq((1L, "x")).toDF("v", "s"))
     t.addIdentityColumn("id")
@@ -238,7 +238,7 @@ class ReplaceWhereSpec extends SparkSpec {
 
   test("UNSET TBLPROPERTIES refuses reserved identity metadata") {
     import spark.implicits._
-    val path = Files.createTempDirectory("rw_unset").toString
+    val path = graft.GraftTmp.dir("rw_unset").toString
     val t = GraftTable(spark, path, Nil)
     t.write(Seq((1L, "x")).toDF("v", "s"))
     t.addIdentityColumn("id")
@@ -250,7 +250,7 @@ class ReplaceWhereSpec extends SparkSpec {
 
   test("aborted MERGE WITH SCHEMA EVOLUTION leaves the schema unevolved") {
     import spark.implicits._
-    val path = Files.createTempDirectory("rw_mergeevo").toString
+    val path = graft.GraftTmp.dir("rw_mergeevo").toString
     val t = GraftTable(spark, path, Nil)
     t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
     t.addConstraint("k_pos", "k > 0")

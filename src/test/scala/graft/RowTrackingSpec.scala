@@ -18,7 +18,7 @@ class RowTrackingSpec extends SparkSpec {
 
   private def tracked(prefix: String): (GraftTable, String) = {
     import spark.implicits._
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     val t = GraftTable(spark, path)
     t.write(Seq((0L, "seed")).toDF("k", "s"))
     t.setProperties(Map(RowTracking.Prop -> "true"))
@@ -68,7 +68,7 @@ class RowTrackingSpec extends SparkSpec {
     val v = t.currentVersion
     val before = idsByKey(t)
     // clone preserves ids
-    val clonePath = Files.createTempDirectory("rt_clone").toString
+    val clonePath = graft.GraftTmp.dir("rt_clone").toString
     t.shallowClone(clonePath)
     val c = GraftTable(spark, clonePath)
     assert(idsByKey(c) == before, "clone must carry ids verbatim")
@@ -104,7 +104,7 @@ class RowTrackingSpec extends SparkSpec {
     assert(df.columns.contains("_row_id"))
     assert(df.filter(col("_row_id").isNotNull).count() == 10)
 
-    val bare = Files.createTempDirectory("rt_off").toString
+    val bare = graft.GraftTmp.dir("rt_off").toString
     GraftTable(spark, bare).write(Seq((1L, "x")).toDF("k", "s"))
     val err = intercept[IllegalArgumentException] {
       GraftTable(spark, bare).readWithRowIds()

@@ -34,8 +34,8 @@ class RuntimeFilterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("bloom runtime filter injects over a graft fact scan and preserves results") {
     import spark.implicits._
-    val factPath = Files.createTempDirectory("rf_fact").toString
-    val dimPath = Files.createTempDirectory("rf_dim").toString
+    val factPath = graft.GraftTmp.dir("rf_fact").toString
+    val dimPath = graft.GraftTmp.dir("rf_dim").toString
     // fact: 50k rows over 500 keys; dim: 500 keys, 10 of them 'hot'
     val fact = GraftTable(spark, factPath)
     fact.write((1 to 50000).map(i => (i.toLong % 500, i.toLong))
@@ -71,7 +71,7 @@ class RuntimeFilterSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("injection stays off when the dimension is not selective") {
     import spark.implicits._
-    val factPath = Files.createTempDirectory("rf_fact2").toString
+    val factPath = graft.GraftTmp.dir("rf_fact2").toString
     val fact = GraftTable(spark, factPath)
     fact.write((1 to 10000).map(i => (i.toLong % 100, i.toLong))
       .toDF("key", "v"))

@@ -16,7 +16,7 @@ class SchemaLogSpec extends SparkSpec {
 
   test("SQL CREATE TABLE establishes schema + layout; INSERT INTO is enforced") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = Files.createTempDirectory("slog_create").toString + "/t"
+    val path = graft.GraftTmp.dir("slog_create").toString + "/t"
     spark.sql(
       s"""CREATE TABLE graft.`$path` (id BIGINT, v DOUBLE, cat STRING)
          |PARTITIONED BY (cat)""".stripMargin)
@@ -50,7 +50,7 @@ class SchemaLogSpec extends SparkSpec {
   }
 
   test("ADD COLUMN aligns in as nulls; writes populate; no resurrection after drop") {
-    val path = Files.createTempDirectory("slog_addcol").toString
+    val path = graft.GraftTmp.dir("slog_addcol").toString
     val t = GraftTable(spark, path, Nil)
     t.write(spark.range(0, 10).toDF("id").withColumn("v", col("id") * 2.0))
     val vBefore = t.currentVersion
@@ -80,7 +80,7 @@ class SchemaLogSpec extends SparkSpec {
 
   test("SQL ALTER TABLE ADD/RENAME/DROP COLUMN route to the metadata commits") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = Files.createTempDirectory("slog_alter").toString
+    val path = graft.GraftTmp.dir("slog_alter").toString
     val t = GraftTable(spark, path, Nil)
     t.write(spark.range(0, 5).toDF("id").withColumn("v", col("id") * 1.5))
 
@@ -100,7 +100,7 @@ class SchemaLogSpec extends SparkSpec {
   }
 
   test("API create + truncation keeps the recorded schema without probing history") {
-    val path = Files.createTempDirectory("slog_api").toString
+    val path = graft.GraftTmp.dir("slog_api").toString
     val t = GraftTable.create(spark, path,
       new org.apache.spark.sql.types.StructType()
         .add("k", LongType).add("s", StringType))
@@ -118,7 +118,7 @@ class SchemaLogSpec extends SparkSpec {
 
   test("CREATE TABLE AS SELECT materializes through the catalog") {
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val path = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+    val path = graft.GraftTmp.dir("graft_ctas").toString
     spark.sql(
       s"CREATE TABLE graft.`$path` AS SELECT id, id % 3 AS g FROM range(30)")
     val t = graft.table.GraftTable(spark, path)
@@ -127,7 +127,7 @@ class SchemaLogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(g) FROM graft.`$path`")
       .collect()(0).getLong(0) == 30)
     // partitioned CTAS lays out hive directories
-    val p2 = java.nio.file.Files.createTempDirectory("graft_ctas_p").toString
+    val p2 = graft.GraftTmp.dir("graft_ctas_p").toString
     spark.sql(s"CREATE TABLE graft.`$p2` PARTITIONED BY (g) AS " +
       "SELECT id, id % 3 AS g FROM range(30)")
     val t2 = graft.table.GraftTable(spark, p2)

@@ -16,7 +16,7 @@ import graft.transform.Enrich
 class SqlDmlSpec extends SparkSpec {
 
   private def freshTable(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path, Seq("ticker", "trade_date")), path)
   }
 

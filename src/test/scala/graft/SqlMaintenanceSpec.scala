@@ -16,7 +16,7 @@ import graft.transform.Enrich
 class SqlMaintenanceSpec extends SparkSpec {
 
   private def freshTable(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path, Seq("ticker", "trade_date")), path)
   }
 
@@ -42,7 +42,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("OPTIMIZE ... MAX WAVES drives the resumable waved re-cluster through SQL") {
     import spark.implicits._
-    val path = Files.createTempDirectory("sqlm_waved").toString
+    val path = graft.GraftTmp.dir("sqlm_waved").toString
     val t = GraftTable(spark, path, Seq("k"))
     t.write(spark.range(3000)
       .select(col("id"), (col("id") % 3).cast("string").as("k"),
@@ -107,7 +107,7 @@ class SqlMaintenanceSpec extends SparkSpec {
   test("graft.optimizeWrite shuffles by partition columns: full files, not slivers") {
     import spark.implicits._
     val mk = () => {
-      val path = Files.createTempDirectory("sqlm_ow").toString
+      val path = graft.GraftTmp.dir("sqlm_ow").toString
       GraftTable(spark, path, Seq("p"))
     }
     val df = (0 until 120).map(i => (i.toLong, i % 3)).toDF("id", "p")
@@ -127,7 +127,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("SHOW PARTITIONS reports files/rows/bytes from the manifest, no scan") {
     import spark.implicits._
-    val path = Files.createTempDirectory("sqlm_showp").toString
+    val path = graft.GraftTmp.dir("sqlm_showp").toString
     val t = GraftTable(spark, path, Seq("p"))
     t.write((0 until 30).map(i => (i.toLong, i % 3)).toDF("id", "p"))
     t.write(Seq((100L, 1)).toDF("id", "p"),
@@ -140,7 +140,7 @@ class SqlMaintenanceSpec extends SparkSpec {
       byPart("p=2")._3 == 10, s"recorded row counts: ${rows.toSeq}")
     assert(rows.forall(r => r._2 >= 1 && r._4 > 0))
     // unpartitioned table: clear contract error (stock Spark parity)
-    val flat = Files.createTempDirectory("sqlm_showp_flat").toString
+    val flat = graft.GraftTmp.dir("sqlm_showp_flat").toString
     GraftTable(spark, flat, Nil).write(Seq((1L, 2L)).toDF("a", "b"))
     val e = intercept[Exception] {
       spark.sql(s"SHOW PARTITIONS graft.`$flat`").collect() }
@@ -149,7 +149,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("graft.checkpointInterval property shortens the checkpoint cadence") {
     import spark.implicits._
-    val path = Files.createTempDirectory("sqlm_ckpt").toString
+    val path = graft.GraftTmp.dir("sqlm_ckpt").toString
     val t = GraftTable(spark, path, Nil)
     t.write(Seq((0L, "s")).toDF("k", "s"))                     // v0
     t.setProperties(Map("graft.checkpointInterval" -> "2"))    // v1
@@ -166,7 +166,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("VACUUM LITE sweeps log tombstones without listing; orphans wait for FULL") {
     import spark.implicits._
-    val path = Files.createTempDirectory("sqlm_vaclite").toString
+    val path = graft.GraftTmp.dir("sqlm_vaclite").toString
     val t = GraftTable(spark, path, Nil)
     t.write((0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "s")
       .repartition(2))                                        // v0: 2 files
@@ -231,7 +231,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("maintenance SQL on a non-graft session-catalog table fails cleanly") {
     spark.sql("DROP TABLE IF EXISTS plain_parquet_tbl")
-    val dir = Files.createTempDirectory("sqlm_nongraft").toString
+    val dir = graft.GraftTmp.dir("sqlm_nongraft").toString
     import spark.implicits._
     Seq((1, "a"), (2, "b")).toDF("id", "s").write
       .mode("overwrite").parquet(dir)
@@ -287,7 +287,7 @@ class SqlMaintenanceSpec extends SparkSpec {
     val (t, path) = freshTable("sqlm_clone_src")
     t.write(bars.repartition(2))
     val total = t.read().count()
-    val clonePath = Files.createTempDirectory("sqlm_clone_tgt").toString + "/c"
+    val clonePath = graft.GraftTmp.dir("sqlm_clone_tgt").toString + "/c"
     val rows = spark.sql(
       s"CREATE TABLE graft.`$clonePath` SHALLOW CLONE graft.`$path`").collect()
     assert(rows(0).getLong(0) == 0L)
@@ -299,7 +299,7 @@ class SqlMaintenanceSpec extends SparkSpec {
   }
 
   test("CONVERT TO GRAFT adopts a plain parquet directory in place") {
-    val dir = Files.createTempDirectory("sqlm_convert").toString + "/t"
+    val dir = graft.GraftTmp.dir("sqlm_convert").toString + "/t"
     bars.write.partitionBy("ticker", "trade_date").parquet(dir)
     val rows = spark.sql(
       s"CONVERT TO GRAFT parquet.`$dir` PARTITIONED BY (ticker, trade_date)").collect()
@@ -330,7 +330,7 @@ class SqlMaintenanceSpec extends SparkSpec {
     t.restore(vSet)
     assert(t.properties.contains("quality.tier"))
     // CLONE carries the current set
-    val clonePath = Files.createTempDirectory("sqlm_props_clone").toString + "/c"
+    val clonePath = graft.GraftTmp.dir("sqlm_props_clone").toString + "/c"
     t.shallowClone(clonePath)
     assert(GraftTable(spark, clonePath).properties == t.properties)
     // DSv2 table surface exposes them (SHOW TBLPROPERTIES path)
@@ -365,7 +365,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("autoCompact round-trips numeric and URL-encoded partition values") {
     import spark.implicits._
-    val path = Files.createTempDirectory("sqlm_ac_typed").toString
+    val path = graft.GraftTmp.dir("sqlm_ac_typed").toString
     // INT partition column + a string partition value that hive-encodes
     // ('a b' → 'a%20b'): the rebuilt WHERE must scope the same partition
     // the trigger counted, through the decode AND the numeric cast
@@ -422,7 +422,7 @@ class SqlMaintenanceSpec extends SparkSpec {
 
   test("ALTER TABLE CLUSTER BY: OPTIMIZE defaults to the recorded keys") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("sql_cluster").toString
+    val path = graft.GraftTmp.dir("sql_cluster").toString
     val t = graft.table.GraftTable(spark, path)
     t.write((1 to 4000).map(i => ((i * 2654435761L) % 4096, i.toLong))
       .toDF("k", "v").repartition(6))
@@ -459,7 +459,7 @@ class SqlMaintenanceSpec extends SparkSpec {
   test("CREATE MATERIALIZED VIEW rejects non-self-maintainable aggregates") {
     val (t, path) = freshTable("sqlm_mv_reject")
     t.write(bars)
-    val mv = Files.createTempDirectory("sqlm_mv_tgt").toString + "/mv"
+    val mv = graft.GraftTmp.dir("sqlm_mv_tgt").toString + "/mv"
     // MIN/MAX/AVG and expression aggregates cannot be maintained under
     // deletes — the error must NAME the restriction, not be a parse
     // failure or a silently narrower view schema

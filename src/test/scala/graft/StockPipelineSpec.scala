@@ -97,7 +97,7 @@ class GraftTableSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshTable(prefix: String): GraftTable = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     GraftTable(spark, path, Seq("ticker", "trade_date"))
   }
 
@@ -150,7 +150,7 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("optimize bin-packs an oversized partition into ~target-size files with disjoint key ranges") {
-    val path = Files.createTempDirectory("gt_binpack").toString
+    val path = graft.GraftTmp.dir("gt_binpack").toString
     val t = GraftTable(spark, path, Seq("grp"))
     val rnd = new scala.util.Random(7)
     // skew: "big" carries ~400x the bytes of "small"
@@ -201,7 +201,7 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("convert adopts an existing parquet directory in place") {
-    val path = Files.createTempDirectory("gt_convert").toString
+    val path = graft.GraftTmp.dir("gt_convert").toString
     bars.write.mode("overwrite").partitionBy("ticker", "trade_date").parquet(path)
     val preexisting = GraftTable(spark, path).currentVersion
     assert(preexisting == -1L)
@@ -268,7 +268,7 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("external table: DROP removes catalog entry, data survives") {
-    val path = Files.createTempDirectory("gt_ext").toString
+    val path = graft.GraftTmp.dir("gt_ext").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val name = s"ext_spec_${System.nanoTime()}"
@@ -280,7 +280,7 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("registerWithFallback: view fallback serves identical rows when table creation fails (D4)") {
-    val path = Files.createTempDirectory("gt_fb").toString
+    val path = graft.GraftTmp.dir("gt_fb").toString
     val t = GraftTable(spark, path, Seq("ticker", "trade_date"))
     t.write(bars.repartition(2))
     val n = bars.count()
@@ -301,7 +301,7 @@ class GraftTableSpec extends SparkSpec {
   }
 
   test("describe returns the table's columns (D6)") {
-    val path = Files.createTempDirectory("gt_desc").toString
+    val path = graft.GraftTmp.dir("gt_desc").toString
     GraftTable(spark, path, Seq("ticker", "trade_date")).write(bars.repartition(2))
     val name = s"desc_spec_${System.nanoTime()}"
     graft.catalog.External.registerExternalTable(spark, name, path)

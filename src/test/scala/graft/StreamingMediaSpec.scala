@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSpec {
 class StreamingTableSpec extends SparkSpec {
 
   test("foreachBatch merge ingest lands every event exactly once") {
-    val path = java.nio.file.Files.createTempDirectory("graft_stream_tbl").toString
+    val path = graft.GraftTmp.dir("graft_stream_tbl").toString
     val table = Streaming.streamIntoTable(spark, sf, path)
     val ev = graft.tables.Tables.events(spark, sf)
     assert(table.read().count() == ev.select("event_id").distinct().count())
@@ -75,7 +75,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("readStream.format(graft): snapshot, incremental appends, update row versions — exactly once") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val path = graft.GraftTmp.dir("graft_stream_src").toString
     val t = graft.table.GraftTable(spark, path, Seq("grp"))
     val half1 = (0 until 500).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.0))
       .toDF("id", "grp", "v")
@@ -109,7 +109,7 @@ class StreamingTableSpec extends SparkSpec {
   }
 
   test("exactly-once ingest: replayed batches are skipped via txnAppId/txnVersion") {
-    val path = java.nio.file.Files.createTempDirectory("graft_txn_tbl").toString
+    val path = graft.GraftTmp.dir("graft_txn_tbl").toString
     val table = Streaming.streamIntoTableExactlyOnce(spark, sf, path)
     val n = table.read().count()
     assert(n == graft.tables.Tables.events(spark, sf).count())
@@ -131,9 +131,9 @@ class StreamingTableSpec extends SparkSpec {
 
   test("writeStream.format(graft): exactly-once append sink, restart-safe") {
     import spark.implicits._
-    val srcPath = java.nio.file.Files.createTempDirectory("graft_sink_src").toString
-    val dstPath = java.nio.file.Files.createTempDirectory("graft_sink_dst").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val srcPath = graft.GraftTmp.dir("graft_sink_src").toString
+    val dstPath = graft.GraftTmp.dir("graft_sink_dst").toString
+    val ckpt = graft.GraftTmp.dir("graft_sink_ckpt").toString
     val s = graft.table.GraftTable(spark, srcPath, Nil)
     s.write((0 until 500).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
     def startQuery() = spark.readStream.format("graft").load(srcPath)
@@ -171,8 +171,8 @@ class StreamingTableSpec extends SparkSpec {
         .groupBy("id").count()
         .writeStream.format("graft").outputMode("complete")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_sink_ckpt2").toString)
-        .start(java.nio.file.Files.createTempDirectory("graft_sink_dst2").toString)
+          graft.GraftTmp.dir("graft_sink_ckpt2").toString)
+        .start(graft.GraftTmp.dir("graft_sink_dst2").toString)
     }
     assert(e.getMessage != null)
   }
@@ -181,7 +181,7 @@ class StreamingTableSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     // not-yet-written path: clear contract error, not a raw crash
-    val empty = java.nio.file.Files.createTempDirectory("graft_stream_empty").toString
+    val empty = graft.GraftTmp.dir("graft_stream_empty").toString
     val e1 = intercept[IllegalStateException] {
       spark.readStream.format("graft").load(empty)
     }
@@ -189,7 +189,7 @@ class StreamingTableSpec extends SparkSpec {
 
     // restart whose checkpointed offset predates log retention: explicit
     // start-version-expired error naming cleanupLog
-    val path = java.nio.file.Files.createTempDirectory("graft_stream_expired").toString
+    val path = graft.GraftTmp.dir("graft_stream_expired").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     (0 until 5).foreach { i =>
       t.write(Seq(i.toLong).toDF("v"), org.apache.spark.sql.SaveMode.Append)
@@ -208,7 +208,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("txn checkpoints: exactly-once survives log cleanup; tail scan stays bounded") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_ckpt_tbl").toString
+    val path = graft.GraftTmp.dir("graft_ckpt_tbl").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     val one = Seq(1L).toDF("v")
     // a long-running stream: 25 batches → v0..v24, checkpoints at v10/v20
@@ -231,7 +231,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("maxVersionsPerTrigger bounds catch-up to N versions per micro-batch") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_throttle").toString
+    val path = graft.GraftTmp.dir("graft_throttle").toString
     val t = graft.table.GraftTable(spark, path, Seq("grp"))
     // 5 versions of 10 rows each
     (0 until 5).foreach { v =>
@@ -259,7 +259,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("maxFilesPerTrigger splits one oversized append commit across triggers") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_file_split").toString
+    val path = graft.GraftTmp.dir("graft_file_split").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
     // ONE backfill commit of 8 files — the shape maxVersionsPerTrigger
@@ -305,7 +305,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("maxBytesPerTrigger bounds trigger volume by file bytes, exactly once") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_byte_split").toString
+    val path = graft.GraftTmp.dir("graft_byte_split").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((-1L, "seed")).toDF("id", "s"))                     // v0 seed
     // one 6-file backfill commit; files are a few KB each
@@ -354,9 +354,9 @@ class StreamingTableSpec extends SparkSpec {
     // file/byte caps, and a checkpointed mid-snapshot boundary resumes
     // with exactly the remainder
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_snap_split").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ck").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_snap_out").toString
+    val path = graft.GraftTmp.dir("graft_snap_split").toString
+    val ckpt = graft.GraftTmp.dir("graft_snap_ck").toString
+    val out = graft.GraftTmp.dir("graft_snap_out").toString
     val t = graft.table.GraftTable(spark, path)
     t.write((0 until 60).map(i => (i.toLong, i % 6)).toDF("id", "p")
       .repartition(6))                                               // v0: 6 files
@@ -391,7 +391,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("skipChangeCommits: rewrite commits contribute nothing; appends still flow") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_skipcc").toString
+    val path = graft.GraftTmp.dir("graft_skipcc").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((0L, "seed")).toDF("id", "s"))                       // v0
     t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
@@ -431,7 +431,7 @@ class StreamingTableSpec extends SparkSpec {
     // planner drives latestOffset to a start-pinned target instead of
     // falling back to one unbounded batch.
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_avail_now").toString
+    val path = graft.GraftTmp.dir("graft_avail_now").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
     t.write((0 until 60).map(i => (i.toLong, i % 6)).toDF("id", "p")
@@ -464,9 +464,9 @@ class StreamingTableSpec extends SparkSpec {
     // the (version, fileIndex) offset round-trips through the offset
     // log into the admission-control path
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_resume").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
+    val path = graft.GraftTmp.dir("graft_resume").toString
+    val ckpt = graft.GraftTmp.dir("graft_resume_ck").toString
+    val out = graft.GraftTmp.dir("graft_resume_out").toString
     val t = graft.table.GraftTable(spark, path)
     t.write(Seq((-1L, 0)).toDF("id", "p"))                          // v0 seed
     t.write((0 until 50).map(i => (i.toLong, i % 5)).toDF("id", "p")
@@ -497,7 +497,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("CDF stream under Trigger.AvailableNow: bounded versions, tombstones flow") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_cdf_avail").toString
+    val path = graft.GraftTmp.dir("graft_cdf_avail").toString
     val t = graft.table.GraftTable(spark, path)
     t.write((0 until 6).map(i => (i.toLong, "a")).toDF("id", "tag"))  // v0
     t.write(Seq((10L, "b")).toDF("id", "tag"),
@@ -530,7 +530,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("startingTimestamp streams only commits at/after the timestamp") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_start_ts").toString
+    val path = graft.GraftTmp.dir("graft_start_ts").toString
     val t = graft.table.GraftTable(spark, path)
     t.write((0 until 10).map(i => (i.toLong, "old")).toDF("id", "tag"))
     Thread.sleep(30) // commit timestamps have millisecond resolution
@@ -577,7 +577,7 @@ class StreamingTableSpec extends SparkSpec {
 
   test("readChangeFeed stream: deletes flow as tombstones, updates as CDC image pairs") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("graft_cdf_src").toString
+    val path = graft.GraftTmp.dir("graft_cdf_src").toString
     val t = graft.table.GraftTable(spark, path, Seq("grp"))
     t.write((0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 1.0))
       .toDF("id", "grp", "v"))
@@ -608,7 +608,7 @@ class StreamingTableSpec extends SparkSpec {
   }
 
   test("graft streaming round-trip: stream-ingested table reads back incrementally, equal to batch") {
-    val ingestPath = java.nio.file.Files.createTempDirectory("graft_rt_tbl").toString
+    val ingestPath = graft.GraftTmp.dir("graft_rt_tbl").toString
     val table = Streaming.streamIntoTable(spark, sf, ingestPath)
     val batchRows = table.read().count()
     val name = s"graft_rt_stream_${System.nanoTime()}"

@@ -9,7 +9,7 @@ class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
   test("ngram_novelty: first occurrence owns the gram; copies score zero") {
-    val fx = java.nio.file.Files.createTempDirectory("novelty_fx").toString
+    val fx = graft.GraftTmp.dir("novelty_fx").toString
     Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // all 4 trigrams novel
       (2L, "alpha beta gamma delta epsilon zeta"), // exact copy: 0 novel
@@ -118,7 +118,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("tfidf_keywords: df gate drops corpus-wide words, rank order is (tf desc, df asc, word)") {
     // planted corpus: "common" appears in all 4 docs (gated out);
     // doc 1 repeats the rare word "quasar" 3x → its top keyword
-    val fixture = java.nio.file.Files.createTempDirectory("tfidf_fx").toString
+    val fixture = graft.GraftTmp.dir("tfidf_fx").toString
     Seq(
       (1L, "common quasar quasar quasar pulsar pulsar nova", "en", "s1", 0L),
       (2L, "common nova nova pulsar", "en", "s1", 0L),

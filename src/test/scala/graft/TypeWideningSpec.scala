@@ -15,7 +15,7 @@ class TypeWideningSpec extends SparkSpec {
   import spark.implicits._
 
   private def fresh(prefix: String): (GraftTable, String) = {
-    val path = Files.createTempDirectory(prefix).toString
+    val path = graft.GraftTmp.dir(prefix).toString
     (GraftTable(spark, path, Nil), path)
   }
 

@@ -49,7 +49,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("optimize with two cluster columns produces z-clustered files") {
     import java.nio.file.Files
-    val path = Files.createTempDirectory("gt_zorder").toString
+    val path = graft.GraftTmp.dir("gt_zorder").toString
     val t = graft.table.GraftTable(spark, path, Nil)
     val data = (0 until 4096).map(i => (i % 64, (i * 7) % 64, i.toLong))
       .toDF("x", "y", "payload")
@@ -67,7 +67,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("incremental OPTIMIZE: same-key re-runs skip, appends re-cluster only the delta") {
     import spark.implicits._
-    val path = java.nio.file.Files.createTempDirectory("zorder_incr").toString
+    val path = graft.GraftTmp.dir("zorder_incr").toString
     val t = graft.table.GraftTable(spark, path)
     t.write((1 to 20000).map(i => (i.toLong, (i * 7919) % 1000)).toDF("id", "k")
       .repartition(4))
@@ -113,7 +113,7 @@ class ZOrderSpec extends SparkSpec {
     // (the default 1 GiB target): the old GLOBAL lone-file churn guard
     // saw #partitions todo files and rewrote each identical tail on
     // every run — the per-partition guard must skip them all
-    val path = java.nio.file.Files.createTempDirectory("zorder_part").toString
+    val path = graft.GraftTmp.dir("zorder_part").toString
     val t = graft.table.GraftTable(spark, path, Seq("p"))
     t.write((1 to 9000).map(i => (i.toLong, i % 3, (i * 7919) % 1000))
       .toDF("id", "p", "k").repartition(4))
