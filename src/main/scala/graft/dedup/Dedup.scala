@@ -220,7 +220,22 @@ object Dedup {
     val t = graft.table.GraftTable(spark, path)
     if (t.currentVersion < 0) return persistSketchCorpus(spark, corpusDocs, path)
     val family = t.properties.get(SketchFamilyProp)
-    if (!family.contains(SketchFamily))
+    if (family.isEmpty && path.contains("graft_sketch_corpus_m1_")) {
+      // crash-window self-heal (r16, ADVICE): [[persistSketchCorpus]]
+      // commits data first and the family property in a later commit —
+      // a crash between the two leaves a standing corpus whose sketches
+      // ARE the current family but whose property says nothing, and
+      // refusing it forever (with a delete-and-rebuild remedy) punishes
+      // a table that is actually fine. At an _m1_-generation
+      // content-addressed path the data can only have been sketched by
+      // the current family — the family generation is part of the path
+      // ([[sketchCorpusPath]]) — so re-stamp the property the
+      // interrupted persist never committed and continue. Caller-managed
+      // paths carry no generation marker, so absence there still
+      // refuses below (a pre-family legacy table is indistinguishable
+      // from a half-initialized one).
+      t.setProperties(Map(SketchFamilyProp -> SketchFamily))
+    } else if (!family.contains(SketchFamily))
       throw new IllegalStateException(
         s"sketch corpus at $path was built with family " +
         s"${family.getOrElse("unknown (pre-" + SketchFamilyProp + ")")} " +
@@ -236,31 +251,34 @@ object Dedup {
     t
   }
 
-  /** LSH-verified near-dup pairs of `batchDocs` against a persisted
-    * banded-sketch corpus plus batch-internal pairs — the corpus side
-    * is `corpusBanded` (read from the sketch table; nothing here
-    * re-sketches corpus text), and exact shingle verification touches
-    * only candidate doc ids. */
-  def incrementalPairs(spark: SparkSession, dir: String,
-      corpusBanded: DataFrame, batchDocs: DataFrame): DataFrame = {
-    // the est gate runs the SAME md5-affine lanes as [[dedupMinhash]]:
-    // lossless int agreement makes the candidate funnel IDENTICAL to
-    // the full recompute's, which is what turns the "incremental ≡ full
-    // restricted to the batch" contract from a corpus-dependent
-    // coincidence into a structural property (the old fold16 2-byte
-    // lanes saved join bytes but estimated through a DIFFERENT random
-    // family — a pair near the 0.5 S-curve knee could pass one gate and
-    // fail the other). Join shape mirrors dedupMinhash: the band-key
-    // exchange ships IDS ONLY, and the full sketches join per
-    // CANDIDATE — the batch's from a persisted one-pass sketch frame,
-    // the corpus's from the stored table's band-0 rows (exactly one
-    // per doc; the band file clustering makes that a row-group-skipped
-    // scan, never a 32×-duplicated read).
-    val bsk = batchDocs.select(col("doc_id"),
+  /** One-pass md5-affine sketch frame for a batch — the ONLY side of
+    * the incremental flow that ever computes the sketch kernel. */
+  private[graft] def batchSketchFrame(batchDocs: DataFrame): DataFrame =
+    batchDocs.select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
       .filter(col("sketch").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Lazy agreement-passed candidate id pairs of a batch sketch frame
+    * against the stored banded corpus (batch-vs-corpus in either
+    * orientation plus batch-internal), the est gate applied — the
+    * plan-auditable stage [[incrementalPairs]] materializes.
+    *
+    * The est gate runs the SAME md5-affine lanes as [[dedupMinhash]]:
+    * lossless int agreement makes the candidate funnel IDENTICAL to
+    * the full recompute's, which is what turns the "incremental ≡ full
+    * restricted to the batch" contract from a corpus-dependent
+    * coincidence into a structural property (the old fold16 2-byte
+    * lanes saved join bytes but estimated through a DIFFERENT random
+    * family — a pair near the 0.5 S-curve knee could pass one gate and
+    * fail the other). Join shape mirrors dedupMinhash: the band-key
+    * exchange ships IDS ONLY, and the full sketches join per
+    * CANDIDATE — the batch's from the persisted one-pass sketch frame,
+    * the corpus's from the stored table's band-0 rows (exactly one
+    * per doc; the band file clustering makes that a row-group-skipped
+    * scan, never a 32×-duplicated read). */
+  private[graft] def incrementalCandidates(corpusBanded: DataFrame,
+      bsk: DataFrame): DataFrame = {
     val batchBands = bsk.select(col("doc_id"), posexplode(
         graft.functions.SigKernelColumns.md5_band_keys(
           col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
@@ -282,7 +300,7 @@ object Dedup {
       .select(col("doc_id"), col("sketch"))
       .unionByName(bsk)
       .dropDuplicates("doc_id")
-    val cands = pairs
+    pairs
       .join(skV.withColumnRenamed("doc_id", "a")
         .withColumnRenamed("sketch", "ska"), "a")
       .join(skV.withColumnRenamed("doc_id", "b")
@@ -291,6 +309,29 @@ object Dedup {
         .sketch_agreement_int(col("ska"), col("skb"))
         .cast("double") / lit(NumPerm.toDouble) >= 0.5)
       .select("a", "b")
+  }
+
+  /** LSH-verified near-dup pairs of `batchDocs` against a persisted
+    * banded-sketch corpus plus batch-internal pairs — the corpus side
+    * is `corpusBanded` (read from the sketch table; nothing here
+    * re-sketches corpus text), and exact shingle verification touches
+    * only candidate doc ids. */
+  def incrementalPairs(spark: SparkSession, dir: String,
+      corpusBanded: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val bsk = batchSketchFrame(batchDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the batch sketch frame must not outlive this call (r16, ADVICE):
+    // streamDedupAdmit runs incrementalPairs once per micro-batch, and
+    // a persisted frame is only reclaimed on unpersist or session end —
+    // a long-running stream would accumulate one disk-backed cached
+    // frame per batch. The agreement-passed candidate id pairs are
+    // tiny; materialize them eagerly (localCheckpoint truncates the
+    // lineage so the verification frame below no longer references
+    // bsk), then release the sketches — exact verification needs only
+    // ids + shingles.
+    val cands = incrementalCandidates(corpusBanded, bsk)
+      .localCheckpoint(true)
+    bsk.unpersist()
     // exact verification reads ONLY candidate docs' shingles
     val sets = shingleTable(spark, dir)
       .groupBy("doc_id").agg(collect_set("sh").as("shingles"))

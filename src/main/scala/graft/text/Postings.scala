@@ -159,7 +159,16 @@ object Postings {
           Some(n)
         }
       val corpus = documents(spark, dir).count() // agg-pushdown: footers only
-      if (!ingested.contains(corpus))
+      // the census counts DISTINCT docs while the cheap check above is
+      // a raw row count: a source parquet carrying duplicate doc_id
+      // rows would make the two unequal forever, so the gate would
+      // refuse a complete table with a remedy that cannot succeed
+      // (r16, ADVICE). Only when the cheap footers-only count
+      // disagrees does the gate pay one doc_id-column distinct scan to
+      // ask the question it actually means.
+      def distinctCorpus: Long =
+        documents(spark, dir).select("doc_id").distinct().count()
+      if (!ingested.contains(corpus) && !ingested.contains(distinctCorpus))
         throw new IllegalStateException(
           s"incomplete postings table at $path: ingested " +
           s"${ingested.map(_.toString).getOrElse("unknown (no " + DocCountProp +

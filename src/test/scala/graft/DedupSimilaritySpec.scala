@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(stable == Dedup.sketchCorpusPath(sf), "path must be deterministic")
   }
 
+  test("an absent family property self-heals on an _m1_ path, refuses elsewhere") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 1)
+    // torn persist at a generation-marked path: data committed, family
+    // property commit lost — the sketches can only be the current
+    // family (the generation is part of the path), so update must
+    // re-stamp and continue instead of demanding a delete+rebuild
+    val m1Path = graft.GraftTmp.dir("graft_sketch_corpus_m1_heal").toString
+    val t = Dedup.updateSketchCorpus(spark, docs, m1Path)
+    t.unsetProperties(Seq(Dedup.SketchFamilyProp))
+    val healed = Dedup.updateSketchCorpus(spark, docs, m1Path)
+    assert(healed.properties(Dedup.SketchFamilyProp) == Dedup.SketchFamily,
+      "torn persist at an _m1_ path must self-heal the family property")
+    // a caller-managed path has no generation marker: absence is
+    // indistinguishable from a pre-family legacy table → still refused
+    val rawPath = graft.GraftTmp.dir("dd_inc_nofam").toString
+    val t2 = Dedup.updateSketchCorpus(spark, docs, rawPath)
+    t2.unsetProperties(Seq(Dedup.SketchFamilyProp))
+    val e = intercept[IllegalStateException] {
+      Dedup.updateSketchCorpus(spark, docs, rawPath)
+    }
+    assert(e.getMessage.contains("family"), e.getMessage)
+  }
+
   test("incremental dedup reads the corpus from the sketch table, not the text") {
     val path = graft.GraftTmp.dir("dd_inc_tamper").toString
     val docs = graft.tables.Tables.documents(spark, sf)
@@ -86,8 +110,12 @@ class DedupSpec extends SparkSpec {
       docs.filter(col("doc_id") % 5 =!= 0), path)
     val batch = docs.filter(col("doc_id") % 5 === 0)
     // 1) plan proof: the incremental query computes the sketch kernel
-    // for the BATCH side only — the corpus side is a stored-table scan
-    val qe = Dedup.incrementalPairs(spark, sf, t.read(), batch).queryExecution
+    // for the BATCH side only — the corpus side is a stored-table
+    // scan. Audited on the lazy candidate stage (incrementalPairs
+    // itself checkpoints it eagerly to release the batch sketch cache,
+    // so the returned frame's plan is a checkpoint leaf + verify joins)
+    val qe = Dedup.incrementalCandidates(t.read(),
+      Dedup.batchSketchFrame(batch)).queryExecution
     assert("(?i)md5_?perm_?sketch".r.findAllIn(qe.optimizedPlan.toString).nonEmpty,
       "batch side must compute the md5-affine sketch kernel in-scan")
     assert(qe.executedPlan.toString.contains("dd_inc_tamper"),

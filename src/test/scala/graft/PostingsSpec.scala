@@ -181,6 +181,26 @@ class PostingsSpec extends SparkSpec {
       .select("doc_id").distinct().count() == total)
   }
 
+  test("duplicate doc_id rows in the source cannot wedge the completeness gate") {
+    // the census counts DISTINCT docs; the serve-time gate's cheap
+    // check is a raw row count — with duplicate doc_id rows in the
+    // source the two can never be equal, so pre-r16 the gate refused a
+    // COMPLETE table forever with a remedy (re-run update) that could
+    // never reconcile it. The gate must fall back to the distinct
+    // count before refusing.
+    val dir = graft.GraftTmp.dir("gt_dupsrc").toString
+    val base = graft.tables.Tables.documents(spark, sf).limit(20)
+    base.unionAll(base.limit(5))
+      .write.parquet(new java.io.File(dir, "documents.parquet").toString)
+    val docs = graft.tables.Tables.documents(spark, dir)
+    assert(docs.count() == 25 &&
+      docs.select("doc_id").distinct().count() == 20) // the mismatch
+    Postings.update(spark, docs, Postings.postingsPath(dir))
+    assert(Postings.postings(spark, dir)
+      .select("doc_id").distinct().count() == 20,
+      "a complete table over a dup-row source must serve, not refuse")
+  }
+
   test("graft-table source keys the standing index by manifest version, not a file walk") {
     import graft.table.{GraftTable, StandingIndex}
     val parent = graft.GraftTmp.dir("gt_fp_src").toString
