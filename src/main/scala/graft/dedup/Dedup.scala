@@ -1002,7 +1002,7 @@ object Dedup {
   /** DuckDB SQL parsing `n` leading hex chars of VARCHAR expression `e`
     * into a BIGINT (big-endian) — the bridge from md5 hex to the
     * integer domain the md5-affine permutations live in. */
-  private def hexVal(e: String, n: Int): String =
+  private[graft] def hexVal(e: String, n: Int): String =
     (1 to n).map { i =>
       val mult = 1L << (4 * (n - i))
       s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1) * $mult"

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.dedup.MinHashSketch
-import graft.functions.{ArrayDot, SketchAgreement, TextFingerprint}
+import graft.functions.{ArrayDot, Md5BandKeys, Md5PermSketch, MinMd5Shingle,
+  SimHashMd5, SketchAgreement, SketchAgreementInt, TextFingerprint}
 
 /** SQL-name registration for graft's custom Catalyst expressions, both
   * builder-time (`SparkSessionExtensions`, for
@@ -36,7 +37,34 @@ object GraftFunctions {
       "_FUNC_(a, b) - count of equal sketch lanes"),
     ("array_dot",
       (es: Seq[Expression]) => ArrayDot(es(0), es(1)),
-      "_FUNC_(a, b) - dot product of double arrays"))
+      "_FUNC_(a, b) - dot product of double arrays"),
+    // the md5-affine kernel family (r16): hash-oracle-replayable SQL
+    // names — DuckDB rebuilds each from md5() + integer arithmetic, so
+    // queries over these graduate from rows-only to hash-oracled
+    // (defaults = the dedup operator family's constants)
+    ("min_md5_shingle",
+      (es: Seq[Expression]) =>
+        MinMd5Shingle(es.head, es.lift(1).map(intArg(_, 5)).getOrElse(5)),
+      "_FUNC_(text[, k]) - min md5 hex of the k-gram shingles (blocking key)"),
+    ("md5_perm_sketch",
+      (es: Seq[Expression]) => Md5PermSketch(es.head,
+        es.lift(1).map(intArg(_, 5)).getOrElse(5),
+        es.lift(2).map(intArg(_, graft.dedup.Dedup.NumPerm))
+          .getOrElse(graft.dedup.Dedup.NumPerm)),
+      "_FUNC_(text[, k, numPerm]) - md5-affine MinHash int lanes"),
+    ("md5_band_keys",
+      (es: Seq[Expression]) => Md5BandKeys(es(0),
+        es.lift(1).map(intArg(_, graft.dedup.Dedup.Bands))
+          .getOrElse(graft.dedup.Dedup.Bands),
+        es.lift(2).map(intArg(_, graft.dedup.Dedup.RowsPerBand))
+          .getOrElse(graft.dedup.Dedup.RowsPerBand)),
+      "_FUNC_(sketch[, bands, rowsPerBand]) - comma-joined LSH band keys"),
+    ("sketch_agreement_int",
+      (es: Seq[Expression]) => SketchAgreementInt(es(0), es(1)),
+      "_FUNC_(a, b) - count of equal int lanes"),
+    ("simhash_md5",
+      (es: Seq[Expression]) => SimHashMd5(es.head),
+      "_FUNC_(text) - 64-bit md5-word-hash SimHash signature"))
 
   /** Runtime registration into an existing session. */
   def registerAll(spark: SparkSession): Unit = {

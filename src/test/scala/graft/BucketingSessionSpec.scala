@@ -69,19 +69,56 @@ class SqlFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
   test("SQL-registered custom functions equal the Column API") {
+    import graft.functions.SigKernelColumns._
     val viaSql = SqlInterface.sqlCustomFunctions(spark, sf)
-      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+      .select("doc_id", "block_key", "simhash", "head_agreement", "band0_key")
+      .as[(Long, String, Long, Int, String)].collect().toSet
     val viaCol = graft.tables.Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"),
-        graft.functions.TextFingerprint.text_fingerprint(col("text"), 8).as("fp"))
-      .as[(Long, Long)].collect().toMap
+        min_md5_shingle(col("text"), 5).as("block_key"),
+        simhash_md5(col("text")).as("simhash"),
+        sketch_agreement_int(md5_perm_sketch(col("text"), 5, 16),
+          md5_perm_sketch(substring(col("text"), 1, 40), 5, 16))
+          .as("head_agreement"),
+        element_at(md5_band_keys(md5_perm_sketch(col("text"), 5, 16), 4, 4),
+          1).as("band0_key"))
+      .as[(Long, String, Long, Int, String)].collect().toSet
     assert(viaSql == viaCol)
   }
 
-  test("self sketch agreement is always numPerm") {
-    val bad = SqlInterface.sqlCustomFunctions(spark, sf)
-      .filter(col("self_agreement") =!= graft.dedup.Dedup.NumPerm).count()
-    assert(bad == 0)
+  test("head agreement is data-dependent and a full self-prefix agrees fully") {
+    val rows = SqlInterface.sqlCustomFunctions(spark, sf)
+    // a doc shorter than the head window sketches identically on both
+    // sides → full agreement; longer docs generally disagree somewhere
+    val shortDocs = rows.join(
+      graft.tables.Tables.documents(spark, sf)
+        .filter(length(col("text")).between(5, 40)).select("doc_id"),
+      "doc_id")
+    assert(shortDocs.filter(col("head_agreement") =!= 16).count() == 0,
+      "text within the head window must self-agree on every lane")
+    assert(rows.filter(col("head_agreement") < 16).count() > 0,
+      "fixture needs docs whose head sketch differs (else the " +
+      "two-argument path is untested)")
+  }
+
+  test("legacy OPH functions stay registered and equal the Column API") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    graft.tables.Tables.documents(spark, sf)
+      .createOrReplaceTempView("documents")
+    val viaSql = spark.sql(
+      """SELECT doc_id, text_fingerprint(text) AS fp,
+        |       sketch_agreement(minhash_sketch(text), minhash_sketch(text))
+        |         AS self_agreement
+        |FROM documents""".stripMargin)
+    import org.apache.spark.sql.functions.col
+    val fp = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFingerprint.text_fingerprint(col("text"), 8).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql.select("doc_id", "fp").as[(Long, Long)].collect().toMap == fp)
+    assert(viaSql.filter(col("self_agreement") =!= graft.dedup.Dedup.NumPerm)
+      .count() == 0)
   }
 
   test("builder-time extensions register the same functions") {
