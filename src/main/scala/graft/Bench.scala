@@ -118,23 +118,28 @@ object Bench {
     * guard exists for (r14's shipped worst run: 1.39× uniform). */
   val LoadGuardMedian = 1.25
 
-  /** One prior FINAL bench line (partial:false, with a per-query map). */
+  /** One prior FINAL bench line (partial:false, with a per-query map).
+    * `setHash`/`code` are absent on pre-r16 lines — consumers treat
+    * absence as "unknown" and note, never refuse outright (refusing
+    * would disable the guard for exactly one round after every
+    * artifact-format change). */
   private[graft] final case class PriorRun(runId: Long, total: Double,
-      queries: Map[String, Double])
+      queries: Map[String, Double], setHash: Option[String] = None,
+      code: Option[String] = None)
 
-  /** Prior final runs for `sf` parsed from the durable jsonl trail —
-    * newest code may have added/removed queries, so consumers compare
-    * over the common-query intersection only. Regex-parsed on purpose:
-    * the lines are this file's own single-line emissions. */
-  private[graft] def priorFinalRuns(logPath: String, sf: String)
-      : Seq[PriorRun] = {
+  private val RunIdRe = """"run_id":(\d+)""".r
+  private val PairRe =
+    """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+  private val SetHashRe = """"query_set_hash":"([0-9a-f]+)"""".r
+  private val CodeRe = """"code":"([^"]+)"""".r
+
+  /** Raw FINAL artifact lines for `sf` from the durable jsonl trail.
+    * Regex/scan-parsed on purpose: the lines are this file's own
+    * single-line emissions. */
+  private def finalLines(logPath: String, sf: String): Seq[String] = {
     val f = new java.io.File(logPath)
     if (!f.isFile) return Nil
-    val RunIdRe = """"run_id":(\d+)""".r
-    val ValueRe = """"value":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
     val SfRe = """"sf":"([^"]+)"""".r
-    val QueriesRe = """"queries":\{([^}]*)\}""".r
-    val PairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
     // explicit UTF-8 with replacement: the log carries UTF-8 note text
     // (×, →) and the JVM default charset under a C locale is ASCII —
     // Source.fromFile with the default codec threw MalformedInput and,
@@ -143,20 +148,191 @@ object Bench {
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val src = scala.io.Source.fromFile(f)(codec)
-    try src.getLines().toSeq.collect {
-      case line if line.contains("\"partial\":false") &&
-          !line.contains("\"compact\":true") &&
-          SfRe.findFirstMatchIn(line).exists(_.group(1) == sf) =>
-        for {
-          id <- RunIdRe.findFirstMatchIn(line).map(_.group(1).toLong)
-          tot <- ValueRe.findFirstMatchIn(line).map(_.group(1).toDouble)
-          qm <- QueriesRe.findFirstMatchIn(line).map(_.group(1))
-        } yield PriorRun(id, tot,
-          PairRe.findAllMatchIn(qm)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-    }.flatten
-    finally src.close()
+    try src.getLines().toSeq.filter { line =>
+      line.contains("\"partial\":false") &&
+        !line.contains("\"compact\":true") &&
+        SfRe.findFirstMatchIn(line).exists(_.group(1) == sf)
+    } finally src.close()
   }
+
+  /** Prior final runs for `sf` — newest code may have added/removed
+    * queries, so consumers compare over the common-query intersection
+    * only (and check the recorded set hash / code fingerprint when
+    * present). */
+  private[graft] def priorFinalRuns(logPath: String, sf: String)
+      : Seq[PriorRun] = {
+    val ValueRe = """"value":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
+    val QueriesRe = """"queries":\{([^}]*)\}""".r
+    finalLines(logPath, sf).flatMap { line =>
+      for {
+        id <- RunIdRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        tot <- ValueRe.findFirstMatchIn(line).map(_.group(1).toDouble)
+        qm <- QueriesRe.findFirstMatchIn(line).map(_.group(1))
+      } yield PriorRun(id, tot,
+        PairRe.findAllMatchIn(qm)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap,
+        SetHashRe.findFirstMatchIn(line).map(_.group(1)),
+        CodeRe.findFirstMatchIn(line).map(_.group(1)))
+    }
+  }
+
+  /** First balanced `{…}` object following `"key":` in a raw artifact
+    * line — string-aware brace matching, because section payloads nest
+    * objects (pre_state, noise_band, flag_notes) that the headline
+    * map's flat `[^}]*` regex cannot span. */
+  private[graft] def jsonObjectAfter(text: String, key: String)
+      : Option[String] = {
+    val tag = "\"" + key + "\":{"
+    val i = text.indexOf(tag)
+    if (i < 0) return None
+    val start = i + tag.length - 1
+    var depth = 0
+    var j = start
+    var inStr = false
+    var escd = false
+    while (j < text.length) {
+      val c = text.charAt(j)
+      if (inStr) {
+        if (escd) escd = false
+        else if (c == '\\') escd = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(text.substring(start, j + 1))
+        case _ => ()
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** One prior final run's SECTION payload: the flat numeric map under
+    * `mapKey` inside section `sectionKey`, plus the line's run id and
+    * code fingerprint. */
+  private[graft] def priorSectionRuns(logPath: String, sf: String,
+      sectionKey: String, mapKey: String)
+      : Seq[(Long, Option[String], Map[String, Double])] =
+    finalLines(logPath, sf).flatMap { line =>
+      for {
+        id <- RunIdRe.findFirstMatchIn(line).map(_.group(1).toLong)
+        sec <- jsonObjectAfter(line, sectionKey)
+        mj <- jsonObjectAfter(sec, mapKey)
+      } yield (id, CodeRe.findFirstMatchIn(line).map(_.group(1)),
+        PairRe.findAllMatchIn(mj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }.filter(_._3.nonEmpty)
+
+  /** Per-key inflation of `cur` vs `prior` over common keys (both
+    * sides > 50 ms — sub-that is scheduling noise): (median,
+    * fraction above 1.15, per-key sorted worst-first). */
+  private[graft] def inflationStats(cur: Map[String, Double],
+      prior: Map[String, Double])
+      : (Double, Double, Seq[(String, Double)]) = {
+    val common = cur.toSeq.collect {
+      case (k, v) if v > 0.05 && prior.get(k).exists(_ > 0.05) =>
+        (k, v / prior(k))
+    }
+    if (common.isEmpty) (1.0, 0.0, Nil)
+    else {
+      val rs = common.map(_._2).sorted
+      (rs(rs.size / 2),
+        common.count(_._2 > 1.15).toDouble / common.size,
+        common.sortBy(-_._2))
+    }
+  }
+
+  /** md5-derived short hash of a query-name set: the artifact's
+    * self-description of WHICH queries its per-query map covers, so a
+    * guard comparison against a different set is detected instead of
+    * silently intersecting keys (r16, verdict #3). */
+  private[graft] def querySetHash(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(names.sorted.mkString(",").getBytes("UTF-8"))
+    md.digest().map(b => f"$b%02x").mkString.take(12)
+  }
+
+  /** Code fingerprint stamped into each artifact line (r16, ADVICE):
+    * the load guard prefers prior runs of the SAME code, so a
+    * legitimate change that uniformly slows the suite trips the guard
+    * at most once (the first run of the new code, against the old
+    * code's best) instead of paying a re-run + misattributed load_flag
+    * on every subsequent run. `-dirty` marks uncommitted edits. */
+  private[graft] lazy val codeFingerprint: String =
+    try {
+      val p = new ProcessBuilder("git", "describe", "--always", "--dirty")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty && out.length <= 64 &&
+          out.matches("[0-9a-zA-Z._-]+")) out
+      else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  /** Min-merge a re-run into first-pass measurements: valid samples
+    * min (standard best-of-N), but a failure on either side never
+    * erases the other side's real measurement. */
+  private def minMerge(a: Map[String, Double], b: Map[String, Double])
+      : Map[String, Double] =
+    a.map { case (k, v) =>
+      val w = b.getOrElse(k, v)
+      k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
+    }
+
+  /** Cross-run load guard at SECTION grain (r16, verdict #1): the
+    * headline guard defends the headline set, but the scale evidence
+    * ships in the sections — r15's artifact carried sf10
+    * profile_orders at 106.5 s vs a 60.9 s prior best on untouched
+    * code with `flagged: []`. Compares the section's per-op seconds to
+    * the best prior same-sf section (same code preferred), re-runs
+    * once when the median inflation exceeds [[LoadGuardMedian]] and
+    * the budget affords it, and emits the section's `load_flag` JSON
+    * fragment ("null" when clean). Returns (possibly min-merged map,
+    * flag fragment). Failures degrade to a recorded guard_error —
+    * never a dead section. */
+  private[graft] def sectionLoadGuard(sectionKey: String, mapKey: String,
+      logPath: String, sf: String, cur0: Map[String, Double],
+      rerun: Option[() => Map[String, Double]])
+      : (Map[String, Double], String) =
+    try {
+      val priors = priorSectionRuns(logPath, sf, sectionKey, mapKey)
+        .map { case (id, code, m) => (id, code, m.filter(_._2 > 0)) }
+        .filter(_._3.nonEmpty)
+      if (priors.isEmpty) return (cur0, "null")
+      val sameCode = priors.filter(_._2.contains(codeFingerprint))
+      val pool = if (sameCode.nonEmpty) sameCode else priors
+      val (pid, pcode, pmap) = pool.minBy(_._3.values.sum)
+      val codeMismatch = !pcode.contains(codeFingerprint)
+      val (med0, _, _) = inflationStats(cur0, pmap)
+      var cur = cur0
+      var reRan = false
+      if (med0 > LoadGuardMedian && rerun.nonEmpty &&
+          reMeasureFits(cur0.values.filter(_ > 0).sum * 1.2)) {
+        System.err.println(s"[bench] $sectionKey load guard: median " +
+          s"inflation ${num(med0)} vs run $pid — re-running section once")
+        reRan = true
+        cur = minMerge(cur, rerun.get.apply())
+      }
+      val (med, frac, perQ) = inflationStats(cur, pmap)
+      val flag =
+        if (med > LoadGuardMedian) {
+          val top = perQ.take(8)
+            .map { case (k, r) => "\"" + k + "\":" + num(r) }
+            .mkString("{", ",", "}")
+          s"""{"best_prior_run":$pid,"median_inflation":${num(med)},""" +
+            s""""inflated_frac":${num(frac)},"re_ran":$reRan,""" +
+            (if (codeMismatch) """"code_mismatch":true,""" else "") +
+            s""""top_inflation":$top}"""
+        } else if (med0 > LoadGuardMedian) {
+          s"""{"recovered_by_rerun":true,"best_prior_run":$pid,""" +
+            s""""median_inflation":${num(med)}}"""
+        } else "null"
+      (cur, flag)
+    } catch { case e: Throwable =>
+      (cur0,
+        s"""{"guard_error":"${esc(String.valueOf(e.getMessage).take(300))}"}""")
+    }
 
   // ---- run-over-run state diagnostics (r15 verdict #3; r16 #2) ----
   // maintenance_sf10's `merge` grew monotonically across six
@@ -385,10 +561,13 @@ object Bench {
     * afford to finish — skipping at the boundary is recorded in the
     * artifact, a kill mid-section records nothing for it. */
   val SectionHints: Map[String, Double] = Map(
-    "maintenance" -> 60, "sf1" -> 340,
-    "indexed_sf1" -> 130, "maintenance_sf1" -> 90, "skew" -> 400,
+    // maintenance hints include the r16 optimize_waved_sql campaign
+    // (a second full re-cluster per lifecycle); sf10 includes the r16
+    // min-of-2 second pass
+    "maintenance" -> 80, "sf1" -> 340,
+    "indexed_sf1" -> 130, "maintenance_sf1" -> 115, "skew" -> 400,
     "skew_vec" -> 240, "maintenance_skew" -> 130, "sf10" -> 900,
-    "maintenance_sf10" -> 650)
+    "maintenance_sf10" -> 700)
 
   /** Cold-fixture surcharge for [[SectionHints]] (r13 ADVICE): the
     * hints are WARM-run costs, but a cold machine generates the
@@ -412,6 +591,12 @@ object Bench {
       case _ => 0.0
     }
   }
+
+  /** Durable artifact-trail location (env override for a non-repo
+    * checkout; CWD-relative default). */
+  private[graft] def benchLogPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
+      new java.io.File("BENCH_LOCAL.jsonl").getAbsolutePath)
 
   // ---- run-wide budget state (set by main; the benign defaults keep
   // the helpers usable standalone and under test) ----
@@ -457,6 +642,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the shipped extensions (r16): the bench session now runs the
+      // library's user-facing configuration — the graft SQL parser
+      // (needed by the lifecycle's optimize_waved_sql campaign), the
+      // registered functions, and the scan-stats rule — exactly what a
+      // production session built per the README gets. Pre-r16 numbers
+      // ran without the stats rule; the code fingerprint in each
+      // artifact line attributes any resulting plan shift.
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -507,8 +700,7 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       k -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    val logPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
-      new java.io.File("BENCH_LOCAL.jsonl").getAbsolutePath)
+    val logPath = benchLogPath
     // ---- cross-run load guard (r15, verdict #1) ----
     // The driver ships the LAST run as the artifact of record; r14's
     // last run was the session's worst by ~40% with UNIFORM per-query
@@ -528,26 +720,34 @@ object Bench {
     // the guard runs BEFORE the first artifact emission: any failure in
     // it must degrade to "no guard", never kill the run (the r12
     // hard-gate lesson — a dead run parses as a missing one)
+    val qsHash = querySetHash(names)
     try {
-      val prior = priorFinalRuns(logPath, sfDir)
+      val all = priorFinalRuns(logPath, sfDir)
         .filter(r => r.total > 0 && r.queries.nonEmpty)
-        .sortBy(_.total).headOption
+      // candidate preference (r16, verdict #3 + ADVICE): same query
+      // set AND same code first — a cross-set comparison silently
+      // intersects keys and a cross-code one can misattribute a real
+      // regression to machine load. Falling back (with the mismatch
+      // NOTED in the flag) beats refusing: pre-r16 lines carry no
+      // hash/fingerprint at all, and a refusal would disable the guard
+      // for exactly the first round after any format change.
+      val sameSet = all.filter(_.setHash.forall(_ == qsHash))
+      val sameCode = sameSet.filter(_.code.contains(codeFingerprint))
+      val pool =
+        if (sameCode.nonEmpty) sameCode
+        else if (sameSet.nonEmpty) sameSet
+        else all
+      val prior = pool.sortBy(_.total).headOption
       prior.foreach { p =>
-        def inflation(cur: Map[String, Double])
-            : (Double, Double, Seq[(String, Double)]) = {
-          val common = cur.toSeq.collect {
-            case (k, v) if v > 0.05 && p.queries.get(k).exists(_ > 0.05) =>
-              (k, v / p.queries(k))
-          }
-          if (common.isEmpty) (1.0, 0.0, Nil)
-          else {
-            val rs = common.map(_._2).sorted
-            (rs(rs.size / 2),
-              common.count(_._2 > 1.15).toDouble / common.size,
-              common.sortBy(-_._2))
-          }
-        }
-        val (med0, _, _) = inflation(results.toMap)
+        val setMismatch = p.setHash.exists(_ != qsHash)
+        val codeMismatch = !p.code.contains(codeFingerprint)
+        val mismatchJson =
+          (if (setMismatch) """"set_mismatch":true,""" else "") +
+            (if (codeMismatch)
+              s""""prior_code":"${esc(p.code.getOrElse("unknown"))}",""" +
+                """"code_mismatch":true,"""
+            else "")
+        val (med0, _, _) = inflationStats(results.toMap, p.queries)
         val fired = med0 > LoadGuardMedian
         var reRan = false
         if (fired) {
@@ -568,19 +768,21 @@ object Bench {
             }
           }
         }
-        val (med, frac, perQ) = inflation(results.toMap)
+        val (med, frac, perQ) = inflationStats(results.toMap, p.queries)
         if (med > LoadGuardMedian) {
           val top = perQ.take(8)
             .map { case (k, r) => "\"" + k + "\":" + num(r) }
             .mkString("{", ",", "}")
           loadFlagJson = s"""{"best_prior_run":${p.runId},""" +
             s""""best_prior_total":${num(p.total)},""" +
+            mismatchJson +
             s""""median_inflation":${num(med)},""" +
             s""""inflated_frac":${num(frac)},"re_ran":$reRan,""" +
             s""""top_inflation":$top}"""
         } else if (fired) {
           loadFlagJson = s"""{"recovered_by_rerun":true,""" +
-            s""""best_prior_run":${p.runId},""" +
+            s""""best_prior_run":${p.runId},""" + mismatchJson.stripSuffix(",") +
+            (if (mismatchJson.nonEmpty) "," else "") +
             s""""median_inflation":${num(med)}}"""
         }
       }
@@ -652,7 +854,11 @@ object Bench {
     def emit(partial: Boolean): Unit = {
       val sj = sections.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",")
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","runs_per_query":$RunsPerQuery,"partial":$partial,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"noise_band":$noiseBand,"load_flag":$loadFlagJson,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"queries":$qs,$sj,"sf":"$sfDir"}"""
+      // query_set names the ACTUAL set (r16, verdict #3 — the "r5-42q"
+      // label had drifted to 72 queries) and the hash pins its exact
+      // membership for guard comparisons; "code" is the fingerprint the
+      // guard uses to prefer same-code priors
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r16-${results.size}q","query_set_hash":"$qsHash","code":"${esc(codeFingerprint)}","runs_per_query":$RunsPerQuery,"partial":$partial,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"noise_band":$noiseBand,"load_flag":$loadFlagJson,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"queries":$qs,$sj,"sf":"$sfDir"}"""
       println(line)
       // durable full-JSON trail: the driver records only a 2000-char
       // tail of stdout, so every emission also lands on disk
@@ -705,7 +911,7 @@ object Bench {
     var sf1Times: Map[String, Double] = Map.empty
     var sf1Dir: Option[String] = None
     section("sf1") {
-      val (json, times, d) = scaleBench(spark, sfDir, results.toMap)
+      val (json, times, d) = scaleBench(spark, sfDir, results.toMap, logPath)
       sf1Times = times; sf1Dir = d; json
     }
     section("indexed_sf1") {
@@ -718,7 +924,8 @@ object Bench {
       sf1Dir.map { d =>
         val twoPass = 2 * SectionHints("indexed_sf1")
         indexedBench(spark, d, sf1Times,
-          if (reMeasureFits(twoPass)) RunsPerQuery else 1)
+          if (reMeasureFits(twoPass)) RunsPerQuery else 1,
+          sfDir, logPath)
       }.getOrElse("{\"skipped\":\"no sf1 dir\"}")
     }
     // r10: the reference's daily loop IS maintenance — the table
@@ -731,7 +938,8 @@ object Bench {
         case Some(d) =>
           val (json, m) = maintBlock(() => maintenanceLifecycle(spark, d),
             maint01, "ratio_vs_sf01", BenchScale.Factor,
-            preState = preStateJson(d, elapsedSec))
+            preState = preStateJson(d, elapsedSec),
+            guard = Some(("maintenance_sf1", logPath, sfDir)))
           maintSf1 = Some(m); json
         case None => "{\"skipped\":true}"
       }
@@ -750,7 +958,7 @@ object Bench {
     section("sf10") {
       sf1Dir.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_SF10")) match {
         case Some(d) =>
-          val (json, d10) = scale10Bench(spark, d, sf1Times)
+          val (json, d10) = scale10Bench(spark, d, sf1Times, sfDir, logPath)
           sf10Dir = d10; json
         case None => "{\"skipped\":\"no sf1 dir or SPARK_GRAFT_SKIP_SF10\"}"
       }
@@ -760,7 +968,8 @@ object Bench {
         case (Some(d), Some(m1)) =>
           maintBlock(() => maintenanceLifecycle(spark, d), m1.toMap,
             "ratio_vs_sf1", BenchScale.Factor10,
-            preState = preStateJson(d, elapsedSec))._1
+            preState = preStateJson(d, elapsedSec),
+            guard = Some(("maintenance_sf10", logPath, sfDir)))._1
         case _ => "{\"skipped\":true}"
       }
     }
@@ -771,7 +980,7 @@ object Bench {
     // headline partial, the full final artifact, or this) parses. The
     // full artifact with the per-query map is the line above and every
     // BENCH_LOCAL.jsonl entry.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r5-42q","n_queries":${results.size},"partial":false,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"compact":true,"load_flag":$loadFlagJson,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"full_artifact":"BENCH_LOCAL.jsonl","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_set":"r16-${results.size}q","query_set_hash":"$qsHash","code":"${esc(codeFingerprint)}","n_queries":${results.size},"partial":false,"total_r4set":$totalR4,"failed":$failedJson,"partial_failure":${partialFailed.mkString("[", ",", "]")},"compact":true,"load_flag":$loadFlagJson,"elapsed_sec":${num(elapsedSec)},"budget_sec":${num(budgetSec)},"full_artifact":"BENCH_LOCAL.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -786,7 +995,8 @@ object Bench {
     * next decade ratios against the confirmed numbers. */
   private[graft] def maintBlock(run: () => Seq[(String, Double)],
       base: Map[String, Double], ratioKey: String, factor: Int,
-      preState: String = "null")
+      preState: String = "null",
+      guard: Option[(String, String, String)] = None)
       : (String, Seq[(String, Double)]) = {
     var m = run()
     def ratiosOf(mm: Seq[(String, Double)]): Seq[(String, Double)] =
@@ -806,6 +1016,20 @@ object Bench {
         k -> (if (v < 0 || w < 0) math.max(v, w) else math.min(v, w))
       }
     }
+    // section-grain cross-run load guard (r16, verdict #1): the
+    // lifecycle sections carry the maintenance scale evidence and
+    // shipped without lineage defense in r15. The guard's own re-run
+    // (another full lifecycle, min-merged) runs only when the ratio
+    // logic above did not already buy one.
+    var loadFlag = "null"
+    guard.foreach { case (sectionKey, logPath, sf) =>
+      val order = m.map(_._1)
+      val (merged, flag) = sectionLoadGuard(sectionKey, "ops", logPath,
+        sf, m.toMap,
+        if (remeasured) None else Some(() => run().toMap))
+      loadFlag = flag
+      m = order.flatMap(k => merged.get(k).map(k -> _))
+    }
     val ratioPairs = ratiosOf(m)
     val entries = m.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -819,7 +1043,8 @@ object Bench {
       case (k, r) if r > factor && m.toMap.getOrElse(k, 0.0) >= 0.5 =>
         "\"" + k + "\""
     }
-    (s"""{"pre_state":$preState,"ops":$entries,"$ratioKey":$ratios,""" +
+    (s"""{"pre_state":$preState,"load_flag":$loadFlag,""" +
+      s""""ops":$entries,"$ratioKey":$ratios,""" +
       s""""remeasured":$remeasured,""" +
       (if (undiagnosed && !remeasured)
         s""""remeasure_skipped_over_budget":true,""" else "") +
@@ -857,7 +1082,8 @@ object Bench {
     * artifact: headline minima at sf0.1, the scale section at sf1) /
     * indexed time. */
   def indexedBench(spark: SparkSession, dir: String,
-      scratchTimes: Map[String, Double], runs: Int): String = {
+      scratchTimes: Map[String, Double], runs: Int,
+      sfTag: String = "", logPath: String = benchLogPath): String = {
     val queries = SparkEntry.queries
     val cold = graft.table.GraftTable(spark,
       graft.text.Postings.postingsPath(dir)).currentVersion < 0
@@ -870,20 +1096,31 @@ object Bench {
         System.err.println(s"[bench] postings build failed: ${e.getMessage}")
         return s"""{"skipped":"postings build failed: ${esc(String.valueOf(e.getMessage))}"}"""
       } finally releaseCaches(spark)
-    val rows = IndexedPairs.filter(p => queries.contains(p._2)).map {
-      case (scr, idx) =>
-        val ts = (1 to runs).map { _ =>
-          val q0 = System.nanoTime()
-          try {
-            queries(idx)(spark, dir).count()
-            (System.nanoTime() - q0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] indexed/$idx failed: ${e.getMessage}")
-            -1.0
-          } finally releaseCaches(spark)
-        }
-        val ok = ts.filter(_ >= 0)
-        (scr, idx, if (ok.isEmpty) -1.0 else ok.min, ts)
+    def measureOnce(idx: String): Double = {
+      val q0 = System.nanoTime()
+      try {
+        queries(idx)(spark, dir).count()
+        (System.nanoTime() - q0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] indexed/$idx failed: ${e.getMessage}")
+        -1.0
+      } finally releaseCaches(spark)
+    }
+    val pairs = IndexedPairs.filter(p => queries.contains(p._2))
+    val rawRuns = pairs.map(_._2)
+      .map(idx => idx -> (1 to runs).map(_ => measureOnce(idx))).toMap
+    var times = rawRuns.map { case (k, ts) =>
+      val ok = ts.filter(_ >= 0)
+      k -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // section-grain load guard (r16, verdict #1): the re-run here is
+    // cheap (one pass over the twins, the postings table already warm)
+    val (mergedIdx, idxLoadFlag) = sectionLoadGuard("indexed_sf1",
+      "queries", logPath, sfTag, times,
+      Some(() => pairs.map { case (_, idx) => idx -> measureOnce(idx) }.toMap))
+    times = mergedIdx
+    val rows = pairs.map { case (scr, idx) =>
+      (scr, idx, times.getOrElse(idx, -1.0), rawRuns(idx))
     }
     val qjson = rows.map { case (_, idx, v, _) => "\"" + idx + "\":" + num(v) }
       .mkString("{", ",", "}")
@@ -903,7 +1140,8 @@ object Bench {
       else s"""{"p50":${num(spreads(spreads.size / 2))},""" +
         s""""max":${num(spreads.last)},"n":${spreads.size}}"""
     s"""{"postings_build_sec":${num(buildSec)},"postings_cold":$cold,""" +
-      s""""runs":$runs,"noise_band":$band,"queries":$qjson,""" +
+      s""""runs":$runs,"load_flag":$idxLoadFlag,""" +
+      s""""noise_band":$band,"queries":$qjson,""" +
       s""""speedup_vs_scratch":$speedups}"""
   }
 
@@ -927,6 +1165,13 @@ object Bench {
       "argument), so the decade ratio sits AT the data factor and a " +
       "flag here is noise around it, not the retired one-shot sort's " +
       "O(n log n) + spill-transition shape."),
+    "optimize_waved_sql" -> ("The SQL-driven twin of optimize_waved " +
+      "(same byte-budgeted waves, parameterized from TBLPROPERTIES, a " +
+      "fresh epoch forcing the full re-cluster): linear in table bytes " +
+      "with no fixed-overhead cushion, so the decade ratio sits AT the " +
+      "data factor and a flag here is noise around it — a genuine " +
+      "divergence from optimize_waved's time in the SAME section is " +
+      "the signal this op exists to catch (parser/command drift)."),
     "optimize_wave_max" -> ("Per-wave ceiling: flat across decades " +
       "once the table exceeds one wave (256 MiB here). A decade whose " +
       "SMALLER side fits in a single sub-cap wave (sf1's whole scope " +
@@ -1085,6 +1330,13 @@ object Bench {
       names.map(n => n -> measure(n, sfDir)): _*)
     val skew = scala.collection.mutable.Map(
       names.map(n => n -> measure(n, dir)): _*)
+    // section-grain load guard (r16, verdict #1) on the skew-dir times
+    // (the section's absolute evidence; the base side is additionally
+    // bounded by the per-flag re-measure below)
+    val (mergedSkew, skewLoadFlag) = sectionLoadGuard("skew", "skew",
+      benchLogPath, sfDir, skew.toMap,
+      Some(() => names.map(n => n -> measure(n, dir)).toMap))
+    mergedSkew.foreach { case (k, v) => skew(k) = v }
     def ratioOf(k: String): Option[Double] =
       base.get(k).filter(_ > 0).flatMap(b =>
         skew.get(k).filter(_ >= 0).map(_ / b))
@@ -1137,6 +1389,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     s"""{"copies":${BenchScale.SkewCopies},"row_factor":${num(factor)},""" +
+      s""""load_flag":$skewLoadFlag,""" +
       s""""base":${js(names.map(k => k -> base(k)))},""" +
       s""""skew":${js(names.map(k => k -> skew(k)))},""" +
       s""""ratio":${js(ratios)},""" +
@@ -1310,7 +1563,8 @@ object Bench {
   def scaleBench(
       spark: SparkSession,
       sfDir: String,
-      sf01Times: Map[String, Double])
+      sf01Times: Map[String, Double],
+      logPath: String = benchLogPath)
       : (String, Map[String, Double], Option[String]) = {
     if (sys.env.contains("SPARK_GRAFT_SKIP_SF1"))
       return ("{\"skipped\":\"SPARK_GRAFT_SKIP_SF1 set\"}", Map.empty, None)
@@ -1327,16 +1581,26 @@ object Bench {
       }
     val genSec = (System.nanoTime() - t0) / 1e9
     val queries = SparkEntry.queries
-    val results = ScaleSubset.filter(queries.contains).map { name =>
-      val q0 = System.nanoTime()
-      try {
-        queries(name)(spark, dir).count()
-        name -> (System.nanoTime() - q0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf1/$name failed: ${e.getMessage}")
-        name -> -1.0
-      } finally releaseCaches(spark)
-    }
+    def onePass(): Seq[(String, Double)] =
+      ScaleSubset.filter(queries.contains).map { name =>
+        val q0 = System.nanoTime()
+        try {
+          queries(name)(spark, dir).count()
+          name -> (System.nanoTime() - q0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1/$name failed: ${e.getMessage}")
+          name -> -1.0
+        } finally releaseCaches(spark)
+      }
+    var results = onePass()
+    // section-grain load guard (r16, verdict #1): the sf1 ratios feed
+    // every downstream decade comparison, so a load-inflated sf1 pass
+    // poisons sf10's ratio base too — one budget-gated min-merged
+    // re-pass, else the flag
+    val (mergedSf1, sf1LoadFlag) = sectionLoadGuard("sf1", "queries",
+      logPath, sfDir, results.toMap, Some(() => onePass().toMap))
+    results = results.map { case (k, _) =>
+      k -> mergedSf1.getOrElse(k, -1.0) }
     // a super-linear shape is ratio > data factor (r8's 1.5× threshold
     // let a 12.1× ratio pass at factor 10). Sub-half-second sf1 queries
     // are exempt: at that size the ratio is JIT/scheduling noise, not a
@@ -1390,6 +1654,7 @@ object Bench {
     // explains, it does not suppress); flagNotesJson guarantees every
     // flagged key carries one
     val json = s"""{"factor":${BenchScale.Factor},"gen_sec":${n(genSec)},""" +
+      s""""load_flag":$sf1LoadFlag,""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
       s""""flag_notes":${flagNotesJson(flagged, FlagNotes)}}"""
@@ -1412,12 +1677,19 @@ object Bench {
     // (5-table) TPC-H join. containment_dedup stays one-decade: its
     // ~40 s sf1 time would add ~7 min of ×100 wall-clock for a shape
     // already pinned linear by construction (see FlagNotes).
-    "bm25_rank", "pagerank_dups", "q9_product_profit")
+    "bm25_rank", "pagerank_dups", "q9_product_profit",
+    // r16 (verdict #6): the approx (HLL) profile benched BESIDE the
+    // exact one at the decade — the 100 TB path's scale point, and the
+    // control that says whether an exact-profile drift is the Expand
+    // fan-out or the machine
+    "profile_orders_approx")
 
   def scale10Bench(
       spark: SparkSession,
       sf1Dir: String,
-      sf1Times: Map[String, Double]): (String, Option[String]) = {
+      sf1Times: Map[String, Double],
+      sfDir: String,
+      logPath: String): (String, Option[String]) = {
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
       new java.io.File("target/graft_sf10").getAbsolutePath)
     val t0 = System.nanoTime()
@@ -1429,7 +1701,8 @@ object Bench {
       }
     val genSec = (System.nanoTime() - t0) / 1e9
     val queries = SparkEntry.queries
-    val results = Scale10Subset.filter(queries.contains).map { name =>
+    val sub = Scale10Subset.filter(queries.contains)
+    def onePass(): Map[String, Double] = sub.map { name =>
       val q0 = System.nanoTime()
       try {
         queries(name)(spark, dir).count()
@@ -1438,7 +1711,24 @@ object Bench {
         System.err.println(s"[bench] sf10/$name failed: ${e.getMessage}")
         name -> -1.0
       } finally releaseCaches(spark)
-    }
+    }.toMap
+    // min-of-2 under the same discipline as the headline set (r16,
+    // verdict #5): single-shot section measurements made every
+    // cross-round sf10 comparison noise-limited — r15's only apparent
+    // sf10 regressions were unrepeated single measurements. The second
+    // pass is budget-gated at the first pass's own measured cost; when
+    // it doesn't fit, the artifact says so instead of shipping a
+    // silently weaker measurement.
+    val pass1 = onePass()
+    val secondFits = reMeasureFits(pass1.values.filter(_ > 0).sum * 1.1)
+    var times = if (secondFits) minMerge(pass1, onePass()) else pass1
+    val runs = if (secondFits) 2 else 1
+    // section-grain load guard (r16, verdict #1): one more min-merged
+    // pass when the whole section reads inflated vs the best prior
+    // same-sf section, else just the flag
+    val (merged, loadFlag) = sectionLoadGuard("sf10", "queries",
+      logPath, sfDir, times, Some(() => onePass()))
+    times = merged
     def remeasure(name: String, dirFor: String): Option[Double] = {
       val r = scala.util.Try {
         val q0 = System.nanoTime()
@@ -1448,13 +1738,13 @@ object Bench {
       releaseCaches(spark)
       r
     }
-    val sf10Time = scala.collection.mutable.Map(results: _*)
+    val sf10Time = scala.collection.mutable.Map(times.toSeq: _*)
     val sf1Best = scala.collection.mutable.Map(sf1Times.toSeq: _*)
     def ratioOf(k: String): Option[Double] =
       sf1Best.get(k).filter(_ > 0).flatMap(t =>
         sf10Time.get(k).filter(_ >= 0).map(_ / t))
-    val preliminary = results.collect {
-      case (k, v) if v >= 0.5 &&
+    val preliminary = sub.collect {
+      case k if sf10Time.getOrElse(k, -1.0) >= 0.5 &&
         ratioOf(k).exists(_ > BenchScale.Factor10) => k
     }
     preliminary.foreach { k =>
@@ -1464,20 +1754,23 @@ object Bench {
           sf1Best(k) = math.min(sf1Best.getOrElse(k, v), v))
       }
     }
-    val ratios = results.flatMap { case (k, _) => ratioOf(k).map(k -> _) }
+    val ratios = sub.flatMap(k => ratioOf(k).map(k -> _))
     val flagged = ratios.collect {
       case (k, r) if r > BenchScale.Factor10 &&
         sf10Time.getOrElse(k, 0.0) >= 0.5 => "\"" + k + "\""
     }
+    val confirmed = sub.map(k => k -> sf10Time(k))
     val total =
-      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+      if (confirmed.exists(_._2 < 0)) -1.0 else confirmed.map(_._2).sum
     def n(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def js(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + n(v) }
       .mkString("{", ",", "}")
-    val confirmed = results.map { case (k, _) => k -> sf10Time(k) }
     (s"""{"factor":${BenchScale.Factor10},"vs":"sf1","gen_sec":${n(genSec)},""" +
+      s""""runs":$runs,""" +
+      (if (runs == 1) """"second_pass_skipped":"over_budget",""" else "") +
+      s""""load_flag":$loadFlag,""" +
       s""""total":$total,"queries":${js(confirmed)},"ratio":${js(ratios)},""" +
       s""""flagged":${flagged.mkString("[", ",", "]")},""" +
       s""""flag_notes":${flagNotesJson(flagged, FlagNotes)}}""", Some(dir))
@@ -1746,6 +2039,35 @@ object Bench {
         out += "optimize_wave_max" -> waveSecs.max
         out += "optimize_waves" -> waveSecs.size.toDouble
       }
+      // r16 (verdict #7): the SAME waved campaign driven through the
+      // SQL surface (`OPTIMIZE t ZORDER BY (…) MAX WAVES 1` per
+      // statement, per-wave bytes/target/epoch from TBLPROPERTIES) —
+      // the user-facing path, timed beside the API path. A fresh epoch
+      // forces a full re-cluster of the just-clustered table, so the
+      // work is the same shape and the two timings should sit within
+      // noise of each other; parser/command drift between the SQL and
+      // Scala paths shows up here as a divergence. The statement loop
+      // ends when a converged campaign returns zero wave rows.
+      val sqlWaves = scala.collection.mutable.ArrayBuffer[Double]()
+      // campaign policy as table metadata (how the SQL surface is
+      // parameterized) — committed OUTSIDE the timed window
+      scala.util.Try(t.setProperties(Map(
+        graft.table.GraftTable.TargetFileSizeProp -> liTarget.toString,
+        graft.table.GraftTable.MaxWaveBytesProp -> (4 * liTarget).toString,
+        graft.table.GraftTable.OptimizeEpochProp -> "bench-sql-e1")))
+      timed("optimize_waved_sql") {
+        val ref = "graft.`" + path + "`"
+        var more = true
+        while (more) {
+          val w0 = System.nanoTime()
+          val n = spark.sql(
+            s"OPTIMIZE $ref ZORDER BY (l_orderkey) MAX WAVES 1").count()
+          if (n == 0) more = false
+          else sqlWaves += (System.nanoTime() - w0) / 1e9
+        }
+      }
+      if (sqlWaves.nonEmpty)
+        out += "optimize_waved_sql_waves" -> sqlWaves.size.toDouble
       // the daily-loop shapes the full-table ratio above deliberately
       // ISN'T: a second same-key OPTIMIZE after a small append must
       // converge via the provenance skip (only the appended tail

@@ -221,6 +221,129 @@ class BenchSpec extends AnyFunSuite {
       "/d/sf0.1").isEmpty)
   }
 
+  test("jsonObjectAfter: balanced, string-aware brace matching") {
+    val line =
+      """{"a":{"x":{"y":1},"s":"br{ace\"}"},"b":{"z":2},"bb":{"w":3}}"""
+    assert(Bench.jsonObjectAfter(line, "b").contains("""{"z":2}"""))
+    // nested objects and braces/escaped quotes inside strings span fine
+    assert(Bench.jsonObjectAfter(line, "a")
+      .contains("""{"x":{"y":1},"s":"br{ace\"}"}"""))
+    // exact-key tag: "b" must not match "bb"'s payload
+    assert(Bench.jsonObjectAfter(line, "bb").contains("""{"w":3}"""))
+    assert(Bench.jsonObjectAfter(line, "missing").isEmpty)
+  }
+
+  test("querySetHash: order-insensitive, membership-sensitive") {
+    val h1 = Bench.querySetHash(Seq("a", "b", "c"))
+    assert(h1 == Bench.querySetHash(Seq("c", "a", "b")))
+    assert(h1 != Bench.querySetHash(Seq("a", "b")))
+    assert(h1.matches("[0-9a-f]{12}"))
+  }
+
+  private def writeLog(lines: Seq[String]): String = {
+    val dir = graft.GraftTmp.dir("bench_lineage")
+    val log = dir.resolve("BENCH_LOCAL.jsonl")
+    java.nio.file.Files.writeString(log, lines.mkString("\n") + "\n")
+    log.toString
+  }
+
+  private def wrap(runId: Long, bench: String): String =
+    s"""{"ts_ms":1,"run_id":$runId,"bench":$bench}"""
+
+  test("priorSectionRuns: extracts a section's flat map despite nested objects") {
+    val log = writeLog(Seq(
+      wrap(7, """{"metric":"total","value":9.0,"code":"abc123","partial":false,"queries":{"q1":1.0},"sf10":{"pre_state":{"tmp_entries":5},"queries":{"hv":10.0,"lt":2.0},"ratio":{"hv":9.0}},"maintenance_sf10":{"ops":{"write":3.0},"flag_notes":{"w":"a {brace} note"}},"sf":"/d/sf0.1"}"""),
+      // partial lines and other-sf lines are excluded
+      wrap(8, """{"metric":"total","value":9.0,"partial":true,"sf10":{"queries":{"hv":1.0}},"sf":"/d/sf0.1"}"""),
+      wrap(9, """{"metric":"total","value":9.0,"partial":false,"sf10":{"queries":{"hv":1.0}},"sf":"/d/sf0.01"}""")))
+    val runs = Bench.priorSectionRuns(log, "/d/sf0.1", "sf10", "queries")
+    assert(runs.map(_._1) == Seq(7L))
+    assert(runs.head._2.contains("abc123"))
+    assert(runs.head._3 == Map("hv" -> 10.0, "lt" -> 2.0))
+    val maint = Bench.priorSectionRuns(log, "/d/sf0.1",
+      "maintenance_sf10", "ops")
+    assert(maint.head._3 == Map("write" -> 3.0))
+    // a section absent from every line yields no prior runs
+    assert(Bench.priorSectionRuns(log, "/d/sf0.1", "skew", "skew").isEmpty)
+  }
+
+  test("sectionLoadGuard: clean section → null flag, map untouched") {
+    val log = writeLog(Seq(wrap(7,
+      """{"metric":"total","value":9.0,"partial":false,"sf10":{"queries":{"a":10.0,"b":2.0,"c":1.0}},"sf":"/d/sf0.1"}""")))
+    val cur = Map("a" -> 10.5, "b" -> 2.1, "c" -> 0.9)
+    val (merged, flag) = Bench.sectionLoadGuard("sf10", "queries", log,
+      "/d/sf0.1", cur, Some(() => fail("clean run must not re-run")))
+    assert(flag == "null")
+    assert(merged == cur)
+  }
+
+  test("sectionLoadGuard: inflated section re-runs once and recovers") {
+    val log = writeLog(Seq(wrap(7,
+      """{"metric":"total","value":9.0,"partial":false,"sf10":{"queries":{"a":10.0,"b":2.0,"c":1.0}},"sf":"/d/sf0.1"}""")))
+    val inflated = Map("a" -> 15.0, "b" -> 3.0, "c" -> 1.5)
+    var reRan = 0
+    val (merged, flag) = Bench.sectionLoadGuard("sf10", "queries", log,
+      "/d/sf0.1", inflated,
+      Some(() => { reRan += 1; Map("a" -> 10.2, "b" -> 2.0, "c" -> 1.0) }))
+    assert(reRan == 1)
+    assert(flag.contains("recovered_by_rerun"))
+    assert(merged("a") == 10.2, "min-merge must keep the clean re-run")
+  }
+
+  test("sectionLoadGuard: persistent inflation stamps the flag with the vector") {
+    val log = writeLog(Seq(wrap(7,
+      """{"metric":"total","value":9.0,"partial":false,"code":"other999","sf10":{"queries":{"a":10.0,"b":2.0,"c":1.0}},"sf":"/d/sf0.1"}""")))
+    val inflated = Map("a" -> 15.0, "b" -> 3.0, "c" -> 1.5)
+    val (_, flag) = Bench.sectionLoadGuard("sf10", "queries", log,
+      "/d/sf0.1", inflated, Some(() => inflated))
+    assert(flag.contains("\"median_inflation\":1.500"))
+    assert(flag.contains("\"re_ran\":true"))
+    assert(flag.contains("top_inflation"))
+    // the prior line carries a different code fingerprint: noted, so a
+    // real cross-version regression is attributable (r16, ADVICE)
+    assert(flag.contains("\"code_mismatch\":true"))
+  }
+
+  test("sectionLoadGuard: exhausted budget skips the re-run but still flags") {
+    val log = writeLog(Seq(wrap(7,
+      """{"metric":"total","value":9.0,"partial":false,"sf10":{"queries":{"a":10.0,"b":2.0,"c":1.0}},"sf":"/d/sf0.1"}""")))
+    Bench.withBudgetForTest(budgetSec = 0.001) {
+      val inflated = Map("a" -> 15.0, "b" -> 3.0, "c" -> 1.5)
+      val (_, flag) = Bench.sectionLoadGuard("sf10", "queries", log,
+        "/d/sf0.1", inflated,
+        Some(() => fail("over-budget guard must not re-run")))
+      assert(flag.contains("\"re_ran\":false"))
+      assert(flag.contains("median_inflation"))
+    }
+  }
+
+  test("priorFinalRuns: parses the r16 set hash and code fields when present") {
+    val log = writeLog(Seq(
+      wrap(2, """{"metric":"total","value":46.8,"query_set_hash":"deadbeef0123","code":"abc-dirty","partial":false,"queries":{"q1":1.5},"sf":"/d/sf0.1"}"""),
+      wrap(3, """{"metric":"total","value":50.0,"partial":false,"queries":{"q1":1.7},"sf":"/d/sf0.1"}""")))
+    val runs = Bench.priorFinalRuns(log, "/d/sf0.1")
+    assert(runs.size == 2)
+    assert(runs.head.setHash.contains("deadbeef0123"))
+    assert(runs.head.code.contains("abc-dirty"))
+    assert(runs(1).setHash.isEmpty && runs(1).code.isEmpty)
+  }
+
+  test("maintBlock: section guard min-merges a load re-run and stamps load_flag") {
+    val log = writeLog(Seq(wrap(7,
+      """{"metric":"total","value":9.0,"partial":false,"maintenance_sf10":{"ops":{"write":3.0,"merge":4.0}},"sf":"/d/sf0.1"}""")))
+    var runs = 0
+    val (json, m) = Bench.maintBlock(
+      () => { runs += 1
+        if (runs == 1) Seq("write" -> 6.0, "merge" -> 8.0)
+        else Seq("write" -> 3.1, "merge" -> 4.1) },
+      base = Map("write" -> 1.0, "merge" -> 1.0),
+      ratioKey = "r", factor = 10,
+      guard = Some(("maintenance_sf10", log, "/d/sf0.1")))
+    assert(runs == 2, "2x-inflated lifecycle must earn the guard re-run")
+    assert(m.toMap.apply("write") == 3.1)
+    assert(json.contains("\"load_flag\":{\"recovered_by_rerun\""))
+  }
+
   test("headline set stays disjoint from the standing-state families") {
     // indexed twins and incremental ops are benched in their own
     // pinned-state sections; the headline's min-of-N assumes run N is
