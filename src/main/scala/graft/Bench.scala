@@ -1169,9 +1169,14 @@ object Bench {
       "(same byte-budgeted waves, parameterized from TBLPROPERTIES, a " +
       "fresh epoch forcing the full re-cluster): linear in table bytes " +
       "with no fixed-overhead cushion, so the decade ratio sits AT the " +
-      "data factor and a flag here is noise around it — a genuine " +
-      "divergence from optimize_waved's time in the SAME section is " +
-      "the signal this op exists to catch (parser/command drift)."),
+      "data factor and a flag here is noise around it. It runs SECOND, " +
+      "on the table the API campaign just clustered, so its input is " +
+      "already range-sorted and better-compressed (fewer bytes -> " +
+      "sometimes one fewer wave) — measured ~0.5x the API time at " +
+      "every decade (r16: 1.34/2.27 s sf0.1, 7.4/17.3 sf1, 33.2/62.3 " +
+      "sf10). The drift alarm this op exists for is SQL >> API (a " +
+      "parser/command regression); SQL < API is the expected " +
+      "already-clustered-input asymmetry, not drift."),
     "optimize_wave_max" -> ("Per-wave ceiling: flat across decades " +
       "once the table exceeds one wave (256 MiB here). A decade whose " +
       "SMALLER side fits in a single sub-cap wave (sf1's whole scope " +
