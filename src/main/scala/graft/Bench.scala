@@ -244,6 +244,23 @@ object Bench {
     }
   }
 
+  /** Guard candidate-pool policy (r16, verdict #3 + ADVICE), shared by
+    * the headline guard: same-query-set priors first (an absent hash —
+    * every pre-r16 line — is treated as potentially-same, never
+    * refused), same-code within those when any exist, then best
+    * (lowest total) of the pool. Mismatches are the CALLER's job to
+    * note in the flag JSON; this only chooses. */
+  private[graft] def preferredPrior(all: Seq[PriorRun], qsHash: String,
+      code: String): Option[PriorRun] = {
+    val sameSet = all.filter(_.setHash.forall(_ == qsHash))
+    val sameCode = sameSet.filter(_.code.contains(code))
+    val pool =
+      if (sameCode.nonEmpty) sameCode
+      else if (sameSet.nonEmpty) sameSet
+      else all
+    pool.sortBy(_.total).headOption
+  }
+
   /** md5-derived short hash of a query-name set: the artifact's
     * self-description of WHICH queries its per-query map covers, so a
     * guard comparison against a different set is detected instead of
@@ -724,20 +741,14 @@ object Bench {
     try {
       val all = priorFinalRuns(logPath, sfDir)
         .filter(r => r.total > 0 && r.queries.nonEmpty)
-      // candidate preference (r16, verdict #3 + ADVICE): same query
-      // set AND same code first — a cross-set comparison silently
-      // intersects keys and a cross-code one can misattribute a real
-      // regression to machine load. Falling back (with the mismatch
-      // NOTED in the flag) beats refusing: pre-r16 lines carry no
-      // hash/fingerprint at all, and a refusal would disable the guard
-      // for exactly the first round after any format change.
-      val sameSet = all.filter(_.setHash.forall(_ == qsHash))
-      val sameCode = sameSet.filter(_.code.contains(codeFingerprint))
-      val pool =
-        if (sameCode.nonEmpty) sameCode
-        else if (sameSet.nonEmpty) sameSet
-        else all
-      val prior = pool.sortBy(_.total).headOption
+      // candidate preference ([[preferredPrior]]): same query set AND
+      // same code first — a cross-set comparison silently intersects
+      // keys and a cross-code one can misattribute a real regression
+      // to machine load. Falling back (with the mismatch NOTED in the
+      // flag) beats refusing: pre-r16 lines carry no hash/fingerprint
+      // at all, and a refusal would disable the guard for exactly the
+      // first round after any format change.
+      val prior = preferredPrior(all, qsHash, codeFingerprint)
       prior.foreach { p =>
         val setMismatch = p.setHash.exists(_ != qsHash)
         val codeMismatch = !p.code.contains(codeFingerprint)

@@ -344,6 +344,30 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"load_flag\":{\"recovered_by_rerun\""))
   }
 
+  test("preferredPrior: same-set same-code first, unknown hashes admitted") {
+    import Bench.PriorRun
+    def run(id: Long, total: Double, hash: Option[String],
+        code: Option[String]) =
+      PriorRun(id, total, Map("q" -> 1.0), hash, code)
+    val h = "aaaaaaaaaaaa"
+    val all = Seq(
+      run(1, 10.0, Some(h), Some("codeA")),        // same set+code, slow
+      run(2, 20.0, Some(h), Some("codeA")),        // same set+code, slower
+      run(3, 5.0, Some(h), Some("codeB")),         // same set, other code
+      run(4, 1.0, Some("bbbbbbbbbbbb"), Some("codeA")), // other set, fastest
+      run(5, 7.0, None, None))                     // pre-r16 line: unknown
+    // same-code pool wins even when a cross-code/cross-set run is faster
+    assert(Bench.preferredPrior(all, h, "codeA").map(_.runId).contains(1L))
+    // no same-code prior → best of the same-set pool (unknown hash
+    // counts as same-set: pre-r16 lines must not disable the guard)
+    assert(Bench.preferredPrior(all, h, "codeZ").map(_.runId).contains(3L))
+    // nothing matches the set → best overall (the caller notes mismatch)
+    val otherSet = all.filterNot(_.setHash.forall(_ == h))
+    assert(Bench.preferredPrior(otherSet, h, "codeZ").map(_.runId)
+      .contains(4L))
+    assert(Bench.preferredPrior(Nil, h, "codeA").isEmpty)
+  }
+
   test("headline set stays disjoint from the standing-state families") {
     // indexed twins and incremental ops are benched in their own
     // pinned-state sections; the headline's min-of-N assumes run N is
