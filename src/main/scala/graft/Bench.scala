@@ -276,15 +276,23 @@ object Bench {
     * legitimate change that uniformly slows the suite trips the guard
     * at most once (the first run of the new code, against the old
     * code's best) instead of paying a re-run + misattributed load_flag
-    * on every subsequent run. `-dirty` marks uncommitted edits. */
+    * on every subsequent run. Keyed to the `src/main` TREE object, not
+    * HEAD: only a change to shipped source re-fingerprints — doc /
+    * test / artifact commits (most commits in a round) leave the
+    * same-code pool intact. `-dirty` marks uncommitted source edits. */
   private[graft] lazy val codeFingerprint: String =
     try {
-      val p = new ProcessBuilder("git", "describe", "--always", "--dirty")
-        .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      if (p.waitFor() == 0 && out.nonEmpty && out.length <= 64 &&
-          out.matches("[0-9a-zA-Z._-]+")) out
-      else "unknown"
+      def git(args: String*): Option[String] = {
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      }
+      val tree = git("rev-parse", "HEAD:src/main")
+        .filter(_.matches("[0-9a-f]{6,64}")).map(_.take(12))
+      val dirty = git("status", "--porcelain", "src/main")
+        .exists(_.nonEmpty)
+      tree.map(t => if (dirty) t + "-dirty" else t).getOrElse("unknown")
     } catch { case _: Throwable => "unknown" }
 
   /** Min-merge a re-run into first-pass measurements: valid samples
