@@ -6,6 +6,8 @@ object TimeOne {
     val Array(sfDir, names @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      // mirror Bench's session (extensions included) so timings compare
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -18,7 +20,12 @@ object TimeOne {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // release persisted blocks OUTSIDE the timed window (Bench's
+        // releaseCaches policy — without it the persisted sketch/sig
+        // frames of earlier runs accumulate and inflate later queries)
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        t
       }
       println(f"[time] $n min=${times.min}%.3f runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }

@@ -134,6 +134,16 @@ object SigKernels {
     * points (Spark's substring counts characters, and a code point's
     * UTF-8 bytes are position-independent, so byte windows of the
     * code-point windows match md5-of-substring exactly). */
+  /** Big-endian pack of `k` (≤ 8) bytes starting at `i` — the window's
+    * identity for the dedup set (unsigned bytes, so distinct windows
+    * pack to distinct longs). */
+  private def packWindow(bytes: Array[Byte], i: Int, k: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < k) { acc = (acc << 8) | (bytes(i + j) & 0xffL); j += 1 }
+    acc
+  }
+
   def minMd5Shingle(s: org.apache.spark.unsafe.types.UTF8String, k: Int)
       : org.apache.spark.unsafe.types.UTF8String = {
     val md = Md5.get()
@@ -141,28 +151,47 @@ object SigKernels {
     var ascii = true
     var i = 0
     while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    // two reusable 16-byte digest buffers (cur/best, swapped on improve):
+    // md.digest() allocated one array per WINDOW — ~n allocations per doc
+    // for a min fold that keeps exactly one (guide §1.2 per-task work)
+    var cur = new Array[Byte](16)
     var best: Array[Byte] = null
-    def offer(d: Array[Byte]): Unit =
-      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
+    def offer(): Unit = {
+      if (best == null) { best = cur; cur = new Array[Byte](16) }
+      else if (java.util.Arrays.compareUnsigned(cur, best) < 0) {
+        val t = best; best = cur; cur = t
+      }
+    }
     if (ascii) {
       if (bytes.length < k) return null
+      // duplicate windows contribute nothing to a min — hash them once
+      val seen = if (k <= 8) new LongSet(bytes.length - k + 1) else null
       i = 0
       while (i <= bytes.length - k) {
-        md.reset(); md.update(bytes, i, k)
-        offer(md.digest())
+        if (seen == null || seen.add(packWindow(bytes, i, k))) {
+          md.reset(); md.update(bytes, i, k)
+          md.digest(cur, 0, 16)
+          offer()
+        }
         i += 1
       }
     } else {
       val cps = s.toString.codePoints().toArray
       if (cps.length < k) return null
       val sb = new java.lang.StringBuilder(4 * k)
+      val seen = new java.util.HashSet[String]()
       i = 0
       while (i <= cps.length - k) {
         sb.setLength(0)
         var j = 0
         while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
-        md.reset()
-        offer(md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val w = sb.toString
+        if (seen.add(w)) {
+          md.reset()
+          md.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest(cur, 0, 16)
+          offer()
+        }
         i += 1
       }
     }
@@ -227,47 +256,82 @@ object SigKernels {
       numPerm: Int): ArrayData = {
     val md = Md5.get()
     val (pa, pb) = md5Perms(numPerm)
-    val lanes = new Array[Int](numPerm)
-    java.util.Arrays.fill(lanes, Int.MaxValue) // p = 2^31-1 unreachable: lanes ≤ p-1
-    var any = false
-    def offer(d: Array[Byte]): Unit = {
-      any = true
-      val h = head32(d) % MersennePrime
-      var j = 0
-      while (j < numPerm) {
-        val v = ((pa(j) * h + pb(j)) % MersennePrime).toInt
-        if (v < lanes(j)) lanes(j) = v
-        j += 1
-      }
-    }
+    // Phase 1: md5-head values of the doc's DISTINCT windows (duplicates
+    // are idempotent under the per-lane min — guide §1.2 per-task work:
+    // natural text repeats k-grams constantly, and each repeat used to
+    // pay a full md5 + numPerm affine passes for nothing).
     val bytes = s.getBytes
     var ascii = true
     var i = 0
     while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    val dig = new Array[Byte](16)
+    var hs: Array[Long] = null
+    var nh = 0
+    def append(h: Long): Unit = {
+      if (hs == null) hs = new Array[Long](64)
+      else if (nh == hs.length) hs = java.util.Arrays.copyOf(hs, nh * 2)
+      hs(nh) = h; nh += 1
+    }
     if (ascii) {
       if (bytes.length < k) return null
+      val seen = if (k <= 8) new LongSet(bytes.length - k + 1) else null
+      hs = new Array[Long](bytes.length - k + 1)
       i = 0
       while (i <= bytes.length - k) {
-        md.reset(); md.update(bytes, i, k)
-        offer(md.digest())
+        if (seen == null || seen.add(packWindow(bytes, i, k))) {
+          md.reset(); md.update(bytes, i, k)
+          md.digest(dig, 0, 16)
+          hs(nh) = head32(dig) % MersennePrime; nh += 1
+        }
         i += 1
       }
     } else {
       val cps = s.toString.codePoints().toArray
       if (cps.length < k) return null
       val sb = new java.lang.StringBuilder(4 * k)
+      val seen = new java.util.HashSet[String]()
       i = 0
       while (i <= cps.length - k) {
         sb.setLength(0)
         var j = 0
         while (j < k) { sb.appendCodePoint(cps(i + j)); j += 1 }
-        md.reset()
-        offer(md.digest(sb.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)))
+        val w = sb.toString
+        if (seen.add(w)) {
+          md.reset()
+          md.update(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.digest(dig, 0, 16)
+          append(head32(dig) % MersennePrime)
+        }
         i += 1
       }
     }
-    if (!any) null else new GenericArrayData(lanes)
+    if (nh == 0) return null
+    // Phase 2: per-lane affine min over the distinct h values. The
+    // modulus is Mersenne (2^31-1), so `% p` — a hardware 64-bit divide
+    // per lane per window — folds to two shift-adds and one conditional
+    // subtract (x ≡ (x & p) + (x >>> 31) mod p, because 2^31 ≡ 1 mod p;
+    // a*h + b < 2^62 so two folds land in [0, p]). Exactly equal to the
+    // old `% MersennePrime` value, lane for lane.
+    val P = MersennePrime
+    val lanes = new Array[Int](numPerm)
+    var j = 0
+    while (j < numPerm) {
+      val aj = pa(j)
+      val bj = pb(j)
+      var best = P // unreachable: folded values ≤ p, and p maps to 0
+      var t = 0
+      while (t < nh) {
+        val x = aj * hs(t) + bj
+        var y = (x & P) + (x >>> 31)
+        y = (y & P) + (y >>> 31)
+        if (y >= P) y -= P
+        if (y < best) best = y
+        t += 1
+      }
+      lanes(j) = best.toInt
+      j += 1
+    }
+    new GenericArrayData(lanes)
   }
 
   /** Band keys over an int-lane sketch: band b's key is the
