@@ -42,7 +42,7 @@ object Dedup {
 
   /** char-5-gram shingle hashes, distinct per doc. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(length(text) - 4, 1)),
           |  i -> substring(text, i, 5))""".stripMargin)).as("shingle"))
@@ -57,7 +57,7 @@ object Dedup {
     * needs ~2^32 distinct docs by birthday bound — at that scale switch
     * to a 128-bit fingerprint). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .groupBy(xxhash64(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
@@ -94,7 +94,7 @@ object Dedup {
     // corpus the incremental flow ([[persistSketchCorpus]]) stores as a
     // real table — at 100 TB you keep this artifact durably, you don't
     // recompute it per join arm.
-    val sk = documents(spark, dir)
+    val sk = spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
@@ -169,7 +169,7 @@ object Dedup {
     * disk bytes ~[[Bands]]× for nothing — at 100 TB that is the
     * difference between a 0.1% and a 3% standing-storage overhead. */
   def bandedSketch(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+    graft.tables.Tables.spread(d, col("doc_id")).select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
       .filter(col("sketch").isNotNull)
@@ -254,7 +254,7 @@ object Dedup {
   /** One-pass md5-affine sketch frame for a batch — the ONLY side of
     * the incremental flow that ever computes the sketch kernel. */
   private[graft] def batchSketchFrame(batchDocs: DataFrame): DataFrame =
-    batchDocs.select(col("doc_id"),
+    graft.tables.Tables.spread(batchDocs, col("doc_id")).select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
       .filter(col("sketch").isNotNull)
@@ -449,7 +449,7 @@ object Dedup {
     // brute-force hamming, so the pair set is hash-oracled (the 4-piece
     // pigeonhole blocking below guarantees EVERY hamming≤3 pair shares
     // a piece, so blocked+verified ≡ brute force exactly)
-    val sigs = documents(spark, dir)
+    val sigs = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.simhash_md5(col("text")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -627,7 +627,7 @@ object Dedup {
     * groupBy(min) formulation paid 1.5M exploded rows and a hex encode
     * per SHINGLE; DedupSpec pins kernel ≡ explode-pipeline equality). */
   private[graft] def minshStarEdges(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = documents(spark, dir)
+    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)
@@ -653,7 +653,7 @@ object Dedup {
     * task. Partial-agg twice (k → size, size → n_blocks): nothing
     * larger than the distinct-size set ever reaches the driver. */
   def blockStats(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = documents(spark, dir)
+    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)
@@ -777,20 +777,22 @@ object Dedup {
   val ContainmentMaxDf = 64
 
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    // distinct md5 images of char-5-gram shingles per doc (md5, not
-    // xxhash64: the anchor MIN must order identically in DuckDB)
-    // Shingles as packed 40-bit longs ([[graft.text.ShinglePack]]) — the
-    // fixed width makes packed ordering ≡ byte-wise string ordering, so
-    // the MIN anchor picks the same shingle the DuckDB oracle picks
-    // over raw strings, with no per-shingle digest or string ever
-    // allocated (the md5 formulation paid ~50M digest+hex allocations
-    // at 10×: 119 s → this form). NOT persisted: the (doc_id, sh)
-    // exchange is identical across consumers, so ReuseExchange already
-    // collapses the rescans (measured faster than MEMORY_AND_DISK).
-    val sh = documents(spark, dir)
+    // distinct shingles per doc as SORTED packed 40-bit longs
+    // ([[graft.text.ShinglePack.shingles_packed_distinct]]): fixed-width
+    // packing makes packed ordering ≡ byte-wise string ordering, so the
+    // MIN anchor picks the same shingle the DuckDB oracle picks over raw
+    // strings, and the per-doc DEDUP now happens inside the kernel —
+    // the explode → distinct() exchange over the full shingle volume
+    // and the collect_set re-shuffle that used to rebuild these very
+    // sets are both gone from the plan (guide §2.4: two Exchange nodes
+    // removed; r16 measured 6.4 s → the docSets form at sf0.1). NOT
+    // persisted: the array payload is ~8 bytes per distinct shingle
+    // (~8× text), so consumers recompute the cheap packing kernel
+    // instead of caching 8× the corpus.
+    val docSets = spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
-        explode(graft.text.ShinglePack.shingles_packed(col("text"))).as("sh"))
-      .distinct()
+        graft.text.ShinglePack.shingles_packed_distinct(col("text")).as("s"))
+    val sh = docSets.select(col("doc_id"), explode(col("s")).as("sh"))
     // rare = df-capped occurrences; the anchor's whole posting list
     // lives in here (its df is ≤ cap), so probing `rare` ≡ probing the
     // full table while bounding every posting at the cap
@@ -802,19 +804,22 @@ object Dedup {
     val cand = anchors.join(rare.select(col("doc_id").as("b"), col("sh")),
         col("k") === col("sh") && col("a") =!= col("b"))
       .select("a", "b")
-    // exact intersection via per-doc shingle SETS joined to the pairs
-    // (the [[ngramJaccard]] shape): one ~|doc| array per side per pair,
-    // intersected in-memory — the (pair × |A| rows) expansion through a
-    // (b, sh) exchange this replaces was the dominant cost at 10×
-    // (measured 178 s → the array form's in-partition intersect)
-    val sets = sh.groupBy("doc_id").agg(collect_set("sh").as("s"))
+    // exact intersection via the per-doc SORTED shingle arrays joined to
+    // the pairs (the [[ngramJaccard]] shape): one ~|doc| array per side
+    // per pair — the (pair × |A| rows) expansion through a (b, sh)
+    // exchange this replaces was the dominant cost at 10× (measured
+    // 178 s → the array form). The count is a linear MERGE over the two
+    // sorted arrays ([[graft.text.SortedIntersectCountKernel]]):
+    // array_intersect built a boxed hash set per PAIR and was the
+    // single heaviest stage left in the query (2.3 s of 4.8 at sf0.1).
     cand
-      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .join(docSets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(docSets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
       .select(col("a"), col("b"),
         size(col("sa")).cast("long").as("n_a"),
         size(col("sb")).cast("long").as("n_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("shared"))
+        graft.text.ShinglePack.sorted_intersect_count(col("sa"), col("sb"))
+          .as("shared"))
       .withColumn("containment",
         round(col("shared").cast("double") / col("n_a").cast("double"), 4))
       .filter(col("containment") >= ContainmentTau)
@@ -874,7 +879,7 @@ object Dedup {
 
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val k = SubstringWindow
-    val toks = documents(spark, dir)
+    val toks = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         split(trim(regexp_replace(col("text"), "\\s+", " ")), " ").as("t"))
       .filter(size(col("t")) >= k)

@@ -38,6 +38,30 @@ object Profiling {
     case _ => c.cast("string")
   }
 
+  /** True when every value of `dt` has an INJECTIVE string image
+    * ([[distinctImage]]), so an exact distinct count over images equals
+    * one over values — the gate for the narrow-census exact plan. */
+  private def imageable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         BooleanType | TimestampType | TimestampNTZType | DateType => true
+    case DoubleType | FloatType => true
+    case _: DecimalType => true // fixed scale per column → canonical text
+    case _ => false
+  }
+
+  /** Injective string image of `c` for distinct COUNTING only (never
+    * emitted): floats normalize -0.0 → 0.0 first (`c + 0.0`), matching
+    * aggregation's group normalization, and NaN (one distinct group in
+    * an aggregate) images as the single literal 'NaN'; every other
+    * covered type's cast already round-trips. */
+  private def distinctImage(c: Column, dt: DataType): Column = dt match {
+    case DoubleType => when(isnan(c), lit("NaN"))
+      .otherwise((c + lit(0.0d)).cast("string"))
+    case FloatType => when(isnan(c), lit("NaN"))
+      .otherwise((c + lit(0.0f)).cast("string"))
+    case _ => c.cast("string")
+  }
+
   /** Schema-driven profile of `df`: one output row per column.
     *
     * Arbitrary schemas profile correctly: field names are addressed
@@ -47,19 +71,99 @@ object Profiling {
     * the null counter is `coalesce(..., 0)` so a zero-row input
     * reports 0 nulls, not NULL (sum over no rows is NULL in SQL).
     *
-    * `exact=false` swaps the exact `countDistinct` (which plans as
-    * Expand: every input row fans out #cols+1 times through the
-    * shuffle — linear but the dominant constant of the profile) for
+    * Exact plan shape (r16): when every column is [[imageable]], the
+    * multi-distinct aggregate's Expand plan is replaced by a NARROW
+    * census — `stack` each row to (gid, injective string image), one
+    * hash-aggregating groupBy(gid, v) census, count survivors per gid —
+    * plus one Expand-free pass for count/nulls/min/max. The old plan
+    * Expanded every row ×(#cols+1) into ONE aggregate whose string
+    * min/max buffers forced SortAggregate: a per-partition SORT of the
+    * whole fan-out on a 7-field key, then the same sort again after the
+    * exchange (measured 3.0 s at sf0.1, 46 s at sf10, spill-prone —
+    * guide §1.2/§5: hash agg over narrow keys beats sort agg over wide
+    * ones). Counts are identical: the image is injective per type and
+    * nulls are excluded exactly as countDistinct excludes them. A
+    * schema with any non-imageable column (binary, complex) keeps the
+    * legacy single-aggregate Expand plan — correctness first.
+    *
+    * `exact=false` swaps the exact distinct for
     * `approx_count_distinct` (HLL++, one sketch per column folded in
-    * the same single aggregate, no Expand). At 100 TB the approx mode
+    * a single aggregate, no Expand). At 100 TB the approx mode
     * is the one to run; the exact mode remains the oracle. */
   def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    if (exact && df.schema.fields.forall(f => imageable(f.dataType)))
+      return profileNarrow(df)
+    profileExpand(df, exact)
+  }
+
+  /** Narrow-census exact profile (see [[profile]]). */
+  private def profileNarrow(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+    val n = fields.size
+    val in0 = df.select(fields.zipWithIndex.map {
+      case (f, i) => col(s"`${f.name.replace("`", "``")}`").as(s"c$i")
+    }: _*)
+    val in = graft.tables.Tables.spread(in0,
+      xxhash64(in0.columns.map(col).toIndexedSeq: _*))
+    // pass A: exact distinct counts over (gid, image) — narrow keys,
+    // hash-aggregating end to end, nulls excluded like countDistinct
+    val stackArgs: Seq[Column] = lit(n) +: fields.zipWithIndex.flatMap {
+      case (f, i) => Seq(lit(i), distinctImage(col(s"c$i"), f.dataType))
+    }
+    val nd = in.select(stack(stackArgs: _*).as(Seq("gid", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("gid", "v").agg(count(lit(1)).as("one"))
+      .groupBy("gid").agg(count(lit(1)).as("n_distinct"))
+    // gid spine: a zero-row (or all-null-column) input must still emit
+    // one row per column with n_distinct = 0, like countDistinct does
+    val spine = spark.range(n).select(col("id").cast("int").as("gid"))
+    val ndFull = spine.join(nd, Seq("gid"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+    // pass B: everything countDistinct did NOT need the Expand for —
+    // row count, per-column nulls and typed min/max — in one agg pass
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+      fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"c$i")
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"nn_$i") +:
+          (if (minMaxable(f.dataType))
+            Seq(asStr(min(c), f.dataType).as(s"mn_$i"),
+              asStr(max(c), f.dataType).as(s"mx_$i"))
+          else
+            Seq(lit(null).cast("string").as(s"mn_$i"),
+              lit(null).cast("string").as(s"mx_$i")))
+      }
+    val oneB = in.agg(aggs.head, aggs.tail: _*)
+    def byGid(prefix: String): Column =
+      element_at(array(fields.indices.map(i => col(s"$prefix$i")): _*),
+        col("gid") + 1)
+    ndFull.crossJoin(broadcast(oneB))
+      .select(
+        element_at(array(fields.map(f => lit(f.name)): _*), col("gid") + 1)
+          .as("column_name"),
+        col("__n").as("n_rows"), byGid("nn_").as("n_nulls"),
+        col("n_distinct"), byGid("mn_").as("min_val"),
+        byGid("mx_").as("max_val"))
+      .orderBy("column_name")
+  }
+
+  /** Legacy single-aggregate profile: one scan, multi-distinct Expand
+    * (exact) or HLL sketches (approx). */
+  private def profileExpand(df: DataFrame, exact: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq
     // positional aliases: the ONLY place the user's column name appears
     // is as a quoted literal value in the output
-    val in = df.select(fields.zipWithIndex.map {
+    val in0 = df.select(fields.zipWithIndex.map {
       case (f, i) => col(s"`${f.name.replace("`", "``")}`").as(s"c$i")
     }: _*)
+    // the Expand fan-out (#cols+1 agg rows per input row) is the
+    // profile's dominant per-task cost; spread it across the session's
+    // cores when the scan is split-starved (guide §2.5 — a no-op on any
+    // input with >= cores splits). Keyed on a hash of the whole row:
+    // deterministic, and uniform for any schema.
+    val in = graft.tables.Tables.spread(in0,
+      xxhash64(in0.columns.map(col).toIndexedSeq: _*))
     val aggs: Seq[Column] = count(lit(1)).as("__n") +:
       fields.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"c$i")

@@ -44,7 +44,7 @@ object HybridSearch {
   val RrfK = 60
 
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
-    hybridFrom(spark, dir, documents(spark, dir)
+    hybridFrom(spark, dir, spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         explode(array_distinct(split(lower(trim(col("text"))), "\\s+")))
           .as("word"))
@@ -62,7 +62,7 @@ object HybridSearch {
   /** Shared fusion body over a distinct (doc_id, word) lexical frame. */
   private def hybridFrom(spark: SparkSession, dir: String,
       words: DataFrame): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("n", Similarity.norm(col("v")))
     val qv = emb.filter(col("vec_id") < HQ)
@@ -148,11 +148,16 @@ object HybridSearch {
 
   def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    val toks = docs
+    // tf counted IN the scan ([[graft.text.TokenCounts]]): a document's
+    // tokens all live in one row, so the explode → groupBy(doc_id, word)
+    // form shuffled the corpus's entire token stream just to bring equal
+    // pairs together — the kernel emits the already-unique
+    // (doc_id, word, tf) relation with zero exchange (guide §2.4), with
+    // counts spec-pinned identical to the explode pipeline's.
+    val tf = graft.tables.Tables.spread(docs, col("doc_id"))
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        explode(graft.text.TokenCounts.token_counts(col("text"))))
+      .select(col("doc_id"), col("key").as("word"), col("value").as("tf"))
     bm25Score(docs, tf)
   }
 
@@ -185,10 +190,25 @@ object HybridSearch {
           (col("tf") * lit(Bm25K1 + 1.0)) /
           (col("tf") + lit(Bm25K1) *
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-    cand.groupBy("query_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("word"), col("s")))).as("ts"))
-      .withColumn("bm25",
-        expr("aggregate(ts, cast(0.0 as double), (acc, x) -> acc + x.s)"))
+    // ORDER-PINNED per-(query,doc) sum as a running window over
+    // word-ascending rows — the [[graft.dedup.Dedup.pagerankIterations]]
+    // fold shape: the same left-to-right IEEE additions the
+    // collect_list → sort_array → aggregate() form performed (words are
+    // unique per pair, so (word, s)-struct order ≡ word order and the
+    // running sum's last row is bit-identical to the fold), but with no
+    // per-group array build, struct sort, or interpreted lambda — that
+    // stage was 1.46 s of bm25_rank's 2.9 s at sf0.1 (guide §1.2). All
+    // three window functions share one (pair, word-order) spec → ONE
+    // spillable WindowExec, never a per-pair in-memory buffer.
+    val byPair = Window.partitionBy("query_id", "doc_id").orderBy("word")
+    val runningS = byPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val entireP = byPair.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    cand
+      .withColumn("bm25", sum("s").over(runningS))
+      .withColumn("rn", row_number().over(byPair))
+      .withColumn("cnt", count(lit(1)).over(entireP))
+      .filter(col("rn") === col("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("bm25"), col("doc_id"))))
       .filter(col("rk") <= TopK)

@@ -35,7 +35,7 @@ object Similarity {
 
   /** Exact brute-force top-k cosine for the first `NumQueries` vectors. */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val queries = emb.filter(col("vec_id") < NumQueries)
@@ -175,7 +175,7 @@ object Similarity {
 
   /** Approximate top-k via LSH buckets (+ hamming-1 multiprobe). */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("sig", signature(col("v")))
@@ -213,7 +213,7 @@ object Similarity {
     * oracle-checked: DuckDB replays the identical refinement/
     * assignment/probe/scoring pipeline. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val cells = scaledCells(emb.count())
@@ -272,7 +272,7 @@ object Similarity {
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     def l2(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val pqCodes = scaledPqCodes(emb.count())
     // codebook driver-side: ≤256 vectors (≤128 KB), flat [m][code][d]
@@ -361,7 +361,7 @@ object Similarity {
   val CosDupProbe = 200
 
   def cosineDups(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val probes = emb.filter(col("vec_id") < CosDupProbe)
@@ -478,7 +478,7 @@ object Similarity {
     * (centroids train once, the corpus keeps growing past them). */
   def prebuildIvfIndexExcept(spark: SparkSession, dir: String,
       mod: Int, rem: Int): Unit = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val seed = emb.filter(col("vec_id") % 5 =!= 0)
@@ -499,7 +499,7 @@ object Similarity {
     * `dedup_incremental` contract), valid because reruns append
     * nothing and centroids are a pure function of the corpus side. */
   def knnIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
@@ -591,7 +591,7 @@ object Similarity {
   val ClassifySeedCap = 2000
 
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val seedRows = emb.filter(col("vec_id") % ClassifySeedMod === 0 &&
@@ -638,7 +638,7 @@ object Similarity {
   val DedupTau = 0.35
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val centroids = materializedCentroids(emb, scaledCells(emb.count()))
@@ -690,7 +690,7 @@ object Similarity {
     * aggregate shuffles √n cells, and the share rides a window over
     * those √n rows — nothing here grows faster than the corpus scan. */
   def topicProfile(spark: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(spark, dir)
+    val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     val cells = scaledCells(emb.count())

@@ -196,12 +196,17 @@ object TextAnalysis {
     tfidfFrom(documents(spark, dir), scratchTf(documents(spark, dir)))
 
   /** (doc_id, word, tf) from a raw documents frame — the from-scratch
-    * tokenization twin of the standing postings table's tf column. */
-  private[graft] def scratchTf(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-    .filter(col("word") =!= "")
-    .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    * tokenization twin of the standing postings table's tf column.
+    * Counted IN the scan ([[TokenCounts]] — same trim/lower/split, counts
+    * spec-pinned identical): a doc's tokens live in one row, so the old
+    * explode → groupBy(doc_id, word) exchange shuffled the corpus's
+    * whole token stream for a count the row already determines (guide
+    * §2.4 "remove shuffles outright"). */
+  private[graft] def scratchTf(docs: DataFrame): DataFrame =
+    graft.tables.Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TokenCounts.token_counts(col("text"))))
+      .select(col("doc_id"), col("key").as("word"), col("value").as("tf"))
 
   /** [[tfidfKeywords]] off the STANDING postings table
     * ([[graft.text.Postings]]): the corpus text is never re-scanned —
@@ -453,7 +458,7 @@ object TextAnalysis {
   val KnTopK = 50
 
   def ngramLmCounts(spark: SparkSession, dir: String): DataFrame = {
-    val arr = documents(spark, dir)
+    val arr = graft.tables.Tables.spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(split(lower(trim(col("text"))), "\\s+").as("a"))
       .filter(size(col("a")) >= 3)
     val tri = arr.select(explode(expr(
@@ -525,14 +530,18 @@ object TextAnalysis {
     * line for exactly-representable fractions like 1/32 — integer
     * division is bit-identical everywhere. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = documents(spark, dir)
+    // per-doc dedup IN the row (array_distinct over the hashed trigram
+    // array — the hybridRrf words pattern): `.distinct()` on the
+    // exploded frame paid a full (doc_id, gram) exchange over the
+    // corpus's trigram volume for a set each row already determines
+    // (guide §2.4); the distinct (doc, gram) relation is identical.
+    val grams = graft.tables.Tables.spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("a"))
       .filter(size(col("a")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         """transform(sequence(1, size(a) - 2),
           |  i -> xxhash64(concat_ws(' ', a[i - 1], a[i], a[i + 1])))"""
-          .stripMargin)).as("g"))
-      .distinct()
+          .stripMargin))).as("g"))
     ngramNoveltyFrom(grams)
   }
 

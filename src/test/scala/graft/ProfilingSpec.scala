@@ -78,13 +78,39 @@ class ProfilingSpec extends SparkSpec {
     assert(got("a.b c").getLong(3) == 2L)
   }
 
-  test("profile is ONE scan (Expand, not a union of per-column passes)") {
+  test("exact profile: bounded scans, hash-aggregating narrow census") {
+    // r16 plan shape: the Expand multi-distinct (whose string min/max
+    // buffers forced SortAggregate — a full fan-out sort) is replaced by
+    // a narrow (gid, image) census + one Expand-free metrics pass. The
+    // invariants: scan count is a CONSTANT (2), never #cols (a union of
+    // per-column passes would be 6 here), and no sort-based aggregate
+    // survives anywhere in the exact plan.
     val df = Profiling.profileOrders(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan
       .toString.split("== Initial Plan ==").head
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
-    assert(plan.contains("Expand"), "multi-distinct must fold via Expand")
+    assert(scans <= 2, s"expected <= 2 scans, got $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"exact profile must not fan out via Expand:\n$plan")
+    // the census arm must hash-aggregate; a global (grouping-free)
+    // SortAggregate in the metrics arm sorts nothing and is fine
+    assert("Sort \\[gid".r.findFirstIn(plan).isEmpty,
+      s"narrow census must not sort by gid:\n$plan")
+  }
+
+  test("narrow exact profile ≡ legacy Expand profile, row for row") {
+    // the narrow census is a PLAN change only: counts must equal the
+    // multi-distinct Expand plan's on a table with nulls, doubles and
+    // dates (the injective-image argument, checked end to end)
+    val orders = graft.tables.Tables.orders(spark, sf)
+    val narrow = Profiling.profile(orders).collect().map(_.toString).toSeq
+    // force the legacy path via a schema containing a non-imageable
+    // column: profile() falls back to the Expand plan for ALL columns
+    val legacy = Profiling.profile(
+        orders.withColumn("__bin", expr("cast(null as binary)")))
+      .filter(col("column_name") =!= "__bin")
+      .collect().map(_.toString).toSeq
+    assert(narrow == legacy)
   }
 }
