@@ -48,7 +48,7 @@ object Classifier {
     // the explode below fans out compact longs, not feature strings.
     // Bucket integers are IDENTICAL to the oracle's hex-digit Horner
     // sum (first 6 md5 hex digits ≡ first 3 digest bytes).
-    val feats = documents(spark, dir).select(col("doc_id"), explode(
+    val feats = spread(documents(spark, dir), col("doc_id")).select(col("doc_id"), explode(
       FeatureBuckets.feature_buckets(col("text"), Buckets)).as("bucket"))
     feats
       .join(broadcast(weightTable(spark)), "bucket")

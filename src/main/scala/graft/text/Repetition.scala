@@ -37,7 +37,7 @@ import graft.tables.Tables._
 object Repetition {
 
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = documents(spark, dir)
+    val toks = spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"),
         posexplode(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
           .as(Seq("i0", "w")))

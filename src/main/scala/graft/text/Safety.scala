@@ -69,7 +69,7 @@ object Safety {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val g = GramWords
-    val grams = documents(spark, dir)
+    val grams = spread(documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= g)
       .select(col("doc_id"), explode(expr(
