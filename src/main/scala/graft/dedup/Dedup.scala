@@ -936,7 +936,7 @@ object Dedup {
   val EditPrefix = 400
 
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = documents(spark, dir)
+    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
       .filter(col("k").isNotNull)

@@ -216,7 +216,7 @@ object Similarity {
     val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val cells = scaledCells(emb.count())
+    val cells = scaledCells(embeddings(spark, dir).count())
     val centroids = materializedCentroids(emb, cells)
     def cellScores(side: DataFrame): DataFrame =
       side.join(broadcast(centroids), expr("true"))
@@ -274,7 +274,7 @@ object Similarity {
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
     val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val pqCodes = scaledPqCodes(emb.count())
+    val pqCodes = scaledPqCodes(embeddings(spark, dir).count())
     // codebook driver-side: ≤256 vectors (≤128 KB), flat [m][code][d]
     // layout for the per-row encode kernel. The joined encode this
     // replaces materialized n·PqM·codes rows (410M at ×100 of the
@@ -641,7 +641,8 @@ object Similarity {
     val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val centroids = materializedCentroids(emb, scaledCells(emb.count()))
+    val centroids = materializedCentroids(emb,
+      scaledCells(embeddings(spark, dir).count()))
     // assignment feeds BOTH sides of the per-cell self-join and the
     // final anti-join: checkpoint so it computes once, not three times
     // (per-row kernel assignment — same scores/tie-break as the joined
@@ -693,7 +694,7 @@ object Similarity {
     val emb = spread(embeddings(spark, dir), col("vec_id"), 512 * 1024)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
-    val cells = scaledCells(emb.count())
+    val cells = scaledCells(embeddings(spark, dir).count())
     val centroids = materializedCentroids(emb, cells)
     val scored = assignCells(emb, centroids)
       .join(broadcast(centroids), Seq("cell"))

@@ -49,6 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "hybrid_rrf", // query vectors: fixed handful, broadcast, =!= self
     "knn_incremental", // probe × broadcast(√n stored centroids)
     "bm25_rank", // n_docs/total_words: one-row broadcast scalars
+    "profile_orders", // r16 narrow census: per-column distinct counts
+                      // (#cols rows) × ONE broadcast metrics row
     "collocations", // n_tok: one-row broadcast scalar (r12, replaced
                     // the eager driver-side count's extra corpus pass)
     "q11_important_parts") // share threshold: one-row broadcast scalar
