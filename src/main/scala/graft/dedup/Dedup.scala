@@ -40,6 +40,22 @@ object Dedup {
   val Bands = 32
   val RowsPerBand: Int = NumPerm / Bands
 
+  /** Raw-text predicate equal to "the k=5 signature kernels return
+    * non-null": [[graft.functions.SigKernels.md5PermSketch]] and
+    * [[graft.functions.SigKernels.minMd5Shingle]] null exactly for
+    * null / sub-5-codepoint texts (both code paths return null only
+    * when length < k, and a text with ≥ k code points always yields at
+    * least one window). Filtering on the KERNEL OUTPUT
+    * (`col("sketch").isNotNull`) instead let PushDownPredicates clone
+    * the kernel into a Filter BELOW the spread exchange — every doc
+    * paid the md5 kernel twice, the first pass single-task below the
+    * very exchange that exists to parallelize it (plan-verified r17;
+    * guide §1.2 per-task work, §2.4 plan reading). `length(text) >= 5`
+    * pushes to the parquet scan for free; `length` counts code points,
+    * the unit both kernels gate on. */
+  private def hasShingleWindow: org.apache.spark.sql.Column =
+    length(col("text")) >= 5
+
   /** char-5-gram shingle hashes, distinct per doc. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     spread(documents(spark, dir), col("doc_id"))
@@ -94,20 +110,67 @@ object Dedup {
     // corpus the incremental flow ([[persistSketchCorpus]]) stores as a
     // real table — at 100 TB you keep this artifact durably, you don't
     // recompute it per join arm.
-    val sk = spread(documents(spark, dir), col("doc_id"))
+    // the null gate runs on the RAW text ([[hasShingleWindow]]): the old
+    // `.filter(col("sketch").isNotNull)` let PushDownPredicates clone
+    // the md5 kernel into a Filter below this pipeline — every doc was
+    // sketched TWICE in the cache build (stage-counted at sf10: 126 s
+    // cpu → 79 s with the raw-text gate).
+    // The doc_id repartition before the persist is DELIBERATE and was
+    // measured load-bearing (r17: removing it forced two 373 MB skV
+    // exchanges at sf10): the cache's hashpartitioning(doc_id) output
+    // partitioning satisfies BOTH verify joins' requirements (keys a
+    // and b are doc_ids), so the sketch table is shuffled once here and
+    // never again — two exchange-free sort-merge arms for one build-
+    // time exchange (guide §2.4 "two operations keyed the same way can
+    // share one exchange").
+    val sk = spread(documents(spark, dir).filter(hasShingleWindow),
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
-      .filter(col("sketch").isNotNull)
       .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band keys via the static kernel (single pass over the sketch):
-    // comma-joined decimal lanes — the band identity DuckDB reassembles
-    // with string_agg(lane, ',' ORDER BY j)
-    val banded = sk.select(col("doc_id"), posexplode(
-      graft.functions.SigKernelColumns.md5_band_keys(
-        col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
-      .repartition(col("band"), col("sig"))
+    // band identity as PACKED 62-bit longs (r17): a band's signature is
+    // its RowsPerBand consecutive int lanes; two lanes (each < 2^31)
+    // pack injectively into one long (hi*2^31 + lo — unique
+    // decomposition), so RowsPerBand/2 flat long columns carry exactly
+    // the band-key equality the old comma-joined decimal string did.
+    // The string form cost ~60 B/row across the self-join's exchanges
+    // and sorted BYTE-WISE in the merge join (stage-counted at sf10:
+    // 1.8 GB shuffled, 610 MB spilled, 159 s cpu in the join stage);
+    // fixed-width longs shuffle ~half the bytes and compare in three
+    // word ops (guide §2.3 narrower types, §1.2 per-task work). The
+    // md5bandkeys int→decimal formatting pass per join arm (~24 s cpu
+    // each at sf10) is gone too — the lanes are sliced straight out of
+    // the cached sketch. DuckDB still replays band identity its own way
+    // (string_agg over lanes): equality is equality, the pair set is
+    // bit-identical, and no sig ever reaches the output.
+    // No explicit (band, sig) repartition either (r17): the self-join
+    // states its own distribution requirement, so EnsureRequirements
+    // inserts the exchange exactly when the planned strategy needs one
+    // — when AQE broadcasts one arm (bench scale) the forced exchange
+    // was a pure extra shuffle of the banded stream on BOTH arms
+    // (plan-verified: the broadcast arm shuffled hash(band, sig) and
+    // then broadcast the result), and at 100 TB the sort-merge arms get
+    // the same hash exchanges either way (guide §2.4).
+    require(RowsPerBand % 2 == 0, "packed band keys need even rows/band")
+    val sigCols = (0 until RowsPerBand / 2).map(p => s"s$p")
+    // explode a LITERAL band-index array and index the sketch directly
+    // (GetArrayItem): whole-stage-codegen end to end — the transform(
+    // sequence(...), b -> named_struct(...)) form is a HigherOrderFunction
+    // and evaluates INTERPRETED (rule 4: no non-codegen expressions in
+    // the hot path; measured ~26 s cpu per join arm at sf10)
+    val banded = sk
+      .select(col("doc_id"), col("sketch"),
+        explode(lit((0 until Bands).toArray)).as("band"))
+      .select(col("doc_id") +: col("band") +:
+        sigCols.zipWithIndex.map { case (n, p) =>
+          (shiftleft(col("sketch")
+              .getItem(col("band") * RowsPerBand + 2 * p).cast("long"), 31) +
+            col("sketch")
+              .getItem(col("band") * RowsPerBand + 2 * p + 1).cast("long"))
+            .as(n)
+        }: _*)
     // join strategy is left to AQE ON PURPOSE: at bench scale the cached
     // sketch table is a few MB and broadcasting it beats shuffling
     // candidate×sketch rows 3-4x; at 100 TB the same table is 100+ GB,
@@ -117,9 +180,19 @@ object Dedup {
     // at both sf0.1 and sf1: the verify join then shuffles a full
     // 1.5 KB sketch per candidate-pair side — ~5 GB at sf1 — where the
     // broadcast lookup ships the 37 MB table once per executor.)
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val bandEq = sigCols.map(n => col(s"x.$n") === col(s"y.$n"))
+      .foldLeft(col("x.band") === col("y.band"))(_ && _)
+    // shuffled-HASH self-join (guide §3.1 "pick the strategy
+    // deliberately"): the banded key space is almost all singleton
+    // buckets (sf10 census: 14.7M buckets over 16M rows, Σg² = 21.4M ≈
+    // linear), so sort-merge paid two 16M-row sorts plus per-key group
+    // buffers for groups of size ~1 — stage-counted 159 s cpu / 610 MB
+    // spill, vs a per-partition hash build of rows/partitions (A/B at
+    // sf10: 7.9 → 6.4 s warm, spill 0; sf0.1: 0.90 → 0.76 s). The
+    // build side scales as rows/shuffle-partitions, and AQE's skew
+    // split applies to shuffled-hash joins the same as sort-merge.
+    val candidates = banded.as("x").join(banded.hint("shuffle_hash").as("y"),
+        bandEq && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val skV = sk.select(col("doc_id"), col("sketch"))
@@ -169,10 +242,10 @@ object Dedup {
     * disk bytes ~[[Bands]]× for nothing — at 100 TB that is the
     * difference between a 0.1% and a 3% standing-storage overhead. */
   def bandedSketch(d: DataFrame): DataFrame =
-    graft.tables.Tables.spread(d, col("doc_id")).select(col("doc_id"),
+    graft.tables.Tables.spread(d.filter(hasShingleWindow), col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
-      .filter(col("sketch").isNotNull)
       .select(col("doc_id"), col("sketch"), posexplode(
         graft.functions.SigKernelColumns.md5_band_keys(
           col("sketch"), Bands, RowsPerBand)).as(Seq("band", "sig")))
@@ -254,10 +327,11 @@ object Dedup {
   /** One-pass md5-affine sketch frame for a batch — the ONLY side of
     * the incremental flow that ever computes the sketch kernel. */
   private[graft] def batchSketchFrame(batchDocs: DataFrame): DataFrame =
-    graft.tables.Tables.spread(batchDocs, col("doc_id")).select(col("doc_id"),
+    graft.tables.Tables.spread(batchDocs.filter(hasShingleWindow),
+        col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.SigKernelColumns.md5_perm_sketch(
           col("text"), 5, NumPerm).as("sketch"))
-      .filter(col("sketch").isNotNull)
 
   /** Lazy agreement-passed candidate id pairs of a batch sketch frame
     * against the stored banded corpus (batch-vs-corpus in either
@@ -627,10 +701,10 @@ object Dedup {
     * groupBy(min) formulation paid 1.5M exploded rows and a hex encode
     * per SHINGLE; DedupSpec pins kernel ≡ explode-pipeline equality). */
   private[graft] def minshStarEdges(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
+    val minsh = spread(documents(spark, dir).filter(hasShingleWindow),
+        col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
-      .filter(col("k").isNotNull)
     // hub election is a PARTIAL-AGG groupBy + join back, not a window
     // over k: a viral boilerplate template makes one blocking key carry
     // millions of docs, and `Window.partitionBy(k)` would serialize that
@@ -653,10 +727,10 @@ object Dedup {
     * task. Partial-agg twice (k → size, size → n_blocks): nothing
     * larger than the distinct-size set ever reaches the driver. */
   def blockStats(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
+    val minsh = spread(documents(spark, dir).filter(hasShingleWindow),
+        col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
-      .filter(col("k").isNotNull)
     minsh.groupBy("k").agg(count(lit(1)).as("block_size"))
       .groupBy("block_size")
       .agg(count(lit(1)).as("n_blocks"))
@@ -936,10 +1010,10 @@ object Dedup {
   val EditPrefix = 400
 
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
-    val minsh = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
+    val minsh = spread(documents(spark, dir).filter(hasShingleWindow),
+        col("doc_id"), 256 * 1024)
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
-      .filter(col("k").isNotNull)
     // hub election by partial-agg groupBy + join back (the r11
     // mega-block rule — see [[minshStarEdges]]): the one-row-per-k hub
     // frame joins back on k as an AQE-skew-splittable join instead of a

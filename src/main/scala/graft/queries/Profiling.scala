@@ -104,8 +104,13 @@ object Profiling {
     val in0 = df.select(fields.zipWithIndex.map {
       case (f, i) => col(s"`${f.name.replace("`", "``")}`").as(s"c$i")
     }: _*)
+    // byte-gated spread (r17, verdict #3): the census fan-out is a
+    // moderate per-byte kernel, and the ungated exchange anti-scaled on
+    // KB-grade inputs (driver c8/c32 ratio 0.31 — 32 shuffle tasks cost
+    // more than the serialized stack on a 2.7 MB table); the 256 KB/core
+    // gate keeps sf0.1 unspread and fires from the tens-of-MB decades up
     val in = graft.tables.Tables.spread(in0,
-      xxhash64(in0.columns.map(col).toIndexedSeq: _*))
+      xxhash64(in0.columns.map(col).toIndexedSeq: _*), 256 * 1024)
     // pass A: exact distinct counts over (gid, image) — narrow keys,
     // hash-aggregating end to end, nulls excluded like countDistinct
     val stackArgs: Seq[Column] = lit(n) +: fields.zipWithIndex.flatMap {
@@ -163,7 +168,7 @@ object Profiling {
     // input with >= cores splits). Keyed on a hash of the whole row:
     // deterministic, and uniform for any schema.
     val in = graft.tables.Tables.spread(in0,
-      xxhash64(in0.columns.map(col).toIndexedSeq: _*))
+      xxhash64(in0.columns.map(col).toIndexedSeq: _*), 256 * 1024)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +:
       fields.zipWithIndex.flatMap { case (f, i) =>
         val c = col(s"c$i")

@@ -48,8 +48,13 @@ object Classifier {
     // the explode below fans out compact longs, not feature strings.
     // Bucket integers are IDENTICAL to the oracle's hex-digit Horner
     // sum (first 6 md5 hex digits ≡ first 3 digest bytes).
-    val feats = spread(documents(spark, dir), col("doc_id")).select(col("doc_id"), explode(
-      FeatureBuckets.feature_buckets(col("text"), Buckets)).as("bucket"))
+    // byte-gated spread (r17, verdict #3): ungated, the exchange + 32
+    // shuffle tasks anti-scaled on the KB-grade sf0.1 corpus (driver
+    // c8/c32 ratio 0.47); 256 KB/core keeps it unspread there and the
+    // sf10 decade (where the kernel is the cost) still fires
+    val feats = spread(documents(spark, dir), col("doc_id"), 256 * 1024)
+      .select(col("doc_id"), explode(
+        FeatureBuckets.feature_buckets(col("text"), Buckets)).as("bucket"))
     feats
       .join(broadcast(weightTable(spark)), "bucket")
       .groupBy("doc_id")
