@@ -565,8 +565,15 @@ object Dedup {
   def connectedComponents(edges: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = new Truncator(edges.sparkSession, checkpointDir)
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the DIRECTED edge list once and derive the symmetric
+    // view from it (r17): unioning two instances of the `edges` subtree
+    // evaluated the whole upstream pipeline twice — for dedupClusters
+    // that is the full LSH candidate funnel, for clusterMinsh the
+    // min-md5 census join (guide §2.4: don't compute things twice).
+    // The union of two scans of the materialized half is cheap.
+    val e0 = edges.cache()
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     // init fused with round 1: label(v) = min(v, min(neighbors)) in ONE
     // aggregate — identical to initializing label(v)=v and running one
@@ -592,6 +599,7 @@ object Dedup {
       labels = round.select("id", "label")
     }
     sym.unpersist()
+    e0.unpersist()
     labels
   }
 
@@ -701,10 +709,16 @@ object Dedup {
     * groupBy(min) formulation paid 1.5M exploded rows and a hex encode
     * per SHINGLE; DedupSpec pins kernel ≡ explode-pipeline equality). */
   private[graft] def minshStarEdges(spark: SparkSession, dir: String): DataFrame = {
+    // the (doc_id, k) frame MATERIALIZES (~50 B/doc — the dedupMinhash
+    // sketch-table policy, cache lifetime owned by the driving loop):
+    // it feeds BOTH the hub census and the join back, and without it
+    // each arm re-ran the min-md5 kernel over the corpus (stage-counted
+    // r17 at sf10: two ~30 s-cpu kernel stages for one logical pass)
     val minsh = spread(documents(spark, dir).filter(hasShingleWindow),
         col("doc_id"), 256 * 1024)
       .select(col("doc_id"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hub election is a PARTIAL-AGG groupBy + join back, not a window
     // over k: a viral boilerplate template makes one blocking key carry
     // millions of docs, and `Window.partitionBy(k)` would serialize that
@@ -786,9 +800,13 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = new Truncator(edges.sparkSession, checkpointDir)
     // adjacency frames feed EVERY iteration → pinned (never
-    // round-reclaimed); only the per-iteration rank frames rotate
-    val adj = ckpt.pin(edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
+    // round-reclaimed); only the per-iteration rank frames rotate.
+    // The DIRECTED list pins first (r17): pinning the union directly
+    // evaluated the whole edge pipeline once per union arm — the
+    // symmetric view now derives from the materialized half instead
+    val e0 = ckpt.pin(edges)
+    val adj = ckpt.pin(e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst"))))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = ckpt.pin(adj.join(deg, "src"))
     val nV = deg.count() // vertex count: O(components)-bounded scalar
@@ -1010,10 +1028,14 @@ object Dedup {
   val EditPrefix = 400
 
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized (the minshStarEdges policy): three consumers below
+    // (hub census, hub-text attach, member join) would otherwise each
+    // re-run the min-md5 kernel over the corpus
     val minsh = spread(documents(spark, dir).filter(hasShingleWindow),
         col("doc_id"), 256 * 1024)
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("t"),
         graft.functions.SigKernelColumns.min_md5_shingle(col("text"), 5).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hub election by partial-agg groupBy + join back (the r11
     // mega-block rule — see [[minshStarEdges]]): the one-row-per-k hub
     // frame joins back on k as an AQE-skew-splittable join instead of a
