@@ -2788,10 +2788,23 @@ final class GraftTable private (
       statsNow.get(f).flatMap(_.get(GraftTable.ClusteredKey))
         .exists { case (_, k, _) => k == keysTag } &&
       dvRead.getOrElse(f, Nil).isEmpty
+    // r17: files a parallelism-split rewrite deliberately emitted below
+    // target/2 (ClusteredKindSplit — see clusterRewriteCommit) count as
+    // converged: they are already key-clustered and range-disjoint
+    // within their commit, and re-binning them would shatter again
+    // under the same floor — forever-churn with no layout gain. An
+    // OPTIMIZE FULL still re-packs them (the escape hatch), and a DV
+    // landing on one re-qualifies it like any other file.
+    def splitConverged(f: String): Boolean =
+      statsNow.get(f).flatMap(_.get(GraftTable.ClusteredKey))
+        .exists { case (kind, k, _) =>
+          kind == GraftTable.ClusteredKindSplit && k == keysTag } &&
+      dvRead.getOrElse(f, Nil).isEmpty
     val (alreadyDone0, todo0) =
       if (full) (Nil, scopeFiles)
       else scopeFiles.partition(f => provenanceMatched(f) &&
-        sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2)
+        (sizesNow.getOrElse(f, 0L) >= targetFileSizeBytes / 2 ||
+          splitConverged(f)))
     // churn guard, per PARTITION (r11 — the global lone-file rule let a
     // partitioned table re-churn forever: each partition's undersized
     // clustered tail made todo.size = #partitions > 1, so every tail
@@ -2842,8 +2855,26 @@ final class GraftTable private (
     // only): sizing a million-file compaction costs zero filesystem calls
     val scopeBytes = todo.map(f =>
       sizesNow.getOrElse(f, fs.getFileStatus(dataPath(f)).getLen)).sum
-    val bins = math.max(1L,
+    val byBytes = math.max(1L,
       (scopeBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    // r17 parallelism floor on the range path (guide §2.5, §5): the
+    // range bin count IS the rewrite's reduce-task count, and a scope
+    // needing fewer bins than the session has cores serializes its
+    // sort on a handful of tasks — stage-counted at sf10: 5 tasks ×
+    // ~11 s cpu each with 27 cores idle, and a noop-sink A/B pinned
+    // the SORT (not the parquet encode) as the wall: 48 s at 5 bins
+    // vs 56 s with encode, 18 s at 32 bins. Split bins up to the
+    // session parallelism, never below `minSplitBytes` per file (4 MiB
+    // or target/16) so toy scopes don't shatter into confetti. Split
+    // outputs are sub-target BY DESIGN — they commit under the
+    // "keys-split" kind in the ClusteredKey sidecar and the plain-
+    // OPTIMIZE churn guard treats them as converged (the ≥ target/2
+    // size test alone would re-churn them forever). At real scale the
+    // floor is inert: scope/cores ≥ target makes byBytes ≥ cores.
+    val minSplitBytes = math.max(targetFileSizeBytes / 16, 4L * 1024 * 1024)
+    val capBins = math.max(1L, (scopeBytes + minSplitBytes - 1) / minSplitBytes)
+    val bins = math.max(byBytes.toLong,
+      math.min(spark.sparkContext.defaultParallelism.toLong, capBins)).toInt
     // single cluster column: plain sort ≡ 1-D Z-order; multi-column:
     // Morton key from graft.functions.ZOrder (one extra min/max job)
     val clusterKey: Seq[org.apache.spark.sql.Column] =
@@ -2866,13 +2897,18 @@ final class GraftTable private (
       case -1 => ""
       case i => f.take(i)
     }).distinct
-    val compacted =
-      if (partitionColumns.nonEmpty && bins <= todoDirs.size)
-        df.repartition(todoDirs.size, partitionColumns.map(col): _*)
-          .sortWithinPartitions(sortCols: _*)
+    // path choice stays on byBytes (how many files the scope NEEDS) —
+    // the parallelism floor must not flip a small partitioned compaction
+    // off the one-file-per-partition fixed point
+    val (compacted, splitKind) =
+      if (partitionColumns.nonEmpty && byBytes <= todoDirs.size)
+        (df.repartition(todoDirs.size, partitionColumns.map(col): _*)
+          .sortWithinPartitions(sortCols: _*), "keys")
       else if (sortCols.nonEmpty)
-        df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*)
-      else df.repartition(bins)
+        (df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*),
+          if (bins > byBytes) GraftTable.ClusteredKindSplit else "keys")
+      else (df.repartition(bins),
+        if (bins > byBytes) GraftTable.ClusteredKindSplit else "keys")
     val added = appendDataFiles(toPhysicalStrict(compacted))
     commitRewrite("OPTIMIZE", todo, added, Map(
       "numFilesAdded" -> added.size.toString,
@@ -2882,7 +2918,7 @@ final class GraftTable private (
       "zOrderBy" -> keysTag,
       "where" -> whereStr) ++ extraMetrics, readDv = dvRead,
       statsAnnotation = Some(GraftTable.ClusteredKey ->
-        (("keys", keysTag, provenance))))
+        ((splitKind, keysTag, provenance))))
   }
 
   /** OPTIMIZE FULL in byte-budgeted, independently-committed WAVES —
@@ -3536,9 +3572,20 @@ final class GraftTable private (
     val fields = tgt.schema.fields.toIndexedSeq
     val tgtType = fields.map(f => f.name -> f.dataType).toMap
     val extraSrc = source.columns.filterNot(fields.map(_.name).toSet).toIndexedSeq
+    // the aligned source MATERIALIZES for the merge's lifetime (r17,
+    // guide §5 caching-for-reuse): it feeds the multi-match guard, the
+    // affected-file discovery, the rewrite join and the insert
+    // anti-join — four actions that each re-ran the source pipeline
+    // (for a sync-shaped merge whose source derives from the TARGET,
+    // that was four extra full-table scans + distincts at sf10). The
+    // cache also gives AQE the source's true (small) size, so the
+    // rewrite join can pick a broadcast it would otherwise miss.
+    // Unpersisted on every exit path below.
     val src = source.select(fields.map(f =>
       (if (missing(f.name)) lit(null) else col(f.name))
         .cast(f.dataType).as(f.name)) ++ extraSrc.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def run(): Long = {
     val tKeys = keys.map(_._1)
     // source key values under the target-side names: file discovery and
     // the residual-free multi-match guard join on these
@@ -3754,6 +3801,9 @@ final class GraftTable private (
           physOut.schema.fields.filterNot(f => have(f.name))
             .foldLeft(cur)(_ add _)
         })
+    }
+    try run()
+    finally { scala.util.Try(src.unpersist(false)); () }
   }
 
   /** Change data feed between two committed versions (Delta CDF
@@ -4418,6 +4468,11 @@ object GraftTable {
   /** Reserved stats pseudo-column recording which cluster keys produced
     * a file (OPTIMIZE provenance — drives the incremental skip). */
   val ClusteredKey = "__clustered"
+
+  /** ClusteredKey "kind" slot value marking files a parallelism-split
+    * rewrite deliberately emitted below target/2 — the churn guard
+    * treats them as converged (r17; plain rewrites carry "keys"). */
+  val ClusteredKindSplit = "keys-split"
 
   /** Commits between txn-map checkpoints — the SetTransaction lookup
     * reads one checkpoint + at most this many commit-record tails. */
