@@ -91,8 +91,47 @@ object TpchClassics {
     * on time — the classic EXISTS(other) AND NOT EXISTS(other late)
     * double-correlation, expressed as semi + anti join. */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val l = lineitem(spark, dir)
-      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    // r17 (guide §2.4/§2.5, VERDICT #4): the join/aggregate chain is
+    // keyed by l_orderkey end to end, so ONE pinned exchange of the
+    // projected lineitem side serves the join AND both per-order
+    // aggregates (hash(l_orderkey) satisfies clustered(l_orderkey,
+    // l_suppkey) and clustered(l_orderkey)) — where the unpinned plan
+    // paid a post-join (okey, skey) exchange plus an okey exchange,
+    // and AQE (advisory-sized, parallelismFirst=false) coalesced the
+    // CPU-dense agg stage to 2 tasks at sf1 (stage-counted: 5.9 s on
+    // 2 of 32 cores). Bytes-gated per core so KB-scale fixtures keep
+    // their coalesced 1-task plans (the r16 c8 anti-scaling lesson).
+    val sc = spark.sparkContext
+    val liRaw = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val liEst = liRaw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val li =
+      if (liEst >= BigInt(512L * 1024) * sc.defaultParallelism) {
+        // partition count scales with input (≈32 MB of scan per
+        // partition, floored at the core count): the fused
+        // join+aggregate stage holds a per-task hash-join build AND a
+        // per-task (okey, skey) agg map — at one-partition-per-core
+        // grain the sf10 stage spilled 1.3 GB into sort-based agg
+        // fallback; halving per-task state keeps both structures
+        // resident (guide §5 "more partitions, smaller per-task state")
+        val parts = math.max(sc.defaultParallelism,
+          (liEst / BigInt(8L * 1024 * 1024)).toInt + 1)
+        liRaw.repartition(parts, col("l_orderkey"))
+      } else liRaw
+    // at the decades orders outgrows the broadcast region and the
+    // planner fell back to sort-merge: two full sorts of the billion-
+    // row side for an equi-join (stage-counted at sf10: 209 s cpu,
+    // 2.3 GB spill). A shuffled-hash build of the (o_orderkey,
+    // o_orderdate) side is sort-free and per-partition bounded
+    // (guide §3.1); below the gate the auto-broadcast keeps winning.
+    val ordRaw = orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val ord =
+      if (ordRaw.queryExecution.optimizedPlan.stats.sizeInBytes >=
+          BigInt(1024L * 1024) * sc.defaultParallelism)
+        ordRaw.hint("shuffle_hash")
+      else ordRaw
+    val l = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
     // Q21's EXISTS/NOT-EXISTS double correlation, decorrelated into ONE
