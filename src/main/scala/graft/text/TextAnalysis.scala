@@ -402,44 +402,74 @@ object TextAnalysis {
       col("n_co"), col("lift"))
     .orderBy("rk")
 
-  /** (doc_id, pos, word) token stream reconstructed from the standing
-    * postings table's positions column. Positions are raw `\s+`-split
-    * indices (Postings.derive posexplodes BEFORE the empty filter, and
-    * a trimmed text yields no empty tokens), so a dropped empty token
-    * is a pos GAP — every adjacency consumer checks pos contiguity
-    * explicitly and can never fabricate a pair across one. */
-  private def indexedToks(postings: DataFrame): DataFrame = postings
-    .select(col("doc_id"), col("word"), explode(col("positions")).as("pos"))
+  /** Per-doc pos-sorted (pos, word) token array rebuilt from the
+    * standing postings rows IN-ROW (r17, VERDICT #5): one
+    * groupBy(doc_id) over the compact (word, positions) rows — each
+    * word STRING crosses the exchange once per (doc, word), tf× fewer
+    * bytes than the exploded token stream the window form shuffled —
+    * then flatten + array_sort per row. Replaces the explode →
+    * WindowExec(lead) reconstruction: the token-grain exchange and the
+    * window's per-partition sort machinery are gone; adjacency zips
+    * in-row off the sorted array exactly like the scratch tokenizers
+    * (guide §2.3 shuffle fewer bytes, §2.4 remove shuffles). pos gaps
+    * (empty tokens dropped at ingest) survive as non-contiguous pos
+    * values and every consumer still checks contiguity, so no pair is
+    * fabricated across a gap — the window form's exact contract.
+    * doc_id groups are token-bounded (~10² entries), never a
+    * content-keyed mega-partition. */
+  private def indexedTokenArrays(postings: DataFrame): DataFrame = {
+    // pinned doc_id exchange, bytes-gated per core (the q21/spread
+    // lesson): the reconstruction above this shuffle is CPU-dense
+    // (collect + flatten + sort + zip per doc), and AQE's advisory
+    // coalescing (parallelismFirst=false) folded the 30 MB sf1
+    // exchange to ONE task — stage-counted 8–12 s serial where 32
+    // cores sat idle. The pin feeds the groupBy below exchange-free;
+    // KB-scale fixtures keep their coalesced plans.
+    // 64 KB/core gate: the per-byte cost here is kernel-class (~300
+    // ns/B measured: 9 s cpu over a 30 MB exchange), so even few-MB
+    // postings win from the spread; sf0.1's ~0.8 MB table stays under
+    // it (sf1's 7.9 MB estimate sat just under the 256 KB/core gate
+    // the first cut used, leaving the 9 s stage serial)
+    val sc = postings.sparkSession.sparkContext
+    val in =
+      if (postings.queryExecution.optimizedPlan.stats.sizeInBytes >=
+          BigInt(64L * 1024) * sc.defaultParallelism)
+        postings.repartition(sc.defaultParallelism, col("doc_id"))
+      else postings
+    in.groupBy("doc_id")
+      .agg(collect_list(struct(col("positions"), col("word"))).as("es"))
+      .select(col("doc_id"), array_sort(flatten(expr(
+        """transform(es, e -> transform(e.positions,
+          |  p -> named_struct('pos', p, 'word', e.word)))""".stripMargin)))
+        .as("s"))
+  }
 
-  /** Doc-keyed lead() window over the reconstructed token stream — the
-    * shared adjacency engine of [[indexedBigrams]] and
-    * [[indexedTrigrams]] (r13). Three forms were measured at sf1
-    * (min-of-3): the positional equi-join `(doc_id, pos) ⋈ (doc_id,
-    * pos−1) [⋈ pos−2]` shuffles the exploded stream once per adjacency
-    * arm (collocations twin 4.7 s, KN counts 8.4 s, novelty 13.6 s); a
-    * collect_list/array_sort per-doc reconstruction shuffles once but
-    * pays object-heavy aggregation buffers (5.9 / 9.0 / 15.7 s); this
-    * window form shuffles the stream ONCE on the uniform doc_id key,
-    * sorts in-partition, serves ALL leads from the one pass, and stays
-    * in Tungsten (4.5 / 5.7 / 10.3 s — the trigram consumers drop
-    * ~35%, the bigram one is shuffle-bound either way). The residual
-    * gap to scratch is structural: scratch zips adjacency IN-ROW from
-    * the text split with zero shuffle, which is why scratch stays the
-    * default for these three shapes (COVERAGE.md's recorded trade).
-    * doc_id partitions are bounded by tokens-per-doc (~10² — never a
-    * content-keyed mega-partition; the PlanAuditSpec ban covers
-    * token-grain keys, and doc_id is row-uniform by construction). */
-  private def adjacencyWindow = Window.partitionBy("doc_id").orderBy("pos")
+  // Adjacency-engine history (r13 → r17): four forms measured at sf1.
+  // Positional equi-join `(doc_id, pos) ⋈ (doc_id, pos−1) [⋈ pos−2]`
+  // shuffles the exploded stream once per adjacency arm (colloc twin
+  // 4.7 s / KN 8.4 s / novelty 13.6 s); collect_list over the EXPLODED
+  // token stream shuffles once but pays token-grain agg buffers
+  // (5.9 / 9.0 / 15.7 s); the r13 lead()-window form shuffles the
+  // exploded stream once and sorts it in-partition (4.5 / 5.7 /
+  // 10.3 s). The r17 form above collects the COMPACT postings rows —
+  // vocab-grain buffers, each word string shuffled once per (doc,
+  // word), no WindowExec sort — and zips adjacency in-row, closing the
+  // structural gap to the scratch tokenizers' zero-shuffle arrays_zip.
 
   /** (w1, w2) adjacent-pair frame off the standing postings — the
-    * indexed twin of the scratch arrays_zip bigram extraction. */
+    * indexed twin of the scratch arrays_zip bigram extraction
+    * ([[indexedTokenArrays]] + in-row zip since r17; pos contiguity
+    * checked per pair exactly as the lead() form did). */
   private def indexedBigrams(postings: DataFrame): DataFrame =
-    indexedToks(postings)
-      .select(col("word").as("w1"), col("pos"),
-        lead("word", 1).over(adjacencyWindow).as("w2"),
-        lead("pos", 1).over(adjacencyWindow).as("p2"))
-      .filter(col("p2") === col("pos") + 1)
-      .select("w1", "w2")
+    indexedTokenArrays(postings)
+      .filter(size(col("s")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(s) - 1),
+          |  i -> IF(s[i - 1].pos + 1 = s[i].pos,
+          |          named_struct('w1', s[i - 1].word, 'w2', s[i].word),
+          |          null)),
+          |  p -> p IS NOT NULL)""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
 
   /** Kneser-Ney count census — the data side of n-gram LM training:
     * corpus word-trigram counts plus LEFT and RIGHT continuation-type
@@ -481,16 +511,19 @@ object TextAnalysis {
 
   /** (doc_id, w1, w2, w3) adjacency frames off the standing postings —
     * the trigram analogue of [[indexedBigrams]], pos-contiguity
-    * checked on both leads. */
+    * checked on both steps ([[indexedTokenArrays]] + in-row zip). */
   private def indexedTrigrams(postings: DataFrame): DataFrame =
-    indexedToks(postings)
-      .select(col("doc_id"), col("word").as("w1"), col("pos"),
-        lead("word", 1).over(adjacencyWindow).as("w2"),
-        lead("pos", 1).over(adjacencyWindow).as("p2"),
-        lead("word", 2).over(adjacencyWindow).as("w3"),
-        lead("pos", 2).over(adjacencyWindow).as("p3"))
-      .filter(col("p2") === col("pos") + 1 && col("p3") === col("pos") + 2)
-      .select("doc_id", "w1", "w2", "w3")
+    indexedTokenArrays(postings)
+      .filter(size(col("s")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(1, size(s) - 2),
+          |  i -> IF(s[i - 1].pos + 1 = s[i].pos AND s[i].pos + 1 = s[i + 1].pos,
+          |          named_struct('w1', s[i - 1].word, 'w2', s[i].word,
+          |                       'w3', s[i + 1].word),
+          |          null)),
+          |  t -> t IS NOT NULL)""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
 
   /** Shared Kneser-Ney census tail: continuation-type counts are
     * partial-agg groupBys over the distinct-trigram frame, joined back
@@ -551,10 +584,20 @@ object TextAnalysis {
     * image, so the first-doc census and the basis-point integers (and
     * the scratch oracle) are unchanged. */
   def ngramNoveltyIndexed(spark: SparkSession, dir: String): DataFrame =
-    ngramNoveltyFrom(indexedTrigrams(Postings.postings(spark, dir))
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("w1"), col("w2"), col("w3"))).as("g"))
-      .distinct())
+    // hash + per-doc dedup IN the row (array_distinct over the hashed
+    // adjacency images — the scratch twin's exact move): the (doc_id,
+    // g) `.distinct()` this replaces paid a corpus-trigram-volume
+    // exchange for a set each reconstructed row already determines;
+    // the distinct (doc, gram) relation is identical.
+    ngramNoveltyFrom(indexedTokenArrays(Postings.postings(spark, dir))
+      .filter(size(col("s")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """filter(transform(sequence(1, size(s) - 2),
+          |  i -> IF(s[i - 1].pos + 1 = s[i].pos AND s[i].pos + 1 = s[i + 1].pos,
+          |          xxhash64(concat_ws(' ', s[i - 1].word, s[i].word,
+          |                             s[i + 1].word)),
+          |          CAST(NULL AS BIGINT))),
+          |  g -> g IS NOT NULL)""".stripMargin))).as("g")))
 
   /** Shared novelty tail: skew-safe first-doc election (partial-agg
     * groupBy(min) + join back) and integer basis points. */
