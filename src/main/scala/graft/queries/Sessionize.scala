@@ -26,9 +26,21 @@ object Sessionize {
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    // r17 (guide §2.5): AQE's advisory coalescing folded the window+agg
+    // stage to 3 tasks at sf10 (stage-counted: 7.5 s on 3 of 32 cores —
+    // the per-user sort + two window passes are CPU-dense, not
+    // shuffle-bound). A PINNED user_id exchange carries the window AND
+    // the (user_id, session_id) aggregate (both key on user_id), so no
+    // exchange is added — only the count is pinned. Bytes-gated per
+    // core: KB-scale fixtures keep their coalesced plans.
+    val raw = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"))
+    val sc = spark.sparkContext
+    (if (raw.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(512L * 1024) * sc.defaultParallelism)
+      raw.repartition(sc.defaultParallelism, col("user_id"))
+    else raw)
       .withColumn("brk",
         when(col("ts_us") - lag("ts_us", 1).over(order) > GapUs, 1)
           .otherwise(0))
