@@ -2899,16 +2899,34 @@ final class GraftTable private (
     }).distinct
     // path choice stays on byBytes (how many files the scope NEEDS) —
     // the parallelism floor must not flip a small partitioned compaction
-    // off the one-file-per-partition fixed point
+    // off the one-file-per-partition fixed point. The fixed point is
+    // only kept while its per-dir file sorts cheaply (≤ minSplitBytes):
+    // past that, one serial sort per partition is the wave wall (sf1:
+    // 3 dirs × 33 MB = a 3-task 19 s campaign) and the range path with
+    // the parallelism floor takes over — its boundaries landing inside
+    // partitions is exactly the r14 churn case, now inert because the
+    // sub-target outputs carry the keys-split convergence marker.
     val (compacted, splitKind) =
-      if (partitionColumns.nonEmpty && byBytes <= todoDirs.size)
+      if (partitionColumns.nonEmpty && byBytes <= todoDirs.size &&
+          scopeBytes <= todoDirs.size.toLong * minSplitBytes)
         (df.repartition(todoDirs.size, partitionColumns.map(col): _*)
           .sortWithinPartitions(sortCols: _*), "keys")
-      else if (sortCols.nonEmpty)
-        (df.repartitionByRange(bins, sortCols: _*).sortWithinPartitions(sortCols: _*),
-          if (bins > byBytes) GraftTable.ClusteredKindSplit else "keys")
-      else (df.repartition(bins),
-        if (bins > byBytes) GraftTable.ClusteredKindSplit else "keys")
+      else {
+        // split-marked when files may come out under target/2 by
+        // CONSTRUCTION: a parallelism-floored bin count, or range
+        // boundaries that can straddle hive partitions (byBytes ≤
+        // dirs) — re-running either rewrite reproduces its own layout,
+        // so the churn guard must treat it as converged
+        val kind =
+          if (bins > byBytes ||
+              (partitionColumns.nonEmpty && byBytes <= todoDirs.size))
+            GraftTable.ClusteredKindSplit
+          else "keys"
+        if (sortCols.nonEmpty)
+          (df.repartitionByRange(bins, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*), kind)
+        else (df.repartition(bins), kind)
+      }
     val added = appendDataFiles(toPhysicalStrict(compacted))
     commitRewrite("OPTIMIZE", todo, added, Map(
       "numFilesAdded" -> added.size.toString,
@@ -3271,8 +3289,28 @@ final class GraftTable private (
           writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
         }
     }
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
-     else writer).parquet(staging.toString)
+    // Concurrent partition writers (r17, guide §5): a dynamic-partition
+    // write whose input isn't already partition-sorted plans a full
+    // SortExec over the rows — stage-counted at sf10: 9.8 s / 260 s cpu
+    // / 1.15 GB spill on the MERGE rewrite, same shape on the bulk
+    // write — only so the single open writer sees one directory at a
+    // time. With up to 16 writers open per task the sort disappears;
+    // tables with more concurrent partition values per task fall back
+    // to the sorted path automatically (Spark sorts the remainder).
+    // Scoped to this write and restored — the session's value is the
+    // user's. Pre-sorted inputs (OPTIMIZE's range bins) plan no sort
+    // either way and are unaffected.
+    val confKey = "spark.sql.maxConcurrentOutputFileWriters"
+    val prior = scala.util.Try(spark.conf.get(confKey)).toOption
+    try {
+      if (partitionColumns.nonEmpty) {
+        scala.util.Try(spark.conf.set(confKey, "16"))
+        writer.partitionBy(partitionColumns: _*).parquet(staging.toString)
+      } else writer.parquet(staging.toString)
+    } finally scala.util.Try(prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    })
     val stagingUri = staging.toUri.getPath
     // the staging listing already knows each file's length — carried to
     // the commit's add actions so nothing re-stats the files later
@@ -3600,14 +3638,24 @@ final class GraftTable private (
       // target row updated/deleted by two source rows is nondeterministic.
       // Key-precise; with a residual the key count over-approximates, so
       // that variant runs row-precise over the joined affected files below
-      val dupMatched = srcKeyRows.groupBy(tKeys.map(col).toIndexedSeq: _*)
+      // two-step gate (r17): probe the TARGET's key set only when the
+      // source actually carries duplicate keys — the common deduped
+      // source paid a full-table key distinct (stage-counted at sf10: a
+      // 495 MB exchange + 597 MB spill) to semi-join an EMPTY left side
+      // (AQE submits both join stages concurrently, so the empty left
+      // cannot prune the right)
+      val dupKeys = srcKeyRows.groupBy(tKeys.map(col).toIndexedSeq: _*)
         .count().filter(col("count") > 1)
-        .join(tgt.select(tKeys.map(col).toIndexedSeq: _*).distinct(), tKeys, "left_semi")
-      if (!dupMatched.isEmpty)
-        throw new IllegalStateException(
-          "MERGE: multiple source rows match the same target row " +
-          "(nondeterministic update/delete); de-duplicate the source on " +
-          tKeys.mkString(", "))
+      if (!dupKeys.isEmpty) {
+        val dupMatched = dupKeys
+          .join(tgt.select(tKeys.map(col).toIndexedSeq: _*).distinct(),
+            tKeys, "left_semi")
+        if (!dupMatched.isEmpty)
+          throw new IllegalStateException(
+            "MERGE: multiple source rows match the same target row " +
+            "(nondeterministic update/delete); de-duplicate the source on " +
+            tKeys.mkString(", "))
+      }
     }
     val dvNow = dvOf(currentVersion)
     // files to rewrite: those holding a matched key — plus, under NOT
@@ -3618,15 +3666,26 @@ final class GraftTable private (
     val metaScan = extendEvolved(alignToRecorded(
       toLogical(readFilesMeta(manifestFiles(), dvNow,
         widenHint(currentVersion)), colMap), currentVersion))
+    // measured broadcast for the key probe (r17, guide §3.1): the
+    // semi-join's key side comes from a distinct over the CACHED
+    // source, so counting it is cheap, and below the gate an explicit
+    // broadcast keeps the planner (whose estimate for a derived
+    // distinct is useless) from shuffling the whole __path-carrying
+    // meta scan against it — stage-counted at sf10: a 495 MB exchange
+    // + 597 MB sort spill to probe 190 K keys. Above the gate the
+    // shuffle is the right plan and stays.
+    val srcKeysB =
+      if (srcKeys.limit(4000001).count() <= 4000000L) broadcast(srcKeys)
+      else srcKeys
     val affected = (if (notMatchedBySource.isEmpty)
-        metaScan.join(srcKeys, tKeys, "left_semi")
+        metaScan.join(srcKeysB, tKeys, "left_semi")
       else {
         // MATCHED means keys AND residual, so the not-matched-by-source
         // flag must see the full condition; residual-free merges keep
         // the cheaper distinct-keys probe
         val (flagSrc, cond) =
           if (residual.isEmpty)
-            (srcKeys,
+            (srcKeysB,
               tKeys.map(t => col(s"target.$t") === col(s"source.$t")).reduce(_ && _))
           else (src, joinCond("target", "source"))
         val flagged = metaScan.alias("target")
